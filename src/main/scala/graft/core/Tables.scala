@@ -1,0 +1,42 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+
+/** Loaders for the driver-generated testdata tables (repo:TESTDATA.md).
+  *
+  * Each table is a single parquet directory/file under the scale-factor dir.
+  * All engine operators are pure `DataFrame => DataFrame` functions; these
+  * loaders are the only place that touches paths, mirroring the reference's
+  * path registry (reference jobs/common.py:13-19) but parameterized so the
+  * same queries run at any scale factor.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
+  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4 rejects by
+    * default. Read nanos as long (legacy conf) and floor-divide to
+    * microseconds — exactly what DuckDB does when it reads the same file
+    * (its TIMESTAMP is µs precision), so oracle comparisons line up.
+    * Integer `div` (not `/`) — double division loses precision at 1.7e18 ns.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+}

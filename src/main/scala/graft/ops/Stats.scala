@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical transforms generalized from the reference's signature
+  * computations (reference jobs/03_silver_to_gold.py:33-43, 113-128).
+  *
+  * All transforms are pure `DataFrame => DataFrame` and stay inside
+  * Catalyst built-in expressions (whole-stage codegen'd, no UDFs) —
+  * the reference itself is 100% built-in-expression-based (SURVEY.md §2.9),
+  * and at 100 TB that is what keeps every one of these inside
+  * WholeStageCodegen with partial aggregation pushed map-side.
+  */
+object Stats {
+
+  /** Per-partition z-score standardization: z = (x − avg(x)) / stddev(x)
+    * over `partitionBy`, with the reference's `stddev == 0 → 0.0` guard
+    * (reference jobs/03_silver_to_gold.py:113-121).
+    *
+    * Semantics preserved exactly:
+    *  - `stddev` is SAMPLE stddev (n−1), Spark's default (SURVEY.md §2.7 W1);
+    *  - a single-row partition yields stddev NULL, and the zero-guard does
+    *    NOT catch NULL → z_score is NULL (SURVEY.md §7.5 risk 3).
+    *
+    * Scale: one Exchange on the partition keys; both window aggregates share
+    * the same WindowExec pass (no extra shuffle for the second aggregate).
+    * At 1000 executors this is a single hash-partitioned shuffle on the
+    * partition key — skew in a hot key is the only hazard; callers with
+    * known-skewed keys should pre-aggregate or salt.
+    */
+  def zscore(value: Column, partitionBy: Seq[Column], out: String = "z_score")(
+      df: DataFrame): DataFrame = {
+    val w   = Window.partitionBy(partitionBy: _*)
+    val avgC = avg(value).over(w)
+    val stdC = stddev(value).over(w)
+    df.withColumn(out,
+      when(stdC === 0.0, 0.0).otherwise((value - avgC) / stdC))
+  }
+
+  /** Trailing n-period moving average over `order` within optional
+    * partitions — the notebook's 12-month rolling mean (SURVEY.md §2.7 W2).
+    * Frame is ROWS BETWEEN n-1 PRECEDING AND CURRENT ROW; leading partial
+    * windows are emitted (callers can filter on `count` if pandas-style
+    * nulls for the first n−1 rows are needed).
+    */
+  def movingAvg(value: Column, order: Seq[Column], n: Int,
+                partitionBy: Seq[Column] = Nil, out: String = "moving_avg")(
+      df: DataFrame): DataFrame = {
+    val w0 = if (partitionBy.isEmpty) Window.orderBy(order: _*)
+             else Window.partitionBy(partitionBy: _*).orderBy(order: _*)
+    val w = w0.rowsBetween(-(n - 1), Window.currentRow)
+    df.withColumn(out, avg(value).over(w))
+  }
+
+  /** Grouped KPI aggregate — the reference's climate_kpis shape
+    * (reference jobs/03_silver_to_gold.py:33-43): avg/max/min/stddev of a
+    * measure, each rounded to `dp` decimals, plus row count. Partial+final
+    * HashAggregate; a single shuffle on the group keys, map-side combined,
+    * so it scales linearly with input and never materializes groups driver-side.
+    */
+  def kpis(measure: Column, groupBy: Seq[Column], dp: Int = 4)(
+      df: DataFrame): DataFrame =
+    df.groupBy(groupBy: _*).agg(
+      round(avg(measure), dp).as("avg_value"),
+      round(max(measure), dp).as("max_value"),
+      round(min(measure), dp).as("min_value"),
+      round(stddev(measure), dp).as("std_dev_value"),
+      count(lit(1)).as("record_count"))
+
+  /** Extreme-event classification over a standardized column — the
+    * reference's climate_extremes (reference jobs/03_silver_to_gold.py:148-152):
+    * keep |z| >= threshold, label positive side `highLabel` else `lowLabel`.
+    * Narrow (filter+project only): no shuffle, fully pushed into the scan
+    * when `z` is a stored column.
+    */
+  def extremes(z: Column, threshold: Double = 2.5,
+               highLabel: String = "EXTREME_HIGH", lowLabel: String = "EXTREME_LOW",
+               out: String = "event_type")(df: DataFrame): DataFrame =
+    df.filter(abs(z) >= threshold)
+      .withColumn(out, when(z > 0, highLabel).otherwise(lowLabel))
+
+  /** Per-column null count — the notebook's data-quality profile
+    * (SURVEY.md §2.6 A6). Single global aggregate, one reduce.
+    */
+  def nullProfile(df: DataFrame): DataFrame =
+    df.select(df.columns.toSeq.map(c =>
+      sum(col(c).isNull.cast("long")).as(c)): _*)
+}

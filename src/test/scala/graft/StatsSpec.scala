@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Stats
+
+/** Unit tests for Stats on hand-built rows — the semantic sharp edges
+  * called out in SURVEY.md §5: sample stddev, zero-stddev guard, NULL
+  * stddev on single-row partitions, moving-average frames.
+  */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zscore: standardizes within partition with sample stddev") {
+    // partition a: values 2, 4, 6 → avg 4, stddev_samp 2 → z = -1, 0, 1
+    val df = Seq(("a", 2.0), ("a", 4.0), ("a", 6.0)).toDF("k", "v")
+    val z = Stats.zscore(col("v"), Seq(col("k")))(df)
+      .orderBy("v").select("z_score").as[Double].collect()
+    assert(z.toSeq == Seq(-1.0, 0.0, 1.0))
+  }
+
+  test("zscore: stddev == 0 guard yields 0.0, not NaN") {
+    val df = Seq(("a", 5.0), ("a", 5.0)).toDF("k", "v")
+    val z = Stats.zscore(col("v"), Seq(col("k")))(df)
+      .select("z_score").as[Double].collect()
+    assert(z.toSeq == Seq(0.0, 0.0))
+  }
+
+  test("zscore: single-row partition gives NULL z (sample stddev of n=1)") {
+    val df = Seq(("a", 5.0)).toDF("k", "v")
+    val z = Stats.zscore(col("v"), Seq(col("k")))(df)
+      .select(col("z_score").isNull).as[Boolean].collect()
+    assert(z.toSeq == Seq(true))
+  }
+
+  test("movingAvg: trailing n-row frame with leading partials") {
+    val df = Seq((1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)).toDF("t", "v")
+    val m = Stats.movingAvg(col("v"), Seq(col("t")), n = 2)(df)
+      .orderBy("t").select("moving_avg").as[Double].collect()
+    assert(m.toSeq == Seq(1.0, 1.5, 2.5, 3.5))
+  }
+
+  test("extremes: threshold filter + HIGH/LOW labels") {
+    val df = Seq((1, 3.0), (2, -2.6), (3, 0.5)).toDF("id", "z")
+    val got = Stats.extremes(col("z"))(df)
+      .orderBy("id").select("id", "event_type")
+      .as[(Int, String)].collect()
+    assert(got.toSeq == Seq((1, "EXTREME_HIGH"), (2, "EXTREME_LOW")))
+  }
+
+  test("kpis: avg/max/min/stddev/count with rounding") {
+    val df = Seq(("x", 1.0), ("x", 2.0), ("x", 3.0)).toDF("g", "v")
+    val row = Stats.kpis(col("v"), Seq(col("g")))(df).collect().head
+    assert(row.getDouble(1) == 2.0)    // avg
+    assert(row.getDouble(2) == 3.0)    // max
+    assert(row.getDouble(3) == 1.0)    // min
+    assert(row.getDouble(4) == 1.0)    // stddev_samp of 1,2,3
+    assert(row.getLong(5) == 3L)       // count
+  }
+
+  test("nullProfile: counts nulls per column") {
+    val df = Seq((Some(1), Some("a")), (None, Some("b")), (None, None))
+      .toDF("a", "b")
+    val row = Stats.nullProfile(df).collect().head
+    assert(row.getLong(0) == 2L && row.getLong(1) == 1L)
+  }
+}
