@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.Stats
+import Parity._
+
+/** Notebook-surface analytics (SURVEY.md §2.6 A3-A6, §2.7 W2, §2.8 L2-L4)
+  * plus time/window/JSON operators: pivot, top-k, ranked windows, lag/lead,
+  * moving averages, tumbling time buckets, deterministic sampling, JSON
+  * extraction, null profiling.
+  */
+object AnalyticQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- A5: pivot count (events per day × event_type), zero-filled ----
+    QueryDef("q17_pivot_daily",
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  count(*) FILTER (WHERE event_type = 'click')    AS click,
+        |  count(*) FILTER (WHERE event_type = 'error')    AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view')     AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("day", dayStr(col("ts")))
+        .groupBy("day")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy("day")
+    },
+
+    // ---- L3: global top-k with deterministic tie-break ----
+    QueryDef("q18_topk_orders",
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // ---- per-group top-k via ranked window ----
+    QueryDef("q19_topk_per_segment",
+      """SELECT c_mktsegment, c_custkey, c_acctbal, CAST(rn AS INTEGER) AS rn
+        |FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+        |        row_number() OVER (PARTITION BY c_mktsegment
+        |                           ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |      FROM customer)
+        |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"), col("rn"))
+        .orderBy("c_mktsegment", "rn")
+    },
+
+    // ---- W2: trailing 7-day moving average over the daily series ----
+    QueryDef("q20_moving_avg_daily",
+      """SELECT day, n_events,
+        |  round(avg(day_avg) OVER (ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS moving_avg
+        |FROM (SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events,
+        |        avg(value) AS day_avg
+        |      FROM events GROUP BY 1)
+        |ORDER BY day""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("day", dayStr(col("ts")))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_events"), avg(col("value")).as("day_avg"))
+        .transform(Stats.movingAvg(col("day_avg"), Seq(col("day")), n = 7))
+        .select(col("day"), col("n_events"), round(col("moving_avg"), 4).as("moving_avg"))
+        .orderBy("day")
+    },
+
+    // ---- L4: deterministic sampling via key modulus (portable, unlike
+    //      rand(seed) which is engine-specific) ----
+    QueryDef("q21_mod_sample",
+      """SELECT event_id, user_id, event_type, value
+        |FROM events WHERE event_id % 97 < 5 ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_id") % 97 < 5)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .orderBy("event_id")
+    },
+
+    // ---- A6: per-column null profile ----
+    QueryDef("q22_null_profile",
+      """SELECT CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderkey,
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_custkey,
+        |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderstatus,
+        |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_totalprice,
+        |  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderdate,
+        |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderpriority
+        |FROM orders""".stripMargin) { (s, dir) =>
+      Stats.nullProfile(Tables.orders(s, dir))
+    },
+
+    // ---- tumbling time bucket (batch form of the streaming window) ----
+    QueryDef("q23_hourly_agg",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(tsStr(date_trunc("hour", col("ts"))).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             decimalSum(col("value"), "sum_value"))
+        .orderBy("hour", "event_type")
+    },
+
+    // ---- JSON extraction over events.props ----
+    QueryDef("q24_json_extract",
+      """SELECT event_type,
+        |  avg(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS avg_k,
+        |  count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val k = get_json_object(col("props"), "$.k").cast("int")
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(avg(k).as("avg_k"), count(k).as("n_k"))
+        .orderBy("event_type")
+    },
+
+    // ---- ranked-window family: rank / dense_rank / ntile / percent_rank ----
+    QueryDef("q25_rank_family",
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  CAST(rank()       OVER w AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        |  CAST(ntile(4)     OVER w AS INTEGER) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_mktsegment, rnk""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, dir)
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          rank().over(w).cast("int").as("rnk"),
+          dense_rank().over(w).cast("int").as("drnk"),
+          ntile(4).over(w).cast("int").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"))
+        .orderBy("c_mktsegment", "rnk")
+    },
+
+    // ---- lag / lead / first_value over an ordered per-key series ----
+    QueryDef("q26_lag_lead",
+      """SELECT event_id, user_id, value,
+        |  lag(value)  OVER w AS prev_value,
+        |  lead(value) OVER w AS next_value,
+        |  first_value(value) OVER w AS first_value,
+        |  value - lag(value) OVER w AS delta
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"),
+          first_value(col("value")).over(w).as("first_value"),
+          (col("value") - lag(col("value"), 1).over(w)).as("delta"))
+        .orderBy("event_id")
+    },
+  )
+}
