@@ -12,7 +12,8 @@ import graft.queries._
 object SparkEntry {
 
   private def registry: Seq[QueryDef] =
-    RelationalQueries.all ++ JoinQueries.all ++ AnalyticQueries.all
+    RelationalQueries.all ++ JoinQueries.all ++ AnalyticQueries.all ++
+      ClimateQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

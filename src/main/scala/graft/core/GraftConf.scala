@@ -1,0 +1,15 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Runtime session settings the engine requires, applied idempotently at
+  * every entry point (queries receive an arbitrary driver session).
+  */
+object GraftConf {
+  def ensure(spark: SparkSession): Unit = {
+    // Reference parity (SURVEY.md §2.3 P3): Spark 3.5 non-ANSI semantics —
+    // unparsable cast → null, out-of-range getItem → null — which the
+    // dropna-based validation depends on. Spark 4 defaults ANSI on.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+  }
+}

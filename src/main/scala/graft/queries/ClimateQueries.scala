@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Climate, ClimateFixture}
+
+/** The flagship climate pipeline surfaced as named queries over the
+  * deterministic fixture (FIXTURES.md §A). The kpis and stations_dim
+  * tables get full DuckDB oracles — DuckDB re-parses the SAME raw text
+  * files with its own SQL (regexp_split / substr), an independent
+  * implementation of the whole bronze→silver→gold path. The fact and
+  * extremes tables use Spark's Murmur3 `hash` (no DuckDB equivalent,
+  * SURVEY.md §7.5 risk 5) → rows-only checks; their exact semantics are
+  * golden-tested in ClimateSpec instead.
+  */
+object ClimateQueries {
+
+  private def fixture(): (String, String) = ClimateFixture.default
+
+  private def gold(s: SparkSession): Climate.Gold = {
+    val (b, st) = fixture()
+    Climate.run(s, b, st)
+  }
+
+  /** DuckDB-side re-implementation of the Berkeley text → silver parse. */
+  private def berkeleySilverSql(path: String): String =
+    s"""SELECT TRY_CAST(parts[2] AS INTEGER) AS year,
+       |  TRY_CAST(parts[3] AS INTEGER) AS month,
+       |  TRY_CAST(parts[4] AS INTEGER) AS day,
+       |  TRY_CAST(parts[6] AS REAL) AS anomaly
+       |FROM (
+       |  SELECT regexp_split_to_array(trim(value), '\\s+') AS parts
+       |  FROM read_csv('$path', delim='\\t', header=false, quote='',
+       |                columns={'value': 'VARCHAR'})
+       |  WHERE NOT starts_with(value, '%'))
+       |WHERE TRY_CAST(parts[2] AS INTEGER) IS NOT NULL
+       |  AND TRY_CAST(parts[3] AS INTEGER) IS NOT NULL
+       |  AND TRY_CAST(parts[6] AS REAL) IS NOT NULL""".stripMargin
+
+  /** DuckDB-side re-implementation of the GHCND fixed-width → silver parse. */
+  private def stationsSilverSql(path: String): String =
+    s"""SELECT trim(substr(value, 1, 11)) AS station_id,
+       |  TRY_CAST(trim(substr(value, 13, 8)) AS REAL) AS latitude,
+       |  TRY_CAST(trim(substr(value, 22, 9)) AS REAL) AS longitude,
+       |  TRY_CAST(trim(substr(value, 32, 6)) AS REAL) AS elevation,
+       |  trim(substr(value, 39, 2)) AS state,
+       |  trim(substr(value, 42, 30)) AS name
+       |FROM read_csv('$path', delim='\\t', header=false, quote='',
+       |              columns={'value': 'VARCHAR'})
+       |WHERE trim(substr(value, 1, 11)) IS NOT NULL
+       |  AND TRY_CAST(trim(substr(value, 13, 8)) AS REAL) IS NOT NULL
+       |  AND TRY_CAST(trim(substr(value, 22, 9)) AS REAL) IS NOT NULL""".stripMargin
+
+  val all: Seq[QueryDef] = {
+    val (bPath, stPath) = fixture()
+    Seq(
+
+      QueryDef("c01_climate_kpis",
+        s"""SELECT year,
+           |  round(avg(anomaly), 4) AS avg_global_anomaly,
+           |  round(max(anomaly), 4) AS max_anomaly,
+           |  round(min(anomaly), 4) AS min_anomaly,
+           |  round(stddev(anomaly), 4) AS std_dev_anomaly,
+           |  (SELECT count(*) FROM (${stationsSilverSql(stPath)})) AS station_count
+           |FROM (${berkeleySilverSql(bPath)})
+           |GROUP BY year ORDER BY year""".stripMargin) { (s, _) =>
+        gold(s).kpis.orderBy("year")
+      },
+
+      QueryDef("c02_stations_dim",
+        s"""SELECT station_id, name AS location, state AS country,
+           |  latitude, longitude, elevation
+           |FROM (${stationsSilverSql(stPath)})
+           |ORDER BY station_id""".stripMargin) { (s, _) =>
+        gold(s).stationsDim.orderBy("station_id")
+      },
+
+      // Murmur3-hash-derived noise → no DuckDB form; rows-only + goldens.
+      QueryDef.noOracle("c03_climate_fact") { (s, _) =>
+        gold(s).fact.orderBy("station_id", "date", "temperature_anomaly", "z_score")
+      },
+
+      QueryDef.noOracle("c04_climate_extremes") { (s, _) =>
+        gold(s).extremes.orderBy("station_id", "date", "temperature_anomaly", "z_score")
+      },
+    )
+  }
+}
