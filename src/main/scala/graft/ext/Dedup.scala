@@ -1,0 +1,159 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-data pipelines: exact (hash-groupBy),
+  * n-gram Jaccard, MinHash+LSH, SimHash. Built-in expressions end to end
+  * (no UDFs): shingling via `transform`/`sequence` HOFs, minhashing via
+  * per-seed `hash` min-aggregates, banding via `hash` of signature slices.
+  *
+  * Scale posture (the whole point of these operators at 100 TB):
+  *  - exact dedup = one hash-partitioned aggregate on a 16-byte key;
+  *  - MinHash: explode(shingles) is the big intermediate — partial
+  *    min-aggregation combines map-side, so the shuffle carries one
+  *    (doc, 64×min) row per doc, not one row per shingle;
+  *  - LSH banding turns the O(n²) pair space into per-bucket joins; the
+  *    candidate verify is a self-join only on colliding buckets;
+  *  - SimHash pairs use 16-bit chunk blocking (pigeonhole: hamming ≤ 3
+  *    ⇒ some chunk equal) instead of a cross join.
+  */
+object Dedup {
+
+  // ---------- exact ----------
+
+  /** Group identical texts: one row per distinct text with the surviving
+    * (minimum) id and the duplicate count.
+    */
+  def exactGroups(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.groupBy(md5(text).as("text_hash"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  /** Survivors only: keep the min-id row per canonical fingerprint. */
+  def dedupExact(df: DataFrame, id: String, text: String): DataFrame = {
+    val keep = df.groupBy(TextOps.fingerprint(col(text)).as("fp"))
+      .agg(min(col(id)).as(id))
+      .drop("fp")
+    df.join(keep, Seq(id), "left_semi")
+  }
+
+  // ---------- shingling + exact Jaccard ----------
+
+  /** Distinct word n-gram shingles of `text` (1-based element_at).
+    * Guarded for short docs: Spark's sequence(1, 0) counts DOWN ([1,0]),
+    * so size < n must short-circuit to an empty array.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val w   = TextOps.words(text)
+    val cnt = size(w) - (n - 1)
+    when(cnt >= 1,
+      array_distinct(transform(sequence(lit(1), cnt),
+        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** All-pairs n-gram Jaccard via shingle-inverted-index join:
+    * explode shingles → join on shingle (id_a < id_b) → |∩| per pair →
+    * jaccard = |∩| / (|A|+|B|−|∩|). Returns (id_a, id_b, jaccard).
+    * The inverted-index join only pairs docs sharing ≥1 shingle — at scale,
+    * hot shingles should be stop-listed first (df-capped); here the vocab
+    * is tiny so the join is the honest cost.
+    */
+  def jaccardPairs(df: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame = {
+    val sh = df.select(id.as("doc"), explode(shingles(text, n)).as("sh"))
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double")).as("jaccard"))
+  }
+
+  // ---------- MinHash + LSH ----------
+
+  /** 64-permutation MinHash signature columns (min over shingles of
+    * murmur3(shingle, seed_i)), one int column per permutation.
+    */
+  def minhashSignature(df: DataFrame, id: Column, text: Column,
+                       k: Int = 64, n: Int = 3): DataFrame = {
+    val sh = df.select(id.as("doc"), explode(shingles(text, n)).as("sh"))
+    sh.groupBy("doc").agg(
+      min(hash(col("sh"), lit(0))).as("mh0"),
+      (1 until k).map(i => min(hash(col("sh"), lit(i))).as(s"mh$i")): _*)
+  }
+
+  /** LSH candidate pairs: band the k-wide signature into `bands` bands of
+    * k/bands rows, hash each band, join docs sharing any (band, hash)
+    * bucket. Returns distinct (id_a, id_b).
+    */
+  def lshCandidates(sig: DataFrame, k: Int = 64, bands: Int = 16): DataFrame = {
+    val r = k / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        hash((0 until r).map(i => col(s"mh${b * r + i}")): _*).as("bucket"))
+    }
+    val exploded = sig.select(col("doc"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc"), col("bb.band"), col("bb.bucket"))
+    exploded.as("a").join(exploded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: candidates from banding, verified
+    * with exact shingle Jaccard. Returns (id_a, id_b, jaccard).
+    */
+  def minhashNearDups(df: DataFrame, id: Column, text: Column,
+                      k: Int = 64, bands: Int = 16, n: Int = 3): DataFrame = {
+    val cands = lshCandidates(minhashSignature(df, id, text, k, n), k, bands)
+    jaccardPairs(df, id, text, n).join(cands, Seq("id_a", "id_b"), "left_semi")
+  }
+
+  // ---------- SimHash ----------
+
+  /** 64-bit SimHash over count-weighted words: per bit, sum +count when
+    * xxhash64(word) has the bit set else −count; bit set in the signature
+    * iff the sum is positive. Emitted as one long column `simhash` plus
+    * four 16-bit chunk columns for blocked neighbor search.
+    */
+  def simhash(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val w = df.select(id.as("doc"), explode(TextOps.words(text)).as("word"))
+      .groupBy("doc", "word").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", xxhash64(col("word")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"s$b")
+    }
+    val sig = (0 until 64).map { b =>
+      when(col(s"s$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    w.groupBy("doc").agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash", sig)
+      .select(Seq(col("doc"), col("simhash")) ++
+        (0 until 4).map(c =>
+          shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as(s"chunk$c")): _*)
+  }
+
+  /** SimHash near-dup pairs with hamming ≤ maxHamming, found via 16-bit
+    * chunk blocking (exhaustive for maxHamming ≤ 3; a recall-bounded
+    * candidate set above that).
+    */
+  def simhashPairs(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val chunkMatches = (0 until 4).map { c =>
+      sig.as("a").join(sig.as("b"),
+          col(s"a.chunk$c") === col(s"b.chunk$c") && col("a.doc") < col("b.doc"))
+        .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
+          col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
+    }
+    chunkMatches.reduce(_ union _).distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ext.{Dedup, TextOps}
+
+/** Text-analysis + dedup surface over the `documents` table. The
+  * SQL-expressible operators get full DuckDB oracles (note DuckDB
+  * regexp_replace needs the 'g' flag for global semantics, and its list
+  * indexing is 1-based like Spark's element_at); MinHash/SimHash use
+  * Spark murmur3/xxhash64 with no DuckDB equivalent → rows-only +
+  * unit-tested on crafted near-dups.
+  */
+object TextQueries {
+
+  /** Shared DuckDB fragments mirroring TextOps. */
+  private val duckWords = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+  private val duckStops = "('the','a','of','and','to','in')"
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("t01_token_stats",
+      s"""SELECT doc_id,
+         |  CAST(len($duckWords) AS INTEGER) AS word_count,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS bpe_count,
+         |  n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextOps.wordCount(col("text")).as("word_count"),
+        TextOps.bpeishCount(col("text")).as("bpe_count"),
+        col("n_chars")).orderBy("doc_id")
+    },
+
+    QueryDef("t02_quality_score",
+      s"""SELECT doc_id,
+         |  CAST(len($duckWords) AS INTEGER) AS word_count,
+         |  CAST(len(list_filter($duckWords, w -> w IN $duckStops)) AS INTEGER) AS stop_count,
+         |  round(CAST(len(list_filter($duckWords, w -> w IN $duckStops)) AS DOUBLE)
+         |        / len($duckWords), 6) AS stop_ratio,
+         |  round(CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+         |        / len($duckWords), 6) AS avg_word_len,
+         |  round(least(CAST(len(list_filter($duckWords, w -> w IN $duckStops)) AS DOUBLE)
+         |              / len($duckWords) * 5.0, 1.0) * 0.5
+         |        + least(len($duckWords) / 100.0, 1.0) * 0.5, 4) AS quality_score
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val feats = TextOps.qualityFeatures(col("text"))
+      Tables.documents(s, dir).select(
+        col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+        .orderBy("doc_id")
+    },
+
+    QueryDef("t03_lang_id",
+      s"""SELECT doc_id, lang,
+         |  CAST(len(list_filter($duckWords, w -> w IN ('the','a','of','and','is'))) AS INTEGER) AS score_en,
+         |  CAST(len(list_filter($duckWords, w -> w IN ('der','die','das','und','ist'))) AS INTEGER) AS score_de,
+         |  CAST(len(list_filter($duckWords, w -> w IN ('el','los','las','es','y'))) AS INTEGER) AS score_es,
+         |  CAST(len(list_filter($duckWords, w -> w IN ('le','les','des','est','et'))) AS INTEGER) AS score_fr,
+         |  CAST(len(list_filter($duckWords, w -> w IN ('的','是','了','在','和'))) AS INTEGER) AS score_zh,
+         |  CASE
+         |    WHEN score_en + score_de + score_es + score_fr + score_zh = 0 THEN 'und'
+         |    WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+         |    WHEN score_de >= score_es AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+         |    WHEN score_es >= score_fr AND score_es >= score_zh THEN 'es'
+         |    WHEN score_fr >= score_zh THEN 'fr'
+         |    ELSE 'zh' END AS predicted
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val scores = TextOps.langScores(col("text"))
+      Tables.documents(s, dir).select(
+        Seq(col("doc_id"), col("lang")) ++
+          scores.map { case (n, c) => c.as(n) } :+
+          TextOps.langPredict(col("text")).as("predicted"): _*)
+        .orderBy("doc_id")
+    },
+
+    QueryDef("t04_fingerprint",
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    QueryDef("t05_exact_dedup",
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin) { (s, dir) =>
+      Dedup.exactGroups(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy("text_hash")
+    },
+
+    QueryDef("t06_jaccard_topk",
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(w) - 1),
+        |                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+        |  FROM docs),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |ORDER BY jaccard DESC, id_a, id_b LIMIT 20""".stripMargin) { (s, dir) =>
+      Dedup.jaccardPairs(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+        .limit(20)
+    },
+
+    // MinHash-LSH verified near-dup pairs (murmur3 → no oracle).
+    QueryDef.noOracle("t07_minhash_lsh") { (s, dir) =>
+      Dedup.minhashNearDups(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+        .limit(100)
+    },
+
+    // SimHash signatures + chunk keys (xxhash64 → no oracle).
+    QueryDef.noOracle("t08_simhash") { (s, dir) =>
+      Dedup.simhash(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy("doc")
+    },
+  )
+}

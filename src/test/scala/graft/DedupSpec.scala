@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, TextOps}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "completely different content about spark catalyst optimizer rules and physical plans"),
+    (4L, "The Quick Brown Fox jumps over the lazy dog near the river bank today!!!"), // case/punct variant of 1
+    (5L, "the quick brown fox jumps over the lazy dog near the river bank today")  // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exactGroups: identical texts share a hash group, min id kept") {
+    val g = Dedup.exactGroups(docs, col("doc_id"), col("text"))
+    assert(g.count() == 4) // 1&5 collapse
+    val grp = g.filter(col("n_docs") === 2).collect()
+    assert(grp.length == 1 && grp.head.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("fingerprint dedup: case/punctuation variants collapse") {
+    val kept = Dedup.dedupExact(docs, "doc_id", "text")
+    // 1, 4, 5 share a canonical fingerprint -> keep 1; 2 and 3 survive
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("shingles: short docs yield empty array, not [1,0] sequence garbage") {
+    val short = Seq((1L, "one two")).toDF("doc_id", "text")
+    val sh = short.select(Dedup.shingles(col("text"), 3).as("s"))
+      .select(size(col("s"))).as[Int].collect()
+    assert(sh.toSeq == Seq(0))
+  }
+
+  test("jaccardPairs: near-dups score high, unrelated score low or absent") {
+    val pairs = Dedup.jaccardPairs(docs, col("doc_id"), col("text"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) > 0.8)
+    assert(pairs((1L, 5L)) == 1.0)
+    assert(!pairs.contains((1L, 3L)) || pairs((1L, 3L)) < 0.1)
+  }
+
+  test("minhash LSH finds the crafted near-dup and exact-dup pairs") {
+    val found = Dedup.minhashNearDups(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((1L, 5L)), "exact dup must collide in every band")
+    assert(found.contains((1L, 2L)), "0.87-jaccard near-dup should collide")
+    assert(!found.contains((1L, 3L)), "unrelated docs should not be candidates")
+  }
+
+  test("simhash: exact dups at hamming 0, near-dups close, unrelated far") {
+    val sig = Dedup.simhash(docs, col("doc_id"), col("text"))
+    val m = sig.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(5L)) == 0)
+    assert(ham(m(1L), m(2L)) <= 8)
+    assert(ham(m(1L), m(3L)) > 8)
+  }
+
+  test("simhashPairs: chunk blocking surfaces hamming<=3 pairs") {
+    val sig = Dedup.simhash(docs, col("doc_id"), col("text"))
+    val pairs = Dedup.simhashPairs(sig, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 5L)))
+  }
+}
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langPredict: marker stopwords pick the language; und on no signal") {
+    val df = Seq(
+      ("the cat is on a mat of wool"),
+      ("der hund und die katze das haus"),
+      ("el gato y los perros las casas"),
+      ("le chat et les chiens des maisons"),
+      ("xyzzy qwerty plugh")
+    ).toDF("text")
+    val got = df.select(TextOps.langPredict(col("text"))).as[String].collect().toSeq
+    assert(got == Seq("en", "de", "es", "fr", "und"))
+  }
+
+  test("bpeishCount: letters runs + digit runs + symbols") {
+    val df = Seq(("hello world42 foo-bar!")).toDF("text")
+    // hello | world | 42 | foo | - | bar | ! -> 7
+    assert(df.select(TextOps.bpeishCount(col("text"))).as[Int].head() == 7)
+  }
+
+  test("fingerprint: normalization collapses case/punct/whitespace") {
+    val df = Seq(("Hello,   World!"), ("hello world")).toDF("text")
+    val fps = df.select(TextOps.fingerprint(col("text"))).as[String].collect()
+    assert(fps(0) == fps(1))
+  }
+}
