@@ -13,7 +13,7 @@ object SparkEntry {
 
   private def registry: Seq[QueryDef] =
     RelationalQueries.all ++ JoinQueries.all ++ AnalyticQueries.all ++
-      ClimateQueries.all ++ TextQueries.all
+      ClimateQueries.all ++ TextQueries.all ++ SimilarityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ext.Similarity
+
+/** Similarity-search surface over `embeddings`. The exact queries are
+  * DuckDB-oracled with the SAME cosine formula (explicit
+  * dot/(sqrt·sqrt) over double lists — sequential folds on both engines
+  * → bit parity, then rounded to 6 for rank stability). The LSH ANN
+  * variant depends on murmur3 hyperplane signs → rows-only + recall
+  * measured in SimilaritySpec.
+  */
+object SimilarityQueries {
+
+  private val duckCos =
+    """list_dot_product(q.e, c.e) /
+      |   (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)))""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("s01_cosine_topk",
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+         |SELECT q_id, c_id, cos, CAST(rn AS INTEGER) AS rn FROM (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |    round($duckCos, 6) AS cos,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |                       ORDER BY round($duckCos, 6) DESC, c.vec_id) AS rn
+         |  FROM v q CROSS JOIN v c
+         |  WHERE q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id)
+         |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, dir),
+          "vec_id", "embedding", col("vec_id") % 50 === 0, k = 5)
+        .orderBy("q_id", "rn")
+    },
+
+    QueryDef("s02_neardup_pairs",
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |           FROM embeddings WHERE vec_id < 250)
+         |SELECT q.vec_id AS id_a, c.vec_id AS id_b, round($duckCos, 6) AS cos
+         |FROM v q JOIN v c ON q.vec_id < c.vec_id
+         |ORDER BY cos DESC, id_a, id_b LIMIT 50""".stripMargin) { (s, dir) =>
+      Similarity.topKPairs(Tables.embeddings(s, dir),
+        "vec_id", "embedding", col("vec_id") < 250, k = 50)
+    },
+
+    // murmur3-signed hyperplanes → no DuckDB form; recall vs s01 measured
+    // in SimilaritySpec.
+    QueryDef.noOracle("s03_ann_lsh") { (s, dir) =>
+      Similarity.annTopK(Tables.embeddings(s, dir),
+          "vec_id", "embedding", col("vec_id") % 50 === 0,
+          k = 5, bits = 32, bands = 4)
+        .orderBy("q_id", "rn")
+    },
+  )
+}
