@@ -1,0 +1,84 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: images/audio/video as opaque `binary`
+  * columns with typed metadata, plus the partition-batched decode pattern.
+  *
+  * The container has no image/audio codecs, so the DECODE STEP IS A
+  * DETERMINISTIC FAKE (clearly marked below); everything around it —
+  * schema shape, binary columns, frame-explosion, metadata structs, the
+  * `mapPartitions` batch-decode seam — is real and tested. Swapping
+  * [[fakeDecode]] for a JNI/codec call is the only change needed for real
+  * media.
+  *
+  * Scale posture: media bytes dominate row size → never shuffle the binary
+  * column through wide ops; extract metadata/features first, project the
+  * bytes away, and let the scan prune the binary column when a query only
+  * needs metadata (columnar parquet does this for free).
+  */
+object Multimodal {
+
+  /** Attach a binary media column. Testdata has no real media, so bytes
+    * are the UTF-8 encoding of `payload` — an opaque byte source as far
+    * as every downstream operator is concerned.
+    */
+  def withMediaBytes(df: DataFrame, payload: Column, out: String = "media"): DataFrame =
+    df.withColumn(out, payload.cast("binary"))
+
+  /** Typed metadata extracted WITHOUT decoding (container-level facts):
+    * byte length plus deterministic fake dimensions derived from the
+    * length — stands in for header parsing.
+    */
+  def mediaMeta(df: DataFrame, media: Column, sizeHint: Column): DataFrame =
+    df.withColumn("byte_len", length(media))
+      .withColumn("width", (sizeHint % 640 + 32).cast("int"))
+      .withColumn("height", ((sizeHint * 7) % 480 + 32).cast("int"))
+
+  /** Frame sampling: slice the payload into `n` fixed-stride frames,
+    * exploded to (id, frame_idx, frame) rows — the real plumbing shape a
+    * video pipeline uses (frame rows flow into per-frame feature ops).
+    */
+  def frameSample(df: DataFrame, payload: Column, n: Int = 4,
+                  stride: Int = 100): DataFrame =
+    df.withColumn("f",
+        explode(array((0 until n).map(i =>
+          struct(lit(i).as("frame_idx"),
+            substring(payload, i * stride + 1, stride).as("frame"))): _*)))
+      .withColumn("frame_idx", col("f.frame_idx"))
+      .withColumn("frame", col("f.frame"))
+      .drop("f")
+
+  // ---------- partition-batched decode seam ----------
+
+  final case class MediaRow(doc_id: Long, media: Array[Byte])
+  final case class DecodedRow(doc_id: Long, width: Int, height: Int,
+                              n_pixels: Long, checksum: Long)
+
+  /** STUB CODEC — deterministic fake standing in for a real decoder
+    * (no image libs in this container). Derives stable pseudo-dimensions
+    * and a checksum from the bytes. Replace with a real codec to ship.
+    */
+  def fakeDecode(m: MediaRow): DecodedRow = {
+    val crc = new java.util.zip.CRC32
+    crc.update(m.media)
+    val w = (m.media.length % 640) + 32
+    val h = ((m.media.length * 7) % 480) + 32
+    DecodedRow(m.doc_id, w, h, w.toLong * h, crc.getValue)
+  }
+
+  /** The batched-decode pattern (Scala analogue of mapInPandas): decode
+    * per PARTITION so codec init happens once per task, not once per row —
+    * the shape that matters at scale. `codec` is injected so tests drive
+    * the seam with [[fakeDecode]].
+    */
+  def decodeBatched(ds: Dataset[MediaRow],
+                    codec: MediaRow => DecodedRow = fakeDecode): Dataset[DecodedRow] = {
+    implicit val enc: Encoder[DecodedRow] = Encoders.product[DecodedRow]
+    ds.mapPartitions { it =>
+      // per-partition codec initialization would go here (once per task)
+      it.map(codec)
+    }
+  }
+}

@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ext.Multimodal
+import graft.streaming.StreamOps
+import Parity._
+
+/** Multimodal plumbing + event-time session queries.
+  *
+  * m01/m02 drive the binary-column path (encode → binary → slice → hash)
+  * with DuckDB oracles over the equivalent text operations (the payload is
+  * ASCII, so byte slices == char slices; DuckDB's md5 is VARCHAR-only).
+  * st01 is the batch form of the streaming sessionizer — session_window
+  * semantics mirrored in SQL as a gap-island computation.
+  */
+object MediaStreamQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("m01_media_meta",
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |  CAST(n_chars % 640 + 32 AS INTEGER) AS width,
+        |  CAST((n_chars * 7) % 480 + 32 AS INTEGER) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Multimodal.mediaMeta(
+          Multimodal.withMediaBytes(docs, col("text")),
+          col("media"), col("n_chars"))
+        .select(col("doc_id"), col("byte_len"), col("width"), col("height"))
+        .orderBy("doc_id")
+    },
+
+    QueryDef("m02_frame_hashes",
+      """SELECT doc_id, CAST(t.frame_idx AS INTEGER) AS frame_idx,
+        |  md5(substr(text, CAST(t.frame_idx * 100 + 1 AS BIGINT), 100)) AS frame_md5
+        |FROM documents CROSS JOIN (SELECT unnest(range(4)) AS frame_idx) t
+        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Multimodal.frameSample(
+          Multimodal.withMediaBytes(docs, col("text")),
+          col("media"), n = 4, stride = 100)
+        .select(col("doc_id"), col("frame_idx"),
+          md5(col("frame")).as("frame_md5"))
+        .orderBy("doc_id", "frame_idx")
+    },
+
+    QueryDef("st01_session_agg",
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .transform(StreamOps.sessionAgg("ts", "user_id", "30 minutes"))
+        .select(col("user_id"),
+          tsStr(col("session_window.start")).as("session_start"),
+          tsStr(col("session_window.end")).as("session_end"),
+          col("n_events"),
+          col("sum_value"))
+        .orderBy("user_id", "session_start")
+    },
+  )
+}

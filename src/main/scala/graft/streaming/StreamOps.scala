@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming-ready transforms. Every function here is a pure
+  * `DataFrame => DataFrame` over event-time columns, so THE SAME CODE runs
+  * under `spark.read` (batch, oracle-checkable) and `spark.readStream`
+  * (incremental with watermark-bounded state) — the design SURVEY.md §7.5
+  * calls for. StreamingSpec drives them through MemoryStream; the batch
+  * form backs the q23/st01 oracle queries.
+  */
+object StreamOps {
+
+  /** Tumbling event-time window aggregate. Under readStream add
+    * `.withWatermark(tsCol, horizon)` upstream; state is then bounded by
+    * the watermark and windows finalize in append mode.
+    */
+  def tumblingAgg(tsCol: String, keyCol: String, width: String)(df: DataFrame): DataFrame =
+    df.groupBy(window(col(tsCol), width), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Event-time sessionization via the built-in session_window: events
+    * within `gap` of each other merge into one session per key. Identical
+    * semantics batch and streaming (streaming needs a watermark).
+    */
+  def sessionAgg(tsCol: String, keyCol: String, gap: String)(df: DataFrame): DataFrame =
+    df.groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        // decimal-cast sum: order-independent, exact — oracle parity
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+
+  // ---------- custom-state example: per-key running counter ----------
+
+  final case class Ev(user_id: Long, event_id: Long, value: Double)
+  final case class UserRunning(user_id: Long, n_events: Long, total: Double)
+
+  /** flatMapGroupsWithState: running per-user totals — the custom-state
+    * escape hatch for semantics session_window can't express. Emits the
+    * updated running row per input batch. NoTimeout: with
+    * ProcessingTimeTimeout the engine schedules continuous empty
+    * micro-batches to re-check timers, which spins a local test forever;
+    * state eviction at scale should use event-time timeouts + watermark.
+    */
+  def runningTotals(ds: Dataset[Ev]): Dataset[UserRunning] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, events: Iterator[Ev], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0))
+          var n = prev.n_events
+          var t = prev.total
+          events.foreach { e => n += 1; t += e.value }
+          val next = UserRunning(user, n, t)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
+
+/** Drives the StreamOps transforms through actual Structured Streaming
+  * (MemoryStream source → memory sink) and checks batch/stream parity —
+  * the same `DataFrame => DataFrame` code must produce the same result in
+  * both modes.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Long): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+
+  private val rows = Seq(
+    (1L, ts(0), 1.0), (1L, ts(10), 2.0),             // session A (user 1)
+    (1L, ts(60), 3.0),                                // session B (gap 50min)
+    (2L, ts(5), 4.0), (2L, ts(34), 5.0),              // gap 29min -> same session
+    (2L, ts(64), 6.0),                                // gap 30min EXACTLY -> still merged
+    (3L, ts(0), 7.0), (3L, ts(31), 8.0)               // gap 31min -> two sessions
+  )
+
+  test("sessionAgg batch: 30-min gap islands with exact-gap boundary") {
+    val df = rows.toDF("user_id", "ts", "value")
+    val got = StreamOps.sessionAgg("ts", "user_id", "30 minutes")(df)
+      .select(col("user_id"), col("n_events"), col("sum_value"))
+      .orderBy("user_id", "n_events", "sum_value")
+      .as[(Long, Long, Double)].collect().toSeq
+    // session_window's merge boundary is INCLUSIVE: a 30-min-exact gap
+    // still merges (user 2 is one 3-event session); only > gap splits.
+    assert(got == Seq((1L, 1L, 3.0), (1L, 2L, 3.0), (2L, 3L, 15.0),
+      (3L, 1L, 7.0), (3L, 1L, 8.0)))
+  }
+
+  test("sessionAgg streaming == batch on the same data (complete mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val sdf = mem.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "2 hours")
+    val q = StreamOps.sessionAgg("ts", "user_id", "30 minutes")(sdf)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("sess_out").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("sess_out")
+      .select(col("user_id"), col("n_events"), col("sum_value"))
+      .orderBy("user_id", "n_events", "sum_value")
+      .as[(Long, Long, Double)].collect().toSeq
+    q.stop()
+    assert(streamed == Seq((1L, 1L, 3.0), (1L, 2L, 3.0), (2L, 3L, 15.0),
+      (3L, 1L, 7.0), (3L, 1L, 8.0)))
+  }
+
+  test("tumblingAgg streaming: watermarked hourly counts via memory sink") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val sdf = mem.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "2 hours")
+    val q = StreamOps.tumblingAgg("ts", "user_id", "1 hour")(sdf)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("tumb_out").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val n = spark.table("tumb_out").agg(sum("n")).as[Long].head()
+    q.stop()
+    assert(n == rows.length)
+  }
+
+  test("flatMapGroupsWithState running totals accumulate across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOps.Ev]
+    val q = StreamOps.runningTotals(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("run_out").start()
+    mem.addData(StreamOps.Ev(7L, 1L, 1.5), StreamOps.Ev(7L, 2L, 2.5))
+    q.processAllAvailable()
+    mem.addData(StreamOps.Ev(7L, 3L, 6.0))
+    q.processAllAvailable()
+    val last = spark.table("run_out").orderBy(col("n_events").desc)
+      .as[StreamOps.UserRunning].head()
+    q.stop()
+    assert(last == StreamOps.UserRunning(7L, 3L, 10.0))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ext.Multimodal
+
+  test("binary round-trip: bytes length and frame slicing") {
+    val df = Seq((1L, "a" * 250)).toDF("doc_id", "text")
+    val frames = Multimodal.frameSample(
+        Multimodal.withMediaBytes(df, col("text")), col("media"), n = 4, stride = 100)
+      .select(col("frame_idx"), length(col("frame")).as("len"))
+      .orderBy("frame_idx").as[(Int, Int)].collect().toSeq
+    // 250 bytes -> frames of 100, 100, 50, and an empty slice
+    assert(frames.map(_._2) == Seq(100, 100, 50, 0))
+  }
+
+  test("decodeBatched: deterministic fake codec through mapPartitions") {
+    val ds = Seq(
+      Multimodal.MediaRow(1L, "hello".getBytes),
+      Multimodal.MediaRow(2L, "hello".getBytes),
+      Multimodal.MediaRow(3L, "other-bytes".getBytes)).toDS()
+    val out = Multimodal.decodeBatched(ds).collect().sortBy(_.doc_id)
+    assert(out(0).checksum == out(1).checksum)   // same bytes, same decode
+    assert(out(0).checksum != out(2).checksum)
+    assert(out.forall(r => r.n_pixels == r.width.toLong * r.height))
+  }
+}
