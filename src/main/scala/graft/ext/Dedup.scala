@@ -39,18 +39,39 @@ object Dedup {
 
   // ---------- shingling + exact Jaccard ----------
 
-  /** Distinct word n-gram shingles of `text` (1-based element_at).
-    * Guarded for short docs: Spark's sequence(1, 0) counts DOWN ([1,0]),
-    * so size < n must short-circuit to an empty array.
+  /** Distinct word n-gram shingles from a PRE-SPLIT words column
+    * (1-based element_at). Two sharp edges, both measured:
+    *  - Spark's sequence(1, 0) counts DOWN ([1,0]) → size < n must
+    *    short-circuit to an empty array;
+    *  - `w` must be a column reference, NOT an inline split(...) — each
+    *    element_at re-evaluates its argument inside the lambda, so an
+    *    inline split re-tokenizes the text 3× per shingle (16× slower
+    *    at sf0.1: 11 s → 0.7 s for the explode).
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val w   = TextOps.words(text)
+  def shinglesOfWords(w: Column, n: Int = 3): Column = {
     val cnt = size(w) - (n - 1)
     when(cnt >= 1,
       array_distinct(transform(sequence(lit(1), cnt),
         i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*))))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Convenience single-column form — fine for small/test data; the
+    * df-level operators below always pre-split (see shinglesOfWords).
+    */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesOfWords(TextOps.words(text), n)
+
+  /** Exploded (doc, s) shingle rows. The words column is materialized in
+    * a Project UNDER the Generate — explode is the one plan barrier
+    * CollapseProject won't inline a split() through (two stacked Projects
+    * get merged, which would put split back inside the lambda and
+    * re-tokenize per element; measured 20× slower).
+    */
+  private def shingleRows(df: DataFrame, id: Column, text: Column,
+                          n: Int): DataFrame =
+    df.select(id.as("doc"), TextOps.words(text).as("w"))
+      .select(col("doc"), explode(shinglesOfWords(col("w"), n)).as("s"))
 
   /** All-pairs n-gram Jaccard via shingle-inverted-index join:
     * explode shingles → join on shingle (id_a < id_b) → |∩| per pair →
@@ -60,7 +81,11 @@ object Dedup {
     * is tiny so the join is the honest cost.
     */
   def jaccardPairs(df: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame = {
-    val sh = df.select(id.as("doc"), explode(shingles(text, n)).as("sh"))
+    // Join on xxhash64(shingle), not the shingle string: 8-byte shuffle
+    // keys instead of ~30-byte strings (same results; a 64-bit collision
+    // altering a count is ~2^-64 per shingle pair — ignorable).
+    val sh = shingleRows(df, id, text, n)
+      .select(col("doc"), xxhash64(col("s")).as("sh"))
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
@@ -81,7 +106,7 @@ object Dedup {
     */
   def minhashSignature(df: DataFrame, id: Column, text: Column,
                        k: Int = 64, n: Int = 3): DataFrame = {
-    val sh = df.select(id.as("doc"), explode(shingles(text, n)).as("sh"))
+    val sh = shingleRows(df, id, text, n).withColumnRenamed("s", "sh")
     sh.groupBy("doc").agg(
       min(hash(col("sh"), lit(0))).as("mh0"),
       (1 until k).map(i => min(hash(col("sh"), lit(i))).as(s"mh$i")): _*)
@@ -107,12 +132,26 @@ object Dedup {
   }
 
   /** Full MinHash-LSH near-dup pipeline: candidates from banding, verified
-    * with exact shingle Jaccard. Returns (id_a, id_b, jaccard).
+    * with exact shingle Jaccard computed ONLY for candidate pairs via
+    * array_intersect on the two shingle sets — never the all-pairs join
+    * (that quadratic pass is exactly what LSH exists to avoid; at 100 TB
+    * the candidate set is the only thing small enough to touch twice).
+    * Returns (id_a, id_b, jaccard).
     */
   def minhashNearDups(df: DataFrame, id: Column, text: Column,
                       k: Int = 64, bands: Int = 16, n: Int = 3): DataFrame = {
     val cands = lshCandidates(minhashSignature(df, id, text, k, n), k, bands)
-    jaccardPairs(df, id, text, n).join(cands, Seq("id_a", "id_b"), "left_semi")
+    // per-doc shingle sets rebuilt from the exploded rows (shingles are
+    // already distinct per doc) — one extra small aggregate instead of
+    // re-evaluating the shingle expression through a collapsible Project
+    val sets = shingleRows(df, id, text, n)
+      .groupBy("doc").agg(collect_list(col("s")).as("sh_arr"))
+    cands
+      .join(sets.select(col("doc").as("id_a"), col("sh_arr").as("sh_a")), "id_a")
+      .join(sets.select(col("doc").as("id_b"), col("sh_arr").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
   }
 
   // ---------- SimHash ----------

@@ -17,10 +17,16 @@ object ClimateQueries {
 
   private def fixture(): (String, String) = ClimateFixture.default
 
-  private def gold(s: SparkSession): Climate.Gold = {
-    val (b, st) = fixture()
-    Climate.run(s, b, st)
-  }
+  // One pipeline build per session: the four gold queries share a cached
+  // fact lineage instead of re-running bronze→gold each (the reference's
+  // recompute waste, SURVEY.md §4, fixed engine-side).
+  private val memo = scala.collection.concurrent.TrieMap.empty[SparkSession, Climate.Gold]
+
+  private def gold(s: SparkSession): Climate.Gold =
+    memo.getOrElseUpdate(s, {
+      val (b, st) = fixture()
+      Climate.run(s, b, st)
+    })
 
   /** DuckDB-side re-implementation of the Berkeley text → silver parse. */
   private def berkeleySilverSql(path: String): String =
