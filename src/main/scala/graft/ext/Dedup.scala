@@ -101,29 +101,32 @@ object Dedup {
 
   // ---------- MinHash + LSH ----------
 
-  /** 64-permutation MinHash signature columns (min over shingles of
-    * murmur3(shingle, seed_i)), one int column per permutation.
+  /** 64-permutation MinHash signature as ONE array column, computed by
+    * the native fused expression [[graft.functions.MinHashSignature]] —
+    * a map-only projection (no explode, no 64-column aggregate, no
+    * shuffle). Bit-identical to the built-in-only formulation
+    * `min(hash(shingle, lit(i)))` per permutation (MinHashExprSpec).
     */
   def minhashSignature(df: DataFrame, id: Column, text: Column,
                        k: Int = 64, n: Int = 3): DataFrame = {
-    val sh = shingleRows(df, id, text, n).withColumnRenamed("s", "sh")
-    sh.groupBy("doc").agg(
-      min(hash(col("sh"), lit(0))).as("mh0"),
-      (1 until k).map(i => min(hash(col("sh"), lit(i))).as(s"mh$i")): _*)
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(id.as("doc"), TextOps.words(text).as("w"))
+      .select(col("doc"),
+        call_function("graft_minhash", shinglesOfWords(col("w"), n)).as("sig"))
   }
 
-  /** LSH candidate pairs: band the k-wide signature into `bands` bands of
-    * k/bands rows, hash each band, join docs sharing any (band, hash)
-    * bucket. Returns distinct (id_a, id_b).
+  /** LSH candidate pairs via the fused band expression: one map-only pass
+    * emits `bands` bucket hashes per doc (posexplode is the single
+    * reference → single evaluation), then docs sharing any (band, bucket)
+    * join. Returns distinct (id_a, id_b).
     */
-  def lshCandidates(sig: DataFrame, k: Int = 64, bands: Int = 16): DataFrame = {
-    val r = k / bands
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        hash((0 until r).map(i => col(s"mh${b * r + i}")): _*).as("bucket"))
-    }
-    val exploded = sig.select(col("doc"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc"), col("bb.band"), col("bb.bucket"))
+  def lshCandidates(df: DataFrame, id: Column, text: Column,
+                    n: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val exploded = df.select(id.as("doc"), TextOps.words(text).as("w"))
+      .select(col("doc"),
+        posexplode(call_function("graft_minhash_bands", shinglesOfWords(col("w"), n))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     exploded.as("a").join(exploded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc") < col("b.doc"))
@@ -139,8 +142,8 @@ object Dedup {
     * Returns (id_a, id_b, jaccard).
     */
   def minhashNearDups(df: DataFrame, id: Column, text: Column,
-                      k: Int = 64, bands: Int = 16, n: Int = 3): DataFrame = {
-    val cands = lshCandidates(minhashSignature(df, id, text, k, n), k, bands)
+                      n: Int = 3): DataFrame = {
+    val cands = lshCandidates(df, id, text, n)
     // per-doc shingle sets rebuilt from the exploded rows (shingles are
     // already distinct per doc) — one extra small aggregate instead of
     // re-evaluating the shingle expression through a collapsible Project
