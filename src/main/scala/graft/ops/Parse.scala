@@ -24,13 +24,18 @@ object Parse {
     */
   def tokens(fields: Seq[TokenField], commentPrefix: Option[String] = Some("%"),
              value: Column = col("value"))(df: DataFrame): DataFrame = {
+    // cast-failure → null needs non-ANSI semantics regardless of how the
+    // caller built the session; `get` (vs getItem) is index-safe in BOTH
+    // modes — an empty line yields one token and index 5 must be null,
+    // not SparkArrayIndexOutOfBoundsException (found by GraftProps).
+    graft.core.GraftConf.ensure(df.sparkSession)
     val base = commentPrefix match {
       case Some(p) => df.filter(!value.startsWith(p))
       case None    => df
     }
     val parts = split(trim(value), "\\s+")
     base.select(fields.map(f =>
-      parts.getItem(f.index).cast(f.cast).as(f.name)): _*)
+      get(parts, lit(f.index)).cast(f.cast).as(f.name)): _*)
   }
 
   /** One fixed-width field: 1-based start position, length, output name,
@@ -41,11 +46,13 @@ object Parse {
 
   /** Project typed fields out of fixed-width `value` lines. */
   def fixedWidth(fields: Seq[FixedField], value: Column = col("value"))(
-      df: DataFrame): DataFrame =
+      df: DataFrame): DataFrame = {
+    graft.core.GraftConf.ensure(df.sparkSession)
     df.select(fields.map { f =>
       val c = trim(substring(value, f.pos, f.len))
       f.cast.fold(c)(t => c.cast(t)).as(f.name)
     }: _*)
+  }
 
   /** Validation: drop rows with nulls in `subset` (the reference's
     * dropna(subset=...), jobs/02:28,63).

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+import graft.ops.{Parse, Stats}
+import graft.pipeline.Climate
+
+/** Property-based tests (SURVEY.md §5): z-score invariants, parse
+  * round-trips, injection branch order — raw ScalaCheck Properties (the
+  * scalatest bridge isn't on the classpath; sbt runs these natively).
+  * minSuccessfulTests is kept small: each case is a real Spark job.
+  */
+object GraftProps extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val valuesGen: Gen[List[Double]] =
+    Gen.choose(2, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-100.0, 100.0).map(v => math.rint(v * 100) / 100)))
+
+  property("zscore: per-partition mean ~0 and stddev ~1 when non-degenerate") =
+    forAll(valuesGen) { vs =>
+      val distinct = vs.distinct.size > 1
+      val df = vs.map(("k", _)).toDF("k", "v")
+      val z = Stats.zscore(col("v"), Seq(col("k")))(df)
+        .select("z_score").as[Double].collect()
+      if (!distinct) Prop(z.forall(_ == 0.0)) :| "degenerate -> all zero"
+      else {
+        val mean = z.sum / z.length
+        val sd = math.sqrt(z.map(x => (x - mean) * (x - mean)).sum / (z.length - 1))
+        Prop(math.abs(mean) < 1e-9 && math.abs(sd - 1.0) < 1e-9) :|
+          s"mean=$mean sd=$sd"
+      }
+    }
+
+  private val berkeleyRow: Gen[(Int, Int, Int, Double)] = for {
+    y <- Gen.choose(1900, 2030)
+    m <- Gen.choose(1, 12)
+    d <- Gen.choose(1, 28)
+    a <- Gen.choose(-5.0, 5.0).map(v => math.rint(v * 1000) / 1000)
+  } yield (y, m, d, a)
+
+  property("berkeley 6-token format round-trips through the parser") =
+    forAll(Gen.nonEmptyListOf(berkeleyRow)) { rows =>
+      val text = rows.map { case (y, m, d, a) =>
+        f"  $y%d.123  $y%d  $m%2d  $d%2d  42  $a%.3f"
+      }
+      val df = text.toDF("value")
+      val parsed = Climate.berkeleySilver(df)
+        .select("year", "month", "day", "anomaly")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+          r.getFloat(3).toDouble))
+      val expected = rows.map { case (y, m, d, a) => (y, m, d, a.toFloat.toDouble) }
+      Prop(parsed.toList.sorted == expected.sorted) :|
+        s"parsed=${parsed.take(3).toList} expected=${expected.take(3)}"
+    }
+
+  property("malformed berkeley lines never survive the parser") =
+    forAll(Gen.listOf(Gen.oneOf(
+      Gen.const("% comment line"),
+      Gen.const(""),                                // empty line (ANSI trap)
+      Gen.const("  2001  1"),                       // short
+      Gen.alphaStr.map(s => s"  x.$s  YEAR  1  1  1  0.5"),  // bad year
+    ))) { lines =>
+      val df = (lines :+ "  2000.1  2000   1   1   1  0.500").toDF("value")
+      val n = Climate.berkeleySilver(df).count()
+      Prop(n == 1L) :| s"survivors=$n"
+    }
+
+  property("injection: noise is +/-15 on hash buckets, else in (-2,2); %25 wins") =
+    forAll(Gen.nonEmptyListOf(Gen.identifier.map(_.take(8)))) { keys =>
+      val df = keys.distinct.map((_, 2001, 6)).toDF("station_id", "year", "month")
+      import graft.ops.Anomaly
+      val cols = Seq(col("station_id"), col("year"), col("month"))
+      val out = Anomaly.deterministicNoise(cols)(df)
+        .transform(Anomaly.injectExtremes(cols))
+        .withColumn("h", abs(hash(cols: _*)))
+        .select(col("local_noise"), col("h") % 25 === 0, col("h") % 27 === 0)
+        .collect()
+      Prop(out.forall { r =>
+        val (noise, m25, m27) = (r.getDouble(0), r.getBoolean(1), r.getBoolean(2))
+        if (m25) noise == 15.0
+        else if (m27) noise == -15.0
+        else noise > -2.0 && noise < 2.0
+      }) :| "branch order / ranges"
+    }
+
+  property("movingAvg stays within [min,max] of its trailing window") =
+    forAll(valuesGen) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("t", "v")
+      val got = Stats.movingAvg(col("v"), Seq(col("t")), n = 3)(df)
+        .orderBy("t").select("moving_avg").as[Double].collect()
+      val ok = got.zipWithIndex.forall { case (m, i) =>
+        val win = vs.slice(math.max(0, i - 2), i + 1)
+        m >= win.min - 1e-9 && m <= win.max + 1e-9
+      }
+      Prop(ok) :| s"got=${got.toList.take(5)}"
+    }
+}
