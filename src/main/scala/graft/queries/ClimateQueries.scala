@@ -89,6 +89,49 @@ object ClimateQueries {
       QueryDef.noOracle("c04_climate_extremes") { (s, _) =>
         gold(s).extremes.orderBy("station_id", "date", "temperature_anomaly", "z_score")
       },
+
+      // notebook cell 11 (SURVEY.md §2.7 W2): monthly global series +
+      // 12-month trailing moving average — oracled via DuckDB's own
+      // re-parse of the raw fixture text + the same window frame.
+      QueryDef("c05_monthly_moving_avg",
+        s"""SELECT year, month,
+           |  round(avg(anomaly), 4) AS monthly_anomaly,
+           |  round(avg(avg(anomaly)) OVER (ORDER BY year, month
+           |    ROWS BETWEEN 11 PRECEDING AND CURRENT ROW), 4) AS moving_avg_12m
+           |FROM (${berkeleySilverSql(bPath)})
+           |GROUP BY year, month ORDER BY year, month""".stripMargin) { (s, _) =>
+        import graft.ops.Stats
+        val (b, _) = fixture()
+        val monthly = Climate.berkeleySilver(Climate.ingestText(s, b, "t"))
+          .groupBy("year", "month")
+          .agg(avg("anomaly").as("m_avg"))
+        Stats.movingAvg(col("m_avg"), Seq(col("year"), col("month")), n = 12)(monthly)
+          .select(col("year"), col("month"),
+            round(col("m_avg"), 4).as("monthly_anomaly"),
+            round(col("moving_avg"), 4).as("moving_avg_12m"))
+          .orderBy("year", "month")
+      },
+
+      // SURVEY.md §2.10: the CORRECTED monthly grain the reference's
+      // "monthly" fact should have had — aggregated per (station, month)
+      // with a real record count. hash-derived inputs → rows-only.
+      QueryDef.noOracle("c06_fact_monthly_corrected") { (s, _) =>
+        gold(s).fact
+          .groupBy("station_id", "year", "month")
+          .agg(round(avg("temperature_anomaly"), 4).as("avg_anomaly"),
+            round(avg("avg_temperature"), 4).as("avg_temperature"),
+            count(lit(1)).as("record_count"))
+          .orderBy("station_id", "year", "month")
+      },
+
+      // notebook cell 15 (SURVEY.md §2.8 L3): top-10 extremes by |z|,
+      // deterministic tie-break.
+      QueryDef.noOracle("c07_top_extremes") { (s, _) =>
+        gold(s).extremes
+          .orderBy(abs(col("z_score")).desc, col("station_id"), col("date"),
+            col("temperature_anomaly"))
+          .limit(10)
+      },
     )
   }
 }
