@@ -148,6 +148,35 @@ object AnalyticQueries {
         .orderBy("c_mktsegment", "rnk")
     },
 
+    // ---- notebook cell 6/13 (histogram): fixed-width binned counts ----
+    QueryDef("q27_histogram",
+      """SELECT CAST(floor(value / 25.0) * 25 AS DOUBLE) AS bucket_lo,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy((floor(col("value") / 25.0) * 25).cast("double").as("bucket_lo"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket_lo")
+    },
+
+    // ---- notebook cell 7 (boxplot): exact interpolated percentiles ----
+    QueryDef("q28_percentiles",
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.25), 4) AS p25,
+        |  round(quantile_cont(value, 0.50), 4) AS p50,
+        |  round(quantile_cont(value, 0.75), 4) AS p75,
+        |  round(quantile_cont(value, 0.90), 4) AS p90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.25)"), 4).as("p25"),
+          round(expr("percentile(value, 0.50)"), 4).as("p50"),
+          round(expr("percentile(value, 0.75)"), 4).as("p75"),
+          round(expr("percentile(value, 0.90)"), 4).as("p90"))
+        .orderBy("event_type")
+    },
+
     // ---- lag / lead / first_value over an ordered per-key series ----
     QueryDef("q26_lag_lead",
       """SELECT event_id, user_id, value,

@@ -124,6 +124,19 @@ object ClimateQueries {
           .orderBy("station_id", "year", "month")
       },
 
+      // notebook cell 18 (SURVEY.md §2.5 J2): per-station mean anomaly
+      // joined back to the dimension for the geo view. hash inputs →
+      // rows-only.
+      QueryDef.noOracle("c08_station_geo_means") { (s, _) =>
+        val g = gold(s)
+        g.fact.groupBy("station_id")
+          .agg(round(avg("temperature_anomaly"), 4).as("mean_anomaly"))
+          .join(broadcast(g.stationsDim), Seq("station_id"))
+          .select(col("station_id"), col("location"),
+            col("latitude"), col("longitude"), col("mean_anomaly"))
+          .orderBy("station_id")
+      },
+
       // notebook cell 15 (SURVEY.md §2.8 L3): top-10 extremes by |z|,
       // deterministic tie-break.
       QueryDef.noOracle("c07_top_extremes") { (s, _) =>
