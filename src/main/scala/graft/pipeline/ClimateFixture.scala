@@ -67,9 +67,12 @@ object ClimateFixture {
     (b.toString, s.toString)
   }
 
-  /** Default shared fixture location (deterministic content → safe to reuse). */
+  /** Default shared fixture location under the repo's (gitignored) target
+    * dir (deterministic content → safe to reuse across runs; absolute path
+    * so the DuckDB oracle resolves it too).
+    */
   lazy val default: (String, String) = synchronized {
-    writeTo(sys.props("java.io.tmpdir") + "/graft_climate_fixture_v1")
+    writeTo(sys.props("user.dir") + "/target/graft-climate-fixture")
   }
 
   private def writeIfAbsent(p: Path, content: String): Unit =

@@ -177,6 +177,46 @@ object AnalyticQueries {
         .orderBy("event_type")
     },
 
+    // ---- as-of join: latest order per customer at each event time ----
+    // Composed from built-ins (SURVEY §7.4 preference (a)): equi+range
+    // join then keep the most recent match per event via ranked window.
+    // At scale this is the standard sort-merge-friendly formulation; a
+    // dedicated SparkPlan would only pay off for dense per-key history.
+    QueryDef("q29_asof_join",
+      """SELECT event_id, user_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+        |  o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        |FROM (
+        |  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir)
+      val o = Tables.orders(s, dir)
+      val w = Window.partitionBy(col("event_id"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      e.join(o, col("o_custkey") === col("user_id") && col("o_orderdate") <= col("ts"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"),
+          tsStr(col("ts")).as("event_ts"),
+          col("o_orderkey"), dayStr(col("o_orderdate")).as("order_date"))
+        .orderBy("event_id")
+    },
+
+    // ---- approx distinct (HLL sketches differ across engines → the
+    //      driver records a rows-only check; exactness bound tested in
+    //      QueriesSpec against q11's exact counts) ----
+    QueryDef.noOracle("q30_approx_distinct") { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(year(col("l_shipdate")).as("ship_year"))
+        .agg(approx_count_distinct(col("l_suppkey")).as("approx_suppliers"),
+             approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy("ship_year")
+    },
+
     // ---- lag / lead / first_value over an ordered per-key series ----
     QueryDef("q26_lag_lead",
       """SELECT event_id, user_id, value,

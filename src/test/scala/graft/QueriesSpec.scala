@@ -29,4 +29,17 @@ class QueriesSpec extends SparkSpec {
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("q30 approx distinct within 10% of q11 exact counts") {
+    val exact = SparkEntry.queries("q11_count_distinct")(spark, sf)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = SparkEntry.queries("q30_approx_distinct")(spark, sf)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (y, (s, p)) =>
+      val (as, ap) = approx(y)
+      assert(math.abs(as - s).toDouble / s < 0.1, s"suppliers y=$y: $as vs $s")
+      assert(math.abs(ap - p).toDouble / p < 0.1, s"parts y=$y: $ap vs $p")
+    }
+  }
 }
