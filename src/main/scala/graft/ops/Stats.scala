@@ -39,6 +39,25 @@ object Stats {
       when(stdC === 0.0, 0.0).otherwise((value - avgC) / stdC))
   }
 
+  /** Skew-safe z-score: identical semantics to [[zscore]] but computed as
+    * a grouped aggregate (map-side combined) joined back to the rows,
+    * instead of a window. A window moves EVERY row of a partition key into
+    * one task — a hot key (one user with 10⁹ events) serializes; this
+    * formulation shuffles only the per-key (avg, stddev) pairs and
+    * re-joins (broadcast when the key cardinality is small). Use this at
+    * scale whenever key skew is possible; results are bit-identical.
+    */
+  def zscoreViaAgg(value: Column, partitionBy: Seq[Column], out: String = "z_score")(
+      df: DataFrame): DataFrame = {
+    val keyNames = partitionBy.map(_.toString)
+    val stats = df.groupBy(partitionBy: _*)
+      .agg(avg(value).as("__avg"), stddev(value).as("__std"))
+    df.join(stats, keyNames)
+      .withColumn(out,
+        when(col("__std") === 0.0, 0.0).otherwise((value - col("__avg")) / col("__std")))
+      .drop("__avg", "__std")
+  }
+
   /** Trailing n-period moving average over `order` within optional
     * partitions — the notebook's 12-month rolling mean (SURVEY.md §2.7 W2).
     * Frame is ROWS BETWEEN n-1 PRECEDING AND CURRENT ROW; leading partial

@@ -112,6 +112,26 @@ object RelationalQueries {
         .orderBy("event_id")
     },
 
+    // ---- W1 skew-safe variant: same z-scores via agg+join (no window;
+    //      the formulation to use when partition keys can be hot) ----
+    QueryDef("q31_zscore_agg_join",
+      """SELECT event_id, user_id, value, round(z, 4) AS z_score
+        |FROM (
+        |  SELECT event_id, user_id, value,
+        |    CASE WHEN std_v = 0 THEN 0.0 ELSE (value - avg_v) / std_v END AS z
+        |  FROM (
+        |    SELECT event_id, user_id, value,
+        |      avg(value) OVER (PARTITION BY user_id) AS avg_v,
+        |      stddev(value) OVER (PARTITION BY user_id) AS std_v
+        |    FROM events))
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .transform(Stats.zscoreViaAgg(col("value"), Seq(col("user_id"))))
+        .select(col("event_id"), col("user_id"), col("value"),
+          round(col("z_score"), 4).as("z_score"))
+        .orderBy("event_id")
+    },
+
     // ---- P5/P7-analog: extreme-event filter + classification ----
     QueryDef("q05_extreme_events",
       """SELECT event_id, user_id, value, round(z, 4) AS z_score,
