@@ -1,0 +1,99 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Similarity.dot
+
+/** IVF (inverted-file) approximate nearest-neighbor search: coarse-quantize
+  * vectors into k cells via a small k-means, then search only the `nprobe`
+  * cells nearest to each query — the second scale path for ANN alongside
+  * random-projection LSH (Similarity.annTopK).
+  *
+  * Everything is DataFrame-native: assignment is a broadcast cross join
+  * against the (tiny, k-row) centroid table + ranked window argmin;
+  * centroid recomputation is a posexplode + per-(cell, dim) average.
+  * Centroids are driver-collected between iterations — k·d doubles, the
+  * same order of driver state as any broadcast dimension; the VECTORS
+  * never leave the executors.
+  *
+  * At 100 TB: cells are the partition pruning unit — a query touches
+  * nprobe/k of the data. The cell assignment is written once (a stored
+  * column / partition key), not recomputed per query.
+  */
+object IVF {
+
+  /** Deterministic small k-means over an embedding column.
+    * Init = the k vectors with the smallest ids (deterministic, no RNG).
+    * Returns the final (cell, centroid array) table, k rows.
+    */
+  def kmeansCentroids(emb: DataFrame, id: String, vec: String,
+                      k: Int = 8, iters: Int = 3): DataFrame = {
+    val v = emb.select(col(id).as("vid"), col(vec).cast("array<double>").as("v"))
+    var centroids = v.orderBy("vid").limit(k)
+      .select(row_number().over(Window.orderBy("vid")).as("cell"), col("v").as("c"))
+    var i = 0
+    while (i < iters) {
+      val assigned = assignCells(v, centroids)
+      centroids = assigned
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("c"))
+      i += 1
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment: (vid, v, cell) via broadcast cross join
+    * + argmin window (squared L2; ties broken by cell id).
+    */
+  private def assignCells(v: DataFrame, centroids: DataFrame): DataFrame = {
+    val d2 = dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("c")) +
+      dot(col("c"), col("c"))
+    val w = Window.partitionBy("vid").orderBy(col("d2"), col("cell"))
+    v.crossJoin(broadcast(centroids))
+      .withColumn("d2", d2)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vid"), col("v"), col("cell"))
+  }
+
+  /** IVF top-k: probe the `nprobe` nearest cells per query, exact-cosine
+    * rank within the probed candidates. Returns (q_id, c_id, cos, rn).
+    */
+  def ivfTopK(emb: DataFrame, id: String, vec: String, queryPred: Column,
+              k: Int = 5, cells: Int = 8, nprobe: Int = 2,
+              iters: Int = 3): DataFrame = {
+    val centroids = kmeansCentroids(emb, id, vec, cells, iters)
+    val v = emb.select(col(id).as("vid"), col(vec).cast("array<double>").as("v"))
+    val assigned = assignCells(v, centroids)
+
+    // nprobe nearest cells per query vector
+    val q = emb.filter(queryPred)
+      .select(col(id).as("q_id"), col(vec).cast("array<double>").as("q_vec"))
+    val dq = dot(col("q_vec"), col("q_vec")) - lit(2.0) * dot(col("q_vec"), col("c")) +
+      dot(col("c"), col("c"))
+    val wp = Window.partitionBy("q_id").orderBy(col("d2"), col("cell"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("d2", dq)
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("cell"))
+
+    // candidates = vectors in probed cells; exact cosine rank
+    val cands = probes.join(assigned, "cell")
+      .filter(col("vid") =!= col("q_id"))
+    val cos = round(
+      dot(col("q_vec"), col("v")) /
+        (sqrt(dot(col("q_vec"), col("q_vec"))) * sqrt(dot(col("v"), col("v")))), 6)
+    val wr = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vid"))
+    cands.withColumn("cos", cos)
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vid").as("c_id"), col("cos"),
+        col("rn").cast("int").as("rn"))
+  }
+}

@@ -52,5 +52,16 @@ object SimilarityQueries {
           k = 5, bits = 32, bands = 4)
         .orderBy("q_id", "rn")
     },
+
+    // IVF coarse-quantized ANN (k-means cells + nprobe search) — the
+    // second scale path; deterministic but a SQL oracle would require
+    // re-implementing k-means in DuckDB → rows-only. IVFSpec proves
+    // nprobe == cells reduces exactly to brute force.
+    QueryDef.noOracle("s04_ann_ivf") { (s, dir) =>
+      graft.ext.IVF.ivfTopK(Tables.embeddings(s, dir),
+          "vec_id", "embedding", col("vec_id") % 50 === 0,
+          k = 5, cells = 8, nprobe = 2)
+        .orderBy("q_id", "rn")
+    },
   )
 }

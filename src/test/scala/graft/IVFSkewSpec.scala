@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ext.{IVF, Similarity}
+import graft.ops.Skew
+
+class IVFSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kmeans: k centroids, deterministic across runs, right dimensionality") {
+    val emb = Tables.embeddings(spark, sf)
+    val a = IVF.kmeansCentroids(emb, "vec_id", "embedding", k = 4, iters = 2)
+      .orderBy("cell").collect()
+    val b = IVF.kmeansCentroids(emb, "vec_id", "embedding", k = 4, iters = 2)
+      .orderBy("cell").collect()
+    assert(a.length == 4)
+    assert(a.map(_.getSeq[Double](1).length).toSeq == Seq(64, 64, 64, 64))
+    assert(a.map(_.getSeq[Double](1)).toSeq == b.map(_.getSeq[Double](1)).toSeq)
+  }
+
+  test("ivfTopK: k true-cosine results per query, no self matches") {
+    val emb = Tables.embeddings(spark, sf)
+    val pred = col("vec_id") % 50 === 0
+    val got = IVF.ivfTopK(emb, "vec_id", "embedding", pred, k = 3,
+      cells = 4, nprobe = 2)
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    val perQ = rows.groupBy(_.getLong(0))
+    assert(perQ.values.forall(_.length == 3))
+    // probing ALL cells must equal brute force exactly
+    val all = IVF.ivfTopK(emb, "vec_id", "embedding", pred, k = 3,
+        cells = 4, nprobe = 4)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", pred, 3)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    assert(all == brute, "nprobe == cells must reduce to exact search")
+  }
+}
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin == plain join on a deliberately skewed key") {
+    // 90% of left rows share one hot key
+    val left = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong % 7 else 0L, i))
+      .toDF("k", "payload")
+    val right = Seq((0L, "hot"), (1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "name")
+    val plain = left.join(right, "k")
+      .select("k", "payload", "name").as[(Long, Int, String)].collect().sorted.toSeq
+    val salted = Skew.saltedJoin(left, right, "k", salts = 8)
+      .select("k", "payload", "name").as[(Long, Int, String)].collect().sorted.toSeq
+    assert(salted == plain)
+    assert(plain.nonEmpty)
+  }
+}
