@@ -29,19 +29,27 @@ object IVF {
     */
   def kmeansCentroids(emb: DataFrame, id: String, vec: String,
                       k: Int = 8, iters: Int = 3): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val v = emb.select(col(id).as("vid"), col(vec).cast("array<double>").as("v"))
     var centroids = v.orderBy("vid").limit(k)
       .select(row_number().over(Window.orderBy("vid")).as("cell"), col("v").as("c"))
     var i = 0
     while (i < iters) {
-      val assigned = assignCells(v, centroids)
-      centroids = assigned
+      val updated = assignCells(v, centroids)
         .select(col("cell"), posexplode(col("v")))
         .groupBy(col("cell"), col("pos"))
         .agg(avg(col("col")).as("m"))
         .groupBy("cell")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("c"))
+      // Materialize the k centroids driver-side between iterations: k·d
+      // doubles of driver state, and it TRUNCATES the lineage — otherwise
+      // each iteration's plan nests the previous cross-join+window and
+      // every downstream action recomputes the whole chain.
+      centroids = updated.collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .toSeq.toDF("cell", "c")
       i += 1
     }
     centroids
