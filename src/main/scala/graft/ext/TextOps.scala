@@ -79,6 +79,62 @@ object TextOps {
       .otherwise("zh")
   }
 
+  /** Repetition signals (Gopher-style quality filters): duplicate-word
+    * fraction and the frequency share of the most common unigram/bigram,
+    * per document. Formulated as explode + two-level aggregation (NOT
+    * per-element HOF counting, which re-evaluates the tokenizer per
+    * element — the Dedup re-evaluation trap); integer-ratio arithmetic
+    * only, so results are exact cross-engine.
+    */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, id: Column,
+                      text: Column): org.apache.spark.sql.DataFrame = {
+    val base = df.select(id.as("doc"), words(text).as("w"))
+    val uni = base.select(col("doc"), explode(col("w")).as("t"))
+      .groupBy("doc", "t").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc").agg(
+        sum(col("cnt")).as("wc"),
+        count(lit(1)).as("dw"),
+        max(col("cnt")).as("top_uni"))
+    // bigram rows from aligned slices (lambda args only — single eval)
+    val bigram = base.select(col("doc"), explode(
+        zip_with(
+          slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0))),
+          slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
+          (a, b) => concat_ws(" ", a, b))).as("t"))
+      .groupBy("doc", "t").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc").agg(
+        sum(col("cnt")).as("bc"),
+        max(col("cnt")).as("top_bi"))
+    uni.join(bigram, Seq("doc"), "left")
+      .select(col("doc"),
+        round(lit(1.0) - col("dw").cast("double") / col("wc").cast("double"), 6)
+          .as("dup_word_ratio"),
+        round(col("top_uni").cast("double") / col("wc").cast("double"), 6)
+          .as("top_unigram_ratio"),
+        round(coalesce(col("top_bi").cast("double") / col("bc").cast("double"),
+          lit(0.0)), 6).as("top_bigram_ratio"))
+  }
+
+  /** PII redaction: mask emails, long digit runs, and phone-like
+    * sequences with typed placeholders; returns (redacted, n_redactions).
+    * Regex-only (codegen'd) — the cheap first-pass scrub an LLM data
+    * pipeline runs before anything else sees the text.
+    */
+  def redactPii(text: Column): (Column, Column) = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\+?\\d[\\d\\s().-]{7,}\\d"
+    val idRe    = "\\d{6,}"
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>"),
+      idRe, "<ID>")
+    val count = (size(regexp_extract_all(text, lit(emailRe), lit(0))) +
+      size(regexp_extract_all(text, lit(phoneRe), lit(0))) +
+      size(regexp_extract_all(text, lit(idRe), lit(0))))
+    (redacted, count)
+  }
+
   /** Canonical-form fingerprint: lowercase, strip non-alphanumerics to
     * single spaces, collapse whitespace, md5. Two docs differing only in
     * case/punctuation/spacing collide — the standard cheap near-exact

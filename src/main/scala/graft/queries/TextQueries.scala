@@ -113,6 +113,56 @@ object TextQueries {
         .limit(20)
     },
 
+    QueryDef("t09_repetition",
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS words
+        |  FROM documents),
+        |uni AS (
+        |  SELECT doc_id, sum(cnt) AS wc, count(*) AS dw, max(cnt) AS top_uni
+        |  FROM (SELECT doc_id, t, count(*) AS cnt
+        |        FROM (SELECT doc_id, unnest(words) AS t FROM w)
+        |        GROUP BY doc_id, t)
+        |  GROUP BY doc_id),
+        |bi AS (
+        |  SELECT doc_id, sum(cnt) AS bc, max(cnt) AS top_bi
+        |  FROM (SELECT doc_id, t, count(*) AS cnt
+        |        FROM (SELECT doc_id,
+        |                unnest(list_transform(range(1, len(words)),
+        |                       i -> words[i] || ' ' || words[i+1])) AS t
+        |              FROM w)
+        |        GROUP BY doc_id, t)
+        |  GROUP BY doc_id)
+        |SELECT uni.doc_id AS doc,
+        |  round(1.0 - CAST(dw AS DOUBLE) / wc, 6) AS dup_word_ratio,
+        |  round(CAST(top_uni AS DOUBLE) / wc, 6) AS top_unigram_ratio,
+        |  round(coalesce(CAST(top_bi AS DOUBLE) / bc, 0.0), 6) AS top_bigram_ratio
+        |FROM uni LEFT JOIN bi ON uni.doc_id = bi.doc_id
+        |ORDER BY doc""".stripMargin) { (s, dir) =>
+      TextOps.repetitionStats(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy("doc")
+    },
+
+    // PII redaction: regex scrub + per-class hit counting. Documents are
+    // synthetic word salad (no PII) → redaction is the identity here,
+    // which the md5 equality makes oracle-checkable; real-behavior cases
+    // are unit-tested on crafted PII text in DedupSpec/TextOpsSpec.
+    QueryDef("t10_redact_pii",
+      """SELECT doc_id,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g'),
+        |    '\d{6,}', '<ID>', 'g')) AS redacted_md5,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |     + len(regexp_extract_all(text, '\+?\d[\d\s().-]{7,}\d'))
+        |     + len(regexp_extract_all(text, '\d{6,}')) AS INTEGER) AS n_redactions
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val (redacted, n) = TextOps.redactPii(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), md5(redacted).as("redacted_md5"),
+          n.as("n_redactions"))
+        .orderBy("doc_id")
+    },
+
     // MinHash-LSH verified near-dup pairs (murmur3 → no oracle).
     QueryDef.noOracle("t07_minhash_lsh") { (s, dir) =>
       Dedup.minhashNearDups(Tables.documents(s, dir), col("doc_id"), col("text"))

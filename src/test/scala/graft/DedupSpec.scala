@@ -93,4 +93,30 @@ class TextOpsSpec extends SparkSpec {
     val fps = df.select(TextOps.fingerprint(col("text"))).as[String].collect()
     assert(fps(0) == fps(1))
   }
+
+  test("redactPii: emails, phones, long ids masked; counts per class") {
+    val df = Seq(
+      ("contact alice@example.com or +1 (555) 123-4567 ref 123456789", 3),
+      ("no pii here at all", 0)
+    ).toDF("text", "expected")
+    val (red, n) = TextOps.redactPii(col("text"))
+    val rows = df.select(red.as("r"), n.as("n"), col("expected")).collect()
+    val r0 = rows.find(_.getInt(2) > 0).get
+    assert(r0.getString(0).contains("<EMAIL>"))
+    assert(r0.getString(0).contains("<PHONE>"))
+    assert(!r0.getString(0).contains("example.com"))
+    assert(r0.getInt(1) >= 3) // phone digits also hit the id-run pattern
+    val r1 = rows.find(_.getInt(2) == 0).get
+    assert(r1.getString(0) == "no pii here at all" && r1.getInt(1) == 0)
+  }
+
+  test("repetitionStats: hand-computed ratios") {
+    // 6 words: the cat the cat the dog -> dw=3, wc=6, top_uni=3('the')
+    // bigrams: "the cat","cat the","the cat","cat the","the dog" -> top 2/5
+    val df = Seq((1L, "the cat the cat the dog")).toDF("doc_id", "text")
+    val r = TextOps.repetitionStats(df, col("doc_id"), col("text")).collect().head
+    assert(r.getDouble(1) == 0.5)               // 1 - 3/6
+    assert(r.getDouble(2) == 0.5)               // 3/6
+    assert(r.getDouble(3) == 0.4)               // 2/5
+  }
 }
