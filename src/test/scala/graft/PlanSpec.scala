@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Plan-shape regression tests: the scale properties SCALE.md claims,
+  * asserted against the actual physical plans so a refactor that silently
+  * adds a shuffle or un-pushes a filter fails CI.
+  */
+class PlanSpec extends SparkSpec {
+
+  // AQE wraps plans in AdaptiveSparkPlanExec (children hidden until
+  // execution), so count shuffle exchanges on the rendered plan.
+  private def shuffles(df: DataFrame): Int =
+    "Exchange (hash|range|Single)".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
+
+  test("q01 grouped aggregate: exactly one shuffle (partial+final agg)") {
+    // final orderBy adds a range-partition exchange; the aggregate itself
+    // must contribute exactly one
+    val agg = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("q"))
+    assert(shuffles(agg) == 1, agg.queryExecution.executedPlan.toString)
+  }
+
+  test("q04 zscore window: exactly one shuffle, both window aggs share it") {
+    val z = graft.ops.Stats.zscore(col("value"), Seq(col("user_id")))(
+      Tables.events(spark, sf))
+    assert(shuffles(z) == 1, z.queryExecution.executedPlan.toString)
+  }
+
+  test("star join: dimension sides broadcast, no shuffle on lineitem path") {
+    val q = Tables.lineitem(spark, sf)
+      .join(broadcast(Tables.nation(spark, sf)).withColumnRenamed("n_nationkey", "l_suppkey"),
+        Seq("l_suppkey"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(shuffles(q) == 0, plan)
+  }
+
+  test("filter + projection are pushed into the parquet scan") {
+    val q = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") > 45.0)
+      .select("l_orderkey", "l_quantity")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThan(l_quantity,45.0)"), scan)
+    // ReadSchema restricted to the needed columns
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), scan)
+  }
+
+  test("minhash signature is map-only: zero shuffles") {
+    val sig = graft.ext.Dedup.minhashSignature(
+      Tables.documents(spark, sf), col("doc_id"), col("text"))
+    assert(shuffles(sig) == 0, sig.queryExecution.executedPlan.toString)
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not a global sort") {
+    val q = Tables.orders(spark, sf)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(shuffles(q) == 0, plan)
+  }
+}
