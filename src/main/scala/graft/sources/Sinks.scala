@@ -24,4 +24,25 @@ object Sinks {
       .option("delimiter", ",")
       .option("encoding", "UTF-8")
       .csv(path)
+
+  /** Date/key-partitioned parquet layout — the 100 TB fact-table shape:
+    * queries filtered on `partitionCols` scan only matching directories
+    * (pruning evidenced in PartitionPruningSpec).
+    */
+  def partitionedParquet(df: DataFrame, path: String,
+                         partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Bucketed + sorted managed table: both sides of a repeated fact-fact
+    * join written this way co-locate and join with zero shuffle
+    * (evidenced in BucketingSpec).
+    */
+  def bucketedTable(df: DataFrame, table: String, buckets: Int,
+                    bucketCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
 }

@@ -16,13 +16,11 @@ class BucketingSpec extends SparkSpec {
     // force the shuffle-visible path: no broadcast, no AQE rewrite noise
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      Tables.lineitem(spark, sf).write.mode("overwrite")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable("li_bucketed")
-      Tables.orders(spark, sf).withColumnRenamed("o_orderkey", "l_orderkey")
-        .write.mode("overwrite")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable("ord_bucketed")
+      graft.sources.Sinks.bucketedTable(
+        Tables.lineitem(spark, sf), "li_bucketed", 8, Seq("l_orderkey"))
+      graft.sources.Sinks.bucketedTable(
+        Tables.orders(spark, sf).withColumnRenamed("o_orderkey", "l_orderkey"),
+        "ord_bucketed", 8, Seq("l_orderkey"))
 
       val joined = spark.table("li_bucketed")
         .join(spark.table("ord_bucketed"), "l_orderkey")

@@ -13,9 +13,9 @@ class PartitionPruningSpec extends SparkSpec {
 
   test("date-partitioned write + day filter -> partition-pruned scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
-    Tables.events(spark, sf)
-      .withColumn("day", Parity.dayStr(col("ts")))
-      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    graft.sources.Sinks.partitionedParquet(
+      Tables.events(spark, sf).withColumn("day", Parity.dayStr(col("ts"))),
+      dir, Seq("day"))
 
     val allDays = new java.io.File(dir).listFiles()
       .count(_.getName.startsWith("day="))
