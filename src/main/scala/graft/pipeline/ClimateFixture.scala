@@ -19,13 +19,15 @@ object ClimateFixture {
   val endYear   = 2004
   val nStations = 12
 
-  def berkeleyText: String = {
+  def berkeleyText: String = berkeleyTextFor(startYear, endYear)
+
+  def berkeleyTextFor(fromYear: Int, toYear: Int): String = {
     val rnd = new Random(42)
     val sb  = new StringBuilder
     sb ++= "% Berkeley Earth daily TAVG fixture (seeded, deterministic)\n"
     sb ++= "% date-number  year  month  day  day-of-year  anomaly\n"
-    var d = LocalDate.of(startYear, 1, 1)
-    val end = LocalDate.of(endYear, 12, 31)
+    var d = LocalDate.of(fromYear, 1, 1)
+    val end = LocalDate.of(toYear, 12, 31)
     while (!d.isAfter(end)) {
       val anom = rnd.nextDouble() * 4.0 - 2.0
       sb ++= f"  ${d.getYear}%d.${d.getDayOfYear}%03d  ${d.getYear}%d  ${d.getMonthValue}%2d  ${d.getDayOfMonth}%2d  ${d.getDayOfYear}%3d  $anom%.3f\n"
@@ -37,10 +39,12 @@ object ClimateFixture {
     sb.result()
   }
 
-  def stationsText: String = {
+  def stationsText: String = stationsTextFor(nStations)
+
+  def stationsTextFor(n: Int): String = {
     val rnd = new Random(43)
     val sb  = new StringBuilder
-    for (i <- 0 until nStations) {
+    for (i <- 0 until n) {
       val id   = f"USW000${i}%05d"
       val lat  = 25.0 + rnd.nextDouble() * 25.0
       val lon  = -125.0 + rnd.nextDouble() * 60.0
