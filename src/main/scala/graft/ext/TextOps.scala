@@ -135,6 +135,49 @@ object TextOps {
     (redacted, count)
   }
 
+  /** Fixed-size word-window chunking with overlap — the standard
+    * pre-tokenization document splitter for training pipelines. Emits one
+    * row per chunk: (doc, chunk_idx, chunk, n_words). Words are
+    * materialized under the Generate barrier, and the lambda only touches
+    * attributes (no re-tokenization per chunk).
+    */
+  def chunk(df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+            chunkWords: Int = 50, overlap: Int = 10): org.apache.spark.sql.DataFrame = {
+    require(overlap < chunkWords, "overlap must be < chunkWords")
+    val step = chunkWords - overlap
+    df.select(id.as("doc"), words(text).as("w"))
+      .select(col("doc"), col("w"),
+        explode(sequence(lit(1), size(col("w")), lit(step))).as("i"))
+      .select(col("doc"),
+        ((col("i") - 1) / step).cast("int").as("chunk_idx"),
+        array_join(slice(col("w"), col("i"), lit(chunkWords)), " ").as("chunk"),
+        least(size(col("w")) - col("i") + 1, lit(chunkWords)).cast("int").as("n_words"))
+  }
+
+  /** Deterministic train/val/test assignment from the stable id — the
+    * reproducible split every data pipeline needs (hash-free so any
+    * engine recomputes it identically).
+    */
+  def splitAssign(id: Column, trainPct: Int = 8, valPct: Int = 1): Column =
+    when(id % 10 < trainPct, "train")
+      .when(id % 10 < trainPct + valPct, "val")
+      .otherwise("test")
+
+  /** Sequence packing: assign docs (in stable id order) to contiguous
+    * token-budget bins via a running word-count cumsum — the batch-packing
+    * shape for pretraining. bin = floor((cumsum_before_doc) / budget).
+    * Single global window by design (packing is inherently sequential);
+    * at scale, pack within partition-sized ranges instead.
+    */
+  def packBins(df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+               budget: Int = 2048): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc"))
+    df.select(id.as("doc"), wordCount(text).as("n_words"))
+      .withColumn("cum", sum(col("n_words")).over(w))
+      .select(col("doc"), col("n_words"),
+        ((col("cum") - col("n_words")) / budget).cast("int").as("bin"))
+  }
+
   /** Canonical-form fingerprint: lowercase, strip non-alphanumerics to
     * single spaces, collapse whitespace, md5. Two docs differing only in
     * case/punctuation/spacing collide — the standard cheap near-exact

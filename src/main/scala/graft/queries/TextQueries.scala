@@ -163,6 +163,45 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    QueryDef("t11_chunking",
+      """SELECT doc_id AS doc,
+        |  CAST((i - 1) / 40 AS INTEGER) AS chunk_idx,
+        |  array_to_string(list_slice(w, i, i + 49), ' ') AS chunk,
+        |  CAST(least(len(w) - i + 1, 50) AS INTEGER) AS n_words
+        |FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |      FROM documents),
+        |  unnest(range(1, len(w) + 1, 40)) AS t(i)
+        |ORDER BY doc, chunk_idx""".stripMargin) { (s, dir) =>
+      TextOps.chunk(Tables.documents(s, dir), col("doc_id"), col("text"),
+          chunkWords = 50, overlap = 10)
+        .orderBy("doc", "chunk_idx")
+    },
+
+    QueryDef("t12_split_assign",
+      """SELECT lang,
+        |  CASE WHEN doc_id % 10 < 8 THEN 'train'
+        |       WHEN doc_id % 10 < 9 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("lang"), TextOps.splitAssign(col("doc_id")).as("split"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "split")
+    },
+
+    QueryDef("t13_pack_bins",
+      """SELECT doc_id AS doc,
+        |  CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS INTEGER) AS n_words,
+        |  CAST(floor((sum(len(regexp_split_to_array(lower(trim(text)), '\s+')))
+        |          OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |        - len(regexp_split_to_array(lower(trim(text)), '\s+'))) / 2048)
+        |       AS INTEGER) AS bin
+        |FROM documents ORDER BY doc""".stripMargin) { (s, dir) =>
+      TextOps.packBins(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy("doc")
+    },
+
     // MinHash-LSH verified near-dup pairs (murmur3 → no oracle).
     QueryDef.noOracle("t07_minhash_lsh") { (s, dir) =>
       Dedup.minhashNearDups(Tables.documents(s, dir), col("doc_id"), col("text"))
