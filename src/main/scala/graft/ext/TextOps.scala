@@ -143,35 +143,49 @@ object TextOps {
     */
   def chunk(df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
             chunkWords: Int = 50, overlap: Int = 10): org.apache.spark.sql.DataFrame = {
-    require(overlap < chunkWords, "overlap must be < chunkWords")
+    require(overlap >= 0 && overlap < chunkWords,
+      "overlap must be in [0, chunkWords)")
     val step = chunkWords - overlap
+    // last start is bounded at len - overlap: a start beyond that yields a
+    // chunk fully contained in its predecessor (duplicate training data)
+    val lastStart = greatest(size(col("w")) - overlap, lit(1))
     df.select(id.as("doc"), words(text).as("w"))
       .select(col("doc"), col("w"),
-        explode(sequence(lit(1), size(col("w")), lit(step))).as("i"))
+        posexplode(sequence(lit(1), lastStart, lit(step))))
       .select(col("doc"),
-        ((col("i") - 1) / step).cast("int").as("chunk_idx"),
-        array_join(slice(col("w"), col("i"), lit(chunkWords)), " ").as("chunk"),
-        least(size(col("w")) - col("i") + 1, lit(chunkWords)).cast("int").as("n_words"))
+        col("pos").cast("int").as("chunk_idx"),
+        array_join(slice(col("w"), col("col"), lit(chunkWords)), " ").as("chunk"),
+        least(size(col("w")) - col("col") + 1, lit(chunkWords)).cast("int").as("n_words"))
   }
 
   /** Deterministic train/val/test assignment from the stable id — the
     * reproducible split every data pipeline needs (hash-free so any
-    * engine recomputes it identically).
+    * engine recomputes it identically). Parts are TENTHS (out of 10);
+    * pmod keeps negative ids in the documented proportions (Spark's %
+    * keeps the dividend sign, which would dump all negatives in train).
     */
-  def splitAssign(id: Column, trainPct: Int = 8, valPct: Int = 1): Column =
-    when(id % 10 < trainPct, "train")
-      .when(id % 10 < trainPct + valPct, "val")
+  def splitAssign(id: Column, trainTenths: Int = 8, valTenths: Int = 1): Column = {
+    require(trainTenths >= 0 && valTenths >= 0 && trainTenths + valTenths <= 10,
+      "tenths must be non-negative and sum to at most 10")
+    val bucket = pmod(id, lit(10))
+    when(bucket < trainTenths, "train")
+      .when(bucket < trainTenths + valTenths, "val")
       .otherwise("test")
+  }
 
   /** Sequence packing: assign docs (in stable id order) to contiguous
     * token-budget bins via a running word-count cumsum — the batch-packing
     * shape for pretraining. bin = floor((cumsum_before_doc) / budget).
     * Single global window by design (packing is inherently sequential);
-    * at scale, pack within partition-sized ranges instead.
+    * at scale, pack within partition-sized ranges instead. Explicit ROWS
+    * frame: the default RANGE frame would make duplicate ids peers and
+    * share their cumulative sum (wrong bins).
     */
   def packBins(df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
                budget: Int = 2048): org.apache.spark.sql.DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("doc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(id.as("doc"), wordCount(text).as("n_words"))
       .withColumn("cum", sum(col("n_words")).over(w))
       .select(col("doc"), col("n_words"),

@@ -165,12 +165,12 @@ object TextQueries {
 
     QueryDef("t11_chunking",
       """SELECT doc_id AS doc,
-        |  CAST((i - 1) / 40 AS INTEGER) AS chunk_idx,
+        |  CAST(floor((i - 1) / 40) AS INTEGER) AS chunk_idx,
         |  array_to_string(list_slice(w, i, i + 49), ' ') AS chunk,
         |  CAST(least(len(w) - i + 1, 50) AS INTEGER) AS n_words
         |FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
         |      FROM documents),
-        |  unnest(range(1, len(w) + 1, 40)) AS t(i)
+        |  unnest(range(1, greatest(len(w) - 10, 1) + 1, 40)) AS t(i)
         |ORDER BY doc, chunk_idx""".stripMargin) { (s, dir) =>
       TextOps.chunk(Tables.documents(s, dir), col("doc_id"), col("text"),
           chunkWords = 50, overlap = 10)

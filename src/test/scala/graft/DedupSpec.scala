@@ -110,6 +110,33 @@ class TextOpsSpec extends SparkSpec {
     assert(r1.getString(0) == "no pii here at all" && r1.getInt(1) == 0)
   }
 
+  test("chunk: no tail chunk fully contained in its predecessor") {
+    // 90 words, chunk 50 overlap 10: starts must be [1, 41] — a start at
+    // 81 would duplicate words 81-90 already covered by chunk 41-90
+    val df = Seq((1L, (1 to 90).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = TextOps.chunk(df, col("doc_id"), col("text")).collect()
+    assert(chunks.length == 2)
+    assert(chunks.map(_.getInt(3)).toSeq == Seq(50, 50))
+    // together they cover all 90 words
+    val covered = chunks.flatMap(_.getString(2).split(" ")).toSet
+    assert(covered.size == 90)
+  }
+
+  test("splitAssign: negative ids keep documented proportions (pmod)") {
+    val df = (-20L to 19L).toDF("id")
+    val counts = df.select(TextOps.splitAssign(col("id")).as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("train") == 32L && counts("val") == 4L && counts("test") == 4L)
+  }
+
+  test("packBins: duplicate ids get row-frame cumsum, not shared peer sum") {
+    val df = Seq((1L, "a b c"), (1L, "d e"), (2L, "f")).toDF("doc_id", "text")
+    val bins = TextOps.packBins(df, col("doc_id"), col("text"), budget = 4)
+      .orderBy("doc", "n_words").collect()
+    // cumulative: 3, 5, 6 -> bin starts 0, 3, 5 -> bins 0, 0, 1
+    assert(bins.map(_.getInt(2)).sorted.toSeq == Seq(0, 0, 1))
+  }
+
   test("repetitionStats: hand-computed ratios") {
     // 6 words: the cat the cat the dog -> dw=3, wc=6, top_uni=3('the')
     // bigrams: "the cat","cat the","the cat","cat the","the dog" -> top 2/5
