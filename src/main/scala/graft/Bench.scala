@@ -24,10 +24,15 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          Double.NaN
+        }
       }
-      name -> times.min
+      // a failed query reports -1, never its time-to-exception (a broken
+      // query must not read as a speedup)
+      name -> (if (times.exists(_.isNaN)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

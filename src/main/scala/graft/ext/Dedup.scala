@@ -112,7 +112,7 @@ object Dedup {
     graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(id.as("doc"), TextOps.words(text).as("w"))
       .select(col("doc"),
-        call_function("graft_minhash", shinglesOfWords(col("w"), n)).as("sig"))
+        call_function("graft_minhash", shinglesOfWords(col("w"), n), lit(k)).as("sig"))
   }
 
   /** LSH candidate pairs via the fused band expression: one map-only pass
@@ -124,6 +124,10 @@ object Dedup {
                     n: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val exploded = df.select(id.as("doc"), TextOps.words(text).as("w"))
+      // docs with no shingles (< n words) would all share the identical
+      // empty-set signature and bucket together quadratically — exclude
+      // them up front (they cannot be near-dups of anything by content)
+      .filter(size(col("w")) >= n)
       .select(col("doc"),
         posexplode(call_function("graft_minhash_bands", shinglesOfWords(col("w"), n))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")

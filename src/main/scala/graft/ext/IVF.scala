@@ -91,12 +91,15 @@ object IVF {
       .filter(col("rn") <= nprobe)
       .select(col("q_id"), col("q_vec"), col("cell"))
 
-    // candidates = vectors in probed cells; exact cosine rank
-    val cands = probes.join(assigned, "cell")
+    // candidates = vectors in probed cells; exact cosine rank. Norms are
+    // computed once per side BEFORE the join (per-pair norm folds would
+    // double the ranking cost — the posture Similarity documents).
+    val assignedN = assigned.withColumn("v_norm", sqrt(dot(col("v"), col("v"))))
+    val probesN   = probes.withColumn("q_norm", sqrt(dot(col("q_vec"), col("q_vec"))))
+    val cands = probesN.join(assignedN, "cell")
       .filter(col("vid") =!= col("q_id"))
     val cos = round(
-      dot(col("q_vec"), col("v")) /
-        (sqrt(dot(col("q_vec"), col("q_vec"))) * sqrt(dot(col("v"), col("v")))), 6)
+      dot(col("q_vec"), col("v")) / (col("q_norm") * col("v_norm")), 6)
     val wr = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vid"))
     cands.withColumn("cos", cos)
       .withColumn("rn", row_number().over(wr))

@@ -124,14 +124,15 @@ object TextOps {
     val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val phoneRe = "\\+?\\d[\\d\\s().-]{7,}\\d"
     val idRe    = "\\d{6,}"
-    val redacted = regexp_replace(
-      regexp_replace(
-        regexp_replace(text, emailRe, "<EMAIL>"),
-        phoneRe, "<PHONE>"),
-      idRe, "<ID>")
+    // count each class on the PREVIOUS stage's output, not the original —
+    // digits inside an already-redacted email/phone must not be counted
+    // again (the count must equal the replacements actually performed)
+    val afterEmail = regexp_replace(text, emailRe, "<EMAIL>")
+    val afterPhone = regexp_replace(afterEmail, phoneRe, "<PHONE>")
+    val redacted   = regexp_replace(afterPhone, idRe, "<ID>")
     val count = (size(regexp_extract_all(text, lit(emailRe), lit(0))) +
-      size(regexp_extract_all(text, lit(phoneRe), lit(0))) +
-      size(regexp_extract_all(text, lit(idRe), lit(0))))
+      size(regexp_extract_all(afterEmail, lit(phoneRe), lit(0))) +
+      size(regexp_extract_all(afterPhone, lit(idRe), lit(0))))
     (redacted, count)
   }
 
@@ -150,6 +151,7 @@ object TextOps {
     // chunk fully contained in its predecessor (duplicate training data)
     val lastStart = greatest(size(col("w")) - overlap, lit(1))
     df.select(id.as("doc"), words(text).as("w"))
+      .filter(col("w").isNotNull)   // NULL text: emit no chunks, not junk
       .select(col("doc"), col("w"),
         posexplode(sequence(lit(1), lastStart, lit(step))))
       .select(col("doc"),
@@ -187,6 +189,7 @@ object TextOps {
     val w = Window.orderBy(col("doc"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(id.as("doc"), wordCount(text).as("n_words"))
+      .filter(col("n_words").isNotNull)   // NULL text can't join a bin
       .withColumn("cum", sum(col("n_words")).over(w))
       .select(col("doc"), col("n_words"),
         ((col("cum") - col("n_words")) / budget).cast("int").as("bin"))

@@ -16,15 +16,33 @@ import org.apache.spark.sql.functions.call_function
   */
 object GraftFunctions {
 
+  /** Optional literal-int args select k (and bands); bare calls get the
+    * defaults. Arity errors surface as IllegalArgumentException at
+    * analysis, not a bare NoSuchElementException.
+    */
+  private def intArg(exprs: Seq[Expression], i: Int, default: Int): Int =
+    if (exprs.length > i) exprs(i).eval().asInstanceOf[Number].intValue else default
+
+  private def arg0(name: String, exprs: Seq[Expression]): Expression = {
+    require(exprs.nonEmpty, s"$name requires at least one argument (the shingle array)")
+    exprs.head
+  }
+
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_minhash"       -> (exprs => MinHashSignature(exprs.head)),
-    "graft_minhash_bands" -> (exprs => MinHashBands(exprs.head)))
+    "graft_minhash" -> (exprs =>
+      MinHashSignature(arg0("graft_minhash", exprs), intArg(exprs, 1, 64))),
+    "graft_minhash_bands" -> (exprs =>
+      MinHashBands(arg0("graft_minhash_bands", exprs),
+        intArg(exprs, 1, 64), intArg(exprs, 2, 16))))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+
+  private[functions] def builderFor(name: String): Seq[Expression] => Expression =
+    builders.find(_._1 == name).get._2
 
   /** Column API: 64-permutation MinHash signature of a shingle array. */
   def minhashSignature(shingles: Column)(implicit spark: SparkSession): Column = {
@@ -45,10 +63,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
-      (exprs: Seq[Expression]) => MinHashSignature(exprs.head)))
+      GraftFunctions.builderFor("graft_minhash")))
     e.injectFunction((
       FunctionIdentifier("graft_minhash_bands"),
       new ExpressionInfo(classOf[MinHashBands].getName, "graft_minhash_bands"),
-      (exprs: Seq[Expression]) => MinHashBands(exprs.head)))
+      GraftFunctions.builderFor("graft_minhash_bands")))
   }
 }

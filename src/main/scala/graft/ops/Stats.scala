@@ -49,13 +49,18 @@ object Stats {
     */
   def zscoreViaAgg(value: Column, partitionBy: Seq[Column], out: String = "z_score")(
       df: DataFrame): DataFrame = {
-    val keyNames = partitionBy.map(_.toString)
-    val stats = df.groupBy(partitionBy: _*)
+    // alias each key and join null-safely (<=>): a window groups NULL keys
+    // together, so a plain inner join (NULL != NULL) would silently drop
+    // those rows; aliasing also permits computed key expressions
+    val aliases = partitionBy.indices.map(i => s"__k$i")
+    val stats = df.groupBy(partitionBy.zip(aliases).map { case (c, a) => c.as(a) }: _*)
       .agg(avg(value).as("__avg"), stddev(value).as("__std"))
-    df.join(stats, keyNames)
+    val cond = aliases.zip(partitionBy)
+      .map { case (a, c) => col(a) <=> c }.reduce(_ && _)
+    df.join(stats, cond)
       .withColumn(out,
         when(col("__std") === 0.0, 0.0).otherwise((value - col("__avg")) / col("__std")))
-      .drop("__avg", "__std")
+      .drop(aliases :+ "__avg" :+ "__std": _*)
   }
 
   /** Trailing n-period moving average over `order` within optional

@@ -60,14 +60,17 @@ object ClimateFixture {
     sb.result()
   }
 
-  /** Write both fixture files into `dir` (created if needed); idempotent. */
+  /** Write both fixture files into `dir` (created if needed); idempotent,
+    * but rewrites when the generator output changed — stale on-disk
+    * fixtures must never validate new code.
+    */
   def writeTo(dir: String): (String, String) = {
     val d = Paths.get(dir)
     Files.createDirectories(d)
     val b = d.resolve("berkeley_daily.txt")
     val s = d.resolve("ghcnd_stations.txt")
-    writeIfAbsent(b, berkeleyText)
-    writeIfAbsent(s, stationsText)
+    writeIfChanged(b, berkeleyText)
+    writeIfChanged(s, stationsText)
     (b.toString, s.toString)
   }
 
@@ -79,6 +82,7 @@ object ClimateFixture {
     writeTo(sys.props("user.dir") + "/target/graft-climate-fixture")
   }
 
-  private def writeIfAbsent(p: Path, content: String): Unit =
-    if (!Files.exists(p)) Files.writeString(p, content)
+  private def writeIfChanged(p: Path, content: String): Unit =
+    if (!Files.exists(p) || Files.readString(p) != content)
+      Files.writeString(p, content)
 }

@@ -17,16 +17,26 @@ object ClimateQueries {
 
   private def fixture(): (String, String) = ClimateFixture.default
 
-  // One pipeline build per session: the four gold queries share a cached
+  // One pipeline build per session: the climate queries share a cached
   // fact lineage instead of re-running bronze→gold each (the reference's
-  // recompute waste, SURVEY.md §4, fixed engine-side).
-  private val memo = scala.collection.concurrent.TrieMap.empty[SparkSession, Climate.Gold]
+  // recompute waste, SURVEY.md §4, fixed engine-side). Only the LATEST
+  // session is held — unbounded session-keyed memoization would pin every
+  // stopped session's cache blocks for the JVM lifetime.
+  @volatile private var memo: Option[(SparkSession, Climate.Gold)] = None
 
-  private def gold(s: SparkSession): Climate.Gold =
-    memo.getOrElseUpdate(s, {
-      val (b, st) = fixture()
-      Climate.run(s, b, st)
-    })
+  private def gold(s: SparkSession): Climate.Gold = synchronized {
+    memo match {
+      case Some((sess, g)) if sess eq s => g
+      case prev =>
+        prev.foreach { case (_, g) =>
+          try g.fact.unpersist() catch { case _: Throwable => () }
+        }
+        val (b, st) = fixture()
+        val g = Climate.run(s, b, st)
+        memo = Some((s, g))
+        g
+    }
+  }
 
   /** DuckDB-side re-implementation of the Berkeley text → silver parse. */
   private def berkeleySilverSql(path: String): String =

@@ -8,13 +8,11 @@ import org.apache.spark.sql.functions._
   */
 object Parity {
 
-  /** Order-independent exact sum for money-like doubles: cast each term to
-    * DECIMAL(18,6) (both engines round the same IEEE double to the same
-    * decimal), sum exactly, cast back to double. Eliminates the
-    * accumulation-order ulp noise of plain double sums.
+  /** See [[graft.core.Exact.decimalSum]] — single definition, forwarded
+    * here for the query registries' convenience.
     */
   def decimalSum(c: Column, alias: String): Column =
-    sum(c.cast("decimal(18,6)")).cast("double").as(alias)
+    graft.core.Exact.decimalSum(c, alias)
 
   /** Calendar day as 'yyyy-MM-dd' string — strings compare identically
     * across engines; raw DATE/TIMESTAMP types don't always round-trip the

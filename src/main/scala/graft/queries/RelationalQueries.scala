@@ -19,9 +19,7 @@ import graft.ops.Stats
   */
 object RelationalQueries {
 
-  /** Order-independent exact sum for money-like doubles; see class doc. */
-  private def decimalSum(c: org.apache.spark.sql.Column, alias: String) =
-    sum(c.cast("decimal(18,6)")).cast("double").as(alias)
+  import Parity.decimalSum
 
   val all: Seq[QueryDef] = Seq(
 

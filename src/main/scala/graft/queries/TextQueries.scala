@@ -153,8 +153,13 @@ object TextQueries {
         |    '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g'),
         |    '\d{6,}', '<ID>', 'g')) AS redacted_md5,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-        |     + len(regexp_extract_all(text, '\+?\d[\d\s().-]{7,}\d'))
-        |     + len(regexp_extract_all(text, '\d{6,}')) AS INTEGER) AS n_redactions
+        |     + len(regexp_extract_all(regexp_replace(text,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         '\+?\d[\d\s().-]{7,}\d'))
+        |     + len(regexp_extract_all(regexp_replace(regexp_replace(text,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g'),
+        |         '\d{6,}')) AS INTEGER) AS n_redactions
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val (redacted, n) = TextOps.redactPii(col("text"))
       Tables.documents(s, dir)

@@ -28,8 +28,7 @@ object StreamOps {
   def sessionAgg(tsCol: String, keyCol: String, gap: String)(df: DataFrame): DataFrame =
     df.groupBy(session_window(col(tsCol), gap), col(keyCol))
       .agg(count(lit(1)).as("n_events"),
-        // decimal-cast sum: order-independent, exact — oracle parity
-        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        graft.core.Exact.decimalSum(col("value"), "sum_value"))
 
   // ---------- custom-state example: per-key running counter ----------
 
