@@ -30,6 +30,16 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"),
         graft.core.Exact.decimalSum(col("value"), "sum_value"))
 
+  /** Streaming exact dedup: drop rows whose `keyCols` were already seen,
+    * with state bounded by the watermark (late duplicates beyond the
+    * horizon are the accepted trade — unbounded-state dedup doesn't exist
+    * at scale). Batch mode: plain dropDuplicates.
+    */
+  def dedupStream(keyCols: Seq[String], tsCol: String, watermark: String)(
+      df: DataFrame): DataFrame =
+    (if (df.isStreaming) df.withWatermark(tsCol, watermark) else df)
+      .dropDuplicates(keyCols :+ tsCol)
+
   // ---------- custom-state example: per-key running counter ----------
 
   final case class Ev(user_id: Long, event_id: Long, value: Double)

@@ -69,6 +69,23 @@ class StreamingSpec extends SparkSpec {
     assert(n == rows.length)
   }
 
+  test("dedupStream: duplicates across micro-batches dropped, state bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val sdf = mem.toDF().toDF("event_id", "ts", "value")
+    val q = StreamOps.dedupStream(Seq("event_id"), "ts", "1 hour")(sdf)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    mem.addData((1L, ts(0), 1.0), (2L, ts(1), 2.0), (1L, ts(0), 1.0))
+    q.processAllAvailable()
+    mem.addData((1L, ts(0), 1.0), (3L, ts(2), 3.0))  // dup again in batch 2
+    q.processAllAvailable()
+    val ids = spark.table("dedup_out").select("event_id")
+      .as[Long].collect().sorted.toSeq
+    q.stop()
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
   test("flatMapGroupsWithState running totals accumulate across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamOps.Ev]
