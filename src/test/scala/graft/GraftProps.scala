@@ -90,6 +90,35 @@ object GraftProps extends Properties("graft") {
       }) :| "branch order / ranges"
     }
 
+  private val docsGen: Gen[List[(Long, String)]] =
+    Gen.choose(2, 8).flatMap(n => Gen.sequence[List[(Long, String)], (Long, String)](
+      (1 to n).map(i => Gen.choose(3, 15).flatMap(w =>
+        Gen.listOfN(w, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+          .map(ws => (i.toLong, ws.mkString(" ")))))))
+
+  property("jaccardPairs: values in [0,1], symmetric by construction (id_a < id_b)") =
+    forAll(docsGen) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val pairs = graft.ext.Dedup.jaccardPairs(df, col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      Prop(pairs.forall { case (a, b, j) => a < b && j >= 0.0 && j <= 1.0 }) :|
+        s"pairs=${pairs.take(3).toList}"
+    }
+
+  property("minhash LSH candidates are a superset of exact-duplicate pairs") =
+    forAll(docsGen) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      // exact dup pairs (identical text, both with >= 3 words)
+      val dups = for {
+        (a, ta) <- docs; (b, tb) <- docs
+        if a < b && ta == tb && ta.split(" ").length >= 3
+      } yield (a, b)
+      val cands = graft.ext.Dedup.lshCandidates(df, col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      Prop(dups.forall(cands.contains)) :|
+        s"missing=${dups.filterNot(cands.contains).take(3)}"
+    }
+
   property("movingAvg stays within [min,max] of its trailing window") =
     forAll(valuesGen) { vs =>
       val df = vs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("t", "v")
