@@ -177,6 +177,37 @@ object AnalyticQueries {
         .orderBy("event_type")
     },
 
+    // ---- bivariate statistics: Pearson correlation + sample covariance
+    //      (both engines use the same sample definitions) ----
+    QueryDef("q32_correlation",
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qty_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- per-group OLS: slope/intercept of price on quantity ----
+    QueryDef("q33_regression",
+      """SELECT l_returnflag,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"))
+        .orderBy("l_returnflag")
+    },
+
     // ---- as-of join: latest order per customer at each event time ----
     // Composed from built-ins (SURVEY §7.4 preference (a)): equi+range
     // join then keep the most recent match per event via ranked window.
