@@ -30,6 +30,15 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"),
         graft.core.Exact.decimalSum(col("value"), "sum_value"))
 
+  /** Stream-static enrichment: join the stream against a (small, slowly
+    * changing) dimension — broadcast per micro-batch, no stream-side
+    * state. The standard lookup-join shape; for stream-stream joins use
+    * watermarked equi-joins instead.
+    */
+  def enrich(dim: DataFrame, keys: Seq[String], joinType: String = "left")(
+      stream: DataFrame): DataFrame =
+    stream.join(broadcast(dim), keys, joinType)
+
   /** Streaming exact dedup: drop rows whose `keyCols` were already seen,
     * with state bounded by the watermark (late duplicates beyond the
     * horizon are the accepted trade — unbounded-state dedup doesn't exist

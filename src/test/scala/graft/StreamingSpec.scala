@@ -69,6 +69,23 @@ class StreamingSpec extends SparkSpec {
     assert(n == rows.length)
   }
 
+  test("enrich: stream-static broadcast join adds dimension columns") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val sdf = mem.toDF().toDF("user_id", "ts", "value")
+    val q = StreamOps.enrich(dim, Seq("user_id"))(sdf)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enrich_out").start()
+    mem.addData((1L, ts(0), 1.0), (2L, ts(1), 2.0), (9L, ts(2), 3.0))
+    q.processAllAvailable()
+    val got = spark.table("enrich_out")
+      .select("user_id", "tier").as[(Long, Option[String])]
+      .collect().toMap
+    q.stop()
+    assert(got == Map(1L -> Some("gold"), 2L -> Some("silver"), 9L -> None))
+  }
+
   test("dedupStream: duplicates across micro-batches dropped, state bounded") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]
