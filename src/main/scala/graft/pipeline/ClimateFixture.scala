@@ -30,7 +30,12 @@ object ClimateFixture {
     val end = LocalDate.of(toYear, 12, 31)
     while (!d.isAfter(end)) {
       val anom = rnd.nextDouble() * 4.0 - 2.0
-      sb ++= f"  ${d.getYear}%d.${d.getDayOfYear}%03d  ${d.getYear}%d  ${d.getMonthValue}%2d  ${d.getDayOfMonth}%2d  ${d.getDayOfYear}%3d  $anom%.3f\n"
+      // Locale.ROOT: the f-interpolator's %f is locale-sensitive (comma
+      // decimals on e.g. de_DE would break the parser and the goldens)
+      sb ++= String.format(java.util.Locale.ROOT,
+        "  %d.%03d  %d  %2d  %2d  %3d  %.3f%n".replace("%n", "\n"),
+        d.getYear, d.getDayOfYear, d.getYear, d.getMonthValue,
+        d.getDayOfMonth, d.getDayOfYear, anom)
       d = d.plusDays(1)
     }
     // malformed rows: short line (token 5 out of range) and non-numeric year
@@ -50,10 +55,12 @@ object ClimateFixture {
       val lon  = -125.0 + rnd.nextDouble() * 60.0
       val elev = rnd.nextInt(3000).toDouble
       val state = if (i % 5 == 4) "  " else Seq("NY", "CA", "TX", "WA")(i % 4)
-      val name  = f"TEST_STATION_$i%d"
+      val name  = s"TEST_STATION_$i"
       // real GHCND offsets: id 1-11, lat 13-20, lon 22-30, elev 32-37,
-      // state 39-40, name 42-71
-      sb ++= f"$id%-11s $lat%8.4f $lon%9.4f $elev%6.1f $state%2s $name%-30s\n"
+      // state 39-40, name 42-71; Locale.ROOT for the float fields
+      sb ++= String.format(java.util.Locale.ROOT,
+        "%-11s %8.4f %9.4f %6.1f %2s %-30s\n",
+        id, lat, lon, elev, state, name)
     }
     // malformed: blank lat/lon → cast null → dropped by silver validation
     sb ++= f"USW00099999 ${" " * 8}%s ${" " * 9}%s  100.0 NY BLANK_COORDS${" " * 17}%s\n"

@@ -14,6 +14,7 @@ class BucketingSpec extends SparkSpec {
     // default warehouse dir = ./spark-warehouse (gitignored); the
     // warehouse conf is static and can't move after session start
     // force the shuffle-visible path: no broadcast, no AQE rewrite noise
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       graft.sources.Sinks.bucketedTable(
@@ -38,7 +39,7 @@ class BucketingSpec extends SparkSpec {
     } finally {
       spark.sql("DROP TABLE IF EXISTS li_bucketed")
       spark.sql("DROP TABLE IF EXISTS ord_bucketed")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
   }
 

@@ -107,7 +107,8 @@ class ClimateSpec extends SparkSpec {
     val csvs = new java.io.File(s"$dir/gold/kpis_csv").listFiles()
       .filter(_.getName.endsWith(".csv"))
     assert(csvs.length == 1)
-    val header = scala.io.Source.fromFile(csvs.head).getLines().next()
+    val header = scala.util.Using(scala.io.Source.fromFile(csvs.head))(
+      _.getLines().next()).get
     assert(header == "year,avg_global_anomaly,max_anomaly,min_anomaly,std_dev_anomaly,station_count")
   }
 
@@ -117,10 +118,13 @@ class ClimateSpec extends SparkSpec {
     val f = goldTables.fact
     val stats = f.groupBy(col("station_id").as("sid"))
       .agg(avg("temperature_anomaly").as("m"), stddev("temperature_anomaly").as("s"))
+    // tolerance compare on the unrounded quotient: the pipeline's window
+    // aggregate and this groupBy aggregate sum in different orders, so a
+    // rounded-equality check would flake on values near a .0005 boundary
     val joined = f.join(stats, f("station_id") === col("sid"))
       .filter(abs(col("z_score")) =!= 5.0)
-      .withColumn("z2", round((col("temperature_anomaly") - col("m")) / col("s"), 3))
-      .filter(col("z_score") =!= col("z2"))
+      .withColumn("z2", (col("temperature_anomaly") - col("m")) / col("s"))
+      .filter(abs(col("z_score") - col("z2")) > 6e-4)
     assert(joined.count() == 0)
   }
 }

@@ -48,7 +48,8 @@ object GraftProps extends Properties("graft") {
   property("berkeley 6-token format round-trips through the parser") =
     forAll(Gen.nonEmptyListOf(berkeleyRow)) { rows =>
       val text = rows.map { case (y, m, d, a) =>
-        f"  $y%d.123  $y%d  $m%2d  $d%2d  42  $a%.3f"
+        String.format(java.util.Locale.ROOT,
+          "  %d.123  %d  %2d  %2d  42  %.3f", y, y, m, d, a)
       }
       val df = text.toDF("value")
       val parsed = Climate.berkeleySilver(df)

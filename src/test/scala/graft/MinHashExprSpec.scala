@@ -44,15 +44,17 @@ class MinHashExprSpec extends SparkSpec {
     val viaCodegen = docs
       .select(call_function("graft_minhash", arr).as("sig"))
       .collect().map(_.getSeq[Int](0))
-    // force interpreted path
+    // force interpreted path, restoring whatever was set before
+    val prevWS = spark.conf.get("spark.sql.codegen.wholeStage")
+    val prevFM = spark.conf.get("spark.sql.codegen.factoryMode")
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     val viaInterp = try docs
       .select(call_function("graft_minhash", arr).as("sig"))
       .collect().map(_.getSeq[Int](0))
     finally {
-      spark.conf.set("spark.sql.codegen.wholeStage", "true")
-      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.wholeStage", prevWS)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevFM)
     }
     assert(viaCodegen.toSeq == viaInterp.toSeq)
   }

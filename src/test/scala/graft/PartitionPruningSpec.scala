@@ -24,7 +24,7 @@ class PartitionPruningSpec extends SparkSpec {
     val q = spark.read.parquet(dir).filter(col("day") === "2024-01-03")
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") &&
-      plan.contains("isnotnull(day") || plan.contains("day#"),
+      (plan.contains("isnotnull(day") || plan.contains("day#")),
       s"expected partition filters in:\n$plan")
     // pruning is observable: the scanned files all come from one partition
     val files = q.select(input_file_name()).distinct()

@@ -13,7 +13,6 @@ class SimilaritySpec extends SparkSpec {
       (2L, Seq(1.0, 0.0, 2.0)),
       (3L, Seq(0.0, 5.0, 0.0))
     ).toDF("id", "v")
-    val a = df.select(col("v")).first().getSeq[Double](0)
     val got = df.as("x").crossJoin(df.as("y"))
       .filter(col("x.id") === 1 && col("y.id") =!= 1)
       .select(col("y.id"),
@@ -26,6 +25,7 @@ class SimilaritySpec extends SparkSpec {
     val topk = Similarity.bruteForceTopK(Tables.embeddings(spark, sf),
       "vec_id", "embedding", col("vec_id") % 50 === 0, k = 5)
     val rows = topk.collect()
+    assert(rows.nonEmpty, "query predicate matched no vectors")
     val perQ = rows.groupBy(_.getLong(0))
     assert(perQ.values.forall(_.length == 5))
     assert(rows.forall(r => r.getLong(0) != r.getLong(1)))

@@ -95,12 +95,14 @@ class StreamingSpec extends SparkSpec {
       .queryName("dedup_out").start()
     mem.addData((1L, ts(0), 1.0), (2L, ts(1), 2.0), (1L, ts(0), 1.0))
     q.processAllAvailable()
-    mem.addData((1L, ts(0), 1.0), (3L, ts(2), 3.0))  // dup again in batch 2
+    // batch 2: exact dup dropped, but same id at a DIFFERENT ts survives —
+    // pins the dedup key to (event_id, ts), not id-only or all-columns
+    mem.addData((1L, ts(0), 1.0), (1L, ts(5), 9.0), (3L, ts(2), 3.0))
     q.processAllAvailable()
     val ids = spark.table("dedup_out").select("event_id")
       .as[Long].collect().sorted.toSeq
     q.stop()
-    assert(ids == Seq(1L, 2L, 3L))
+    assert(ids == Seq(1L, 1L, 2L, 3L))
   }
 
   test("flatMapGroupsWithState running totals accumulate across batches") {
