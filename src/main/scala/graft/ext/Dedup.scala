@@ -161,6 +161,53 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
   }
 
+  // ---------- near-dup clustering (connected components) ----------
+
+  /** Connected components over an undirected pair graph — the step that
+    * turns near-dup PAIRS into dedup CLUSTERS (pick one survivor per
+    * component). Min-label propagation: every node starts labeled with
+    * itself; each round a node takes the min label among itself and its
+    * neighbors; converges in O(graph diameter) rounds.
+    *
+    * Each round is one shuffle (join on node) + one aggregate, with an
+    * early-stop action on the changed-label count — the standard
+    * Pregel-style loop (the large-star/small-star algorithm is this with
+    * smarter edge rewriting; diameters of near-dup graphs are tiny, so
+    * plain propagation is the honest cost). Lineage MUST be truncated per
+    * round (localCheckpoint): persist alone keeps the logical plan, which
+    * doubles every iteration — plan rendering alone OOMs by round ~10.
+    * On a cluster with an HDFS checkpoint dir, `checkpoint` replaces
+    * `localCheckpoint` for executor-loss tolerance.
+    *
+    * @param edges (src, dst) pairs, any orientation, self-loops ok
+    * @return (node, component) — component = min node id reachable
+    */
+  def connectedComponents(edges: DataFrame, src: Column, dst: Column,
+                          maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val e = edges.select(src.as("n"), dst.as("m"))
+      .union(edges.select(dst.as("n"), src.as("m")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = e.select(col("n")).distinct()
+      .select(col("n"), col("n").as("lbl"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val nbr = labels.join(e, "n").select(col("m").as("n"), col("lbl"))
+      val next = labels.union(nbr)
+        .groupBy("n").agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "n")
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    e.unpersist()
+    labels.select(col("n").as("node"), col("lbl").as("component"))
+  }
+
   // ---------- SimHash ----------
 
   /** 64-bit SimHash over count-weighted words: per bit, sum +count when

@@ -70,6 +70,19 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-group centroids of an embedding column, long form: one row per
+    * (group, dim) with the mean component — the shape behind k-NN class
+    * prototypes, IVF coarse quantizers, and per-source embedding drift
+    * checks. posexplode + one partial+final aggregate: the shuffle
+    * carries (groups × dims) partial sums, never vectors. Rounded to 6
+    * decimals (double accumulation order differs across engines).
+    */
+  def groupCentroids(emb: DataFrame, group: Column, vec: Column): DataFrame =
+    emb.select(group.as("label"), posexplode(vec.cast("array<double>")))
+      .groupBy(col("label"), (col("pos") + 1).cast("int").as("dim"))
+      .agg(round(avg(col("col")), 6).as("centroid"),
+           count(lit(1)).as("n_vecs"))
+
   /** Signed-random-projection sketch: `bits` pseudo-hyperplanes whose
     * component signs come from murmur3(bit, dim-index) — deterministic,
     * data-independent, identical on every executor with no side state.

@@ -79,6 +79,53 @@ object TextOps {
       .otherwise("zh")
   }
 
+  /** Adjacent word pairs ("a b") from a PRE-SPLIT words column, via
+    * aligned slices zipped together — lambda args only, so the tokenizer
+    * is never re-evaluated per element (the Dedup re-evaluation trap).
+    */
+  def bigrams(w: Column): Column =
+    zip_with(
+      slice(w, lit(1), greatest(size(w) - 1, lit(0))),
+      slice(w, lit(2), greatest(size(w) - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+
+  /** Corpus-level top-k bigrams with counts — the vocabulary/repetition
+    * profile a corpus audit starts from. Explode + one partial+final
+    * count aggregate (shuffle carries (bigram, partial-count) rows), then
+    * TakeOrderedAndProject for the global top-k — no global sort.
+    */
+  def topBigrams(df: DataFrame, text: Column, k: Int = 20): DataFrame =
+    df.select(words(text).as("w"))
+      .select(explode(bigrams(col("w"))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(k)
+
+  /** Per-doc top-k terms by smoothed TF-IDF:
+    * tfidf = tf · (ln((N+1)/(df+1)) + 1), sklearn's smooth-idf form.
+    * Three aggregates (term freq, doc freq, corpus size) + one broadcast
+    * join on term stats; N is a 1-row aggregate crossed in, never a
+    * driver-side collect. Ranking uses the 6-decimal-rounded score
+    * (cross-engine-stable) with term tie-break.
+    */
+  def tfidfTopK(df: DataFrame, id: Column, text: Column, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(id.as("doc"), words(text).as("w"))
+      .select(col("doc"), explode(col("w")).as("term"))
+      .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc").orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf") *
+        (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1.0), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc"), col("term"), col("tf"), col("tfidf"),
+        col("rn").cast("int").as("rn"))
+  }
+
   /** Repetition signals (Gopher-style quality filters): duplicate-word
     * fraction and the frequency share of the most common unigram/bigram,
     * per document. Formulated as explode + two-level aggregation (NOT
@@ -96,11 +143,7 @@ object TextOps {
         count(lit(1)).as("dw"),
         max(col("cnt")).as("top_uni"))
     // bigram rows from aligned slices (lambda args only — single eval)
-    val bigram = base.select(col("doc"), explode(
-        zip_with(
-          slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0))),
-          slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
-          (a, b) => concat_ws(" ", a, b))).as("t"))
+    val bigram = base.select(col("doc"), explode(bigrams(col("w"))).as("t"))
       .groupBy("doc", "t").agg(count(lit(1)).as("cnt"))
       .groupBy("doc").agg(
         sum(col("cnt")).as("bc"),

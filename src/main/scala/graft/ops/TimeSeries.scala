@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators beyond the reference's daily/monthly aggregates
+  * (SURVEY.md §1.1 "Time series" row): calendar-spine gap filling with
+  * forward fill, and a banded interval join. Both are declarative
+  * `DataFrame => DataFrame` shapes that survive 100 TB:
+  *
+  *  - gap filling builds the date spine with `sequence()`+`explode` per
+  *    key group (distributed generation — no driver-side calendar loop,
+  *    no collect); the spine join is a broadcast-able left join when the
+  *    key set is small, a co-partitioned shuffle join otherwise.
+  *  - the interval join buckets time into fixed bins and equi-joins on
+  *    (key, bin) with each probe row exploded to the two candidate bins
+  *    covering its window — Catalyst gets a hash join instead of the
+  *    O(n·m) broadcast-nested-loop a raw range predicate would plan.
+  *    This is the standard banding trick Flink/KDB interval joins use.
+  */
+object TimeSeries {
+
+  /** Per-key daily calendar spine over the GLOBAL [min,max] day range of
+    * `df`: one row per (key, day) even where `df` has no rows that day.
+    * The spine is keys × sequence(minDay, maxDay) — generated
+    * distributively; the 1-row bounds aggregate broadcasts.
+    */
+  def dailySpine(df: DataFrame, key: Column, day: Column): DataFrame = {
+    val bounds = df.agg(min(day).as("lo"), max(day).as("hi"))
+    val keys = df.select(key.as("k")).distinct()
+    keys.crossJoin(broadcast(bounds))
+      .select(col("k"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+  }
+
+  /** Forward fill: replace nulls in `c` with the most recent non-null
+    * value within the key partition in `order` order (standard `ffill`).
+    * One window exchange on the key.
+    */
+  def forwardFill(c: Column, partition: Seq[Column], order: Column): Column =
+    last(c, ignoreNulls = true).over(
+      Window.partitionBy(partition: _*).orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+  /** Banded interval join: for each probe row, count/aggregate build rows
+    * of the same key whose timestamp falls in [probe.ts − window, probe.ts].
+    *
+    * Probe rows are exploded to the two `window`-sized bins their lookback
+    * window can span; build rows carry their own bin; the join is then a
+    * pure equi-join on (key, bin) + an exact range filter. A build row
+    * matches at most one exploded copy of a given probe row (its bin
+    * equals exactly one of the two), so no dedup/double-count pass is
+    * needed. Left semantics: probes with zero matches survive with n = 0.
+    *
+    * Returns the probe columns + `n_matches`.
+    */
+  def countInWindow(probe: DataFrame, probeKey: Column, probeTs: Column,
+                    probeId: Column, build: DataFrame, buildKey: Column,
+                    buildTs: Column, windowSec: Long): DataFrame = {
+    // integer `div` on micros — double division loses precision at 1.7e18
+    val binUs = windowSec * 1000000L
+    val p = probe.select(probeId.as("p_id"), probeKey.as("k"), probeTs.as("p_ts"))
+      .withColumn("bin0", expr(s"unix_micros(p_ts) div $binUs"))
+      .withColumn("bin", explode(array(col("bin0") - 1, col("bin0"))))
+      .drop("bin0")
+    val b = build.select(buildKey.as("k"), buildTs.as("b_ts"))
+      .withColumn("bin", expr(s"unix_micros(b_ts) div $binUs"))
+    p.join(b,
+        p("k") === b("k") && p("bin") === b("bin") &&
+          col("b_ts") >= col("p_ts") - expr(s"interval $windowSec second") &&
+          col("b_ts") <= col("p_ts"),
+        "left")
+      .groupBy(col("p_id"))
+      .agg(count(col("b_ts")).as("n_matches"))
+  }
+}

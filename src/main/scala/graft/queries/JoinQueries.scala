@@ -144,6 +144,33 @@ object JoinQueries {
         .orderBy("order_status", "order_priority")
     },
 
+    // ---- explicit grouping sets (the general form behind rollup/cube):
+    //      (flag, status) detail, (flag) subtotal, () grand total — one
+    //      Expand + single partial+final aggregate, same one exchange ----
+    QueryDef("q36_grouping_sets",
+      """SELECT coalesce(l_returnflag, 'ALL') AS return_flag,
+        |  coalesce(l_linestatus, 'ALL') AS line_status,
+        |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+        |  sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY return_flag, line_status, g_flag""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+              Seq(col("l_returnflag")), Seq.empty[org.apache.spark.sql.Column]),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("int").as("g_flag"),
+             grouping(col("l_linestatus")).cast("int").as("g_status"),
+             sum(col("l_quantity")).as("sum_qty"),
+             count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("return_flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("line_status"),
+          col("g_flag"), col("g_status"), col("sum_qty"), col("n"))
+        .orderBy("return_flag", "line_status", "g_flag")
+    },
+
     // ---- set ops: UNION (distinct), INTERSECT, EXCEPT ----
     QueryDef("q14_union",
       """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'

@@ -44,6 +44,19 @@ object SimilarityQueries {
         "vec_id", "embedding", col("vec_id") < 250, k = 50)
     },
 
+    // ---- per-label centroids, long form (class prototypes / drift) ----
+    // Embeddings are 64-d (driver testdata); the oracle enumerates dims
+    // 1..64 explicitly since DuckDB lacks posexplode.
+    QueryDef("s05_group_centroids",
+      """SELECT label, CAST(i AS INTEGER) AS dim,
+        |  round(avg(embedding[i]), 6) AS centroid, count(*) AS n_vecs
+        |FROM embeddings, (SELECT unnest(range(1, 65)) AS i) dims
+        |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin) { (s, dir) =>
+      Similarity.groupCentroids(Tables.embeddings(s, dir),
+          col("label"), col("embedding"))
+        .orderBy("label", "dim")
+    },
+
     // murmur3-signed hyperplanes → no DuckDB form; recall vs s01 measured
     // in SimilaritySpec.
     QueryDef.noOracle("s03_ann_lsh") { (s, dir) =>

@@ -207,6 +207,77 @@ object TextQueries {
         .orderBy("doc")
     },
 
+    // ---- per-doc TF-IDF top terms (smooth idf, sklearn form) ----
+    QueryDef("t14_tfidf",
+      s"""WITH w AS (SELECT doc_id, unnest($duckWords) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT doc_id AS doc, term, tf, tfidf, CAST(rn AS INTEGER) AS rn
+         |FROM (SELECT tf.doc_id, tf.term, tf.tf,
+         |        round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS tfidf,
+         |        row_number() OVER (PARTITION BY tf.doc_id
+         |          ORDER BY round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) DESC,
+         |                   tf.term) AS rn
+         |      FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+         |WHERE rn <= 3 ORDER BY doc, rn""".stripMargin) { (s, dir) =>
+      TextOps.tfidfTopK(Tables.documents(s, dir), col("doc_id"), col("text"), k = 3)
+        .orderBy("doc", "rn")
+    },
+
+    // ---- corpus-level top-20 bigrams ----
+    QueryDef("t15_ngram_topk",
+      """WITH w AS (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS words
+        |           FROM documents),
+        |b AS (SELECT unnest(list_transform(range(1, len(words)),
+        |               i -> words[i] || ' ' || words[i+1])) AS bigram FROM w)
+        |SELECT bigram, count(*) AS n FROM b
+        |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin) { (s, dir) =>
+      TextOps.topBigrams(Tables.documents(s, dir), col("text"), k = 20)
+    },
+
+    // ---- near-dup clusters: connected components over the jaccard>=0.5
+    //      pair graph (+ every doc as its own singleton) — pairs become
+    //      dedup clusters. Oracle = recursive-CTE transitive closure with
+    //      min-label aggregation (exact same component semantics). ----
+    QueryDef("t16_dedup_clusters",
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(w) - 1),
+        |                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+        |  FROM docs),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jac AS (
+        |  SELECT id_a, id_b
+        |  FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM jac
+        |          UNION ALL SELECT id_b, id_a FROM jac),
+        |reach(node, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b)
+        |SELECT node, min(lbl) AS component FROM reach
+        |GROUP BY node ORDER BY node""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.jaccardPairs(docs, col("doc_id"), col("text"))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"))
+        // every doc is (at least) its own component
+        .union(docs.select(col("doc_id"), col("doc_id")))
+      Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
+        .orderBy("node")
+    },
+
     // MinHash-LSH verified near-dup pairs (murmur3 → no oracle).
     QueryDef.noOracle("t07_minhash_lsh") { (s, dir) =>
       Dedup.minhashNearDups(Tables.documents(s, dir), col("doc_id"), col("text"))

@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.TimeSeries
+import Parity._
+
+/** Time-series surface beyond the reference's calendar aggregates:
+  * calendar-spine gap filling with forward fill, banded interval joins,
+  * and time-based RANGE window frames — the resample/rolling operations
+  * the reference's notebook does in pandas (SURVEY.md §2.7 W2), here as
+  * distributed shapes that hold at 100 TB.
+  */
+object TimeSeriesQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- gap-fill + forward-fill over a per-user daily calendar spine ----
+    // Spine = users × sequence(min_day, max_day) generated distributively
+    // (no driver calendar); missing days get n_events = 0 and the last
+    // observed daily average carried forward (leading nulls stay null —
+    // nothing to carry yet).
+    QueryDef("q34_gap_fill",
+      """WITH e AS (SELECT * FROM events WHERE user_id < 10),
+        |bounds AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM e),
+        |keys AS (SELECT DISTINCT user_id FROM e),
+        |spine AS (SELECT user_id, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        |          FROM keys, bounds),
+        |daily AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events,
+        |            round(avg(value), 4) AS day_avg
+        |          FROM e GROUP BY 1, 2)
+        |SELECT s.user_id AS user_id, strftime(s.day, '%Y-%m-%d') AS day,
+        |  coalesce(n_events, 0) AS n_events,
+        |  last_value(day_avg IGNORE NULLS) OVER (PARTITION BY s.user_id ORDER BY s.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_avg
+        |FROM spine s LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir).filter(col("user_id") < 10)
+      val daily = e.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"), round(avg(col("value")), 4).as("day_avg"))
+      TimeSeries.dailySpine(e, col("user_id"), to_date(col("ts")))
+        .withColumnRenamed("k", "user_id")
+        .join(daily, Seq("user_id", "day"), "left")
+        .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+        .withColumn("filled_avg",
+          TimeSeries.forwardFill(col("day_avg"), Seq(col("user_id")), col("day")))
+        .select(col("user_id"), dayStr(col("day")).as("day"),
+          col("n_events"), col("filled_avg"))
+        .orderBy("user_id", "day")
+    },
+
+    // ---- banded interval join: clicks within 5 min before each error ----
+    // The engine form is an equi-join on (user, time-bin) + exact range
+    // filter (TimeSeries.countInWindow) — the oracle states the same
+    // semantics as a raw range join, which DuckDB can afford at sf0.01.
+    QueryDef("q35_interval_join",
+      """SELECT a.event_id, count(b.event_id) AS n_clicks_5m
+        |FROM events a LEFT JOIN events b
+        |  ON b.user_id = a.user_id AND b.event_type = 'click'
+        |  AND b.ts >= a.ts - INTERVAL 5 MINUTE AND b.ts <= a.ts
+        |WHERE a.event_type = 'error'
+        |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      TimeSeries.countInWindow(
+          ev.filter(col("event_type") === "error"),
+          col("user_id"), col("ts"), col("event_id"),
+          ev.filter(col("event_type") === "click"),
+          col("user_id"), col("ts"), windowSec = 300L)
+        .select(col("p_id").as("event_id"), col("n_matches").as("n_clicks_5m"))
+        .orderBy("event_id")
+    },
+
+    // ---- time-based RANGE frame: trailing 7 calendar days, not 7 rows ----
+    // RANGE over epoch-day covers exactly the days present in the window
+    // even when the daily series has gaps (ROWS would silently widen the
+    // time span). Daily revenues are DECIMAL-exact multiples of 1e-6 well
+    // under 2^53, so the frame sums are exact in both engines.
+    QueryDef("q37_range_frame",
+      """WITH daily AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS day,
+        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |  FROM lineitem GROUP BY 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, round(revenue, 4) AS revenue,
+        |  round(sum(revenue) OVER (ORDER BY datediff('day', DATE '1970-01-01', day)
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS rev_7d
+        |FROM daily ORDER BY day""".stripMargin) { (s, dir) =>
+      val daily = Tables.lineitem(s, dir)
+        .groupBy(to_date(col("l_shipdate")).as("day"))
+        .agg(decimalSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), "revenue"))
+        .withColumn("epoch_day", datediff(col("day"), lit("1970-01-01")))
+      val w = Window.orderBy(col("epoch_day")).rangeBetween(-6, 0)
+      daily
+        .withColumn("rev_7d", round(sum(col("revenue")).over(w), 4))
+        .select(dayStr(col("day")).as("day"), round(col("revenue"), 4).as("revenue"),
+          col("rev_7d"))
+        .orderBy("day")
+    },
+  )
+}

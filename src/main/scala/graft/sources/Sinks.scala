@@ -25,6 +25,13 @@ object Sinks {
       .option("encoding", "UTF-8")
       .csv(path)
 
+  /** ORC layer write — the second columnar format Spark ships natively
+    * (vectorized reader, predicate pushdown, column pruning — same scan
+    * posture as parquet). Round-trip + pushdown evidenced in SourcesSpec.
+    */
+  def orcOverwrite(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** Date/key-partitioned parquet layout — the 100 TB fact-table shape:
     * queries filtered on `partitionCols` scan only matching directories
     * (pruning evidenced in PartitionPruningSpec).

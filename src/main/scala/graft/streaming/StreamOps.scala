@@ -39,6 +39,27 @@ object StreamOps {
       stream: DataFrame): DataFrame =
     stream.join(broadcast(dim), keys, joinType)
 
+  /** Stream-stream interval join: for each left row, matching right rows
+    * of the same key whose event time falls in [left.ts − lookback,
+    * left.ts]. Both sides carry watermarks, and the time-bound condition
+    * is what lets the engine expire right-side state (without it, a
+    * stream-stream join buffers forever). Batch mode: the same range
+    * equi-join, oracle-checkable (q35 is the banded batch analog).
+    *
+    * Expects `ts` columns pre-named distinctly via the select aliases.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String, lookback: String,
+                   watermark: String): DataFrame = {
+    val l = if (left.isStreaming) left.withWatermark(leftTs, watermark) else left
+    val r = if (right.isStreaming) right.withWatermark(rightTs, watermark) else right
+    l.join(r,
+      l(key) === r(key) &&
+        col(rightTs) >= col(leftTs) - expr(s"interval $lookback") &&
+        col(rightTs) <= col(leftTs))
+      .drop(r(key))
+  }
+
   /** Streaming exact dedup: drop rows whose `keyCols` were already seen,
     * with state bounded by the watermark (late duplicates beyond the
     * horizon are the accepted trade — unbounded-state dedup doesn't exist

@@ -86,6 +86,36 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map(1L -> Some("gold"), 2L -> Some("silver"), 9L -> None))
   }
 
+  test("intervalJoin stream-stream: watermarked time-bounded matches == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val lmem = MemoryStream[(Long, Timestamp, Long)]
+    val rmem = MemoryStream[(Long, Timestamp, Double)]
+    def shape(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+      StreamOps.intervalJoin(
+        l.toDF("user_id", "l_ts", "l_id"), r.toDF("user_id", "r_ts", "r_v"),
+        "user_id", "l_ts", "r_ts", lookback = "10 minutes", watermark = "1 hour")
+    val q = shape(lmem.toDF(), rmem.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ij_out").start()
+    // left at t=20min; right at 10min (edge, in), 21min (after, out),
+    // 9min (too old, out), other key (out)
+    lmem.addData((1L, ts(20), 100L))
+    rmem.addData((1L, ts(10), 1.0), (1L, ts(21), 2.0), (1L, ts(9), 3.0),
+      (2L, ts(12), 4.0))
+    q.processAllAvailable()
+    val streamed = spark.table("ij_out").select("l_id", "r_v")
+      .as[(Long, Double)].collect().toSeq.sorted
+    q.stop()
+    assert(streamed == Seq((100L, 1.0)))
+    // batch parity: same transform over spark.read-style DataFrames
+    val batch = shape(
+        Seq((1L, ts(20), 100L)).toDF("user_id", "l_ts", "l_id"),
+        Seq((1L, ts(10), 1.0), (1L, ts(21), 2.0), (1L, ts(9), 3.0),
+          (2L, ts(12), 4.0)).toDF("user_id", "r_ts", "r_v"))
+      .select("l_id", "r_v").as[(Long, Double)].collect().toSeq.sorted
+    assert(batch == streamed)
+  }
+
   test("dedupStream: duplicates across micro-batches dropped, state bounded") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]

@@ -1,0 +1,115 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ops.TimeSeries
+import graft.ext.{Dedup, Similarity, TextOps}
+
+/** Semantics of the round's new operators on crafted rows: calendar-spine
+  * gap fill, forward fill, banded interval join (bin-boundary edges),
+  * connected components, TF-IDF, corpus bigrams, group centroids.
+  */
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(s: String) = java.sql.Date.valueOf(s)
+  private def ts(sec: Long) = new Timestamp(1700000000000L + sec * 1000L)
+
+  test("dailySpine covers the global [min,max] day range for every key") {
+    val df = Seq((1L, d("2024-01-01")), (1L, d("2024-01-04")),
+                 (2L, d("2024-01-02")))
+      .toDF("k", "day")
+    val spine = TimeSeries.dailySpine(df, col("k"), col("day"))
+      .as[(Long, java.sql.Date)].collect().toSet
+    // range is GLOBAL (01-01..01-04) for both keys, 4 days × 2 keys
+    assert(spine.size == 8)
+    assert(spine.contains((2L, d("2024-01-01"))))   // before key 2's first row
+    assert(spine.contains((2L, d("2024-01-04"))))
+  }
+
+  test("forwardFill carries last non-null forward; leading nulls stay null") {
+    val df = Seq((1L, 1, None: Option[Double]), (1L, 2, Some(5.0)),
+                 (1L, 3, None), (1L, 4, Some(7.0)), (1L, 5, None),
+                 (2L, 1, None))
+      .toDF("k", "i", "v")
+    val got = df.withColumn("f",
+        TimeSeries.forwardFill(col("v"), Seq(col("k")), col("i")))
+      .orderBy("k", "i").select("f").as[Option[Double]].collect().toSeq
+    assert(got == Seq(None, Some(5.0), Some(5.0), Some(7.0), Some(7.0), None))
+  }
+
+  test("countInWindow: inclusive edges, bin-boundary crossing, zero rows kept") {
+    // bins are 300 s wide; probe at 650 s has lookback [350, 650] which
+    // spans bins 1 and 2 — build rows at 350 (edge, bin 1), 600 (bin 2),
+    // 651 (after -> out), 349 (just before -> out)
+    val probe = Seq((10L, 1L, ts(650)), (11L, 1L, ts(100)), (12L, 2L, ts(650)))
+      .toDF("id", "k", "t")
+    val build = Seq((1L, ts(350)), (1L, ts(600)), (1L, ts(651)), (1L, ts(349)))
+      .toDF("k", "t")
+    val got = TimeSeries.countInWindow(probe, col("k"), col("t"), col("id"),
+        build, col("k"), col("t"), windowSec = 300L)
+      .orderBy("p_id").as[(Long, Long)].collect().toSeq
+    // probe 10: 350 (inclusive lower edge) + 600; probe 11: none in
+    // [-200,100]; probe 12: different key -> zero, but the row SURVIVES
+    assert(got == Seq((10L, 2L), (11L, 0L), (12L, 0L)))
+  }
+
+  test("connectedComponents: chain merges transitively, singleton survives") {
+    // path 1-2-3 (1~3 only via 2), pair 10-11, isolated 20 (self-loop)
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L), (20L, 20L))
+      .toDF("a", "b")
+    val got = Dedup.connectedComponents(edges, col("a"), col("b"))
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L),
+      (11L, 10L), (20L, 20L)))
+  }
+
+  test("connectedComponents converges on a long path within maxIter") {
+    // path 0-1-2-...-9: min-label propagation needs ~path-length rounds
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges, col("a"), col("b"))
+      .as[(Long, Long)].collect()
+    assert(got.length == 10 && got.forall(_._2 == 0L))
+  }
+
+  test("tfidfTopK: rare term outranks common term at equal tf") {
+    // 'rare' appears in 1 of 3 docs, 'the' in all 3 -> idf(rare) > idf(the)
+    val docs = Seq((1L, "the rare"), (2L, "the cat"), (3L, "the dog"))
+      .toDF("id", "text")
+    val top1 = TextOps.tfidfTopK(docs, col("id"), col("text"), k = 1)
+      .filter(col("doc") === 1).select("term").as[String].head()
+    // equal tf 1: idf(rare) = ln(4/2)+1 beats idf(the) = ln(4/4)+1
+    assert(top1 == "rare")
+  }
+
+  test("topBigrams counts adjacent pairs across the corpus") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("id", "text")
+    val got = TextOps.topBigrams(docs, col("text"), k = 2)
+      .as[(String, Long)].collect().toSeq
+    // "a b": 2 (doc1) + 1 (doc2) = 3; then "b a": 1, "b c": 1 -> tie by name
+    assert(got == Seq(("a b", 3L), ("b a", 1L)))
+  }
+
+  test("groupCentroids: per-dim means, long form") {
+    val df = Seq((0, Array(1.0f, 3.0f)), (0, Array(3.0f, 5.0f)),
+                 (1, Array(10.0f, 20.0f)))
+      .toDF("label", "embedding")
+    val got = Similarity.groupCentroids(df, col("label"), col("embedding"))
+      .orderBy("label", "dim")
+      .as[(Int, Int, Double, Long)].collect().toSeq
+    assert(got == Seq((0, 1, 2.0, 2L), (0, 2, 4.0, 2L),
+      (1, 1, 10.0, 1L), (1, 2, 20.0, 1L)))
+  }
+
+  test("orc sink round-trips with predicate pushdown available") {
+    val dir = new java.io.File("target/tmp/orc_rt")
+    val path = dir.getAbsolutePath
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
+      .toDF("id", "name", "v")
+    graft.sources.Sinks.orcOverwrite(df, path)
+    val back = spark.read.orc(path)
+    assert(back.filter(col("id") >= 2).count() == 2)
+    assert(back.orderBy("id").as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)))
+  }
+}
