@@ -161,6 +161,32 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
   }
 
+  // ---------- decontamination (train/eval overlap) ----------
+
+  /** Benchmark decontamination: flag training docs sharing ≥1 word
+    * n-gram with ANY doc in the eval set — the standard train/test
+    * overlap scrub run before pretraining. Returns (doc, n_shared) for
+    * contaminated train docs only; n_shared = how many of the doc's
+    * distinct shingles appear anywhere in the eval set.
+    *
+    * Shape at scale: the eval shingle set is the small side (eval
+    * corpora are ~10³-10⁵ docs vs 10⁹ train docs) — distinct-aggregated,
+    * then joined against the exploded train shingles; Catalyst/AQE
+    * broadcasts it when it fits, else it's a shuffle join on the shingle
+    * key. Either way the train side streams through once.
+    */
+  def contamination(df: DataFrame, id: Column, text: Column,
+                    evalPred: Column, n: Int = 3): DataFrame = {
+    val sh = df.select(id.as("doc"), evalPred.as("is_eval"),
+        TextOps.words(text).as("w"))
+      .select(col("doc"), col("is_eval"),
+        explode(shinglesOfWords(col("w"), n)).as("s"))
+    val evalSh = sh.filter(col("is_eval")).select(col("s")).distinct()
+    sh.filter(!col("is_eval"))
+      .join(evalSh, "s")
+      .groupBy("doc").agg(count(lit(1)).as("n_shared"))
+  }
+
   // ---------- near-dup clustering (connected components) ----------
 
   /** Connected components over an undirected pair graph — the step that
@@ -185,8 +211,11 @@ object Dedup {
   def connectedComponents(edges: DataFrame, src: Column, dst: Column,
                           maxIter: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val e = edges.select(src.as("n"), dst.as("m"))
-      .union(edges.select(dst.as("n"), src.as("m")))
+    // materialize the input ONCE before symmetrizing — a union of two
+    // branches over the raw lineage would compute the (possibly
+    // expensive: jaccard pair join) edge derivation twice
+    val base = edges.select(src.as("n"), dst.as("m")).localCheckpoint(true)
+    val e = base.union(base.select(col("m").as("n"), col("n").as("m")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = e.select(col("n")).distinct()
       .select(col("n"), col("n").as("lbl"))

@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import Parity._
+
+/** Product/behavior analytics over the `events` stream table: cumulative
+  * distinct users, weekly cohort retention, and ordered funnels — the
+  * query family the reference's notebook gestures at (per-year counts,
+  * trends) generalized to the shapes every event pipeline needs.
+  *
+  * Scale notes: all three avoid the naive "running COUNT(DISTINCT)"
+  * (which re-scans history per day). Cumulative users reduces to
+  * first-seen events (one aggregate over users + a tiny running sum);
+  * retention reduces user-activity to distinct (user, week) rows before
+  * any join; the funnel is per-user min-timestamp aggregates chained by
+  * ordered joins — each stage one shuffle on user_id, and AQE coalesces
+  * the monotonically shrinking stage tables.
+  */
+object BehaviorQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- cumulative distinct users by day, via first-seen reduction ----
+    QueryDef("q38_cumulative_users",
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
+        |d AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        |FROM d ORDER BY 1""".stripMargin) { (s, dir) =>
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+        .withColumn("cum_users", sum(col("new_users")).over(w))
+        .select(dayStr(col("day")).as("day"), col("new_users"), col("cum_users"))
+        .orderBy("day")
+    },
+
+    // ---- weekly cohort retention triangle ----
+    // cohort = week of first activity; one row per (cohort, week offset)
+    // with the distinct users active that week. Activity is reduced to
+    // distinct (user, week) FIRST — the join and aggregate never touch
+    // raw event rows. Offsets are exact multiples of 7 days, so the
+    // int division is exact in both engines.
+    QueryDef("q39_retention",
+      """WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort FROM uw GROUP BY 1)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+        |  CAST(datediff('day', cohort, wk) / 7 AS INTEGER) AS week_offset,
+        |  count(*) AS n_users
+        |FROM uw JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val uw = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .distinct()
+      val cohort = uw.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+      uw.join(cohort, "user_id")
+        .groupBy(dayStr(col("cohort")).as("cohort_week"),
+          (datediff(col("wk"), col("cohort")) / 7).cast("int").as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    },
+
+    // ---- ordered funnel: view → click → purchase, each step strictly
+    //      at-or-after the user's previous step ----
+    QueryDef("q40_funnel",
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts
+        |      FROM events e JOIN v ON v.user_id = e.user_id
+        |      WHERE e.event_type = 'click' AND e.ts >= v.v_ts GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts
+        |      FROM events e JOIN c ON c.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts GROUP BY 1)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |  (SELECT count(*) FROM c) AS n_click,
+        |  (SELECT count(*) FROM p) AS n_purchase""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir)
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") >= col("v_ts"))
+        .groupBy("user_id").agg(min(col("ts")).as("c_ts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") >= col("c_ts"))
+        .groupBy("user_id").agg(min(col("ts")).as("p_ts"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+    },
+  )
+}

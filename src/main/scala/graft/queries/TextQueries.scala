@@ -278,6 +278,28 @@ object TextQueries {
         .orderBy("node")
     },
 
+    // ---- decontamination: train docs sharing any 3-gram with the eval
+    //      set (eval = doc_id % 10 = 9, scale-independent) ----
+    QueryDef("t17_decontaminate",
+      """WITH docs AS (
+        |  SELECT doc_id, doc_id % 10 = 9 AS is_eval,
+        |         regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, is_eval, unnest(list_distinct(
+        |    list_transform(range(1, len(w) - 1),
+        |                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+        |  FROM docs),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE is_eval)
+        |SELECT doc_id AS doc, count(*) AS n_shared
+        |FROM sh JOIN ev USING (s)
+        |WHERE NOT is_eval
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Dedup.contamination(Tables.documents(s, dir), col("doc_id"), col("text"),
+          col("doc_id") % 10 === 9)
+        .orderBy("doc")
+    },
+
     // MinHash-LSH verified near-dup pairs (murmur3 → no oracle).
     QueryDef.noOracle("t07_minhash_lsh") { (s, dir) =>
       Dedup.minhashNearDups(Tables.documents(s, dir), col("doc_id"), col("text"))

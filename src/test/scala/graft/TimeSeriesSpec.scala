@@ -101,6 +101,39 @@ class TimeSeriesSpec extends SparkSpec {
       (1, 1, 10.0, 1L), (1, 2, 20.0, 1L)))
   }
 
+  test("contamination flags only train docs sharing a 3-gram with eval") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),     // train: shares "quick brown fox"
+      (2L, "totally different words here"),  // train: clean
+      (9L, "a quick brown fox appears"))     // eval
+      .toDF("id", "text")
+    val got = Dedup.contamination(docs, col("id"), col("text"),
+        col("id") === 9)
+      .as[(Long, Long)].collect().toSeq
+    // the single shared trigram is "quick brown fox"; clean doc 2 and the
+    // eval doc itself must not appear
+    assert(got == Seq((1L, 1L)))
+  }
+
+  test("funnel: steps out of order do not count") {
+    import java.sql.Timestamp
+    def t(sec: Long) = new Timestamp(1700000000000L + sec * 1000L)
+    // user 1: view->click->purchase (full funnel)
+    // user 2: click BEFORE first view -> click stage not reached
+    // user 3: view only
+    val e = Seq(
+      (1L, t(0), "view"), (1L, t(10), "click"), (1L, t(20), "purchase"),
+      (2L, t(5), "click"), (2L, t(10), "view"),
+      (3L, t(0), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") >= col("v_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("c_ts"))
+    assert(v.count() == 3 && c.count() == 1)
+  }
+
   test("orc sink round-trips with predicate pushdown available") {
     val dir = new java.io.File("target/tmp/orc_rt")
     val path = dir.getAbsolutePath
