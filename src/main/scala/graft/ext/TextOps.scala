@@ -238,6 +238,28 @@ object TextOps {
         ((col("cum") - col("n_words")) / budget).cast("int").as("bin"))
   }
 
+  /** Closest pairs by Levenshtein distance over a text PREFIX, within the
+    * `pred` subset — the character-level near-dup check that catches
+    * small edits n-gram Jaccard dilutes. Edit distance is O(len²) per
+    * pair and inherently pairwise, so production use is: block first
+    * (fingerprint / LSH / SimHash chunks), then run this on candidates
+    * only; `pred` is that blocking hook. The prefix cap bounds per-pair
+    * cost.
+    */
+  def editDistancePairs(df: org.apache.spark.sql.DataFrame, id: Column,
+                        text: Column, pred: Column, prefixLen: Int = 80,
+                        k: Int = 20): org.apache.spark.sql.DataFrame = {
+    val t = df.filter(pred).select(id.as("doc"),
+      substring(text, 1, prefixLen).as("prefix"))
+    val a = t.select(col("doc").as("id_a"), col("prefix").as("pa"))
+    val b = t.select(col("doc").as("id_b"), col("prefix").as("pb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("pa"), col("pb")).as("dist"))
+      .orderBy(col("dist"), col("id_a"), col("id_b"))
+      .limit(k)
+  }
+
   /** Canonical-form fingerprint: lowercase, strip non-alphanumerics to
     * single spaces, collapse whitespace, md5. Two docs differing only in
     * case/punctuation/spacing collide — the standard cheap near-exact

@@ -208,6 +208,59 @@ object AnalyticQueries {
         .orderBy("l_returnflag")
     },
 
+    // ---- Welch's t-test: are 'click' and 'error' values drawn from the
+    //      same distribution? Single conditional-aggregation pass (one
+    //      exchange); t and the Welch–Satterthwaite df from the
+    //      group (n, mean, sample-variance) triples ----
+    QueryDef("q41_welch_ttest",
+      """WITH g AS (
+        |  SELECT count(*) FILTER (WHERE event_type = 'click') AS n1,
+        |    avg(value) FILTER (WHERE event_type = 'click') AS m1,
+        |    var_samp(value) FILTER (WHERE event_type = 'click') AS v1,
+        |    count(*) FILTER (WHERE event_type = 'error') AS n2,
+        |    avg(value) FILTER (WHERE event_type = 'error') AS m2,
+        |    var_samp(value) FILTER (WHERE event_type = 'error') AS v2
+        |  FROM events)
+        |SELECT n1, n2,
+        |  round((m1 - m2) / sqrt(v1/n1 + v2/n2), 4) AS t_stat,
+        |  round(pow(v1/n1 + v2/n2, 2)
+        |    / (pow(v1/n1, 2)/(n1-1) + pow(v2/n2, 2)/(n2-1)), 2) AS df
+        |FROM g""".stripMargin) { (s, dir) =>
+      val click = when(col("event_type") === "click", col("value"))
+      val error = when(col("event_type") === "error", col("value"))
+      val g = Tables.events(s, dir).agg(
+        count(click).as("n1"), avg(click).as("m1"), var_samp(click).as("v1"),
+        count(error).as("n2"), avg(error).as("m2"), var_samp(error).as("v2"))
+      val se2 = col("v1") / col("n1") + col("v2") / col("n2")
+      g.select(col("n1"), col("n2"),
+        round((col("m1") - col("m2")) / sqrt(se2), 4).as("t_stat"),
+        round(pow(se2, 2) /
+          (pow(col("v1") / col("n1"), 2) / (col("n1") - 1) +
+           pow(col("v2") / col("n2"), 2) / (col("n2") - 1)), 2).as("df"))
+    },
+
+    // ---- Shannon entropy of the event-type mix per day — the label-
+    //      distribution-drift check a training pipeline monitors. Uses
+    //      H = ln(T) − Σ c·ln(c) / T over the counts, so one aggregate
+    //      pair and no per-row p column ----
+    QueryDef("q42_entropy",
+      """SELECT day,
+        |  CAST(sum(c) AS BIGINT) AS n,
+        |  round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+        |FROM (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS c
+        |      FROM events GROUP BY 1, 2)
+        |GROUP BY day ORDER BY day""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(dayStr(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("day")
+        .agg(sum(col("c")).as("n"),
+          round(log(sum(col("c"))) -
+            sum(col("c") * log(col("c"))) / sum(col("c")), 6).as("entropy"))
+        .select(col("day"), col("n"), col("entropy"))
+        .orderBy("day")
+    },
+
     // ---- as-of join: latest order per customer at each event time ----
     // Composed from built-ins (SURVEY §7.4 preference (a)): equi+range
     // join then keep the most recent match per event via ranked window.

@@ -300,6 +300,19 @@ object TextQueries {
         .orderBy("doc")
     },
 
+    // ---- character-level near-dups: closest pairs by Levenshtein over
+    //      an 80-char prefix within a bounded (blocked) id range ----
+    QueryDef("t18_edit_distance",
+      """WITH t AS (SELECT doc_id, substring(text, 1, 80) AS p
+        |           FROM documents WHERE doc_id < 150)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.p, b.p) AS INTEGER) AS dist
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |ORDER BY dist, id_a, id_b LIMIT 20""".stripMargin) { (s, dir) =>
+      TextOps.editDistancePairs(Tables.documents(s, dir), col("doc_id"),
+        col("text"), col("doc_id") < 150, prefixLen = 80, k = 20)
+    },
+
     // MinHash-LSH verified near-dup pairs (murmur3 → no oracle).
     QueryDef.noOracle("t07_minhash_lsh") { (s, dir) =>
       Dedup.minhashNearDups(Tables.documents(s, dir), col("doc_id"), col("text"))

@@ -56,6 +56,19 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(sig) == 0, sig.queryExecution.executedPlan.toString)
   }
 
+  test("banded interval join plans as a hash/sort-merge join, never BNLJ") {
+    val ev = Tables.events(spark, sf)
+    val q = graft.ops.TimeSeries.countInWindow(
+      ev.filter(col("event_type") === "error"),
+      col("user_id"), col("ts"), col("event_id"),
+      ev.filter(col("event_type") === "click"),
+      col("user_id"), col("ts"), windowSec = 300L)
+    val plan = q.queryExecution.executedPlan.toString
+    // the whole point of banding: the range predicate rides an equi-join
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
   test("global top-k plans as TakeOrderedAndProject, not a global sort") {
     val q = Tables.orders(spark, sf)
       .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)
