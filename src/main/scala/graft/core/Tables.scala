@@ -41,4 +41,16 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Register every testdata table as a temp view so ad-hoc ANSI SQL runs
+    * directly via `spark.sql(...)` — the engine's SQL entry point (the
+    * DataFrame registry and Spark SQL share Catalyst, so plans and
+    * results are identical; SqlSpec pins that). `events` goes through the
+    * nanos-normalizing loader above.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach { t =>
+      val df = if (t == "events") events(spark, dir) else load(spark, dir, t)
+      df.createOrReplaceTempView(t)
+    }
 }

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** The SQL entry point: Tables.registerAll + spark.sql must give results
+  * identical to the DataFrame registry (same Catalyst underneath), so a
+  * SQL-first user of the engine gets the exact same answers.
+  */
+class SqlSpec extends SparkSpec {
+
+  test("spark.sql over registered views == DataFrame queries") {
+    Tables.registerAll(spark, sf)
+
+    val sqlTopK = spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)
+    val dfTopK = SparkEntry.queries("q18_topk_orders")(spark, sf)
+    assert(sqlTopK.collect().toSeq == dfTopK.collect().toSeq)
+
+    val sqlAgg = spark.sql(
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    val dfAgg = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("sum_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+    assert(sqlAgg.collect().toSeq == dfAgg.collect().toSeq)
+  }
+
+  test("spark.sql sees the nanos-normalized events view") {
+    Tables.registerAll(spark, sf)
+    val viaSql = spark.sql("SELECT min(ts) AS lo FROM events").collect()(0)
+    val viaDf = Tables.events(spark, sf).agg(min(col("ts")).as("lo")).collect()(0)
+    assert(viaSql == viaDf)
+  }
+}
