@@ -205,11 +205,16 @@ object Dedup {
     * On a cluster with an HDFS checkpoint dir, `checkpoint` replaces
     * `localCheckpoint` for executor-loss tolerance.
     *
+    * Throws if maxIter rounds pass without convergence — partially
+    * propagated labels are silently-wrong clusters (one true component
+    * split across several survivors), and the early-stop check means a
+    * generous maxIter costs nothing on graphs that do converge.
+    *
     * @param edges (src, dst) pairs, any orientation, self-loops ok
     * @return (node, component) — component = min node id reachable
     */
   def connectedComponents(edges: DataFrame, src: Column, dst: Column,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 50): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // materialize the input ONCE before symmetrizing — a union of two
     // branches over the raw lineage would compute the (possibly
@@ -234,6 +239,11 @@ object Dedup {
       iter += 1
     }
     e.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "component diameter exceeds maxIter; raise it (results would " +
+          "otherwise be silently unmerged)")
     labels.select(col("n").as("node"), col("lbl").as("component"))
   }
 

@@ -53,7 +53,8 @@ object TimeSeries {
     * equals exactly one of the two), so no dedup/double-count pass is
     * needed. Left semantics: probes with zero matches survive with n = 0.
     *
-    * Returns the probe columns + `n_matches`.
+    * Returns (p_id, n_matches) — one row per probe id; join back on
+    * `p_id` to recover other probe columns.
     */
   def countInWindow(probe: DataFrame, probeKey: Column, probeTs: Column,
                     probeId: Column, build: DataFrame, buildKey: Column,

@@ -211,13 +211,15 @@ object AnalyticQueries {
     // ---- Welch's t-test: are 'click' and 'error' values drawn from the
     //      same distribution? Single conditional-aggregation pass (one
     //      exchange); t and the Welch–Satterthwaite df from the
-    //      group (n, mean, sample-variance) triples ----
+    //      group (n, mean, sample-variance) triples. n counts NON-NULL
+    //      values on both sides (count(value) FILTER / count(when)) so
+    //      n, mean, and variance describe the same sample ----
     QueryDef("q41_welch_ttest",
       """WITH g AS (
-        |  SELECT count(*) FILTER (WHERE event_type = 'click') AS n1,
+        |  SELECT count(value) FILTER (WHERE event_type = 'click') AS n1,
         |    avg(value) FILTER (WHERE event_type = 'click') AS m1,
         |    var_samp(value) FILTER (WHERE event_type = 'click') AS v1,
-        |    count(*) FILTER (WHERE event_type = 'error') AS n2,
+        |    count(value) FILTER (WHERE event_type = 'error') AS n2,
         |    avg(value) FILTER (WHERE event_type = 'error') AS m2,
         |    var_samp(value) FILTER (WHERE event_type = 'error') AS v2
         |  FROM events)

@@ -20,6 +20,25 @@ import Parity._
   */
 object BehaviorQueries {
 
+  /** Funnel stage tables over raw events: first 'view' per user, first
+    * 'click' at-or-after that view, first 'purchase' at-or-after that
+    * click. Shared by q40 and the ordering unit test (TimeSeriesSpec) so
+    * the test exercises the production stage logic.
+    */
+  private[graft] def funnelStages(
+      e: org.apache.spark.sql.DataFrame): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") >= col("v_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("c_ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") >= col("c_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("p_ts"))
+    (v, c, p)
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- cumulative distinct users by day, via first-seen reduction ----
@@ -78,15 +97,7 @@ object BehaviorQueries {
         |SELECT (SELECT count(*) FROM v) AS n_view,
         |  (SELECT count(*) FROM c) AS n_click,
         |  (SELECT count(*) FROM p) AS n_purchase""".stripMargin) { (s, dir) =>
-      val e = Tables.events(s, dir)
-      val v = e.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
-      val c = e.filter(col("event_type") === "click")
-        .join(v, "user_id").filter(col("ts") >= col("v_ts"))
-        .groupBy("user_id").agg(min(col("ts")).as("c_ts"))
-      val p = e.filter(col("event_type") === "purchase")
-        .join(c, "user_id").filter(col("ts") >= col("c_ts"))
-        .groupBy("user_id").agg(min(col("ts")).as("p_ts"))
+      val (v, c, p) = funnelStages(Tables.events(s, dir))
       v.agg(count(lit(1)).as("n_view"))
         .crossJoin(c.agg(count(lit(1)).as("n_click")))
         .crossJoin(p.agg(count(lit(1)).as("n_purchase")))

@@ -74,25 +74,30 @@ object TimeSeriesQueries {
     // ---- time-based RANGE frame: trailing 7 calendar days, not 7 rows ----
     // RANGE over epoch-day covers exactly the days present in the window
     // even when the daily series has gaps (ROWS would silently widen the
-    // time span). Daily revenues are DECIMAL-exact multiples of 1e-6 well
-    // under 2^53, so the frame sums are exact in both engines.
+    // time span). The frame sum runs over DECIMAL(18,6) in BOTH engines —
+    // double frame sums would be order-dependent (Spark slides
+    // left-to-right, DuckDB combines via segment tree) and could flip a
+    // round(...,4) boundary in the last ulp.
     QueryDef("q37_range_frame",
       """WITH daily AS (
         |  SELECT CAST(l_shipdate AS DATE) AS day,
-        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |    sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS revenue
         |  FROM lineitem GROUP BY 1)
-        |SELECT strftime(day, '%Y-%m-%d') AS day, round(revenue, 4) AS revenue,
-        |  round(sum(revenue) OVER (ORDER BY datediff('day', DATE '1970-01-01', day)
-        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS rev_7d
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  round(CAST(revenue AS DOUBLE), 4) AS revenue,
+        |  round(CAST(sum(revenue) OVER (ORDER BY datediff('day', DATE '1970-01-01', day)
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS rev_7d
         |FROM daily ORDER BY day""".stripMargin) { (s, dir) =>
       val daily = Tables.lineitem(s, dir)
         .groupBy(to_date(col("l_shipdate")).as("day"))
-        .agg(decimalSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), "revenue"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).as("revenue"))
         .withColumn("epoch_day", datediff(col("day"), lit("1970-01-01")))
       val w = Window.orderBy(col("epoch_day")).rangeBetween(-6, 0)
       daily
-        .withColumn("rev_7d", round(sum(col("revenue")).over(w), 4))
-        .select(dayStr(col("day")).as("day"), round(col("revenue"), 4).as("revenue"),
+        .withColumn("rev_7d", round(sum(col("revenue")).over(w).cast("double"), 4))
+        .select(dayStr(col("day")).as("day"),
+          round(col("revenue").cast("double"), 4).as("revenue"),
           col("rev_7d"))
         .orderBy("day")
     },

@@ -27,7 +27,7 @@ object Sinks {
 
   /** ORC layer write — the second columnar format Spark ships natively
     * (vectorized reader, predicate pushdown, column pruning — same scan
-    * posture as parquet). Round-trip + pushdown evidenced in SourcesSpec.
+    * posture as parquet). Round-trip evidenced in TimeSeriesSpec.
     */
   def orcOverwrite(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)

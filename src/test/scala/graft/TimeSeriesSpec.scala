@@ -126,12 +126,10 @@ class TimeSeriesSpec extends SparkSpec {
       (2L, t(5), "click"), (2L, t(10), "view"),
       (3L, t(0), "view"))
       .toDF("user_id", "ts", "event_type")
-    val v = e.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
-    val c = e.filter(col("event_type") === "click")
-      .join(v, "user_id").filter(col("ts") >= col("v_ts"))
-      .groupBy("user_id").agg(min(col("ts")).as("c_ts"))
-    assert(v.count() == 3 && c.count() == 1)
+    // drive the PRODUCTION stage logic (shared with q40_funnel)
+    val (v, c, p) = graft.queries.BehaviorQueries.funnelStages(e)
+    assert(v.count() == 3 && c.count() == 1 && p.count() == 1)
+    assert(p.select("user_id").as[Long].head() == 1L)
   }
 
   test("orc sink round-trips with predicate pushdown available") {
