@@ -263,6 +263,57 @@ object AnalyticQueries {
         .orderBy("day")
     },
 
+    // ---- KL divergence of each source's language mix vs the corpus
+    //      overall — the per-shard distribution-drift check (pairs with
+    //      q42's entropy). Absent (source, lang) cells contribute 0 and
+    //      drop out naturally; everything derives from one (source, lang)
+    //      count table ----
+    QueryDef("q43_kl_divergence",
+      """WITH sl AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+        |s AS (SELECT source, sum(c) AS n FROM sl GROUP BY 1),
+        |g AS (SELECT lang, sum(c) AS gc FROM sl GROUP BY 1),
+        |tot AS (SELECT sum(c) AS n FROM sl)
+        |SELECT source, CAST(s.n AS BIGINT) AS n_docs,
+        |  round(sum((CAST(c AS DOUBLE) / s.n)
+        |        * ln((CAST(c AS DOUBLE) / s.n) / (CAST(gc AS DOUBLE) / tot.n))), 6) AS kl
+        |FROM sl JOIN s USING (source) JOIN g USING (lang) CROSS JOIN tot
+        |GROUP BY source, s.n ORDER BY source""".stripMargin) { (s, dir) =>
+      val sl = Tables.documents(s, dir)
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+      val perSource = sl.groupBy("source").agg(sum(col("c")).as("n"))
+      val perLang = sl.groupBy("lang").agg(sum(col("c")).as("gc"))
+      val total = sl.agg(sum(col("c")).as("tot"))
+      val p = col("c").cast("double") / col("n")
+      val q = col("gc").cast("double") / col("tot")
+      sl.join(perSource, "source").join(perLang, "lang")
+        .crossJoin(broadcast(total))
+        .groupBy(col("source"), col("n"))
+        .agg(round(sum(p * log(p / q)), 6).as("kl"))
+        .select(col("source"), col("n").as("n_docs"), col("kl"))
+        .orderBy("source")
+    },
+
+    // ---- equi-depth histogram: 10 equal-count buckets of `value` via
+    //      ntile with a deterministic tie-break. The global-order window
+    //      is single-partition BY DESIGN here (exact bucket edges for the
+    //      oracle); the 100 TB form swaps ntile for approx_percentile
+    //      edges + a join, same output schema ----
+    QueryDef("q44_equidepth_hist",
+      """SELECT CAST(bucket AS INTEGER) AS bucket, count(*) AS n,
+        |  round(min(value), 4) AS lo, round(max(value), 4) AS hi
+        |FROM (SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS bucket
+        |      FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val w = Window.orderBy(col("value"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("value"), ntile(10).over(w).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 4).as("lo"),
+          round(max(col("value")), 4).as("hi"))
+        .orderBy("bucket")
+    },
+
     // ---- as-of join: latest order per customer at each event time ----
     // Composed from built-ins (SURVEY §7.4 preference (a)): equi+range
     // join then keep the most recent match per event via ranked window.
