@@ -30,6 +30,7 @@ object IVF {
   def kmeansCentroids(emb: DataFrame, id: String, vec: String,
                       k: Int = 8, iters: Int = 3): DataFrame = {
     val spark = emb.sparkSession
+    graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
     val v = emb.select(col(id).as("vid"), col(vec).cast("array<double>").as("v"))
     var centroids = v.orderBy("vid").limit(k)
@@ -75,6 +76,7 @@ object IVF {
   def ivfTopK(emb: DataFrame, id: String, vec: String, queryPred: Column,
               k: Int = 5, cells: Int = 8, nprobe: Int = 2,
               iters: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val centroids = kmeansCentroids(emb, id, vec, cells, iters)
     val v = emb.select(col(id).as("vid"), col(vec).cast("array<double>").as("v"))
     val assigned = assignCells(v, centroids)

@@ -21,9 +21,24 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product of two double arrays via the native codegen'd
+    * [[graft.functions.DotProduct]] expression — bit-identical to
+    * [[dotHof]] (same left-to-right fold; DotProductSpec pins equality)
+    * but one fused loop instead of an interpreted per-element lambda
+    * pair with a zip_with intermediate. Callers with a DataFrame in hand
+    * must have called `GraftFunctions.register` (every df-level entry
+    * point here and in IVF does).
+    */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Built-in-HOF reference formulation (what the DuckDB oracles mirror
+    * and what [[dot]] must keep matching bit-for-bit).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def ensureRegistered(df: DataFrame): Unit =
+    graft.functions.GraftFunctions.register(df.sparkSession)
 
   /** Cosine via dot/(sqrt(aa)·sqrt(bb)) — the exact formula the DuckDB
     * oracle mirrors (term order matters for bit parity).
@@ -38,6 +53,7 @@ object Similarity {
     */
   def bruteForceTopK(emb: DataFrame, id: String, vec: String,
                      queryPred: Column, k: Int = 5): DataFrame = {
+    ensureRegistered(emb)
     val e = emb.select(col(id).as("c_id"), col(vec).cast("array<double>").as("c_vec"))
       .withColumn("c_norm", sqrt(dot(col("c_vec"), col("c_vec"))))
     val q = emb.filter(queryPred)
@@ -58,6 +74,7 @@ object Similarity {
     */
   def topKPairs(emb: DataFrame, id: String, vec: String,
                 pred: Column, k: Int = 50): DataFrame = {
+    ensureRegistered(emb)
     val e = emb.filter(pred)
       .select(col(id).as("v_id"), col(vec).cast("array<double>").as("v"))
       .withColumn("n", sqrt(dot(col("v"), col("v"))))
@@ -113,6 +130,7 @@ object Similarity {
   def annTopK(emb: DataFrame, id: String, vec: String,
               queryPred: Column, k: Int = 5,
               bits: Int = 32, bands: Int = 4): DataFrame = {
+    ensureRegistered(emb)
     val sk = rpSketch(emb, id, vec, bits, bands)
     val bandStructs = explode(array((0 until bands).map(b =>
       struct(lit(b).as("band"), col(s"band$b").as("bucket"))): _*)).as("bb")

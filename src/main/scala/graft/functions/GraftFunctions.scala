@@ -33,7 +33,11 @@ object GraftFunctions {
       MinHashSignature(arg0("graft_minhash", exprs), intArg(exprs, 1, 64))),
     "graft_minhash_bands" -> (exprs =>
       MinHashBands(arg0("graft_minhash_bands", exprs),
-        intArg(exprs, 1, 64), intArg(exprs, 2, 16))))
+        intArg(exprs, 1, 64), intArg(exprs, 2, 16))),
+    "graft_dot" -> (exprs => {
+      require(exprs.length == 2, "graft_dot requires exactly two array<double> arguments")
+      DotProduct(exprs(0), exprs(1))
+    }))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, builder) =>
@@ -55,6 +59,12 @@ object GraftFunctions {
     register(spark)
     call_function("graft_minhash_bands", shingles)
   }
+
+  /** Column API: native dot product of two array<double> columns. */
+  def dotProduct(a: Column, b: Column)(implicit spark: SparkSession): Column = {
+    register(spark)
+    call_function("graft_dot", a, b)
+  }
 }
 
 /** `spark.sql.extensions` installer. */
@@ -68,5 +78,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_minhash_bands"),
       new ExpressionInfo(classOf[MinHashBands].getName, "graft_minhash_bands"),
       GraftFunctions.builderFor("graft_minhash_bands")))
+    e.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      GraftFunctions.builderFor("graft_dot")))
   }
 }
