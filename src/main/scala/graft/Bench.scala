@@ -34,10 +34,30 @@ object Bench {
       // query must not read as a speedup)
       name -> (if (times.exists(_.isNaN)) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    def jsonLine(rs: Iterable[(String, Double)]): String = {
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val total = results.values.filter(_ >= 0).sum
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    // The driver keeps only a ~2k-char tail of stdout; the full 80-query
+    // map doesn't fit, so stdout carries the headline subset (cost drivers
+    // + one per operator family) and the complete per-query map goes to a
+    // file. `total` always sums over ALL measured queries.
+    val headline = Seq(
+      "q01_pricing_summary", "q02_kpi_by_year", "q03_star_join_revenue",
+      "q04_zscore_events", "q23_hourly_agg", "q25_rank_family",
+      "q29_asof_join", "q37_range_frame", "q43_kl_divergence",
+      "q44_equidepth_hist", "c03_climate_fact", "t05_exact_dedup",
+      "t06_jaccard_topk", "t07_minhash_lsh", "t13_pack_bins", "t14_tfidf",
+      "t16_dedup_clusters", "s01_cosine_topk", "s04_ann_ivf",
+      "st01_session_agg")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_full.json"),
+      jsonLine(results.toSeq.sortBy(_._1)))
+    catch { case e: Throwable => System.err.println(s"[bench] full dump failed: $e") }
+    println(jsonLine(headline.flatMap(h => results.get(h).map(h -> _))))
     spark.stop()
   }
 }

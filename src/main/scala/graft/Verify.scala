@@ -34,8 +34,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Staged-table oracles (climate fact chain) reference this run's own
+    // parquet dumps; the path is only known here, so the SQL carries a
+    // placeholder token that resolves to the absolute output dir.
+    val absOut = Paths.get(outDir).toAbsolutePath.toString
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace(graft.queries.ClimateQueries.OutToken, absOut))}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -76,16 +76,35 @@ object Dedup {
   /** All-pairs n-gram Jaccard via shingle-inverted-index join:
     * explode shingles → join on shingle (id_a < id_b) → |∩| per pair →
     * jaccard = |∩| / (|A|+|B|−|∩|). Returns (id_a, id_b, jaccard).
-    * The inverted-index join only pairs docs sharing ≥1 shingle — at scale,
-    * hot shingles should be stop-listed first (df-capped); here the vocab
-    * is tiny so the join is the honest cost.
+    *
+    * `maxDf` is the hot-shingle stop-list: shingles appearing in more than
+    * `maxDf` docs are dropped BEFORE the self-join — a single boilerplate
+    * shingle shared by 10⁶ docs would otherwise contribute 10¹² join rows,
+    * re-creating the quadratic blowup the inverted index exists to avoid
+    * (the standard df-cap in production dedup). With a finite cap the
+    * Jaccard is computed consistently over the surviving (informative)
+    * shingle space: sizes and intersections both exclude stop-listed
+    * shingles. The default keeps everything — the exact oracle form.
     */
-  def jaccardPairs(df: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame = {
+  def jaccardPairs(df: DataFrame, id: Column, text: Column, n: Int = 3,
+                   maxDf: Long = Long.MaxValue): DataFrame = {
     // Join on xxhash64(shingle), not the shingle string: 8-byte shuffle
     // keys instead of ~30-byte strings (same results; a 64-bit collision
     // altering a count is ~2^-64 per shingle pair — ignorable).
-    val sh = shingleRows(df, id, text, n)
+    val shAll = shingleRows(df, id, text, n)
       .select(col("doc"), xxhash64(col("s")).as("sh"))
+    val sh =
+      if (maxDf == Long.MaxValue) shAll
+      else {
+        // document frequency via an unordered window on the shingle key:
+        // one exchange, and the output stays hash-partitioned on `sh` so
+        // the self-join below reuses the partitioning (counting within a
+        // hot shingle's partition is linear — the cap prevents the
+        // QUADRATIC pairing, not the linear count)
+        val wdf = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+        shAll.withColumn("df", count(lit(1)).over(wdf))
+          .filter(col("df") <= maxDf).drop("df")
+      }
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
@@ -119,9 +138,18 @@ object Dedup {
     * emits `bands` bucket hashes per doc (posexplode is the single
     * reference → single evaluation), then docs sharing any (band, bucket)
     * join. Returns distinct (id_a, id_b).
+    *
+    * `maxBucket` caps the per-(band, bucket) population before pairing: a
+    * degenerate bucket (boilerplate text, a template shared by 10⁶ docs)
+    * would otherwise self-join to 10¹² candidate rows — the quadratic
+    * blowup LSH exists to avoid. Docs in an over-full bucket still pair
+    * through their OTHER bands (and truly identical docs belong to exact
+    * dedup, which runs first in any real pipeline); this is the standard
+    * production df-cap. The count itself is linear (unordered window on
+    * the bucket key, partitioning reused by the join).
     */
   def lshCandidates(df: DataFrame, id: Column, text: Column,
-                    n: Int = 3): DataFrame = {
+                    n: Int = 3, maxBucket: Long = 1000L): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val exploded = df.select(id.as("doc"), TextOps.words(text).as("w"))
       // docs with no shingles (< n words) would all share the identical
@@ -131,7 +159,11 @@ object Dedup {
       .select(col("doc"),
         posexplode(call_function("graft_minhash_bands", shinglesOfWords(col("w"), n))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    exploded.as("a").join(exploded.as("b"),
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket"))
+    val capped = exploded.withColumn("bsz", count(lit(1)).over(wb))
+      .filter(col("bsz") <= maxBucket).drop("bsz")
+    capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
@@ -146,8 +178,8 @@ object Dedup {
     * Returns (id_a, id_b, jaccard).
     */
   def minhashNearDups(df: DataFrame, id: Column, text: Column,
-                      n: Int = 3): DataFrame = {
-    val cands = lshCandidates(df, id, text, n)
+                      n: Int = 3, maxBucket: Long = 1000L): DataFrame = {
+    val cands = lshCandidates(df, id, text, n, maxBucket)
     // per-doc shingle sets rebuilt from the exploded rows (shingles are
     // already distinct per doc) — one extra small aggregate instead of
     // re-evaluating the shingle expression through a collapsible Project

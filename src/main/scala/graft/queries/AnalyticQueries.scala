@@ -315,10 +315,16 @@ object AnalyticQueries {
     },
 
     // ---- as-of join: latest order per customer at each event time ----
-    // Composed from built-ins (SURVEY §7.4 preference (a)): equi+range
-    // join then keep the most recent match per event via ranked window.
-    // At scale this is the standard sort-merge-friendly formulation; a
-    // dedicated SparkPlan would only pay off for dense per-key history.
+    // Union-spine formulation (no join at all): tag orders kind=0 and
+    // events kind=1, union on (key, time), and carry the latest order
+    // forward with a running `last(..., ignoreNulls)` window, then keep
+    // the event rows. One shuffle on the key, O(rows) work — the naive
+    // range join materializes O(events × orders-per-user) rows before
+    // its rank filter, which explodes with dense per-key history at
+    // 100 TB. Ordering (t asc, kind asc, o_orderkey asc) makes the
+    // running last() pick max-by-(o_orderdate, o_orderkey) among orders
+    // with o_orderdate <= ts (orders sort before events at equal time,
+    // so the <= bound is inclusive) — exactly the rank-filter tie-break.
     QueryDef("q29_asof_join",
       """SELECT event_id, user_id,
         |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
@@ -330,16 +336,28 @@ object AnalyticQueries {
         |  FROM events e JOIN orders o
         |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
         |WHERE rn = 1 ORDER BY event_id""".stripMargin) { (s, dir) =>
-      val e = Tables.events(s, dir)
-      val o = Tables.orders(s, dir)
-      val w = Window.partitionBy(col("event_id"))
-        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-      e.join(o, col("o_custkey") === col("user_id") && col("o_orderdate") <= col("ts"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("event_id"), col("user_id"),
-          tsStr(col("ts")).as("event_ts"),
-          col("o_orderkey"), dayStr(col("o_orderdate")).as("order_date"))
+      val o = Tables.orders(s, dir).select(
+        col("o_custkey").as("k"),
+        col("o_orderdate").as("t"),
+        lit(0).as("kind"),
+        lit(null).cast("long").as("event_id"),
+        col("o_orderkey"), col("o_orderdate"))
+      val e = Tables.events(s, dir).select(
+        col("user_id").as("k"), col("ts").as("t"), lit(1).as("kind"),
+        col("event_id"),
+        lit(null).cast("long").as("o_orderkey"),
+        lit(null).cast("timestamp").as("o_orderdate"))
+      val w = Window.partitionBy(col("k"))
+        .orderBy(col("t"), col("kind"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.unionByName(e)
+        .select(col("k"), col("t"), col("kind"), col("event_id"),
+          last(col("o_orderkey"), ignoreNulls = true).over(w).as("asof_key"),
+          last(col("o_orderdate"), ignoreNulls = true).over(w).as("asof_date"))
+        .filter(col("kind") === 1 && col("asof_key").isNotNull)
+        .select(col("event_id"), col("k").as("user_id"),
+          tsStr(col("t")).as("event_ts"),
+          col("asof_key").as("o_orderkey"), dayStr(col("asof_date")).as("order_date"))
         .orderBy("event_id")
     },
 

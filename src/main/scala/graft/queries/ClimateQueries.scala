@@ -8,12 +8,28 @@ import graft.pipeline.{Climate, ClimateFixture}
   * deterministic fixture (FIXTURES.md §A). The kpis and stations_dim
   * tables get full DuckDB oracles — DuckDB re-parses the SAME raw text
   * files with its own SQL (regexp_split / substr), an independent
-  * implementation of the whole bronze→silver→gold path. The fact and
-  * extremes tables use Spark's Murmur3 `hash` (no DuckDB equivalent,
-  * SURVEY.md §7.5 risk 5) → rows-only checks; their exact semantics are
-  * golden-tested in ClimateSpec instead.
+  * implementation of the whole bronze→silver→gold path.
+  *
+  * The fact table (c03) uses Spark's Murmur3 `hash` for its synthetic
+  * noise (no DuckDB equivalent, SURVEY.md §7.5 risk 5) → rows-only check;
+  * its exact semantics are golden-tested in ClimateSpec. The DOWNSTREAM
+  * derivations (c04 extremes, c06 corrected monthly, c07 top-k, c08 geo
+  * means) ARE oracled: Verify stages c03's own parquet output, and their
+  * oracle SQL re-derives each from that staged table in DuckDB
+  * (`read_parquet('__GRAFT_OUT__/c03_climate_fact/...')` — Verify
+  * substitutes the absolute output dir for [[ClimateQueries.OutToken]]
+  * when writing oracle_sql.json). That pins the filter/agg/top-k logic
+  * independently even though the noise values themselves are
+  * engine-specific.
   */
 object ClimateQueries {
+
+  /** Placeholder in oracle SQL for the Verify output dir (substituted by
+    * graft.Verify at dump time, when the directory is known).
+    */
+  val OutToken = "__GRAFT_OUT__"
+
+  private val stagedFact = s"read_parquet('$OutToken/c03_climate_fact/*.parquet')"
 
   private def fixture(): (String, String) = ClimateFixture.default
 
@@ -96,8 +112,19 @@ object ClimateQueries {
         gold(s).fact.orderBy("station_id", "date", "temperature_anomaly", "z_score")
       },
 
-      QueryDef.noOracle("c04_climate_extremes") { (s, _) =>
-        gold(s).extremes.orderBy("station_id", "date", "temperature_anomaly", "z_score")
+      // Extremes re-derived in DuckDB from the staged fact: same |z| filter,
+      // labeling, and projection (reference jobs/03_silver_to_gold.py:148-153).
+      // `date` goes through dayStr on both sides (string parity convention).
+      QueryDef("c04_climate_extremes",
+        s"""SELECT strftime(date, '%Y-%m-%d') AS date, station_id, location,
+           |  temperature_anomaly, z_score,
+           |  CASE WHEN z_score > 0 THEN 'EXTREME_HEAT' ELSE 'EXTREME_COLD' END AS event_type
+           |FROM $stagedFact
+           |WHERE abs(z_score) >= 2.5
+           |ORDER BY station_id, date, temperature_anomaly, z_score""".stripMargin) { (s, _) =>
+        gold(s).extremes
+          .withColumn("date", Parity.dayStr(col("date")))
+          .orderBy("station_id", "date", "temperature_anomaly", "z_score")
       },
 
       // notebook cell 11 (SURVEY.md §2.7 W2): monthly global series +
@@ -124,8 +151,15 @@ object ClimateQueries {
 
       // SURVEY.md §2.10: the CORRECTED monthly grain the reference's
       // "monthly" fact should have had — aggregated per (station, month)
-      // with a real record count. hash-derived inputs → rows-only.
-      QueryDef.noOracle("c06_fact_monthly_corrected") { (s, _) =>
+      // with a real record count. Oracled as a DuckDB aggregate over the
+      // staged fact.
+      QueryDef("c06_fact_monthly_corrected",
+        s"""SELECT station_id, year, month,
+           |  round(avg(temperature_anomaly), 4) AS avg_anomaly,
+           |  round(avg(avg_temperature), 4) AS avg_temperature,
+           |  count(*) AS record_count
+           |FROM $stagedFact
+           |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, _) =>
         gold(s).fact
           .groupBy("station_id", "year", "month")
           .agg(round(avg("temperature_anomaly"), 4).as("avg_anomaly"),
@@ -135,9 +169,16 @@ object ClimateQueries {
       },
 
       // notebook cell 18 (SURVEY.md §2.5 J2): per-station mean anomaly
-      // joined back to the dimension for the geo view. hash inputs →
-      // rows-only.
-      QueryDef.noOracle("c08_station_geo_means") { (s, _) =>
+      // with the dimension attributes for the geo view. The fact already
+      // carries (location, latitude, longitude) per station, so the
+      // DuckDB oracle groups by them directly — same rows as the
+      // dimension join (fact stations ⊆ dim, attributes functionally
+      // determined by station_id).
+      QueryDef("c08_station_geo_means",
+        s"""SELECT station_id, location, latitude, longitude,
+           |  round(avg(temperature_anomaly), 4) AS mean_anomaly
+           |FROM $stagedFact
+           |GROUP BY 1, 2, 3, 4 ORDER BY station_id""".stripMargin) { (s, _) =>
         val g = gold(s)
         g.fact.groupBy("station_id")
           .agg(round(avg("temperature_anomaly"), 4).as("mean_anomaly"))
@@ -148,11 +189,20 @@ object ClimateQueries {
       },
 
       // notebook cell 15 (SURVEY.md §2.8 L3): top-10 extremes by |z|,
-      // deterministic tie-break.
-      QueryDef.noOracle("c07_top_extremes") { (s, _) =>
+      // deterministic tie-break (z_score closes the remaining tie between
+      // a +z/−z pair with equal |z| and temperature_anomaly).
+      QueryDef("c07_top_extremes",
+        s"""SELECT strftime(date, '%Y-%m-%d') AS date, station_id, location,
+           |  temperature_anomaly, z_score,
+           |  CASE WHEN z_score > 0 THEN 'EXTREME_HEAT' ELSE 'EXTREME_COLD' END AS event_type
+           |FROM $stagedFact
+           |WHERE abs(z_score) >= 2.5
+           |ORDER BY abs(z_score) DESC, station_id, date, temperature_anomaly, z_score
+           |LIMIT 10""".stripMargin) { (s, _) =>
         gold(s).extremes
+          .withColumn("date", Parity.dayStr(col("date")))
           .orderBy(abs(col("z_score")).desc, col("station_id"), col("date"),
-            col("temperature_anomaly"))
+            col("temperature_anomaly"), col("z_score"))
           .limit(10)
       },
     )

@@ -50,6 +50,53 @@ class DedupSpec extends SparkSpec {
     assert(!found.contains((1L, 3L)), "unrelated docs should not be candidates")
   }
 
+  test("lshCandidates: degenerate bucket capped — identical-doc corpus stays sub-quadratic") {
+    // 120 copies of one boilerplate doc collide into the SAME bucket in
+    // every band: uncapped that is a 7140-pair quadratic blowup from one
+    // template. With maxBucket=50 every one of its buckets is dropped,
+    // while an unrelated small near-dup pair still surfaces.
+    val boiler = (1L to 120L).map(i =>
+      (i, "spark catalyst tungsten codegen shuffle partition broadcast join plan"))
+    val pair = Seq(
+      (201L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (202L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"))
+    val df = (boiler ++ pair).toDF("doc_id", "text")
+    val capped = Dedup.lshCandidates(df, col("doc_id"), col("text"), maxBucket = 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((201L, 202L)), "small-bucket near-dups must survive the cap")
+    assert(!capped.exists { case (a, b) => a <= 120L && b <= 120L },
+      s"degenerate bucket must be dropped, got ${capped.size} pairs")
+    // and uncapped (default 1000) the same corpus IS quadratic — the cap
+    // is what bounds it, not the data
+    val uncapped = Dedup.lshCandidates(df, col("doc_id"), col("text")).count()
+    assert(uncapped == 120L * 119L / 2 + 1)
+  }
+
+  test("jaccardPairs: hot-shingle stop-list removes template-only pairs") {
+    // every doc ends with the same 3 words -> one shingle with df=30 links
+    // all 435 pairs; the informative shingles are unique per doc. A df cap
+    // of 5 drops the hot shingle and with it every spurious pair.
+    val df = (1L to 30L).map(i => (i, s"u${i}a u${i}b the end of")).toDF("doc_id", "text")
+    assert(Dedup.jaccardPairs(df, col("doc_id"), col("text")).count() == 435L)
+    assert(Dedup.jaccardPairs(df, col("doc_id"), col("text"), maxDf = 5L).count() == 0L)
+  }
+
+  test("jaccardPairs: stop-list keeps real near-dups and their reduced-space scores") {
+    val df = Seq(
+      (1L, "one two three four five the end of"),
+      (2L, "one two three four six the end of"),  // near-dup of 1
+      (3L, "seven eight nine ten eleven the end of"),
+      (4L, "twelve thirteen fourteen fifteen sixteen the end of")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(df, col("doc_id"), col("text"), maxDf = 3L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // docs 1,2 share informative shingles ("one two three", "two three four")
+    // beyond the stop-listed tail; 3,4 shared ONLY the template tail
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs((1L, 2L)) > 0.2)
+    assert(!pairs.contains((3L, 4L)))
+  }
+
   test("simhash: exact dups at hamming 0, near-dups close, unrelated far") {
     val sig = Dedup.simhash(docs, col("doc_id"), col("text"))
     val m = sig.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -69,6 +69,18 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
   }
 
+  test("q29 as-of join is join-free: union + one keyed window, no inflation") {
+    // The naive formulation joins events×orders on (key, range) and rank-
+    // filters — O(events × orders-per-user) intermediate. The union-spine
+    // form must plan with NO join operator at all: one hash exchange for
+    // the per-key window plus the final presentation sort.
+    val q = SparkEntry.queries("q29_asof_join")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("Union"), plan)
+    assert(shuffles(q) == 2, plan)
+  }
+
   test("global top-k plans as TakeOrderedAndProject, not a global sort") {
     val q = Tables.orders(spark, sf)
       .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)
