@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import Similarity.dot
+import Similarity.dotNative
 
 /** IVF (inverted-file) approximate nearest-neighbor search: coarse-quantize
   * vectors into k cells via a small k-means, then search only the `nprobe`
@@ -24,17 +24,33 @@ import Similarity.dot
 object IVF {
 
   /** Deterministic small k-means over an embedding column.
-    * Init = the k vectors with the smallest ids (deterministic, no RNG).
-    * Returns the final (cell, centroid array) table, k rows.
+    * Init = the k vectors FIRST IN xxhash64(id) ORDER — deterministic (no
+    * RNG) but decorrelated from id locality: the k smallest ids often
+    * share a region (sorted/clustered ingestion), which would start every
+    * centroid in one cluster and leave most cells empty (IVFSpec has the
+    * degenerate case). Returns the final (cell, centroid array) table,
+    * k rows.
     */
   def kmeansCentroids(emb: DataFrame, id: String, vec: String,
-                      k: Int = 8, iters: Int = 3): DataFrame = {
+                      k: Int = 8, iters: Int = 3): DataFrame =
+    kmeansCentroidsInit(emb, id, vec, k, iters, spreadInit = true)
+
+  /** [[kmeansCentroids]] with the init strategy exposed — spreadInit=false
+    * is the naive first-k-ids pick, kept only so the test suite can
+    * demonstrate the degeneracy the hash-spread init avoids.
+    */
+  private[graft] def kmeansCentroidsInit(emb: DataFrame, id: String, vec: String,
+                                         k: Int, iters: Int,
+                                         spreadInit: Boolean): DataFrame = {
     val spark = emb.sparkSession
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
     val v = emb.select(col(id).as("vid"), col(vec).cast("array<double>").as("v"))
-    var centroids = v.orderBy("vid").limit(k)
-      .select(row_number().over(Window.orderBy("vid")).as("cell"), col("v").as("c"))
+    val seedOrder =
+      if (spreadInit) Seq(xxhash64(col("vid")), col("vid")) else Seq(col("vid"))
+    var centroids = v.orderBy(seedOrder: _*).limit(k)
+      .select(row_number().over(Window.orderBy(seedOrder: _*)).as("cell"),
+        col("v").as("c"))
     var i = 0
     while (i < iters) {
       val updated = assignCells(v, centroids)
@@ -60,8 +76,8 @@ object IVF {
     * + argmin window (squared L2; ties broken by cell id).
     */
   private def assignCells(v: DataFrame, centroids: DataFrame): DataFrame = {
-    val d2 = dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("c")) +
-      dot(col("c"), col("c"))
+    val d2 = dotNative(col("v"), col("v")) - lit(2.0) * dotNative(col("v"), col("c")) +
+      dotNative(col("c"), col("c"))
     val w = Window.partitionBy("vid").orderBy(col("d2"), col("cell"))
     v.crossJoin(broadcast(centroids))
       .withColumn("d2", d2)
@@ -84,8 +100,8 @@ object IVF {
     // nprobe nearest cells per query vector
     val q = emb.filter(queryPred)
       .select(col(id).as("q_id"), col(vec).cast("array<double>").as("q_vec"))
-    val dq = dot(col("q_vec"), col("q_vec")) - lit(2.0) * dot(col("q_vec"), col("c")) +
-      dot(col("c"), col("c"))
+    val dq = dotNative(col("q_vec"), col("q_vec")) - lit(2.0) * dotNative(col("q_vec"), col("c")) +
+      dotNative(col("c"), col("c"))
     val wp = Window.partitionBy("q_id").orderBy(col("d2"), col("cell"))
     val probes = q.crossJoin(broadcast(centroids))
       .withColumn("d2", dq)
@@ -96,12 +112,12 @@ object IVF {
     // candidates = vectors in probed cells; exact cosine rank. Norms are
     // computed once per side BEFORE the join (per-pair norm folds would
     // double the ranking cost — the posture Similarity documents).
-    val assignedN = assigned.withColumn("v_norm", sqrt(dot(col("v"), col("v"))))
-    val probesN   = probes.withColumn("q_norm", sqrt(dot(col("q_vec"), col("q_vec"))))
+    val assignedN = assigned.withColumn("v_norm", sqrt(dotNative(col("v"), col("v"))))
+    val probesN   = probes.withColumn("q_norm", sqrt(dotNative(col("q_vec"), col("q_vec"))))
     val cands = probesN.join(assignedN, "cell")
       .filter(col("vid") =!= col("q_id"))
     val cos = round(
-      dot(col("q_vec"), col("v")) / (col("q_norm") * col("v_norm")), 6)
+      dotNative(col("q_vec"), col("v")) / (col("q_norm") * col("v_norm")), 6)
     val wr = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vid"))
     cands.withColumn("cos", cos)
       .withColumn("rn", row_number().over(wr))

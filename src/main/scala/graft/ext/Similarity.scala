@@ -21,27 +21,39 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two double arrays via the native codegen'd
-    * [[graft.functions.DotProduct]] expression — bit-identical to
-    * [[dotHof]] (same left-to-right fold; DotProductSpec pins equality)
-    * but one fused loop instead of an interpreted per-element lambda
-    * pair with a zip_with intermediate. Callers with a DataFrame in hand
-    * must have called `GraftFunctions.register` (every df-level entry
-    * point here and in IVF does).
+  /** Dot product of two double arrays — the public Column-level form.
+    * Built-in HOFs only (`zip_with` + `aggregate` left-to-right fold), so
+    * it works on ANY session with no registration prerequisite; this is
+    * also the exact formulation the DuckDB oracles mirror.
+    *
+    * The df-level operators below use [[dotNative]] instead (bit-identical,
+    * one fused codegen'd loop) — they can, because each entry point
+    * registers the function on its own session first.
     */
-  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  def dot(a: Column, b: Column): Column = dotHof(a, b)
 
-  /** Built-in-HOF reference formulation (what the DuckDB oracles mirror
-    * and what [[dot]] must keep matching bit-for-bit).
+  /** Built-in-HOF reference formulation (what [[dotNative]] must keep
+    * matching bit-for-bit — DotProductSpec pins the equality).
     */
   def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Native codegen'd [[graft.functions.DotProduct]] — bit-identical to
+    * [[dotHof]] including null/length-mismatch semantics, but one fused
+    * loop instead of an interpreted per-element lambda pair with a
+    * zip_with intermediate. REQUIRES `GraftFunctions.register` on the
+    * session (unresolved-routine error otherwise) — hence private to the
+    * engine: every df-level entry point here and in IVF registers first.
+    */
+  private[graft] def dotNative(a: Column, b: Column): Column =
+    call_function("graft_dot", a, b)
 
   private def ensureRegistered(df: DataFrame): Unit =
     graft.functions.GraftFunctions.register(df.sparkSession)
 
   /** Cosine via dot/(sqrt(aa)·sqrt(bb)) — the exact formula the DuckDB
-    * oracle mirrors (term order matters for bit parity).
+    * oracle mirrors (term order matters for bit parity). Registration-free
+    * like [[dot]].
     */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -55,15 +67,15 @@ object Similarity {
                      queryPred: Column, k: Int = 5): DataFrame = {
     ensureRegistered(emb)
     val e = emb.select(col(id).as("c_id"), col(vec).cast("array<double>").as("c_vec"))
-      .withColumn("c_norm", sqrt(dot(col("c_vec"), col("c_vec"))))
+      .withColumn("c_norm", sqrt(dotNative(col("c_vec"), col("c_vec"))))
     val q = emb.filter(queryPred)
       .select(col(id).as("q_id"), col(vec).cast("array<double>").as("q_vec"))
-      .withColumn("q_norm", sqrt(dot(col("q_vec"), col("q_vec"))))
+      .withColumn("q_norm", sqrt(dotNative(col("q_vec"), col("q_vec"))))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
     e.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cos",
-        round(dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6))
+        round(dotNative(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("q_id"), col("c_id"), col("cos"), col("rn").cast("int").as("rn"))
@@ -77,11 +89,11 @@ object Similarity {
     ensureRegistered(emb)
     val e = emb.filter(pred)
       .select(col(id).as("v_id"), col(vec).cast("array<double>").as("v"))
-      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+      .withColumn("n", sqrt(dotNative(col("v"), col("v"))))
     val a = e.select(col("v_id").as("id_a"), col("v").as("va"), col("n").as("na"))
     val b = e.select(col("v_id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .withColumn("cos", round(dotNative(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .select(col("id_a"), col("id_b"), col("cos"))
       .orderBy(col("cos").desc, col("id_a"), col("id_b"))
       .limit(k)
@@ -144,14 +156,14 @@ object Similarity {
       .select(col("q_id"), col("doc").as("c_id")).distinct()
 
     val e = emb.select(col(id).as("c_id"), col(vec).cast("array<double>").as("c_vec"))
-      .withColumn("c_norm", sqrt(dot(col("c_vec"), col("c_vec"))))
+      .withColumn("c_norm", sqrt(dotNative(col("c_vec"), col("c_vec"))))
     val q = emb.filter(queryPred)
       .select(col(id).as("q_id"), col(vec).cast("array<double>").as("q_vec"))
-      .withColumn("q_norm", sqrt(dot(col("q_vec"), col("q_vec"))))
+      .withColumn("q_norm", sqrt(dotNative(col("q_vec"), col("q_vec"))))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
     cands.join(e, "c_id").join(broadcast(q), "q_id")
       .withColumn("cos",
-        round(dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6))
+        round(dotNative(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("q_id"), col("c_id"), col("cos"), col("rn").cast("int").as("rn"))

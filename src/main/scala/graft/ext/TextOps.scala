@@ -221,21 +221,39 @@ object TextOps {
   /** Sequence packing: assign docs (in stable id order) to contiguous
     * token-budget bins via a running word-count cumsum — the batch-packing
     * shape for pretraining. bin = floor((cumsum_before_doc) / budget).
-    * Single global window by design (packing is inherently sequential);
-    * at scale, pack within partition-sized ranges instead. Explicit ROWS
-    * frame: the default RANGE frame would make duplicate ids peers and
-    * share their cumulative sum (wrong bins).
+    *
+    * Distributed two-pass prefix sum (bit-identical to a single global
+    * window, which would move EVERY row through one task): docs bucket
+    * into id ranges (`floor(doc / rangeSize)` — any monotone split keeps
+    * the global order, and duplicates land in the same range), each range
+    * cumsums locally under a KEYED window, and the per-range totals — R
+    * rows, not N — run through a tiny unpartitioned window to produce
+    * range offsets that broadcast-join back. Explicit ROWS frame: the
+    * default RANGE frame would make duplicate ids peers and share their
+    * cumulative sum (wrong bins).
     */
   def packBins(df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
-               budget: Int = 2048): org.apache.spark.sql.DataFrame = {
+               budget: Int = 2048, rangeSize: Int = 8192): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("doc"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(id.as("doc"), wordCount(text).as("n_words"))
+    val base = df.select(id.as("doc"), wordCount(text).as("n_words"))
       .filter(col("n_words").isNotNull)   // NULL text can't join a bin
-      .withColumn("cum", sum(col("n_words")).over(w))
+      .withColumn("rng", floor(col("doc") / rangeSize))
+    val wLocal = Window.partitionBy(col("rng")).orderBy(col("doc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // offsets: one row per range (tiny — the unpartitioned window here is
+    // over the AGGREGATE, never the full table)
+    val wOff = Window.orderBy(col("rng"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("rng"))
+      .agg(sum(col("n_words")).as("rng_total"))
+      .select(col("rng"),
+        coalesce(sum(col("rng_total")).over(wOff), lit(0L)).as("rng_offset"))
+    base
+      .withColumn("local_cum", sum(col("n_words")).over(wLocal))
+      .join(broadcast(offsets), "rng")
       .select(col("doc"), col("n_words"),
-        ((col("cum") - col("n_words")) / budget).cast("int").as("bin"))
+        ((col("rng_offset") + col("local_cum") - col("n_words")) / budget)
+          .cast("int").as("bin"))
   }
 
   /** Closest pairs by Levenshtein distance over a text PREFIX, within the

@@ -314,6 +314,27 @@ object AnalyticQueries {
         .orderBy("bucket")
     },
 
+    // ---- equi-depth histogram, THE SCALE FORM: approx_percentile edges
+    //      (one tree-reduced aggregate) broadcast back, bucket assigned
+    //      map-side by counting edges below the value — no global-order
+    //      window anywhere. Same output schema as q44; sketch edges are
+    //      engine-specific → rows-only, with a bound test vs the exact
+    //      form in QueriesSpec ----
+    QueryDef.noOracle("q45_equidepth_approx") { (s, dir) =>
+      val edges = Tables.events(s, dir).agg(
+        percentile_approx(col("value"),
+          array((1 to 9).map(i => lit(i / 10.0)): _*), lit(10000)).as("edges"))
+      Tables.events(s, dir)
+        .crossJoin(broadcast(edges))
+        .select(col("value"),
+          (lit(1) + size(filter(col("edges"), e => col("value") > e))).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 4).as("lo"),
+          round(max(col("value")), 4).as("hi"))
+        .orderBy("bucket")
+    },
+
     // ---- as-of join: latest order per customer at each event time ----
     // Union-spine formulation (no join at all): tag orders kind=0 and
     // events kind=1, union on (key, time), and carry the latest order

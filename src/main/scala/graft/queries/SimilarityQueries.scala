@@ -45,12 +45,16 @@ object SimilarityQueries {
     },
 
     // ---- per-label centroids, long form (class prototypes / drift) ----
-    // Embeddings are 64-d (driver testdata); the oracle enumerates dims
-    // 1..64 explicitly since DuckDB lacks posexplode.
+    // The oracle derives dims from EACH ROW's vector length (zipped
+    // unnests = DuckDB's posexplode), so both sides agree even on ragged
+    // input: n_vecs counts vectors that actually HAVE that dimension,
+    // exactly like the Spark posexplode form.
     QueryDef("s05_group_centroids",
-      """SELECT label, CAST(i AS INTEGER) AS dim,
-        |  round(avg(embedding[i]), 6) AS centroid, count(*) AS n_vecs
-        |FROM embeddings, (SELECT unnest(range(1, 65)) AS i) dims
+      """SELECT label, CAST(dim AS INTEGER) AS dim,
+        |  round(avg(val), 6) AS centroid, count(*) AS n_vecs
+        |FROM (SELECT label, unnest(embedding) AS val,
+        |        unnest(range(1, len(embedding) + 1)) AS dim
+        |      FROM embeddings)
         |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin) { (s, dir) =>
       Similarity.groupCentroids(Tables.embeddings(s, dir),
           col("label"), col("embedding"))

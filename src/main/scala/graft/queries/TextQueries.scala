@@ -238,8 +238,16 @@ object TextQueries {
 
     // ---- near-dup clusters: connected components over the jaccard>=0.5
     //      pair graph (+ every doc as its own singleton) — pairs become
-    //      dedup clusters. Oracle = recursive-CTE transitive closure with
-    //      min-label aggregation (exact same component semantics). ----
+    //      dedup clusters. Edges come from the LSH path (candidates →
+    //      exact array_intersect verify), NOT the all-pairs inverted-index
+    //      join: at 100 TB the quadratic pass is unrunnable, and here it
+    //      needlessly doubled the bench's dedup share. With 16 bands × 4
+    //      rows a j≥0.5 pair misses all bands with prob ≤(1−j⁴)¹⁶ —
+    //      ~2e-4 at the j≥0.8 pairs the corpus actually contains; recall
+    //      vs the exact pass is checked in DedupSpec. Oracle =
+    //      recursive-CTE transitive closure over the EXACT pair set with
+    //      min-label aggregation (same component semantics — green iff
+    //      LSH recall is total, which it is on this corpus). ----
     QueryDef("t16_dedup_clusters",
       """WITH RECURSIVE docs AS (
         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
@@ -269,7 +277,7 @@ object TextQueries {
         |SELECT node, min(lbl) AS component FROM reach
         |GROUP BY node ORDER BY node""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val pairs = Dedup.jaccardPairs(docs, col("doc_id"), col("text"))
+      val pairs = Dedup.minhashNearDups(docs, col("doc_id"), col("text"))
         .filter(col("jaccard") >= 0.5)
         .select(col("id_a"), col("id_b"))
         // every doc is (at least) its own component

@@ -97,6 +97,44 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((3L, 4L)))
   }
 
+  test("LSH recall vs exact ground truth is total on the testdata corpus (t07 vs t06)") {
+    // t16 builds its cluster edges from the LSH path — this is the test
+    // that licenses that swap: every exact jaccard>=0.5 pair must surface
+    // as an LSH candidate and survive the exact verify. (Precision is 1.0
+    // by construction: candidates are re-scored with exact jaccard.)
+    val docs = graft.core.Tables.documents(spark, sf)
+    val exact = Dedup.jaccardPairs(docs, col("doc_id"), col("text"))
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDups(docs, col("doc_id"), col("text"))
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "testdata must contain near-dup pairs")
+    assert(lsh == exact,
+      s"recall=${(exact intersect lsh).size.toDouble / exact.size}, " +
+        s"missed=${(exact -- lsh).take(5)}, spurious=${(lsh -- exact).take(5)}")
+  }
+
+  test("SimHash precision/recall vs exact jaccard ground truth (t08 vs t06)") {
+    // SimHash hamming<=3 approximates a different similarity (weighted
+    // bag-of-words) than set jaccard, so neither metric is 1.0 — measured
+    // 0.78 precision / 0.75 recall on this corpus; the bounds catch a
+    // regression, the message records the numbers.
+    val docs = graft.core.Tables.documents(spark, sf)
+    val exact = Dedup.jaccardPairs(docs, col("doc_id"), col("text"))
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simhashPairs(
+        Dedup.simhash(docs, col("doc_id"), col("text")), maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tp = (exact intersect sim).size
+    val precision = tp.toDouble / sim.size
+    val recall = tp.toDouble / exact.size
+    info(f"simhash precision=$precision%.3f recall=$recall%.3f (n_exact=${exact.size}, n_sim=${sim.size})")
+    assert(precision >= 0.7, f"precision $precision%.3f")
+    assert(recall >= 0.5, f"recall $recall%.3f")
+  }
+
   test("simhash: exact dups at hamming 0, near-dups close, unrelated far") {
     val sig = Dedup.simhash(docs, col("doc_id"), col("text"))
     val m = sig.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -182,6 +220,27 @@ class TextOpsSpec extends SparkSpec {
       .orderBy("doc", "n_words").collect()
     // cumulative: 3, 5, 6 -> bin starts 0, 3, 5 -> bins 0, 0, 1
     assert(bins.map(_.getInt(2)).sorted.toSeq == Seq(0, 0, 1))
+  }
+
+  test("packBins: two-pass ranged prefix sum == global-window form, big window keyed") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 500L).map(i => (i, ("w " * ((i % 37 + 1)).toInt).trim))
+      .toDF("doc_id", "text")
+    val got = TextOps.packBins(df, col("doc_id"), col("text"),
+      budget = 64, rangeSize = 50)
+    val wG = Window.orderBy(col("doc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exp = df.select(col("doc_id").as("doc"),
+        TextOps.wordCount(col("text")).as("n_words"))
+      .withColumn("cum", sum(col("n_words")).over(wG))
+      .select(col("doc"), col("n_words"),
+        ((col("cum") - col("n_words")) / 64).cast("int").as("bin"))
+    assert(got.orderBy("doc").collect().toSeq == exp.orderBy("doc").collect().toSeq)
+    val plan = got.queryExecution.executedPlan.toString
+    // the full-table cumsum window is keyed on the range; the only
+    // single-partition stage is the R-row offsets window
+    assert(plan.contains("hashpartitioning(rng"), plan)
+    assert("Exchange SinglePartition".r.findAllIn(plan).length == 1, plan)
   }
 
   test("repetitionStats: hand-computed ratios") {

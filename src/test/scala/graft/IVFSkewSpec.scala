@@ -19,6 +19,34 @@ class IVFSpec extends SparkSpec {
     assert(a.map(_.getSeq[Double](1)).toSeq == b.map(_.getSeq[Double](1)).toSeq)
   }
 
+  test("kmeans init: first-k-ids collapses on id-clustered data; hash-spread does not") {
+    // ids arrive sorted by cluster (the common ingestion order): ids 1-10
+    // are all ~A, 11-20 ~B, 21-30 ~C, 31-40 ~D. First-k init then seeds
+    // every centroid inside cluster A — all points assign to cell 1 and
+    // the other cells die (k-means returns 1 cell, not 4). The hash-spread
+    // init picks seeds decorrelated from id order and keeps 4 live cells.
+    val bases = Seq(
+      Seq(10.0, 0.0, 0.0, 0.0), Seq(0.0, 10.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 10.0, 0.0), Seq(0.0, 0.0, 0.0, 10.0))
+    val data = (0 until 40).map { i =>
+      // identical within each cluster: the k identical first-k seeds give
+      // k-means nothing to separate — every point ties to cell 1
+      ((i + 1).toLong, bases(i / 10))
+    }.toDF("vec_id", "embedding")
+    val naive = IVF.kmeansCentroidsInit(data, "vec_id", "embedding",
+      k = 4, iters = 3, spreadInit = false).collect()
+    val spread = IVF.kmeansCentroidsInit(data, "vec_id", "embedding",
+      k = 4, iters = 3, spreadInit = true).collect()
+    assert(naive.length < 4,
+      s"expected first-k init to lose cells on id-clustered data, got ${naive.length}")
+    assert(spread.length == 4,
+      s"hash-spread init must keep all 4 cells live, got ${spread.length}")
+    // and the spread centroids actually sit in distinct clusters: each has
+    // a distinct dominant dimension
+    val doms = spread.map(_.getSeq[Double](1).zipWithIndex.maxBy(_._1)._2).toSet
+    assert(doms.size == 4, s"dominant dims: $doms")
+  }
+
   test("ivfTopK: k true-cosine results per query, no self matches") {
     val emb = Tables.embeddings(spark, sf)
     val pred = col("vec_id") % 50 === 0

@@ -30,6 +30,23 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q45 approx equi-depth histogram tracks q44's exact buckets") {
+    // At sf0.001 the sketch accuracy (10000) exceeds N, so edges are the
+    // true percentiles: bucket populations must match the exact ntile form
+    // up to ties straddling an edge.
+    val exact = SparkEntry.queries("q44_equidepth_hist")(spark, sf)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val approx = SparkEntry.queries("q45_equidepth_approx")(spark, sf)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == (1 to 10).toSet, s"buckets: ${approx.keySet}")
+    val n = exact.values.sum
+    assert(approx.values.sum == n, "approx form must not drop rows")
+    (1 to 10).foreach { b =>
+      assert(math.abs(approx(b) - exact(b)).toDouble / (n / 10) < 0.05,
+        s"bucket $b: approx ${approx(b)} vs exact ${exact(b)}")
+    }
+  }
+
   test("q30 approx distinct within 10% of q11 exact counts") {
     val exact = SparkEntry.queries("q11_count_distinct")(spark, sf)
       .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -43,6 +43,33 @@ class SimilaritySpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("ANN recall thresholds on clustered vectors: LSH and IVF vs exact top-k") {
+    // 8 tight clusters in 16-d (one dominant pair of dims each, small
+    // deterministic jitter): the regime ANN indexes exist for. Each
+    // query's true top-5 are its cluster-mates — both approximate paths
+    // must recover (nearly) all of them. Random-data recall is measured
+    // info-only in the next test; THIS is the quality bar.
+    val data = (0 until 200).map { i =>
+      val cl = i / 25
+      val base = Seq.tabulate(16)(d =>
+        if (d == 2 * cl) 10.0 else if (d == 2 * cl + 1) 5.0 else 0.0)
+      ((i + 1).toLong,
+        base.zipWithIndex.map { case (x, d) => x + ((i % 25) * (d + 3) % 11) * 0.02 })
+    }.toDF("vec_id", "embedding")
+    val pred = col("vec_id") % 25 === 1
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(data, "vec_id", "embedding", pred, 5))
+    val lsh = pairs(Similarity.annTopK(data, "vec_id", "embedding", pred, 5))
+    val ivf = pairs(graft.ext.IVF.ivfTopK(data, "vec_id", "embedding", pred,
+      k = 5, cells = 8, nprobe = 2))
+    val rLsh = (exact & lsh).size.toDouble / exact.size
+    val rIvf = (exact & ivf).size.toDouble / exact.size
+    info(f"clustered recall@5 — RP-LSH: $rLsh%.3f, IVF(nprobe=2/8): $rIvf%.3f")
+    assert(rLsh >= 0.9, f"LSH recall $rLsh%.3f below 0.9")
+    assert(rIvf >= 0.9, f"IVF recall $rIvf%.3f below 0.9")
+  }
+
   test("annTopK: results are true cosines; recall vs brute force measured") {
     val emb = Tables.embeddings(spark, sf)
     val pred = col("vec_id") % 50 === 0

@@ -135,6 +135,51 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq(1L, 1L, 2L, 3L))
   }
 
+  test("file source + checkpointed restart: session agg is exactly-once end to end") {
+    // The real-deployment shape for st01: parquet files arrive in a
+    // directory, the sessionizer runs in append mode with a checkpoint,
+    // the query is STOPPED and RESTARTED twice mid-stream. Exactly-once =
+    // after the final batch, the emitted sessions equal the batch-mode
+    // session agg over the same rows — nothing duplicated by the
+    // restarts, nothing lost.
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft_restart").toString
+    val (srcDir, chkDir, outDir) = (s"$root/src", s"$root/chk", s"$root/out")
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("ts", TimestampType), StructField("value", DoubleType)))
+    def writeBatch(data: Seq[(Long, Timestamp, Double)]): Unit =
+      data.toDF("user_id", "ts", "value").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    def runQuery(): Unit = {
+      val sdf = spark.readStream.schema(schema).parquet(srcDir)
+        .withWatermark("ts", "10 minutes")
+      val q = StreamOps.sessionAgg("ts", "user_id", "30 minutes")(sdf)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", chkDir).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    writeBatch(rows)                                    // users 1-3, min 0-64
+    runQuery()                                          // watermark -> 54m, no emits yet
+    writeBatch(Seq((9L, ts(300), 1.0), (9L, ts(310), 2.0)))
+    runQuery()                                          // RESTART 1: emits early sessions
+    writeBatch(Seq((8L, ts(360), 0.5)))                 // pushes watermark past users 1-3
+    writeBatch(Seq((7L, ts(600), 0.5)))                 // pushes watermark past user 9
+    runQuery()                                          // RESTART 2: emits the rest
+    val emitted = spark.read.parquet(outDir)
+      .select(col("user_id"), col("n_events"), col("sum_value").cast("double"))
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    // ground truth: batch session agg over the users whose sessions the
+    // final watermark (590m) has sealed — only user 7's is still open
+    val expected = StreamOps.sessionAgg("ts", "user_id", "30 minutes")(
+        (rows ++ Seq((9L, ts(300), 1.0), (9L, ts(310), 2.0), (8L, ts(360), 0.5)))
+          .toDF("user_id", "ts", "value"))
+      .select(col("user_id"), col("n_events"), col("sum_value").cast("double"))
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(emitted == expected,
+      s"emitted=$emitted\nexpected=$expected")
+  }
+
   test("flatMapGroupsWithState running totals accumulate across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamOps.Ev]
