@@ -81,6 +81,16 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(q) == 2, plan)
   }
 
+  test("q45 approx equi-depth: no window operator, edges broadcast back") {
+    // q44's exact form needs a global-order ntile window (single task);
+    // the scale form must plan with NO window at all — sketch aggregate,
+    // broadcast, map-side bucket assign, one final aggregate.
+    val q = SparkEntry.queries("q45_equidepth_approx")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("Broadcast"), plan)
+  }
+
   test("global top-k plans as TakeOrderedAndProject, not a global sort") {
     val q = Tables.orders(spark, sf)
       .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)
