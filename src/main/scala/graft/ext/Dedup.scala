@@ -179,12 +179,31 @@ object Dedup {
     */
   def minhashNearDups(df: DataFrame, id: Column, text: Column,
                       n: Int = 3, maxBucket: Long = 1000L): DataFrame = {
-    val cands = lshCandidates(df, id, text, n, maxBucket)
-    // per-doc shingle sets rebuilt from the exploded rows (shingles are
-    // already distinct per doc) — one extra small aggregate instead of
-    // re-evaluating the shingle expression through a collapsible Project
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // ONE tokenize+shingle pass for both the banding and the verify:
+    // exploded shingle rows (the Generate barrier keeps words
+    // materialized) re-assemble into per-doc sets, and the band hashes
+    // are computed FROM the re-assembled array — legal because the
+    // MinHash signature is a per-permutation min, invariant to
+    // collect_list's nondeterministic order. The alternative (calling
+    // lshCandidates + rebuilding sets separately) re-tokenizes and
+    // re-shingles the whole corpus a second time, the dominant map-side
+    // cost. Docs with < n words have no shingle rows and drop out here,
+    // which is exactly lshCandidates' degenerate-bucket exclusion.
     val sets = shingleRows(df, id, text, n)
       .groupBy("doc").agg(collect_list(col("s")).as("sh_arr"))
+    val exploded = sets.select(col("doc"),
+        posexplode(call_function("graft_minhash_bands", col("sh_arr"))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket"))
+    val capped = exploded.withColumn("bsz", count(lit(1)).over(wb))
+      .filter(col("bsz") <= maxBucket).drop("bsz")
+    val cands = capped.as("a").join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .distinct()
     cands
       .join(sets.select(col("doc").as("id_a"), col("sh_arr").as("sh_a")), "id_a")
       .join(sets.select(col("doc").as("id_b"), col("sh_arr").as("sh_b")), "id_b")

@@ -112,6 +112,33 @@ object Similarity {
       .agg(round(avg(col("col")), 6).as("centroid"),
            count(lit(1)).as("n_vecs"))
 
+  /** Embedding-cosine near-dup DEDUP decision: keep a vector iff no
+    * LOWER-id vector within the `pred` subset has cosine ≥ `threshold`
+    * with it — the greedy survivor rule that turns near-dup pairs into a
+    * kept/dropped verdict without transitive closure (order-stable,
+    * idempotent, and what most embedding-dedup pipelines actually ship).
+    * Cosine is rounded to 6 decimals BEFORE the threshold compare so the
+    * keep/drop frontier is engine-stable.
+    *
+    * This is the exact (all-pairs within `pred`) oracle-able baseline,
+    * same posture as [[topKPairs]]; the scale path feeds the identical
+    * verdict rule with LSH/IVF candidates instead of all pairs.
+    */
+  def cosineDedup(emb: DataFrame, id: String, vec: String,
+                  pred: Column, threshold: Double): DataFrame = {
+    ensureRegistered(emb)
+    val e = emb.filter(pred)
+      .select(col(id).as("v_id"), col(vec).cast("array<double>").as("v"))
+      .withColumn("n", sqrt(dotNative(col("v"), col("v"))))
+    val a = e.select(col("v_id").as("id_a"), col("v").as("va"), col("n").as("na"))
+    val b = e.select(col("v_id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
+    val dropped = a.join(b, col("id_a") < col("id_b"))
+      .filter(round(dotNative(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+        >= threshold)
+      .select(col("id_b").as("v_id")).distinct()
+    e.join(dropped, Seq("v_id"), "left_anti").select(col("v_id"))
+  }
+
   /** Signed-random-projection sketch: `bits` pseudo-hyperplanes whose
     * component signs come from murmur3(bit, dim-index) — deterministic,
     * data-independent, identical on every executor with no side state.

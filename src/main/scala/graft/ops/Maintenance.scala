@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Table-maintenance operators a production data pipeline runs daily:
+  * MERGE-style upsert (SCD type 1), slowly-changing-dimension history
+  * (SCD type 2), and changelog compaction (latest record per key).
+  *
+  * All three are declarative single-shuffle shapes:
+  *  - upsert = anti-join + union — one shuffle on the merge key (or zero
+  *    shuffles when the update set is broadcast-small, the common case for
+  *    incremental loads);
+  *  - scd2 = one window over (key, effective-order) — shuffles once on the
+  *    key, then a per-partition sort;
+  *  - latestPerKey = ranked window, same single-shuffle shape; at scale
+  *    this beats groupBy + struct-max only when the full row is wide
+  *    (no re-join needed).
+  */
+object Maintenance {
+
+  /** MERGE-style upsert: rows of `updates` replace same-key rows of
+    * `target`; update rows with unmatched keys are inserted. Matched-row
+    * REPLACEMENT (not column patching) — the SCD1 contract.
+    *
+    * Shape: target anti-join update-keys (keeps unmatched target rows)
+    * + union of the updates. The anti join shuffles on `keys`, or
+    * broadcasts when the distinct update-key set is small — the normal
+    * incremental-batch case; AQE picks that automatically.
+    */
+  def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    val updKeys = updates.select(keys.map(col): _*).distinct()
+    updates.unionByName(target.join(updKeys, keys, "left_anti"))
+  }
+
+  /** SCD type-2 history from a change log: each key's rows ordered by
+    * `effective` (ties broken by `tieBreak`) become validity intervals —
+    * `valid_from` = the row's effective value, `valid_to` = the next
+    * row's (NULL on the open current row), `is_current` = 1 on the last
+    * row per key. One window pass; no self-join.
+    */
+  def scd2(df: DataFrame, keys: Seq[String], effective: String,
+           tieBreak: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((effective +: tieBreak).map(col): _*)
+    val nxt = lead(col(effective), 1).over(w)
+    df.withColumn("valid_from", col(effective))
+      .withColumn("valid_to", nxt)
+      .withColumn("is_current", nxt.isNull.cast("int"))
+  }
+
+  /** Changelog compaction: the latest row per key under `order` (pass
+    * descending columns for "latest"). The CDC-merge read path: a raw
+    * append log compacts to current state.
+    */
+  def latestPerKey(df: DataFrame, keys: Seq[org.apache.spark.sql.Column],
+                   order: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}

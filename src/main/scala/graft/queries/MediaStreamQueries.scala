@@ -75,5 +75,24 @@ object MediaStreamQueries {
           col("sum_value"))
         .orderBy("user_id", "session_start")
     },
+
+    // ---- batch form of the 15-minute tumbling-window aggregate (same
+    //      StreamOps.tumblingAgg code runs under readStream with a
+    //      watermark — parity proven in StreamingSpec). Spark's window()
+    //      buckets are epoch-aligned; DuckDB's time_bucket origin
+    //      (2000-01-03) is a whole multiple of 15 min from the epoch, so
+    //      the bucket edges coincide. ----
+    QueryDef("st02_tumbling_agg",
+      """SELECT strftime(time_bucket(INTERVAL '15 minutes', ts),
+        |         '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .transform(StreamOps.tumblingAgg("ts", "event_type", "15 minutes"))
+        .select(tsStr(col("window.start")).as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("window_start", "event_type")
+    },
   )
 }

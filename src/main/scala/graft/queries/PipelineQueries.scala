@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.{Maintenance, Skew}
+import Parity._
+
+/** Production-pipeline maintenance + robustness operators: skew-salted
+  * joins, MERGE-style upsert, SCD2 history, changelog compaction,
+  * deterministic median/mode, and ordered string aggregation.
+  *
+  * Every query here is fully DuckDB-oracled — the operators are all
+  * rewrites whose OUTPUT equals a plain ANSI-SQL formulation (that is the
+  * point: salting/merge staging change the execution shape, never the
+  * result).
+  */
+object PipelineQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- skew-mitigated join: events (skewed user_id fan-out) joined to
+    //      customer through Skew.saltedJoin — the hot key is spread over 8
+    //      salt buckets, the dimension replicated per salt. Result is
+    //      IDENTICAL to the plain join (the oracle), which is exactly what
+    //      makes salting safe to drop into a hot pipeline. ----
+    QueryDef("q46_salted_skew_join",
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("user_id").as("cust"), col("value"))
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey").as("cust"), col("c_mktsegment"))
+      Skew.saltedJoin(ev, cust, "cust", salts = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), decimalSum(col("value"), "sum_value"))
+        .orderBy("c_mktsegment")
+    },
+
+    // ---- MERGE-style upsert (SCD1): open orders get re-prioritized
+    //      (matched → replace), and a synthetic late-arriving batch with
+    //      shifted keys lands as inserts (not matched → insert). ----
+    QueryDef("q47_merge_upsert",
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  CASE WHEN o_orderstatus = 'O' THEN '1-URGENT' ELSE o_orderpriority END
+        |    AS o_orderpriority
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus,
+        |  o_totalprice, '9-NEW' AS o_orderpriority
+        |FROM orders WHERE o_orderkey % 1000 = 0
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val target = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+      val reprioritized = target.filter(col("o_orderstatus") === "O")
+        .withColumn("o_orderpriority", lit("1-URGENT"))
+      val lateBatch = target.filter(col("o_orderkey") % 1000 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("o_orderpriority", lit("9-NEW"))
+      Maintenance.upsert(target, reprioritized.unionByName(lateBatch),
+          Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    },
+
+    // ---- SCD2: per-customer order history as validity intervals ----
+    QueryDef("q48_scd2_history",
+      """SELECT o_custkey, o_orderkey, o_orderstatus,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+        |  strftime(lead(o_orderdate) OVER w, '%Y-%m-%d') AS valid_to,
+        |  CAST(CASE WHEN lead(o_orderdate) OVER w IS NULL THEN 1 ELSE 0 END
+        |       AS INTEGER) AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin) { (s, dir) =>
+      Maintenance.scd2(Tables.orders(s, dir),
+          Seq("o_custkey"), "o_orderdate", Seq("o_orderkey"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+          dayStr(col("valid_from")).as("valid_from"),
+          dayStr(col("valid_to")).as("valid_to"),
+          col("is_current"))
+        .orderBy("o_custkey", "valid_from", "o_orderkey")
+    },
+
+    // ---- changelog compaction: latest event per user (CDC read path) ----
+    QueryDef("q49_latest_per_key",
+      """SELECT user_id, event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_type, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+      Maintenance.latestPerKey(Tables.events(s, dir),
+          Seq(col("user_id")), Seq(col("ts").desc, col("event_id").desc))
+        .select(col("user_id"), col("event_id"), tsStr(col("ts")).as("ts"),
+          col("event_type"), col("value"))
+        .orderBy("user_id")
+    },
+
+    // ---- exact median + deterministic mode per group. Spark's built-in
+    //      `mode` breaks count ties arbitrarily (engine-dependent), so the
+    //      mode here is argmax-by-(count desc, value asc) via a ranked
+    //      window over the (group, value) count table — deterministic on
+    //      both engines. ----
+    QueryDef("q50_median_mode",
+      """WITH m AS (SELECT event_type, count(*) AS n,
+        |             round(quantile_cont(value, 0.5), 4) AS median_value
+        |           FROM events GROUP BY 1),
+        |c AS (SELECT event_type, value, count(*) AS cnt FROM events GROUP BY 1, 2),
+        |md AS (SELECT event_type, value AS mode_value, cnt AS mode_count
+        |       FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |               ORDER BY cnt DESC, value) AS rn FROM c)
+        |       WHERE rn = 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n, median_value,
+        |  mode_value, CAST(mode_count AS BIGINT) AS mode_count
+        |FROM m JOIN md USING (event_type) ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val m = ev.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.5)"), 4).as("median_value"))
+      val c = ev.groupBy(col("event_type"), col("value"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("cnt").desc, col("value"))
+      val md = c.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("value").as("mode_value"),
+          col("cnt").as("mode_count"))
+      m.join(md, "event_type")
+        .select(col("event_type"), col("n"), col("median_value"),
+          col("mode_value"), col("mode_count"))
+        .orderBy("event_type")
+    },
+
+    // ---- ordered string aggregation: high-balance customer names per
+    //      segment, sorted then joined — collect_list alone is partition-
+    //      order-nondeterministic, array_sort makes it reproducible (the
+    //      same trick any LLM-prompt assembly over grouped rows needs) ----
+    QueryDef("q51_string_agg",
+      """SELECT c_mktsegment,
+        |  CAST(count(*) FILTER (WHERE c_acctbal > 9000) AS BIGINT) AS n_vip,
+        |  coalesce(string_agg(c_name, ',' ORDER BY c_name)
+        |             FILTER (WHERE c_acctbal > 9000), '') AS vip_names
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val vip = when(col("c_acctbal") > 9000, col("c_name"))
+      Tables.customer(s, dir)
+        .groupBy("c_mktsegment")
+        .agg(count(vip).as("n_vip"),
+          array_join(array_sort(collect_list(vip)), ",").as("vip_names"))
+        .orderBy("c_mktsegment")
+    },
+  )
+}

@@ -61,6 +61,26 @@ object SimilarityQueries {
         .orderBy("label", "dim")
     },
 
+    // ---- embedding-cosine near-dup dedup: greedy lower-id survivor rule
+    //      at cosine ≥ 0.35 (the corpus's ~p99.9 pair similarity, so the
+    //      rule actually drops rows on this data). Oracle = NOT EXISTS
+    //      over the same rounded cosine. ----
+    QueryDef("s06_embedding_dedup",
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |           FROM embeddings WHERE vec_id < 250)
+         |SELECT q.vec_id AS v_id FROM v q
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM v c
+         |  WHERE c.vec_id < q.vec_id
+         |    AND round(list_dot_product(q.e, c.e) /
+         |          (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 6)
+         |        >= 0.35)
+         |ORDER BY v_id""".stripMargin) { (s, dir) =>
+      Similarity.cosineDedup(Tables.embeddings(s, dir),
+          "vec_id", "embedding", col("vec_id") < 250, threshold = 0.35)
+        .orderBy("v_id")
+    },
+
     // murmur3-signed hyperplanes → no DuckDB form; recall vs s01 measured
     // in SimilaritySpec.
     QueryDef.noOracle("s03_ann_lsh") { (s, dir) =>

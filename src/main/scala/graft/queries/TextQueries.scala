@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.ext.{Dedup, TextOps}
@@ -319,6 +320,61 @@ object TextQueries {
         |ORDER BY dist, id_a, id_b LIMIT 20""".stripMargin) { (s, dir) =>
       TextOps.editDistancePairs(Tables.documents(s, dir), col("doc_id"),
         col("text"), col("doc_id") < 150, prefixLen = 80, k = 20)
+    },
+
+    // ---- corpus Zipf fit: log-log OLS of term frequency on rank over
+    //      the top-100 terms. Rank comes from TakeOrdered (orderBy+limit —
+    //      never a global window over the full vocabulary), then a window
+    //      over just the 100 surviving rows. The slope is the corpus-
+    //      health number (natural text ≈ −1; templated/spammy corpora
+    //      flatten it). ----
+    QueryDef("t19_zipf_fit",
+      s"""WITH tf AS (SELECT term, count(*) AS cnt
+         |  FROM (SELECT unnest($duckWords) AS term FROM documents)
+         |  GROUP BY 1),
+         |top AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rank
+         |        FROM tf ORDER BY cnt DESC, term LIMIT 100)
+         |SELECT round(regr_slope(ln(cnt), ln(rank)), 4) AS zipf_slope,
+         |  round(regr_intercept(ln(cnt), ln(rank)), 4) AS zipf_intercept,
+         |  count(*) AS n_terms
+         |FROM top""".stripMargin) { (s, dir) =>
+      val tf = Tables.documents(s, dir)
+        .select(explode(TextOps.words(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+      val top = tf.orderBy(col("cnt").desc, col("term")).limit(100)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("cnt").desc, col("term"))))
+      top.agg(
+        round(regr_slope(log(col("cnt")), log(col("rank"))), 4).as("zipf_slope"),
+        round(regr_intercept(log(col("cnt")), log(col("rank"))), 4).as("zipf_intercept"),
+        count(lit(1)).as("n_terms"))
+    },
+
+    // ---- corpus-relative quality filter: keep docs whose word count sits
+    //      inside the [p05, p95] band — the percentile thresholds are ONE
+    //      tiny aggregate broadcast back over the scan (no sort, no window;
+    //      the filter itself stays map-side). Thresholds rounded to 6 on
+    //      both engines so the band edges compare identically. ----
+    QueryDef("t20_length_band_filter",
+      """WITH wc AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS INTEGER)
+        |      AS word_count
+        |  FROM documents),
+        |b AS (SELECT round(quantile_cont(word_count, 0.05), 6) AS lo,
+        |             round(quantile_cont(word_count, 0.95), 6) AS hi
+        |      FROM wc)
+        |SELECT doc_id, word_count FROM wc, b
+        |WHERE word_count >= lo AND word_count <= hi
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val wc = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.wordCount(col("text")).as("word_count"))
+      val bounds = wc.agg(
+        round(expr("percentile(word_count, 0.05)"), 6).as("lo"),
+        round(expr("percentile(word_count, 0.95)"), 6).as("hi"))
+      wc.crossJoin(broadcast(bounds))
+        .filter(col("word_count") >= col("lo") && col("word_count") <= col("hi"))
+        .select(col("doc_id"), col("word_count"))
+        .orderBy("doc_id")
     },
 
     // MinHash-LSH verified near-dup pairs (murmur3 → no oracle).

@@ -19,7 +19,8 @@ object StreamOps {
     */
   def tumblingAgg(tsCol: String, keyCol: String, width: String)(df: DataFrame): DataFrame =
     df.groupBy(window(col(tsCol), width), col(keyCol))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        graft.core.Exact.decimalSum(col("value"), "sum_value"))
 
   /** Event-time sessionization via the built-in session_window: events
     * within `gap` of each other merge into one session per key. Identical

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Maintenance, Skew}
+import graft.ext.Similarity
+
+/** Semantics of the table-maintenance operators (ops/Maintenance.scala),
+  * the salted join (ops/Skew.scala), and the greedy embedding dedup
+  * (ext/Similarity.cosineDedup) on crafted inputs where the expected
+  * result is hand-checkable. The sf-data oracle parity for the q46-q51 /
+  * s06 query forms is the driver's DuckDB gate; these tests pin the
+  * operator CONTRACTS (replacement not patching, exactly-one-current,
+  * salt-invariance) that the oracle alone can't distinguish.
+  */
+class MaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("upsert: matched keys replaced, unmatched kept, new keys inserted") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "status", "amount")
+    val updates = Seq((2L, "B2", 99.0), (9L, "new", 1.0))
+      .toDF("k", "status", "amount")
+    val out = Maintenance.upsert(target, updates, Seq("k"))
+      .orderBy("k").as[(Long, String, Double)].collect()
+    assert(out.toSeq === Seq(
+      (1L, "a", 10.0),   // unmatched target kept
+      (2L, "B2", 99.0),  // matched: full-row replacement
+      (3L, "c", 30.0),
+      (9L, "new", 1.0))) // unmatched update inserted
+  }
+
+  test("upsert with multi-column key matches on the full key") {
+    val target = Seq((1L, "x", 1.0), (1L, "y", 2.0)).toDF("k1", "k2", "v")
+    val updates = Seq((1L, "y", 20.0)).toDF("k1", "k2", "v")
+    val out = Maintenance.upsert(target, updates, Seq("k1", "k2"))
+      .orderBy("k1", "k2").as[(Long, String, Double)].collect()
+    assert(out.toSeq === Seq((1L, "x", 1.0), (1L, "y", 20.0)))
+  }
+
+  test("scd2: contiguous intervals, exactly one open row per key") {
+    val log = Seq(
+      (7L, "2024-01-01", "bronze"),
+      (7L, "2024-03-01", "silver"),
+      (7L, "2024-02-01", "bronze+"), // out of order in the input
+      (8L, "2024-05-01", "gold"))
+      .toDF("k", "eff", "tier")
+      .withColumn("eff", to_date(col("eff")))
+    val out = Maintenance.scd2(log, Seq("k"), "eff", Seq("tier"))
+      .select(col("k"), col("tier"),
+        col("valid_from").cast("string"), col("valid_to").cast("string"),
+        col("is_current"))
+      .orderBy("k", "valid_from")
+      .as[(Long, String, String, String, Int)].collect()
+    assert(out.toSeq === Seq(
+      (7L, "bronze", "2024-01-01", "2024-02-01", 0),
+      (7L, "bronze+", "2024-02-01", "2024-03-01", 0),
+      (7L, "silver", "2024-03-01", null, 1),
+      (8L, "gold", "2024-05-01", null, 1)))
+    // exactly one current row per key, however many versions
+    val perKey = out.groupBy(_._1).view.mapValues(_.count(_._5 == 1)).toMap
+    assert(perKey.values.forall(_ == 1))
+  }
+
+  test("latestPerKey: one row per key, the max under the given order") {
+    val log = Seq(
+      (1L, 10L, "old"), (1L, 30L, "newest"), (1L, 20L, "mid"),
+      (2L, 5L, "only"))
+      .toDF("k", "ver", "payload")
+    val out = Maintenance.latestPerKey(log, Seq(col("k")),
+        Seq(col("ver").desc))
+      .orderBy("k").as[(Long, Long, String)].collect()
+    assert(out.toSeq === Seq((1L, 30L, "newest"), (2L, 5L, "only")))
+  }
+
+  test("saltedJoin == plain join on data with one hot key") {
+    // 900 of 1000 left rows share key 42 — the salting target
+    val left = spark.range(1000)
+      .select(when(col("id") < 900, 42L).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+    val right = spark.range(100).select(col("id").as("k"),
+      concat(lit("dim"), col("id")).as("attr"))
+    val plain = left.join(right, "k")
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("payload").as("s"))
+    val salted = Skew.saltedJoin(left, right, "k", salts = 8)
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("payload").as("s"))
+    assert(salted.orderBy("k").collect().toSeq ===
+      plain.orderBy("k").collect().toSeq)
+  }
+
+  test("cosineDedup: lower id survives an identical pair; dissimilar all kept") {
+    val vecs = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f)),
+      (11L, Array(0.0f, 1.0f, 0.0f)),
+      (12L, Array(2.0f, 0.0f, 0.0f)),  // same direction as 10 → dropped
+      (13L, Array(0.0f, -1.0f, 0.0f)), // anti-parallel to 11 → kept
+      (14L, Array(0.0f, 1.0f, 1e-6f))) // ~parallel to 11 → dropped
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.cosineDedup(vecs, "vec_id", "embedding",
+        lit(true), threshold = 0.95)
+      .orderBy("v_id").as[Long].collect()
+    assert(kept.toSeq === Seq(10L, 11L, 13L))
+  }
+
+  test("cosineDedup is idempotent: re-running on survivors drops nothing") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 1e-4f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(1e-4f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val once = Similarity.cosineDedup(vecs, "vec_id", "embedding",
+      lit(true), threshold = 0.99)
+    val survivors = vecs.join(once, vecs("vec_id") === once("v_id"), "left_semi")
+    val twice = Similarity.cosineDedup(survivors, "vec_id", "embedding",
+      lit(true), threshold = 0.99)
+    assert(once.count() === twice.count())
+    assert(once.orderBy("v_id").as[Long].collect().toSeq === Seq(1L, 3L))
+  }
+}

@@ -91,6 +91,47 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Broadcast"), plan)
   }
 
+  test("upsert with a small update batch: target is never shuffled") {
+    // the anti join on the distinct update-key set must broadcast (the
+    // incremental-load case) — the big target streams map-side
+    val target = Tables.orders(spark, sf)
+    val updates = target.filter(col("o_orderkey") < 10)
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+    val q = graft.ops.Maintenance.upsert(target, updates, Seq("o_orderkey"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+    // the ONE exchange is the distinct() on the (tiny) update-key set,
+    // feeding the BroadcastExchange — the full-width target never shuffles
+    assert(shuffles(q) == 1, plan)
+  }
+
+  test("scd2: exactly one shuffle (the key-partitioned window)") {
+    val q = graft.ops.Maintenance.scd2(Tables.orders(spark, sf),
+      Seq("o_custkey"), "o_orderdate", Seq("o_orderkey"))
+    assert(shuffles(q) == 1, q.queryExecution.executedPlan.toString)
+  }
+
+  test("salted join: dimension replication is broadcast, no extra big-side exchange") {
+    val ev = Tables.events(spark, sf).select(col("user_id").as("k"), col("value"))
+    val dim = Tables.customer(spark, sf).select(col("c_custkey").as("k"), col("c_mktsegment"))
+    val q = graft.ops.Skew.saltedJoin(ev, dim, "k", salts = 8)
+    val plan = q.queryExecution.executedPlan.toString
+    // the salt replication is a broadcast of the 8-row Range onto the dim
+    // (a BNLJ-Cross over 8 literal rows — intended and map-side); the
+    // MAIN join must be an equi hash/merge join keyed on BOTH k and the
+    // salt, never a nested loop over the fact side
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[k#\\d+L?, __salt".r
+      .findFirstIn(plan).isDefined, plan)
+    assert(plan.contains("Range (0, 8"), plan)
+  }
+
+  test("t20 percentile-band filter: bounds broadcast, no window, scan-side filter") {
+    val q = SparkEntry.queries("t20_length_band_filter")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("Broadcast"), plan)
+  }
+
   test("global top-k plans as TakeOrderedAndProject, not a global sort") {
     val q = Tables.orders(spark, sf)
       .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)
