@@ -52,7 +52,8 @@ object Bench {
       "q44_equidepth_hist", "c03_climate_fact", "t05_exact_dedup",
       "t06_jaccard_topk", "t07_minhash_lsh", "t13_pack_bins", "t14_tfidf",
       "t16_dedup_clusters", "s01_cosine_topk", "s04_ann_ivf",
-      "st01_session_agg")
+      "st01_session_agg", "q47_merge_upsert", "q52_psi_drift",
+      "s06_embedding_dedup")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"),
       jsonLine(results.toSeq.sortBy(_._1)))

@@ -149,5 +149,63 @@ object PipelineQueries {
           array_join(array_sort(collect_list(vip)), ",").as("vip_names"))
         .orderBy("c_mktsegment")
     },
+
+    // ---- population stability index: per-event-type value distribution
+    //      vs the overall corpus over fixed-width bins (q27's buckets).
+    //      PSI = Σ (p−q)·ln(p/q); cells empty on either side are skipped
+    //      (the bounded standard practice — ε-smoothing changes the number,
+    //      skipping changes it less and stays engine-exact). Everything
+    //      derives from ONE (event_type, bucket) count table: the same
+    //      shape as q43's KL, which is the divergence this monitoring
+    //      metric symmetrizes. ----
+    QueryDef("q52_psi_drift",
+      """WITH eb AS (SELECT event_type, CAST(floor(value / 25.0) AS INTEGER) AS bucket,
+        |              count(*) AS c
+        |            FROM events GROUP BY 1, 2),
+        |et AS (SELECT event_type, sum(c) AS n FROM eb GROUP BY 1),
+        |gb AS (SELECT bucket, sum(c) AS gc FROM eb GROUP BY 1),
+        |tot AS (SELECT sum(c) AS n FROM eb)
+        |SELECT event_type, CAST(et.n AS BIGINT) AS n_events,
+        |  round(sum((CAST(c AS DOUBLE)/et.n - CAST(gc AS DOUBLE)/tot.n)
+        |        * ln((CAST(c AS DOUBLE)/et.n) / (CAST(gc AS DOUBLE)/tot.n))), 6) AS psi
+        |FROM eb JOIN et USING (event_type) JOIN gb USING (bucket) CROSS JOIN tot
+        |GROUP BY event_type, et.n ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val eb = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          floor(col("value") / 25.0).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("c"))
+      val et = eb.groupBy("event_type").agg(sum(col("c")).as("n"))
+      val gb = eb.groupBy("bucket").agg(sum(col("c")).as("gc"))
+      val tot = eb.agg(sum(col("c")).as("tot"))
+      val p = col("c").cast("double") / col("n")
+      val q = col("gc").cast("double") / col("tot")
+      eb.join(et, "event_type").join(gb, "bucket")
+        .crossJoin(broadcast(tot))
+        .groupBy(col("event_type"), col("n"))
+        .agg(round(sum((p - q) * log(p / q)), 6).as("psi"))
+        .select(col("event_type"), col("n").as("n_events"), col("psi"))
+        .orderBy("event_type")
+    },
+
+    // ---- stratified sampling: per-stratum deterministic rates via key
+    //      modulus (high-volume strata downsampled hard, rare strata kept
+    //      whole — the class-rebalancing read any training pipeline runs).
+    //      Map-side only: no shuffle, no rand() (engine-specific), fully
+    //      reproducible. ----
+    QueryDef("q53_stratified_sample",
+      """SELECT event_id, event_type, user_id, value
+        |FROM events
+        |WHERE CASE WHEN event_type = 'view'  THEN event_id % 20 = 0
+        |           WHEN event_type = 'click' THEN event_id % 10 = 0
+        |           ELSE true END
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .filter(
+          when(col("event_type") === "view", col("event_id") % 20 === 0)
+            .when(col("event_type") === "click", col("event_id") % 10 === 0)
+            .otherwise(lit(true)))
+        .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+        .orderBy("event_id")
+    },
   )
 }

@@ -377,6 +377,41 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- end-to-end corpus prep: the canonical LLM-data chain as ONE
+    //      composed query — length gate → exact-dedup survivors (min id
+    //      per normalized fingerprint) → train/val/test assignment. Each
+    //      stage is individually oracled elsewhere (t01/t04/t05/t12);
+    //      this pins the COMPOSITION: filters before dedup (dropped docs
+    //      must not claim survivorship), split assigned on the surviving
+    //      ids. Shapes: map-side gate → one fingerprint aggregate + semi
+    //      join → map-side split — two shuffles end to end. ----
+    QueryDef("t21_corpus_prep",
+      """WITH wc AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS INTEGER)
+        |      AS word_count
+        |  FROM documents),
+        |g AS (SELECT * FROM wc WHERE word_count >= 5),
+        |keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM g
+        |  GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))))
+        |SELECT g.doc_id,
+        |  CASE WHEN g.doc_id % 10 < 8 THEN 'train'
+        |       WHEN g.doc_id % 10 < 9 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  word_count
+        |FROM g JOIN keep ON g.doc_id = keep.doc_id
+        |ORDER BY g.doc_id""".stripMargin) { (s, dir) =>
+      val gated = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          TextOps.wordCount(col("text")).as("word_count"))
+        .filter(col("word_count") >= 5)
+      Dedup.dedupExact(gated, "doc_id", "text")
+        .select(col("doc_id"), TextOps.splitAssign(col("doc_id")).as("split"),
+          col("word_count"))
+        .orderBy("doc_id")
+    },
+
     // MinHash-LSH verified near-dup pairs (murmur3 → no oracle).
     QueryDef.noOracle("t07_minhash_lsh") { (s, dir) =>
       Dedup.minhashNearDups(Tables.documents(s, dir), col("doc_id"), col("text"))

@@ -6,9 +6,31 @@ import graft.core.Tables
 /** Source-format matrix: parquet and text are exercised everywhere,
   * CSV round-trips in BucketingSpec — this covers the JSON source
   * (schema inference + typed access) against the same data the
-  * get_json_object path (q24) reads as strings.
+  * get_json_object path (q24) reads as strings, plus parquet schema
+  * evolution (the append-with-new-column case every long-lived dataset
+  * hits).
   */
 class SourcesSpec extends SparkSpec {
+
+  test("parquet schema evolution: mergeSchema unions columns across files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    // v1 files: (id, a) — v2 adds column b
+    Seq((1L, "x"), (2L, "y")).toDF("id", "a")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "z", 30.0)).toDF("id", "a", "b")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq === Seq("a", "b", "id"))
+    val rows = merged.orderBy("id")
+      .select("id", "a", "b").as[(Long, String, Option[Double])].collect()
+    // old files surface the new column as null — no rewrite needed
+    assert(rows.toSeq === Seq((1L, "x", None), (2L, "y", None), (3L, "z", Some(30.0))))
+    // without mergeSchema the footer actually read wins — documents WHY
+    // the option matters for evolved datasets (column may be absent)
+    val unmerged = spark.read.parquet(dir)
+    assert(unmerged.columns.length <= 3)
+  }
 
   test("spark.read.json parses events.props identically to get_json_object") {
     val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
