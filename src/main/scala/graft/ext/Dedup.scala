@@ -134,6 +134,25 @@ object Dedup {
         call_function("graft_minhash", shinglesOfWords(col("w"), n), lit(k)).as("sig"))
   }
 
+  /** Candidate pairing over exploded (doc, band, bucket) rows: cap each
+    * (band, bucket) population at `maxBucket` (linear windowed count, same
+    * partitioning the join reuses), then pair docs sharing a surviving
+    * bucket. The ONE pairing/cap policy — both [[lshCandidates]] and
+    * [[minhashNearDups]] go through it, so the degenerate-bucket rule
+    * DedupSpec pins can't drift between them.
+    */
+  private def bandPairs(exploded: DataFrame, maxBucket: Long): DataFrame = {
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket"))
+    val capped = exploded.withColumn("bsz", count(lit(1)).over(wb))
+      .filter(col("bsz") <= maxBucket).drop("bsz")
+    capped.as("a").join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .distinct()
+  }
+
   /** LSH candidate pairs via the fused band expression: one map-only pass
     * emits `bands` bucket hashes per doc (posexplode is the single
     * reference → single evaluation), then docs sharing any (band, bucket)
@@ -159,15 +178,7 @@ object Dedup {
       .select(col("doc"),
         posexplode(call_function("graft_minhash_bands", shinglesOfWords(col("w"), n))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val wb = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("bucket"))
-    val capped = exploded.withColumn("bsz", count(lit(1)).over(wb))
-      .filter(col("bsz") <= maxBucket).drop("bsz")
-    capped.as("a").join(capped.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
-      .distinct()
+    bandPairs(exploded, maxBucket)
   }
 
   /** Full MinHash-LSH near-dup pipeline: candidates from banding, verified
@@ -195,15 +206,7 @@ object Dedup {
     val exploded = sets.select(col("doc"),
         posexplode(call_function("graft_minhash_bands", col("sh_arr"))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val wb = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("bucket"))
-    val capped = exploded.withColumn("bsz", count(lit(1)).over(wb))
-      .filter(col("bsz") <= maxBucket).drop("bsz")
-    val cands = capped.as("a").join(capped.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
-      .distinct()
+    val cands = bandPairs(exploded, maxBucket)
     cands
       .join(sets.select(col("doc").as("id_a"), col("sh_arr").as("sh_a")), "id_a")
       .join(sets.select(col("doc").as("id_b"), col("sh_arr").as("sh_b")), "id_b")

@@ -85,19 +85,10 @@ object Similarity {
     * rows matching `pred` — bounded all-pairs, for dedup-style use.
     */
   def topKPairs(emb: DataFrame, id: String, vec: String,
-                pred: Column, k: Int = 50): DataFrame = {
-    ensureRegistered(emb)
-    val e = emb.filter(pred)
-      .select(col(id).as("v_id"), col(vec).cast("array<double>").as("v"))
-      .withColumn("n", sqrt(dotNative(col("v"), col("v"))))
-    val a = e.select(col("v_id").as("id_a"), col("v").as("va"), col("n").as("na"))
-    val b = e.select(col("v_id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", round(dotNative(col("va"), col("vb")) / (col("na") * col("nb")), 6))
-      .select(col("id_a"), col("id_b"), col("cos"))
+                pred: Column, k: Int = 50): DataFrame =
+    pairCosines(emb, id, vec, pred)
       .orderBy(col("cos").desc, col("id_a"), col("id_b"))
       .limit(k)
-  }
 
   /** Per-group centroids of an embedding column, long form: one row per
     * (group, dim) with the mean component — the shape behind k-NN class
@@ -112,31 +103,48 @@ object Similarity {
       .agg(round(avg(col("col")), 6).as("centroid"),
            count(lit(1)).as("n_vecs"))
 
-  /** Embedding-cosine near-dup DEDUP decision: keep a vector iff no
-    * LOWER-id vector within the `pred` subset has cosine ≥ `threshold`
-    * with it — the greedy survivor rule that turns near-dup pairs into a
-    * kept/dropped verdict without transitive closure (order-stable,
-    * idempotent, and what most embedding-dedup pipelines actually ship).
-    * Cosine is rounded to 6 decimals BEFORE the threshold compare so the
-    * keep/drop frontier is engine-stable.
-    *
-    * This is the exact (all-pairs within `pred`) oracle-able baseline,
-    * same posture as [[topKPairs]]; the scale path feeds the identical
-    * verdict rule with LSH/IVF candidates instead of all pairs.
+  /** Normalized cosine over all id-ordered pairs within `pred`:
+    * (id_a < id_b, cos rounded to 6). The ONE pair-construction used by
+    * both [[topKPairs]] and [[cosineDedup]] — the rounding and the
+    * dot/(na·nb) term order are parity-critical (the DuckDB oracles
+    * mirror them exactly), so the formulation must exist once.
     */
-  def cosineDedup(emb: DataFrame, id: String, vec: String,
-                  pred: Column, threshold: Double): DataFrame = {
+  private def pairCosines(emb: DataFrame, id: String, vec: String,
+                          pred: Column): DataFrame = {
     ensureRegistered(emb)
     val e = emb.filter(pred)
       .select(col(id).as("v_id"), col(vec).cast("array<double>").as("v"))
       .withColumn("n", sqrt(dotNative(col("v"), col("v"))))
     val a = e.select(col("v_id").as("id_a"), col("v").as("va"), col("n").as("na"))
     val b = e.select(col("v_id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
-    val dropped = a.join(b, col("id_a") < col("id_b"))
-      .filter(round(dotNative(col("va"), col("vb")) / (col("na") * col("nb")), 6)
-        >= threshold)
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos",
+        round(dotNative(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Embedding-cosine near-dup DEDUP decision: keep a vector iff NO
+    * lower-id vector within the `pred` subset has cosine ≥ `threshold`
+    * with it — the any-lower-id-neighbor rule. NOTE this is NOT greedy
+    * survivorship: a vector is dropped even when its similar lower-id
+    * neighbor was itself dropped (chain a~b~c with a≁c keeps only {a};
+    * greedy would keep {a, c}). The any-neighbor rule needs no iteration,
+    * is order-stable and idempotent (MaintenanceSpec), and drops a
+    * superset of greedy's drops — the conservative direction for training
+    * data. Cosine is rounded to 6 decimals BEFORE the threshold compare
+    * so the keep/drop frontier is engine-stable.
+    *
+    * This is the exact (all-pairs within `pred`) oracle-able baseline,
+    * same posture as [[topKPairs]]; the scale path feeds THIS same
+    * any-lower-id rule with LSH/IVF candidate pairs instead of all pairs.
+    */
+  def cosineDedup(emb: DataFrame, id: String, vec: String,
+                  pred: Column, threshold: Double): DataFrame = {
+    val dropped = pairCosines(emb, id, vec, pred)
+      .filter(col("cos") >= threshold)
       .select(col("id_b").as("v_id")).distinct()
-    e.join(dropped, Seq("v_id"), "left_anti").select(col("v_id"))
+    emb.filter(pred).select(col(id).as("v_id"))
+      .join(dropped, Seq("v_id"), "left_anti")
   }
 
   /** Signed-random-projection sketch: `bits` pseudo-hyperplanes whose

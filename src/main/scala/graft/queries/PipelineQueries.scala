@@ -47,7 +47,7 @@ object PipelineQueries {
         |    AS o_orderpriority
         |FROM orders
         |UNION ALL
-        |SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus,
+        |SELECT -(o_orderkey + 1) AS o_orderkey, o_custkey, o_orderstatus,
         |  o_totalprice, '9-NEW' AS o_orderpriority
         |FROM orders WHERE o_orderkey % 1000 = 0
         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
@@ -56,8 +56,11 @@ object PipelineQueries {
         col("o_totalprice"), col("o_orderpriority"))
       val reprioritized = target.filter(col("o_orderstatus") === "O")
         .withColumn("o_orderpriority", lit("1-URGENT"))
+      // synthetic insert keys are the NEGATED key space (-(k+1)) — disjoint
+      // from the non-negative real keys at EVERY scale factor, unlike any
+      // fixed additive offset a dense keyspace eventually reaches
       val lateBatch = target.filter(col("o_orderkey") % 1000 === 0)
-        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("o_orderkey", -(col("o_orderkey") + 1L))
         .withColumn("o_orderpriority", lit("9-NEW"))
       Maintenance.upsert(target, reprioritized.unionByName(lateBatch),
           Seq("o_orderkey"))
@@ -120,8 +123,11 @@ object PipelineQueries {
         round(expr("percentile(value, 0.5)"), 4).as("median_value"))
       val c = ev.groupBy(col("event_type"), col("value"))
         .agg(count(lit(1)).as("cnt"))
+      // asc_nulls_last: DuckDB's default ORDER BY is NULLS LAST, Spark's
+      // asc is NULLS FIRST — a NULL value group tying for the max count
+      // would otherwise break the tie differently per engine
       val w = Window.partitionBy(col("event_type"))
-        .orderBy(col("cnt").desc, col("value"))
+        .orderBy(col("cnt").desc, col("value").asc_nulls_last)
       val md = c.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("event_type"), col("value").as("mode_value"),

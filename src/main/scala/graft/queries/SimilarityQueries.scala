@@ -61,10 +61,11 @@ object SimilarityQueries {
         .orderBy("label", "dim")
     },
 
-    // ---- embedding-cosine near-dup dedup: greedy lower-id survivor rule
-    //      at cosine ≥ 0.35 (the corpus's ~p99.9 pair similarity, so the
-    //      rule actually drops rows on this data). Oracle = NOT EXISTS
-    //      over the same rounded cosine. ----
+    // ---- embedding-cosine near-dup dedup: any-lower-id-neighbor rule
+    //      (drop v iff SOME lower-id vector has cos ≥ 0.35 — NOT greedy
+    //      survivorship; see Similarity.cosineDedup) at the corpus's
+    //      ~p99.9 pair similarity, so the rule actually drops rows on
+    //      this data. Oracle = NOT EXISTS over the same rounded cosine. ----
     QueryDef("s06_embedding_dedup",
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
          |           FROM embeddings WHERE vec_id < 250)
