@@ -213,5 +213,32 @@ object PipelineQueries {
         .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
         .orderBy("event_id")
     },
+
+    // ---- incremental aggregation: a pre-aggregated state (orders before
+    //      the cutoff) merges with a delta batch's partials into totals
+    //      IDENTICAL to a full rescan (the oracle aggregates everything
+    //      from scratch). This is the pattern that replaces full-table
+    //      re-aggregation at 100 TB: partials are mergeable because the
+    //      sums stay DECIMAL until the final cast (addition exact,
+    //      order-independent) and counts are longs — never merge rounded
+    //      doubles. ----
+    QueryDef("q54_incremental_agg",
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("o_orderpriority")
+          .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("s"),
+               count(lit(1)).as("n"))
+      val state = partial(o.filter(col("o_orderdate") < "1997-06-01"))
+      val delta = partial(o.filter(col("o_orderdate") >= "1997-06-01"))
+      state.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(sum(col("s")).cast("double").as("revenue"),
+             sum(col("n")).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
   )
 }

@@ -38,6 +38,40 @@ object GraftProps extends Properties("graft") {
       }
     }
 
+  private val kvGen: Gen[List[(Long, Double)]] =
+    Gen.choose(1, 15).flatMap(n => Gen.listOfN(n, for {
+      k <- Gen.choose(0L, 6L) // small key space forces matched/unmatched mix
+      v <- Gen.choose(-100.0, 100.0).map(x => math.rint(x * 100) / 100)
+    } yield (k, v)))
+
+  property("upsert: |result| = |updates| + |target \\ update-keys|; idempotent") =
+    forAll(kvGen, kvGen) { (t, u) =>
+      // key-unique frames (the upsert contract)
+      val target = t.distinctBy(_._1).toDF("k", "v")
+      val updates = u.distinctBy(_._1).toDF("k", "v")
+      val once = graft.ops.Maintenance.upsert(target, updates, Seq("k"))
+      val updKeys = u.map(_._1).toSet
+      val expected = u.distinctBy(_._1).size +
+        t.distinctBy(_._1).count(r => !updKeys.contains(r._1))
+      val onceRows = once.orderBy("k", "v").collect().toSeq
+      val twiceRows = graft.ops.Maintenance.upsert(once, updates, Seq("k"))
+        .orderBy("k", "v").collect().toSeq
+      Prop(onceRows.size == expected) :| s"count ${onceRows.size} != $expected" &&
+        Prop(onceRows == twiceRows) :| "not idempotent"
+    }
+
+  property("latestPerKey picks exactly the per-key max under the order") =
+    forAll(kvGen) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((k, v), i) => (k, v, i.toLong) }.toDF("k", "v", "seq")
+      val out = graft.ops.Maintenance.latestPerKey(df,
+          Seq(col("k")), Seq(col("seq").desc))
+        .select("k", "seq").as[(Long, Long)].collect().toMap
+      val expected = rows.zipWithIndex.groupBy(_._1._1)
+        .view.mapValues(_.map(_._2.toLong).max).toMap
+      Prop(out == expected) :| s"$out != $expected"
+    }
+
   private val berkeleyRow: Gen[(Int, Int, Int, Double)] = for {
     y <- Gen.choose(1900, 2030)
     m <- Gen.choose(1, 12)
