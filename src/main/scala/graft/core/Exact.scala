@@ -16,5 +16,9 @@ object Exact {
     * accumulation order differs.
     */
   def decimalSum(c: Column, alias: String): Column =
-    sum(c.cast("decimal(18,6)")).cast("double").as(alias)
+    decimalSumExpr(c).as(alias)
+
+  /** Unaliased form, for composition inside other expressions. */
+  def decimalSumExpr(c: Column): Column =
+    sum(c.cast("decimal(18,6)")).cast("double")
 }

@@ -58,21 +58,52 @@ object TimeSeries {
     */
   def countInWindow(probe: DataFrame, probeKey: Column, probeTs: Column,
                     probeId: Column, build: DataFrame, buildKey: Column,
-                    buildTs: Column, windowSec: Long): DataFrame = {
+                    buildTs: Column, windowSec: Long): DataFrame =
+    bandedMatches(probe, probeKey, probeTs, probeId,
+        build, buildKey, buildTs, Nil, windowSec)
+      .groupBy(col("p_id"))
+      .agg(count(col("b_ts")).as("n_matches"))
+
+  /** Point-in-time feature snapshot: per probe row, count AND exact
+    * decimal sum of a build-side value over the same banded lookback
+    * window — the leakage-safe feature-backfill join a training pipeline
+    * runs to attach "user's activity in the window BEFORE the label
+    * event" features. Zero-match probes survive with (0, 0.0).
+    */
+  def aggInWindow(probe: DataFrame, probeKey: Column, probeTs: Column,
+                  probeId: Column, build: DataFrame, buildKey: Column,
+                  buildTs: Column, buildVal: Column, windowSec: Long): DataFrame =
+    bandedMatches(probe, probeKey, probeTs, probeId,
+        build, buildKey, buildTs, Seq(buildVal.as("b_val")), windowSec)
+      .groupBy(col("p_id"))
+      .agg(count(col("b_ts")).as("n_matches"),
+        coalesce(graft.core.Exact.decimalSumExpr(col("b_val")), lit(0.0))
+          .as("sum_value"))
+
+  /** The shared banding core: one row per (probe, matching build row),
+    * left semantics (zero-match probes keep one row with NULL b_ts).
+    * Probe rows are exploded to the two `window`-sized bins their
+    * lookback can span; build rows carry their own bin; the join is a
+    * pure equi-join on (key, bin) + exact range filter. A build row
+    * matches at most one exploded copy of a probe row, so no dedup pass.
+    * `buildVals` are carried through for downstream aggregation.
+    */
+  private def bandedMatches(probe: DataFrame, probeKey: Column, probeTs: Column,
+                            probeId: Column, build: DataFrame, buildKey: Column,
+                            buildTs: Column, buildVals: Seq[Column],
+                            windowSec: Long): DataFrame = {
     // integer `div` on micros — double division loses precision at 1.7e18
     val binUs = windowSec * 1000000L
     val p = probe.select(probeId.as("p_id"), probeKey.as("k"), probeTs.as("p_ts"))
       .withColumn("bin0", expr(s"unix_micros(p_ts) div $binUs"))
       .withColumn("bin", explode(array(col("bin0") - 1, col("bin0"))))
       .drop("bin0")
-    val b = build.select(buildKey.as("k"), buildTs.as("b_ts"))
+    val b = build.select((buildKey.as("k") +: buildTs.as("b_ts") +: buildVals): _*)
       .withColumn("bin", expr(s"unix_micros(b_ts) div $binUs"))
     p.join(b,
-        p("k") === b("k") && p("bin") === b("bin") &&
-          col("b_ts") >= col("p_ts") - expr(s"interval $windowSec second") &&
-          col("b_ts") <= col("p_ts"),
-        "left")
-      .groupBy(col("p_id"))
-      .agg(count(col("b_ts")).as("n_matches"))
+      p("k") === b("k") && p("bin") === b("bin") &&
+        col("b_ts") >= col("p_ts") - expr(s"interval $windowSec second") &&
+        col("b_ts") <= col("p_ts"),
+      "left")
   }
 }

@@ -240,5 +240,39 @@ object PipelineQueries {
              sum(col("n")).as("n_orders"))
         .orderBy("o_orderpriority")
     },
+
+    // ---- point-in-time feature backfill: for each purchase event, the
+    //      user's click/view count and exact value sum over the PRIOR
+    //      hour — the leakage-safe feature join a training pipeline runs
+    //      (features strictly from before the label event's timestamp).
+    //      Uses the banded interval join (equi-join on (key, time-bin) +
+    //      exact range filter), never a raw range nested loop. ----
+    QueryDef("q55_feature_backfill",
+      """SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS label_ts,
+        |  CAST(count(b.ts) AS BIGINT) AS n_prior_1h,
+        |  CAST(coalesce(sum(CAST(b.value AS DECIMAL(18,6))), 0) AS DOUBLE)
+        |    AS sum_value_1h
+        |FROM events p LEFT JOIN events b
+        |  ON b.user_id = p.user_id
+        | AND b.event_type IN ('click', 'view')
+        | AND b.ts >= p.ts - INTERVAL 1 HOUR AND b.ts <= p.ts
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY 1, 2, 3 ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val activity = ev.filter(col("event_type").isin("click", "view"))
+      graft.ops.TimeSeries.aggInWindow(
+          purchases, col("user_id"), col("ts"), col("event_id"),
+          activity, col("user_id"), col("ts"), col("value"),
+          windowSec = 3600L)
+        .withColumnRenamed("n_matches", "n_prior_1h")
+        .withColumnRenamed("sum_value", "sum_value_1h")
+        .join(purchases.select(col("event_id").as("p_id"), col("user_id"),
+          tsStr(col("ts")).as("label_ts")), "p_id")
+        .select(col("p_id").as("event_id"), col("user_id"), col("label_ts"),
+          col("n_prior_1h"), col("sum_value_1h"))
+        .orderBy("event_id")
+    },
   )
 }

@@ -412,6 +412,32 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- unigram-LM surprisal score: per-doc mean −ln p(word) under the
+    //      corpus unigram distribution — the cheap shape of perplexity
+    //      filtering (CCNet-style): high scores = rare-token/junk docs,
+    //      low = repetitive boilerplate. One token count table, joined
+    //      back to the exploded tokens, one per-doc aggregate; the corpus
+    //      total rides a crossed 1-row aggregate (no collect). ----
+    QueryDef("t22_unigram_surprisal",
+      s"""WITH tok AS (SELECT doc_id, unnest($duckWords) AS term FROM documents),
+         |cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+         |n AS (SELECT sum(c) AS n_tok FROM cnt)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  round(-avg(ln(CAST(c AS DOUBLE) / n_tok)), 6) AS avg_surprisal
+         |FROM tok JOIN cnt USING (term) CROSS JOIN n
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextOps.words(col("text"))).as("term"))
+      val cnt = tok.groupBy("term").agg(count(lit(1)).as("c"))
+      val n = cnt.agg(sum(col("c")).as("n_tok"))
+      tok.join(cnt, "term").crossJoin(broadcast(n))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(-avg(log(col("c").cast("double") / col("n_tok"))), 6)
+            .as("avg_surprisal"))
+        .orderBy("doc_id")
+    },
+
     // MinHash-LSH verified near-dup pairs (murmur3 → no oracle).
     QueryDef.noOracle("t07_minhash_lsh") { (s, dir) =>
       Dedup.minhashNearDups(Tables.documents(s, dir), col("doc_id"), col("text"))
