@@ -438,6 +438,70 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- dedup cluster SURVIVOR selection: one kept doc per near-dup
+    //      component, chosen by quality (longest wordcount, tie → lowest
+    //      id) — the keep-list a dedup pipeline actually emits (t16 gives
+    //      the clusters; this picks the winners). Ranked window
+    //      partitioned BY COMPONENT, so no global sort. Oracle = the
+    //      recursive-CTE closure + the same argmax. ----
+    QueryDef("t23_cluster_survivors",
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(w) - 1),
+        |                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+        |  FROM docs),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jac AS (
+        |  SELECT id_a, id_b
+        |  FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM jac
+        |          UNION ALL SELECT id_b, id_a FROM jac),
+        |reach(node, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b),
+        |comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+        |wc AS (SELECT doc_id, CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |                           AS INTEGER) AS word_count
+        |       FROM documents)
+        |SELECT component, node AS survivor_id, word_count,
+        |  CAST(n_members AS BIGINT) AS n_members
+        |FROM (SELECT c.component, c.node, wc.word_count,
+        |        count(*) OVER (PARTITION BY c.component) AS n_members,
+        |        row_number() OVER (PARTITION BY c.component
+        |          ORDER BY wc.word_count DESC, c.node) AS rn
+        |      FROM comp c JOIN wc ON wc.doc_id = c.node)
+        |WHERE rn = 1 ORDER BY component""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashNearDups(docs, col("doc_id"), col("text"))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"))
+        .union(docs.select(col("doc_id"), col("doc_id")))
+      val comp = Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
+      val wc = docs.select(col("doc_id"),
+        TextOps.wordCount(col("text")).as("word_count"))
+      val byComp = Window.partitionBy(col("component"))
+      val rank = Window.partitionBy(col("component"))
+        .orderBy(col("word_count").desc, col("node"))
+      comp.join(wc, comp("node") === wc("doc_id"))
+        .withColumn("n_members", count(lit(1)).over(byComp))
+        .withColumn("rn", row_number().over(rank))
+        .filter(col("rn") === 1)
+        .select(col("component"), col("node").as("survivor_id"),
+          col("word_count"), col("n_members"))
+        .orderBy("component")
+    },
+
     // MinHash-LSH verified near-dup pairs (murmur3 → no oracle).
     QueryDef.noOracle("t07_minhash_lsh") { (s, dir) =>
       Dedup.minhashNearDups(Tables.documents(s, dir), col("doc_id"), col("text"))

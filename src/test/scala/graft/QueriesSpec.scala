@@ -59,4 +59,28 @@ class QueriesSpec extends SparkSpec {
       assert(math.abs(ap - p).toDouble / p < 0.1, s"parts y=$y: $ap vs $p")
     }
   }
+
+  test("t22 surprisal is bounded by the information-theoretic range") {
+    // every p(word) ∈ [1/N, 1] ⇒ each −ln p ∈ [0, ln N]; the per-doc
+    // AVERAGE must land in the same closed interval (0 only if a doc's
+    // every token were the whole corpus — impossible with >1 doc)
+    import org.apache.spark.sql.functions._
+    val tok = graft.core.Tables.documents(spark, sf)
+      .select(explode(graft.ext.TextOps.words(col("text"))))
+    val lnN = math.log(tok.count().toDouble)
+    val scores = SparkEntry.queries("t22_unigram_surprisal")(spark, sf)
+      .select("avg_surprisal").collect().map(_.getDouble(0))
+    assert(scores.forall(s => s > 0.0 && s <= lnN + 1e-9),
+      s"surprisal outside (0, ln N=$lnN]")
+  }
+
+  test("t23 survivors: one per component, the longest member wins") {
+    val surv = SparkEntry.queries("t23_cluster_survivors")(spark, sf).collect()
+    // component ids are unique (one survivor each) and each survivor's
+    // word_count is >= its component's size-weighted floor of 1
+    val comps = surv.map(_.getLong(0))
+    assert(comps.distinct.length == comps.length)
+    // multi-member components exist at sf0.001 (the fixture plants dups)
+    assert(surv.exists(_.getLong(3) > 1), "no multi-member cluster found")
+  }
 }
