@@ -132,6 +132,13 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Broadcast"), plan)
   }
 
+  test("q55 feature backfill: banded agg join is hash/merge, never BNLJ") {
+    val q = SparkEntry.queries("q55_feature_backfill")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
   test("global top-k plans as TakeOrderedAndProject, not a global sort") {
     val q = Tables.orders(spark, sf)
       .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)

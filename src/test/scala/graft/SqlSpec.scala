@@ -28,6 +28,19 @@ class SqlSpec extends SparkSpec {
     assert(sqlAgg.collect().toSeq == dfAgg.collect().toSeq)
   }
 
+  test("spark.sql window/qualify form == Maintenance.latestPerKey (q49)") {
+    Tables.registerAll(spark, sf)
+    val viaSql = spark.sql(
+      """SELECT user_id, event_id FROM (
+        |  SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin)
+    val viaDf = graft.ops.Maintenance.latestPerKey(Tables.events(spark, sf),
+        Seq(col("user_id")), Seq(col("ts").desc, col("event_id").desc))
+      .select("user_id", "event_id").orderBy("user_id")
+    assert(viaSql.collect().toSeq == viaDf.collect().toSeq)
+  }
+
   test("spark.sql sees the nanos-normalized events view") {
     Tables.registerAll(spark, sf)
     val viaSql = spark.sql("SELECT min(ts) AS lo FROM events").collect()(0)
