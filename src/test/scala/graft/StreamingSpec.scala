@@ -69,6 +69,35 @@ class StreamingSpec extends SparkSpec {
     assert(n == rows.length)
   }
 
+  test("st02 exact config: streaming 15-min tumbling agg == batch query") {
+    // the st02 oracle query's precise shape (15-minute windows keyed by
+    // event_type, decimal-exact sums) replayed through MemoryStream —
+    // pins the batch==stream claim for the config the driver verifies
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.core.Tables.events(spark, sf)
+      .select("ts", "event_type", "value").limit(500).collect()
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val sdf = mem.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "1 hour")
+    val q = StreamOps.tumblingAgg("ts", "event_type", "15 minutes")(sdf)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("st02_out").start()
+    mem.addData(ev.map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2))): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("st02_out")
+      .select(col("window.start").as("w"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("w", "event_type").collect().toSeq
+    q.stop()
+    val batch = StreamOps.tumblingAgg("ts", "event_type", "15 minutes")(
+        spark.createDataFrame(spark.sparkContext.parallelize(ev.toSeq),
+          graft.core.Tables.events(spark, sf)
+            .select("ts", "event_type", "value").schema))
+      .select(col("window.start").as("w"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("w", "event_type").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("enrich: stream-static broadcast join adds dimension columns") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
