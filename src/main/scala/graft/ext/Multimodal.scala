@@ -34,7 +34,10 @@ object Multimodal {
   def mediaMeta(df: DataFrame, media: Column, sizeHint: Column): DataFrame =
     df.withColumn("byte_len", length(media))
       .withColumn("width", (sizeHint % 640 + 32).cast("int"))
-      .withColumn("height", ((sizeHint * 7) % 480 + 32).cast("int"))
+      // long math before the multiply: an int sizeHint over ~306M would
+      // overflow sizeHint * 7 and wrap the fake height negative
+      .withColumn("height",
+        ((sizeHint.cast("long") * 7) % 480 + 32).cast("int"))
 
   /** Frame sampling: slice the payload into `n` fixed-stride frames,
     * exploded to (id, frame_idx, frame) rows — the real plumbing shape a
@@ -64,7 +67,8 @@ object Multimodal {
     val crc = new java.util.zip.CRC32
     crc.update(m.media)
     val w = (m.media.length % 640) + 32
-    val h = ((m.media.length * 7) % 480) + 32
+    // long math: length * 7 overflows Int for media over ~306 MB
+    val h = ((m.media.length.toLong * 7) % 480).toInt + 32
     DecodedRow(m.doc_id, w, h, w.toLong * h, crc.getValue)
   }
 

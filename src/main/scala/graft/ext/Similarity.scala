@@ -154,6 +154,9 @@ object Similarity {
     */
   def rpSketch(emb: DataFrame, id: String, vec: String,
                bits: Int = 32, bands: Int = 4): DataFrame = {
+    require(bits % bands == 0,
+      s"bits ($bits) must divide evenly into bands ($bands) — leftover " +
+        "projections would be computed but silently dropped from the sketch")
     val exploded = emb.select(col(id).as("doc"), posexplode(col(vec).cast("array<double>")))
     val projs = (0 until bits).map { b =>
       sum(when(hash(lit(b), col("pos")) % 2 === 0, col("col"))

@@ -71,7 +71,11 @@ object TextOps {
     val scores = langScores(text).map(_._2)
     val allZero = scores.reduce(_ + _) === 0
     val Seq(en, de, es, fr, zh) = scores
-    when(allZero, "und")
+    // NULL text → NULL prediction. Without this guard size(null) = -1
+    // (non-ANSI) defeats the all-zero check and -1 >= -1 ties resolve to
+    // a confident 'en' for a document that doesn't exist.
+    when(text.isNull, lit(null).cast("string"))
+      .when(allZero, "und")
       .when(en >= de && en >= es && en >= fr && en >= zh, "en")
       .when(de >= es && de >= fr && de >= zh, "de")
       .when(es >= fr && es >= zh, "es")

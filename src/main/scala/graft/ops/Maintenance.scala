@@ -28,6 +28,11 @@ object Maintenance {
     * + union of the updates. The anti join shuffles on `keys`, or
     * broadcasts when the distinct update-key set is small — the normal
     * incremental-batch case; AQE picks that automatically.
+    *
+    * CONTRACT: `updates` must be key-unique (one row per `keys` value) —
+    * SQL MERGE errors on multiple source matches; this passes every
+    * update row through, breaking the target's key invariant. Compact a
+    * multi-version CDC batch with [[latestPerKey]] first.
     */
   def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
     val updKeys = updates.select(keys.map(col): _*).distinct()

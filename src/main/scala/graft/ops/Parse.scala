@@ -29,6 +29,10 @@ object Parse {
     // modes — an empty line yields one token and index 5 must be null,
     // not SparkArrayIndexOutOfBoundsException (found by GraftProps).
     graft.core.GraftConf.ensure(df.sparkSession)
+    // The comment filter tests the UNTRIMMED line while the tokenizer
+    // trims — deliberate: it replicates the reference exactly
+    // (jobs/02_bronze_to_silver.py:18 filters raw `value`), so a comment
+    // line with LEADING whitespace is parsed as data there and here both.
     val base = commentPrefix match {
       case Some(p) => df.filter(!value.startsWith(p))
       case None    => df

@@ -20,11 +20,19 @@ object Skew {
   /** Inner equi-join on `key` with the left side salted into `salts`
     * buckets and the right side replicated per salt. `right` must be the
     * smaller side (it is replicated ×salts).
+    *
+    * The salt is a DETERMINISTIC hash of the whole left row, never a
+    * nondeterministic expression (mid/rand): a nondeterministic value
+    * feeding a shuffle key re-rolls on task retry, landing recomputed
+    * rows in different reducers than their already-fetched copies —
+    * duplicated/lost rows under fetch failure (the rand()-partitioning
+    * hazard). Trade-off: fully identical duplicate rows share a salt and
+    * don't spread — run exact dedup first if that's your skew.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  salts: Int = 8): DataFrame = {
     val salted = left.withColumn("__salt",
-      pmod(hash(col(key), monotonically_increasing_id()), lit(salts)).cast("int"))
+      pmod(hash(left.columns.map(col): _*), lit(salts)).cast("int"))
     val saltValues = right.sparkSession.range(salts)
       .select(col("id").cast("int").as("__salt"))
     val replicated = right.crossJoin(broadcast(saltValues))

@@ -45,7 +45,12 @@ object Stats {
     * one task — a hot key (one user with 10⁹ events) serializes; this
     * formulation shuffles only the per-key (avg, stddev) pairs and
     * re-joins (broadcast when the key cardinality is small). Use this at
-    * scale whenever key skew is possible; results are bit-identical.
+    * scale whenever key skew is possible. Results match [[zscore]] up to
+    * floating-point aggregation order: the hash aggregate merges
+    * per-partition partials in arbitrary order while the window folds
+    * sequentially, so avg/stddev can differ in the last ulps when a key
+    * spans partitions — q31's oracle rounds z to 4 decimals, which
+    * absorbs this; don't claim raw-double equality across the two forms.
     */
   def zscoreViaAgg(value: Column, partitionBy: Seq[Column], out: String = "z_score")(
       df: DataFrame): DataFrame = {
@@ -109,6 +114,8 @@ object Stats {
     * (SURVEY.md §2.6 A6). Single global aggregate, one reduce.
     */
   def nullProfile(df: DataFrame): DataFrame =
+    // df(c), not col(c): exact-name resolution — a column literally named
+    // "user.name" would otherwise parse as struct-field access and throw
     df.select(df.columns.toSeq.map(c =>
-      sum(col(c).isNull.cast("long")).as(c)): _*)
+      sum(df(c).isNull.cast("long")).as(c)): _*)
 }

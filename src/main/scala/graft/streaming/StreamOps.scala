@@ -17,19 +17,21 @@ object StreamOps {
     * `.withWatermark(tsCol, horizon)` upstream; state is then bounded by
     * the watermark and windows finalize in append mode.
     */
-  def tumblingAgg(tsCol: String, keyCol: String, width: String)(df: DataFrame): DataFrame =
+  def tumblingAgg(tsCol: String, keyCol: String, width: String,
+                  valueCol: String = "value")(df: DataFrame): DataFrame =
     df.groupBy(window(col(tsCol), width), col(keyCol))
       .agg(count(lit(1)).as("n"),
-        graft.core.Exact.decimalSum(col("value"), "sum_value"))
+        graft.core.Exact.decimalSum(col(valueCol), "sum_value"))
 
   /** Event-time sessionization via the built-in session_window: events
     * within `gap` of each other merge into one session per key. Identical
     * semantics batch and streaming (streaming needs a watermark).
     */
-  def sessionAgg(tsCol: String, keyCol: String, gap: String)(df: DataFrame): DataFrame =
+  def sessionAgg(tsCol: String, keyCol: String, gap: String,
+                 valueCol: String = "value")(df: DataFrame): DataFrame =
     df.groupBy(session_window(col(tsCol), gap), col(keyCol))
       .agg(count(lit(1)).as("n_events"),
-        graft.core.Exact.decimalSum(col("value"), "sum_value"))
+        graft.core.Exact.decimalSum(col(valueCol), "sum_value"))
 
   /** Stream-static enrichment: join the stream against a (small, slowly
     * changing) dimension — broadcast per micro-batch, no stream-side
@@ -61,10 +63,15 @@ object StreamOps {
       .drop(r(key))
   }
 
-  /** Streaming exact dedup: drop rows whose `keyCols` were already seen,
-    * with state bounded by the watermark (late duplicates beyond the
+  /** Streaming EXACT-re-delivery dedup: the dedup key is `keyCols` PLUS
+    * the event timestamp — a replayed row with identical (key, ts) drops,
+    * the same key at a different ts survives (StreamingSpec pins this).
+    * State is bounded by the watermark (late duplicates beyond the
     * horizon are the accepted trade — unbounded-state dedup doesn't exist
-    * at scale). Batch mode: plain dropDuplicates.
+    * at scale). For id-only dedup regardless of ts, use
+    * `dropDuplicatesWithinWatermark(keyCols)` instead — different
+    * semantics, same bounded-state posture. Batch mode: plain
+    * dropDuplicates on the same (key, ts) set.
     */
   def dedupStream(keyCols: Seq[String], tsCol: String, watermark: String)(
       df: DataFrame): DataFrame =
