@@ -75,6 +75,21 @@ object IVF {
   /** Nearest-centroid assignment: (vid, v, cell) via broadcast cross join
     * + argmin window (squared L2; ties broken by cell id).
     */
+  /** The stored-index build: every vector labeled with its coarse cell —
+    * (vid, v, cell). Persist this partitioned BY `cell` and a probe scan
+    * reads nprobe/cells of the data via partition pruning instead of the
+    * full table (PartitionPruningSpec proves the pruned scan). This is
+    * the at-scale deployment of [[ivfTopK]]'s in-query assignment.
+    */
+  def assignTable(emb: DataFrame, id: String, vec: String,
+                  cells: Int = 8, iters: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val centroids = kmeansCentroids(emb, id, vec, cells, iters)
+    assignCells(
+      emb.select(col(id).as("vid"), col(vec).cast("array<double>").as("v")),
+      centroids)
+  }
+
   private def assignCells(v: DataFrame, centroids: DataFrame): DataFrame = {
     val d2 = dotNative(col("v"), col("v")) - lit(2.0) * dotNative(col("v"), col("c")) +
       dotNative(col("c"), col("c"))

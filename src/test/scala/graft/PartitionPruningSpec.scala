@@ -32,4 +32,25 @@ class PartitionPruningSpec extends SparkSpec {
     assert(files.nonEmpty && files.forall(_.contains("day=2024-01-03")),
       s"scan leaked outside the pruned partition: ${files.take(3).mkString}")
   }
+
+  test("IVF stored index: cell-partitioned write -> probe scan reads only probed cells") {
+    // the at-scale IVF deployment SCALE.md describes, executed: vectors
+    // labeled with their coarse cell, persisted partitioned by cell, and
+    // an nprobe=2 probe scan provably touches only the two probed
+    // partitions (nprobe/cells of the data, not all of it)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val assigned = graft.ext.IVF.assignTable(
+      Tables.embeddings(spark, sf), "vec_id", "embedding", cells = 4, iters = 2)
+    graft.sources.Sinks.partitionedParquet(assigned, dir, Seq("cell"))
+
+    val probed = assigned.groupBy("cell").count()
+      .orderBy(col("count").desc, col("cell")).limit(2)
+      .collect().map(_.getInt(0))
+    val q = spark.read.parquet(dir).filter(col("cell").isin(probed.map(Int.box): _*))
+    val files = q.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty &&
+      files.forall(f => probed.exists(c => f.contains(s"cell=$c"))),
+      s"probe scan leaked outside cells ${probed.mkString(",")}: ${files.take(3).mkString}")
+  }
 }
