@@ -91,8 +91,15 @@ object Dedup {
     // Join on xxhash64(shingle), not the shingle string: 8-byte shuffle
     // keys instead of ~30-byte strings (same results; a 64-bit collision
     // altering a count is ~2^-64 per shingle pair — ignorable).
+    // localCheckpoint: the (doc, sh) rows feed FOUR consumers (both join
+    // sides + both size lookups) and Catalyst plans four full
+    // tokenize+shingle+explode passes otherwise (no exchange reuse —
+    // the subtrees differ; measured 4 scans in the physical plan).
+    // Materialized it's 16 bytes/row; on a cluster swap for persist() or
+    // a staged table — same role, executor-loss tolerant.
     val shAll = shingleRows(df, id, text, n)
       .select(col("doc"), xxhash64(col("s")).as("sh"))
+      .localCheckpoint()
     val sh =
       if (maxDf == Long.MaxValue) shAll
       else {
