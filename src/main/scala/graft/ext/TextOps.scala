@@ -114,9 +114,16 @@ object TextOps {
     */
   def tfidfTopK(df: DataFrame, id: Column, text: Column, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // localCheckpoint: tf feeds three consumers (dfreq, the join back,
+    // and transitively the window) — without it each consumer re-plans
+    // the full tokenize+explode pass (measured 3 parquet scans). The
+    // materialized table is O(distinct doc-term pairs), far smaller than
+    // the exploded token stream; on a cluster this is the persisted
+    // term-frequency table every TF-IDF pipeline stages anyway.
     val tf = df.select(id.as("doc"), words(text).as("w"))
       .select(col("doc"), explode(col("w")).as("term"))
       .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc").orderBy(col("tfidf").desc, col("term"))

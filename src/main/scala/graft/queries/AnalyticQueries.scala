@@ -278,8 +278,12 @@ object AnalyticQueries {
         |        * ln((CAST(c AS DOUBLE) / s.n) / (CAST(gc AS DOUBLE) / tot.n))), 6) AS kl
         |FROM sl JOIN s USING (source) JOIN g USING (lang) CROSS JOIN tot
         |GROUP BY source, s.n ORDER BY source""".stripMargin) { (s, dir) =>
+      // the (source, lang) count table feeds FOUR consumers (itself, the
+      // two marginals, the total) — materialize once (O(categories) rows)
+      // or each derives from its own full scan of the fact
       val sl = Tables.documents(s, dir)
         .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
       val perSource = sl.groupBy("source").agg(sum(col("c")).as("n"))
       val perLang = sl.groupBy("lang").agg(sum(col("c")).as("gc"))
       val total = sl.agg(sum(col("c")).as("tot"))

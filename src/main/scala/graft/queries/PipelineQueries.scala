@@ -176,10 +176,13 @@ object PipelineQueries {
         |        * ln((CAST(c AS DOUBLE)/et.n) / (CAST(gc AS DOUBLE)/tot.n))), 6) AS psi
         |FROM eb JOIN et USING (event_type) JOIN gb USING (bucket) CROSS JOIN tot
         |GROUP BY event_type, et.n ORDER BY event_type""".stripMargin) { (s, dir) =>
+      // same shape as q43: the count table feeds four consumers —
+      // materialize once instead of four fact scans
       val eb = Tables.events(s, dir)
         .groupBy(col("event_type"),
           floor(col("value") / 25.0).cast("int").as("bucket"))
         .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
       val et = eb.groupBy("event_type").agg(sum(col("c")).as("n"))
       val gb = eb.groupBy("bucket").agg(sum(col("c")).as("gc"))
       val tot = eb.agg(sum(col("c")).as("tot"))

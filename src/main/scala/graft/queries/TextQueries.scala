@@ -428,7 +428,11 @@ object TextQueries {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val tok = Tables.documents(s, dir)
         .select(col("doc_id"), explode(TextOps.words(col("text"))).as("term"))
+      // vocab-sized count table consumed by the total AND the join-back —
+      // materialized so only the join re-explodes the corpus (tok itself
+      // is the one thing NOT worth materializing: it's bigger than input)
       val cnt = tok.groupBy("term").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
       val n = cnt.agg(sum(col("c")).as("n_tok"))
       tok.join(cnt, "term").crossJoin(broadcast(n))
         .groupBy("doc_id")
