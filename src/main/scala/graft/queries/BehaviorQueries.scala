@@ -102,5 +102,48 @@ object BehaviorQueries {
         .crossJoin(c.agg(count(lit(1)).as("n_click")))
         .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
     },
+
+    // ---- gap-based batch sessionization: a new session starts after a
+    //      >30-minute silence. lag + running-sum over ONE user-partitioned
+    //      window, then a per-(user, session) aggregate that reuses the
+    //      window's hash partitioning (user_id ⊆ grouping keys ⇒ Catalyst
+    //      inserts NO second exchange — one shuffle end to end). This is
+    //      the batch twin of st01's streaming session window; at 100 TB it
+    //      scales because state is per-user-partition, never global. ----
+    QueryDef("q58_sessionize",
+      """WITH l AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT user_id, ts,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM l)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val run = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L,
+            1L).otherwise(0L))
+        .withColumn("session_seq", sum(col("is_new")).over(run))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(tsStr(min(col("ts"))).as("session_start"),
+          tsStr(max(col("ts"))).as("session_end"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    },
   )
 }

@@ -277,5 +277,78 @@ object PipelineQueries {
           col("n_prior_1h"), col("sum_value_1h"))
         .orderBy("event_id")
     },
+
+    // ---- data-quality constraint audit: one row per declared rule with
+    //      its violation count — the expectation-suite check a pipeline
+    //      runs before promoting a batch. ONE aggregate pass computes all
+    //      rule counters as conditional sums (map-side combine, shuffle
+    //      volume = one row), then `stack` unpivots the single row to
+    //      rule-per-row. Adding a rule adds a column to the same scan,
+    //      never another pass — that is what keeps an expectation suite
+    //      affordable at 100 TB. ----
+    QueryDef("q56_constraint_audit",
+      """WITH a AS (SELECT count(*) AS n_rows,
+        |  sum(CASE WHEN value < 0 OR value > 400 THEN 1 ELSE 0 END) AS value_out_of_range,
+        |  sum(CASE WHEN event_type NOT IN ('view','click','purchase','signup') THEN 1 ELSE 0 END) AS unknown_event_type,
+        |  sum(CASE WHEN user_id IS NULL OR value IS NULL THEN 1 ELSE 0 END) AS null_required_field,
+        |  sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 90
+        |            OR json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS props_k_out_of_range
+        |  FROM events)
+        |SELECT * FROM (
+        |  SELECT 'null_required_field' AS rule, null_required_field AS n_violations, n_rows FROM a
+        |  UNION ALL SELECT 'props_k_out_of_range', props_k_out_of_range, n_rows FROM a
+        |  UNION ALL SELECT 'unknown_event_type', unknown_event_type, n_rows FROM a
+        |  UNION ALL SELECT 'value_out_of_range', value_out_of_range, n_rows FROM a)
+        |ORDER BY rule""".stripMargin) { (s, dir) =>
+      def viol(c: org.apache.spark.sql.Column) =
+        sum(when(c, 1L).otherwise(0L))
+      Tables.events(s, dir)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          viol(col("value") < 0 || col("value") > 400).as("r1"),
+          viol(!col("event_type").isin("view", "click", "purchase", "signup")).as("r2"),
+          viol(col("user_id").isNull || col("value").isNull).as("r3"),
+          viol(get_json_object(col("props"), "$.k").cast("int") > 90
+            || get_json_object(col("props"), "$.k").isNull).as("r4"))
+        .selectExpr(
+          """stack(4,
+            |  'value_out_of_range', r1,
+            |  'unknown_event_type', r2,
+            |  'null_required_field', r3,
+            |  'props_k_out_of_range', r4) AS (rule, n_violations)""".stripMargin,
+          "n_rows")
+        .orderBy("rule")
+    },
+
+    // ---- winsorized robust statistics: per-group p05/p95 clamp, then
+    //      mean/stddev of the clamped values — the outlier-robust KPI a
+    //      monitoring pipeline prefers over raw means. Bounds come from
+    //      one exact-percentile aggregate (5 rows) broadcast back onto
+    //      the fact; at 100 TB the exact percentile becomes
+    //      approx_percentile exactly as q44→q45 swaps (same plan shape,
+    //      sketch instead of sort). ----
+    QueryDef("q57_winsorized_stats",
+      """WITH b AS (SELECT event_type,
+        |    quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(min(b.lo), 6) AS p05, round(min(b.hi), 6) AS p95,
+        |  round(avg(least(greatest(e.value, b.lo), b.hi)), 6) AS avg_winsorized,
+        |  round(stddev_samp(least(greatest(e.value, b.lo), b.hi)), 6) AS sd_winsorized
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val bounds = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.05)").as("lo"),
+             expr("percentile(value, 0.95)").as("hi"))
+      val w = least(greatest(col("value"), col("lo")), col("hi"))
+      ev.join(broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(min(col("lo")), 6).as("p05"), round(min(col("hi")), 6).as("p95"),
+          round(avg(w), 6).as("avg_winsorized"),
+          round(stddev_samp(w), 6).as("sd_winsorized"))
+        .orderBy("event_type")
+    },
   )
 }
