@@ -46,6 +46,10 @@ object TextOps {
       "quality_score" -> score)
   }
 
+  /** The composite quality score alone (see [[qualityFeatures]]). */
+  def qualityScore(text: Column): Column =
+    qualityFeatures(text).collectFirst { case ("quality_score", c) => c }.get
+
   /** Per-language indicator stopwords for the n-gram/stopword language-ID
     * heuristic. Deterministic argmax with fixed preference order on ties.
     */

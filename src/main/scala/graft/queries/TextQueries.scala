@@ -17,6 +17,11 @@ object TextQueries {
   /** Shared DuckDB fragments mirroring TextOps. */
   private val duckWords = "regexp_split_to_array(lower(trim(text)), '\\s+')"
   private val duckStops = "('the','a','of','and','to','in')"
+  /** DuckDB twin of TextOps.qualityScore (same formula as t02's oracle). */
+  private val duckQuality =
+    s"""round(least(CAST(len(list_filter($duckWords, w -> w IN $duckStops)) AS DOUBLE)
+       |            / len($duckWords) * 5.0, 1.0) * 0.5
+       |      + least(len($duckWords) / 100.0, 1.0) * 0.5, 4)""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
 
@@ -504,6 +509,71 @@ object TextQueries {
         .select(col("component"), col("node").as("survivor_id"),
           col("word_count"), col("n_members"))
         .orderBy("component")
+    },
+
+    // ---- per-domain document cap: keep the 10 highest-quality docs per
+    //      source — the domain-rebalancing step a web-corpus pipeline runs
+    //      so no single domain dominates training data. Two-phase ranking:
+    //      a (source, salt) local top-k bounds any one domain's sort to
+    //      1/SALTS of its rows (a boilerplate mega-domain at 100 TB never
+    //      funnels through one task), then the global per-source rank sees
+    //      only SALTS·k survivors. Ranking is a total order (rounded score
+    //      DESC, doc_id) so the two-phase result is IDENTICAL to the
+    //      oracle's single-window form. ----
+    QueryDef("t24_domain_cap",
+      s"""SELECT source, CAST(rn AS INTEGER) AS rn, doc_id, quality_score
+         |FROM (SELECT source, doc_id, $duckQuality AS quality_score,
+         |        row_number() OVER (PARTITION BY source
+         |          ORDER BY $duckQuality DESC, doc_id) AS rn
+         |      FROM documents)
+         |WHERE rn <= 10 ORDER BY source, rn""".stripMargin) { (s, dir) =>
+      val k = 10; val salts = 4
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        TextOps.qualityScore(col("text")).as("quality_score"))
+      val local = Window.partitionBy(col("source"), col("doc_id") % salts)
+        .orderBy(col("quality_score").desc, col("doc_id"))
+      val global = Window.partitionBy(col("source"))
+        .orderBy(col("quality_score").desc, col("doc_id"))
+      docs.withColumn("lrn", row_number().over(local)).filter(col("lrn") <= k)
+        .withColumn("rn", row_number().over(global)).filter(col("rn") <= k)
+        .select(col("source"), col("rn"), col("doc_id"), col("quality_score"))
+        .orderBy("source", "rn")
+    },
+
+    // ---- vocabulary coverage / OOV rate: top-50 corpus vocabulary (by
+    //      total term frequency, term-asc tie-break), then each doc's
+    //      token count, in-vocab count, and OOV ratio. The (doc, term, tf)
+    //      table is materialized ONCE (localCheckpoint) and feeds both the
+    //      vocab aggregate and the coverage join — one tokenize pass, not
+    //      two (the multi-consumer scan rule, SCALE.md). The vocab is 50
+    //      rows → broadcast; the coverage side never shuffles tokens. ----
+    QueryDef("t25_vocab_coverage",
+      s"""WITH tok AS (SELECT doc_id, unnest($duckWords) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |v AS (SELECT term FROM (SELECT term, sum(tf) AS cnt FROM tf
+         |                        GROUP BY 1 ORDER BY cnt DESC, term LIMIT 50)),
+         |j AS (SELECT tf.doc_id, tf.tf,
+         |        CASE WHEN v.term IS NOT NULL THEN tf.tf ELSE 0 END AS iv
+         |      FROM tf LEFT JOIN v ON tf.term = v.term)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |  CAST(sum(iv) AS BIGINT) AS n_in_vocab,
+         |  round(1.0 - CAST(sum(iv) AS DOUBLE) / sum(tf), 6) AS oov_ratio
+         |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val tf = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextOps.words(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
+      val vocab = tf.groupBy("term").agg(sum(col("tf")).as("cnt"))
+        .orderBy(col("cnt").desc, col("term")).limit(50)
+        .select(col("term"), lit(1).as("in_vocab"))
+      tf.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy("doc_id")
+        .agg(sum(col("tf")).as("n_tokens"),
+          sum(when(col("in_vocab").isNotNull, col("tf")).otherwise(0L))
+            .as("n_in_vocab"))
+        .withColumn("oov_ratio",
+          round(lit(1.0) - col("n_in_vocab").cast("double") / col("n_tokens"), 6))
+        .orderBy("doc_id")
     },
 
     // MinHash-LSH verified near-dup pairs (murmur3 → no oracle).
