@@ -248,6 +248,51 @@ object Dedup {
       .groupBy("doc").agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Bloom-filter decontamination — the constant-memory scale path for
+    * [[contamination]]'s exact join. The eval side builds a Bloom filter
+    * over xxhash64(shingle) with a DISTRIBUTED tree-aggregate (only the
+    * final bitset reaches the driver — the same materialization a
+    * scalar-subquery runtime filter performs), and the train side is then
+    * filtered MAP-SIDE by Catalyst's native `BloomFilterMightContain`:
+    * the train corpus is never shuffled at all, vs the exact form's join
+    * on the shingle key. At 100 TB that's the difference between a full
+    * corpus shuffle and a pure scan.
+    *
+    * False positives (rate ≤ fpp per probe) can inflate `n_maybe_shared`
+    * or flag a clean doc; false NEGATIVES are impossible — the flagged
+    * set is a guaranteed superset of the exact contamination set and
+    * per-doc counts are ≥ the exact counts (DedupSpec pins both). The
+    * whole operator is deterministic: Bloom hashing has no RNG.
+    *
+    * Returns (doc, n_maybe_shared) for flagged train docs.
+    */
+  def contaminationBloom(df: DataFrame, id: Column, text: Column,
+                         evalPred: Column, n: Int = 3,
+                         fpp: Double = 0.001): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val sh = df.select(id.as("doc"), evalPred.as("is_eval"),
+        TextOps.words(text).as("w"))
+      .select(col("doc"), col("is_eval"),
+        explode(shinglesOfWords(col("w"), n)).as("s"))
+    val evalHashes = sh.filter(col("is_eval"))
+      .select(xxhash64(col("s")).as("h")).distinct()
+    // Sizing pass over the (small) eval side only — one count job, like
+    // IVF's centroid materialization. The bitset is then a plan literal:
+    // ~1.2 MB per 10⁶ eval shingles at fpp=1e-3, shipped once per task
+    // binary. For eval sets beyond ~10⁷ shingles, build per-partition
+    // blooms or fall back to the exact join.
+    val nItems = math.max(1L, evalHashes.count())
+    val bloom = evalHashes.stat.bloomFilter("h", nItems, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    sh.filter(!col("is_eval"))
+      .filter(call_function("graft_might_contain", lit(bytes), col("s")))
+      .groupBy("doc").agg(count(lit(1)).as("n_maybe_shared"))
+  }
+
   // ---------- near-dup clustering (connected components) ----------
 
   /** Connected components over an undirected pair graph — the step that

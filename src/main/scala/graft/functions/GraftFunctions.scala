@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, XxHash64}
 import org.apache.spark.sql.functions.call_function
 
 /** Registration + Column-API surface for the engine's native expressions.
@@ -37,6 +37,15 @@ object GraftFunctions {
     "graft_dot" -> (exprs => {
       require(exprs.length == 2, "graft_dot requires exactly two array<double> arguments")
       DotProduct(exprs(0), exprs(1))
+    }),
+    // Catalyst's native bloom-probe (the expression behind runtime join
+    // filters), fed the same XxHash64 the build side put in. The bloom
+    // argument must be foldable (a literal) — BloomFilterMightContain
+    // enforces that itself at analysis.
+    "graft_might_contain" -> (exprs => {
+      require(exprs.length == 2,
+        "graft_might_contain requires (bloom binary, value) arguments")
+      BloomFilterMightContain(exprs(0), new XxHash64(Seq(exprs(1))))
     }))
 
   def register(spark: SparkSession): Unit =
@@ -82,5 +91,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       GraftFunctions.builderFor("graft_dot")))
+    e.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),
+      GraftFunctions.builderFor("graft_might_contain")))
   }
 }

@@ -576,6 +576,18 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- Bloom-filter decontamination: t17's semantics with the eval
+    //      shingle set compressed to a broadcast Bloom bitset probed
+    //      map-side (xxhash64 → engine-specific → no oracle; DedupSpec
+    //      pins superset-of-exact + FP-bound properties, and the
+    //      flagged-doc set here equals t17's whenever no false positive
+    //      fires). The train side is NEVER shuffled — the 100 TB path. ----
+    QueryDef.noOracle("t26_bloom_decontaminate") { (s, dir) =>
+      Dedup.contaminationBloom(Tables.documents(s, dir), col("doc_id"),
+          col("text"), col("doc_id") % 10 === 9)
+        .orderBy("doc")
+    },
+
     // MinHash-LSH verified near-dup pairs (murmur3 → no oracle).
     QueryDef.noOracle("t07_minhash_lsh") { (s, dir) =>
       Dedup.minhashNearDups(Tables.documents(s, dir), col("doc_id"), col("text"))

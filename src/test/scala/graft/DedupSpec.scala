@@ -252,4 +252,33 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getDouble(2) == 0.5)               // 3/6
     assert(r.getDouble(3) == 0.4)               // 2/5
   }
+
+  test("contaminationBloom: superset of exact contamination, counts >= exact") {
+    val corpus = graft.core.Tables.documents(spark, sf)
+    val evalPred = col("doc_id") % 10 === 9
+    val exact = Dedup.contamination(corpus, col("doc_id"), col("text"), evalPred)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = Dedup.contaminationBloom(corpus, col("doc_id"), col("text"), evalPred)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Bloom filters admit no false negatives: every exactly-contaminated
+    // doc must be flagged, with at-least-exact shingle hit counts.
+    exact.foreach { case (doc, nShared) =>
+      assert(bloom.contains(doc), s"doc $doc contaminated but not bloom-flagged")
+      assert(bloom(doc) >= nShared, s"doc $doc bloom count ${bloom(doc)} < exact $nShared")
+    }
+  }
+
+  test("contaminationBloom: disjoint corpora stay (almost) unflagged") {
+    // train and eval shingle spaces are fully disjoint — every flagged doc
+    // is a Bloom false positive. 90 train docs x 8 shingles at fpp=1e-4
+    // expects ~0.07 FP probes; the operator is RNG-free so this either
+    // always passes or always fails for a given Spark version.
+    val df = (1L to 100L).map { i =>
+      val tag = if (i % 10 == 9) "ev" else "tr"
+      (i, (0 until 10).map(j => s"${tag}_${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val flagged = Dedup.contaminationBloom(df, col("doc_id"), col("text"),
+      col("doc_id") % 10 === 9, fpp = 1e-4)
+    assert(flagged.count() <= 2, "disjoint corpora should produce ~no bloom flags")
+  }
 }
