@@ -1,0 +1,170 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Similarity.dotNative
+
+/** Product quantization (PQ) for embedding columns — the third ANN scale
+  * path alongside RP-LSH (Similarity.annTopK) and IVF (IVF.ivfTopK), and
+  * the one that shrinks the candidate payload itself: a d-dim float
+  * vector becomes m small integer codes (64 dims × 4 B ≈ 256 B → 8 codes
+  * ≈ 8 B), so the ranking scan touches 30× less data. Reference behavior
+  * target: the embedding near-dup/top-k surface the reference's pipeline
+  * implies (BASELINE.json north star); method is the classic
+  * Jégou/Douze/Schmid PQ (public literature), expressed as DataFrames.
+  *
+  * All stages are DataFrame-native and deterministic (no RNG):
+  *  - training: ONE grouped k-means trains all m subspace codebooks
+  *    simultaneously — the (vid, sub, subv) rows carry their subspace id,
+  *    assignment is a broadcast join on `sub` + argmin window, update is
+  *    a per-(sub, cell, pos) average. Same job count as a single k-means.
+  *  - codebooks are driver-collected per iteration (m·k·(d/m) = d·k
+  *    doubles — same order as IVF's centroid state; vectors never leave
+  *    executors) which also truncates the iteration lineage.
+  *  - ADC query: per-query lookup tables (q_sub · codebook cell, plus
+  *    cell norms) broadcast against the code rows; approximate cosine =
+  *    Σ_sub LUT[sub][code] / (‖q‖·√Σ_sub‖c‖²); a k·`rerank` shortlist is
+  *    then re-ranked with EXACT cosine (standard ADC + re-rank).
+  *
+  * At 100 TB: codebooks train on a sample (a `limit`/filter before
+  * [[codebooks]] — the estimator is an average; 10⁵ rows saturate it),
+  * codes are a stored column written once next to the vector, and the
+  * ADC scan reads ONLY (vid, codes) — column pruning leaves the wide
+  * embedding column on disk until the tiny re-rank shortlist fetches it
+  * by key. IVF composes in front (probe cells first, ADC within cells).
+  */
+object PQ {
+
+  /** Sub-vector rows: (vid, sub ∈ 0..m-1, subv = the d/m-dim slice).
+    * Requires d divisible by m (checked downstream by slice semantics:
+    * a short tail slice would change lengths — callers assert fixed d).
+    */
+  private def subRows(v: DataFrame, m: Int): DataFrame = {
+    val len = (size(col("v")) / lit(m)).cast("int")
+    v.select(col("vid"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col("v"), s * len + 1, len))))
+      .select(col("vid"), col("pos").as("sub"), col("col").as("subv"))
+  }
+
+  /** Nearest-codebook-cell assignment: (vid, sub, cell, subv). Broadcast
+    * join on the subspace id + squared-L2 argmin (ties → lowest cell).
+    */
+  private def assignCodes(subs: DataFrame, cb: DataFrame): DataFrame = {
+    val d2 = dotNative(col("subv"), col("subv")) -
+      lit(2.0) * dotNative(col("subv"), col("c")) + dotNative(col("c"), col("c"))
+    val w = Window.partitionBy("vid", "sub").orderBy(col("d2"), col("cell"))
+    subs.join(broadcast(cb), "sub")
+      .withColumn("d2", d2)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vid"), col("sub"), col("cell"), col("subv"))
+  }
+
+  private def trainCodebooks(subs: DataFrame, v: DataFrame,
+                             m: Int, k: Int, iters: Int): DataFrame = {
+    val spark = subs.sparkSession
+    import spark.implicits._
+    // init: k hash-spread seed vectors (IVF's degeneracy-avoiding pick);
+    // their slices seed every subspace at once
+    val seedW = Window.orderBy(xxhash64(col("vid")), col("vid"))
+    val seeds = v.orderBy(xxhash64(col("vid")), col("vid")).limit(k)
+      .select(row_number().over(seedW).cast("long").as("vid"), col("v"))
+    var cb = subRows(seeds, m)
+      .select(col("sub"), col("vid").cast("int").as("cell"), col("subv").as("c"))
+    var i = 0
+    while (i < iters) {
+      val updated = assignCodes(subs, cb)
+        .select(col("sub"), col("cell"), posexplode(col("subv")))
+        .groupBy(col("sub"), col("cell"), col("pos"))
+        .agg(avg(col("col")).as("mv"))
+        .groupBy("sub", "cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+          s => s.getField("mv")).as("c"))
+      // driver-materialize between iterations: d·k doubles, truncates the
+      // per-iteration lineage (same posture as IVF.kmeansCentroids)
+      cb = updated.collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+        .toSeq.toDF("sub", "cell", "c")
+      i += 1
+    }
+    cb
+  }
+
+  /** Train the m per-subspace codebooks: (sub, cell, c), m·k rows. */
+  def codebooks(emb: DataFrame, id: String, vec: String,
+                m: Int = 8, k: Int = 16, iters: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val v = emb.select(col(id).as("vid"), col(vec).cast("array<double>").as("v"))
+    trainCodebooks(subRows(v, m).localCheckpoint(), v, m, k, iters)
+  }
+
+  /** Encode every vector to its packed code array: (vid, codes) with
+    * `codes[sub] ∈ 1..k` — the stored-index payload (m small ints vs d
+    * floats). Decode-side consumers re-explode; the array form is what a
+    * table column would persist.
+    */
+  def encode(emb: DataFrame, id: String, vec: String, cb: DataFrame,
+             m: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val v = emb.select(col(id).as("vid"), col(vec).cast("array<double>").as("v"))
+    assignCodes(subRows(v, m), cb)
+      .groupBy("vid")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("cell")))),
+        s => s.getField("cell")).as("codes"))
+  }
+
+  /** PQ-ADC top-k: approximate-cosine shortlist of k·`rerank` candidates
+    * from the code scan, exact-cosine re-rank to k. Returns
+    * (q_id, c_id, cos, rn) — cos is the EXACT cosine of the survivors.
+    */
+  def adcTopK(emb: DataFrame, id: String, vec: String, queryPred: Column,
+              k: Int = 5, m: Int = 8, kc: Int = 16, iters: Int = 2,
+              rerank: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val v = emb.select(col(id).as("vid"), col(vec).cast("array<double>").as("v"))
+    // the exploded sub-vector rows feed training iterations AND the final
+    // encode — materialize once (multi-consumer scan rule, SCALE.md)
+    val subs = subRows(v, m).localCheckpoint()
+    val cb = trainCodebooks(subs, v, m, kc, iters)
+    val codes = assignCodes(subs, cb).select(col("vid"), col("sub"), col("cell"))
+
+    val q = emb.filter(queryPred)
+      .select(col(id).as("q_id"), col(vec).cast("array<double>").as("q_vec"))
+    // per-query LUT over the codebook: qd = q_sub·c, cc = ‖c‖² — (#q)·m·kc
+    // rows, broadcast to the code scan
+    val qsubs = subRows(q.select(col("q_id").as("vid"), col("q_vec").as("v")), m)
+      .select(col("vid").as("q_id"), col("sub"), col("subv").as("qs"))
+    val lut = qsubs.join(cb, "sub")
+      .select(col("q_id"), col("sub"), col("cell"),
+        dotNative(col("qs"), col("c")).as("qd"),
+        dotNative(col("c"), col("c")).as("cc"))
+    val qn = q.select(col("q_id"),
+      sqrt(dotNative(col("q_vec"), col("q_vec"))).as("q_norm"), col("q_vec"))
+
+    // ADC scan: code rows ⋈ broadcast LUT on (sub, cell); partial sums
+    // combine map-side so the shuffle carries (q, vid) partials
+    val wApprox = Window.partitionBy("q_id").orderBy(col("approx_cos").desc, col("vid"))
+    val shortlist = codes.join(broadcast(lut), Seq("sub", "cell"))
+      .filter(col("vid") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vid"))
+      .agg(sum(col("qd")).as("num"), sum(col("cc")).as("cand_n2"))
+      .join(broadcast(qn.select(col("q_id"), col("q_norm"))), "q_id")
+      .withColumn("approx_cos", col("num") / (col("q_norm") * sqrt(col("cand_n2"))))
+      .withColumn("arn", row_number().over(wApprox))
+      .filter(col("arn") <= k * rerank)
+      .select(col("q_id"), col("vid"))
+
+    // exact re-rank of the shortlist only
+    val vn = v.withColumn("v_norm", sqrt(dotNative(col("v"), col("v"))))
+    val wExact = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vid"))
+    shortlist.join(vn, "vid").join(broadcast(qn), "q_id")
+      .withColumn("cos", round(
+        dotNative(col("q_vec"), col("v")) / (col("q_norm") * col("v_norm")), 6))
+      .withColumn("rn", row_number().over(wExact))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vid").as("c_id"), col("cos"),
+        col("rn").cast("int").as("rn"))
+  }
+}

@@ -101,5 +101,16 @@ object SimilarityQueries {
           k = 5, cells = 8, nprobe = 2)
         .orderBy("q_id", "rn")
     },
+
+    // Product-quantization ADC top-k (8 subspaces × 16-cell codebooks,
+    // exact re-rank of the 4k shortlist) — the compressed-payload ANN
+    // path; deterministic, but k-means codebooks have no SQL oracle.
+    // PQSpec pins clustered-vector recall ≥0.9 and determinism.
+    QueryDef.noOracle("s07_ann_pq") { (s, dir) =>
+      graft.ext.PQ.adcTopK(Tables.embeddings(s, dir),
+          "vec_id", "embedding", col("vec_id") % 50 === 0,
+          k = 5, m = 8, kc = 16)
+        .orderBy("q_id", "rn")
+    },
   )
 }

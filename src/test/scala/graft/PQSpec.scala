@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{PQ, Similarity}
+
+class PQSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 8 tight clusters in 16-d (same construction as SimilaritySpec's ANN
+  // bar): each query's true top-5 are its cluster-mates — the regime a
+  // quantizer must get right.
+  private lazy val clustered = (0 until 200).map { i =>
+    val cl = i / 25
+    val base = Seq.tabulate(16)(d =>
+      if (d == 2 * cl) 10.0 else if (d == 2 * cl + 1) 5.0 else 0.0)
+    ((i + 1).toLong,
+      base.zipWithIndex.map { case (x, d) => x + ((i % 25) * (d + 3) % 11) * 0.02 })
+  }.toDF("vec_id", "embedding")
+
+  test("adcTopK: clustered recall >= 0.9 vs exact top-k; cos values are true cosines") {
+    val pred = col("vec_id") % 25 === 1
+    val exact = Similarity.bruteForceTopK(clustered, "vec_id", "embedding", pred, 5)
+      .select("q_id", "c_id", "cos")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val pq = PQ.adcTopK(clustered, "vec_id", "embedding", pred,
+        k = 5, m = 4, kc = 16)
+      .select("q_id", "c_id", "cos")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val recall = (exact.keySet & pq.keySet).size.toDouble / exact.size
+    info(f"PQ clustered recall@5: $recall%.3f")
+    assert(recall >= 0.9, f"PQ recall $recall%.3f below 0.9")
+    // survivors carry EXACT cosine (the re-rank recomputes from the true
+    // vectors), so overlapping pairs must agree bit-for-bit with brute force
+    (exact.keySet & pq.keySet).foreach { p =>
+      assert(exact(p) == pq(p), s"pair $p exact ${exact(p)} != pq ${pq(p)}")
+    }
+  }
+
+  test("encode: m codes per vector, each within 1..k") {
+    val cb = PQ.codebooks(clustered, "vec_id", "embedding", m = 4, k = 8)
+    val codes = PQ.encode(clustered, "vec_id", "embedding", cb, m = 4)
+    assert(codes.count() == 200)
+    val bad = codes.select(col("vid"), col("codes"))
+      .filter(size(col("codes")) =!= 4 ||
+        exists(col("codes"), c => c < 1 || c > 8))
+    assert(bad.count() == 0, "every vector gets exactly m in-range codes")
+  }
+
+  test("adcTopK: deterministic across runs (no RNG anywhere)") {
+    val pred = col("vec_id") % 50 === 1
+    def run() = PQ.adcTopK(clustered, "vec_id", "embedding", pred, k = 3, m = 4)
+      .orderBy("q_id", "rn").collect().toSeq
+    assert(run() == run())
+  }
+}
