@@ -94,5 +94,34 @@ object MediaStreamQueries {
           col("event_type"), col("n"), col("sum_value"))
         .orderBy("window_start", "event_type")
     },
+
+    // ---- composed streaming pipeline, batch form: exact-re-delivery
+    //      dedup → stream-static dimension enrichment → 15-min tumbling
+    //      aggregate per market segment. The SAME three StreamOps
+    //      transforms run under readStream (watermarked dedup state,
+    //      per-micro-batch broadcast enrich, windowed agg) —
+    //      StreamingSpec proves streaming==batch on this exact chain.
+    //      Segment is coalesced to '(none)' on both engines so no NULL
+    //      grouping/ordering divergence can bite. ----
+    QueryDef("st03_dedup_enrich_agg",
+      """WITH d AS (SELECT DISTINCT user_id, ts, value FROM events),
+        |e AS (SELECT d.*, coalesce(c_mktsegment, '(none)') AS seg
+        |      FROM d LEFT JOIN customer ON user_id = c_custkey)
+        |SELECT strftime(time_bucket(INTERVAL '15 minutes', ts),
+        |         '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  seg, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      Tables.events(s, dir).select(col("user_id"), col("ts"), col("value"))
+        .transform(StreamOps.dedupStream(Seq("user_id"), "ts", "1 hour"))
+        .transform(StreamOps.enrich(dim, Seq("user_id")))
+        .withColumn("seg", coalesce(col("c_mktsegment"), lit("(none)")))
+        .transform(StreamOps.tumblingAgg("ts", "seg", "15 minutes"))
+        .select(tsStr(col("window.start")).as("window_start"),
+          col("seg"), col("n"), col("sum_value"))
+        .orderBy("window_start", "seg")
+    },
   )
 }

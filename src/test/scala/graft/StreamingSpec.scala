@@ -98,6 +98,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("st03 chain: streaming dedup -> enrich -> tumbling agg == batch, dups across batches") {
+    // the st03 oracle query's composed chain through MemoryStream, with a
+    // duplicate (user_id, ts) row re-delivered in a LATER micro-batch —
+    // exactly the re-delivery the streaming dedup state must absorb
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY")).toDF("user_id", "c_mktsegment")
+    def chain(df: org.apache.spark.sql.DataFrame) =
+      df.transform(StreamOps.dedupStream(Seq("user_id"), "ts", "1 hour"))
+        .transform(StreamOps.enrich(dim, Seq("user_id")))
+        .withColumn("seg", coalesce(col("c_mktsegment"), lit("(none)")))
+        .transform(StreamOps.tumblingAgg("ts", "seg", "15 minutes"))
+        .select(col("window.start").as("w"), col("seg"), col("n"), col("sum_value"))
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val q = chain(mem.toDF().toDF("user_id", "ts", "value"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("st03_out").start()
+    mem.addData((1L, ts(0), 1.0), (2L, ts(5), 2.0), (9L, ts(10), 3.0))
+    q.processAllAvailable()
+    mem.addData((1L, ts(0), 1.0), (1L, ts(20), 4.0))  // first row = re-delivery
+    q.processAllAvailable()
+    val streamed = spark.table("st03_out").orderBy("w", "seg").collect().toSeq
+    q.stop()
+    val batch = chain(Seq(
+      (1L, ts(0), 1.0), (2L, ts(5), 2.0), (9L, ts(10), 3.0), (1L, ts(20), 4.0)
+    ).toDF("user_id", "ts", "value")).orderBy("w", "seg").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.map(_.getString(1)).contains("(none)"))
+  }
+
   test("enrich: stream-static broadcast join adds dimension columns") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
