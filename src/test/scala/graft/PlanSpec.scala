@@ -146,4 +146,47 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
     assert(shuffles(q) == 0, plan)
   }
+
+  test("q58 sessionize: windows + session agg share ONE keyed exchange") {
+    // both windows and the (user_id, session_seq) aggregate must reuse the
+    // user_id hash partitioning — 1 hash exchange + the final sort only
+    val q = SparkEntry.queries("q58_sessionize")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(shuffles(q) == 2, plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
+
+  test("t24 domain cap: two-phase ranking, no single-partition window") {
+    val q = SparkEntry.queries("t24_domain_cap")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    // both ranking phases are keyed windows
+    assert("hashpartitioning\\(source".r.findAllIn(plan).nonEmpty, plan)
+  }
+
+  test("t25 vocab coverage: one materialized token pass, vocab broadcast") {
+    val q = SparkEntry.queries("t25_vocab_coverage")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    // the (doc, term, tf) table is localCheckpoint-materialized: neither
+    // consumer re-scans the documents parquet
+    assert(!plan.contains("FileScan parquet"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("t26 bloom decontamination: map-side probe, no join, one agg shuffle") {
+    val q = graft.ext.Dedup.contaminationBloom(
+      Tables.documents(spark, sf), col("doc_id"), col("text"),
+      col("doc_id") % 10 === 9)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+    assert(!plan.contains("Join"), s"bloom path must not join: $plan")
+    assert(shuffles(q) == 1, plan)
+  }
+
+  test("s07 PQ ADC: LUT join broadcast, never a nested-loop/cartesian product") {
+    val q = SparkEntry.queries("s07_ann_pq")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
