@@ -397,6 +397,49 @@ object AnalyticQueries {
         .orderBy("ship_year")
     },
 
+    // ---- mergeable HLL sketches: per-(type, day) DataSketches HLL
+    //      partials, union-merged to per-type distinct-user estimates —
+    //      the INCREMENTAL distinct-count pattern (store daily sketches,
+    //      re-merge any window without rescanning history; q54 is the
+    //      same move for sums). Sketch binaries are engine-specific →
+    //      rows-only; StatsSpec bounds the estimate against the exact
+    //      distinct count and pins partial-merge ≈ one-shot sketch. ----
+    QueryDef.noOracle("q59_hll_merge") { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      daily.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"),
+          count(lit(1)).as("n_days"))
+        .orderBy("event_type")
+    },
+
+    // ---- exponentially time-decayed average: recency-weighted per-user
+    //      value with a 7-day half-life-style decay against the corpus
+    //      max timestamp — the feature-freshness aggregate a training
+    //      pipeline keeps per entity. One aggregate pass; the reference
+    //      timestamp is a 1-row broadcast, so the ratio-of-sums stays a
+    //      single partial+final aggregate (no window, no sort). ----
+    QueryDef("q60_decayed_avg",
+      """WITH m AS (SELECT max(ts) AS tmax FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value * exp((epoch_us(ts) - epoch_us(tmax)) / 6.048e11))
+        |        / sum(exp((epoch_us(ts) - epoch_us(tmax)) / 6.048e11)), 6)
+        |    AS decayed_avg
+        |FROM events CROSS JOIN m
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val tmax = ev.agg(max(col("ts")).as("tmax"))
+      val w = exp((unix_micros(col("ts")) - unix_micros(col("tmax")))
+        .cast("double") / 6.048e11)
+      ev.crossJoin(broadcast(tmax))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value") * w) / sum(w), 6).as("decayed_avg"))
+        .select(col("user_id"), col("n"), col("decayed_avg"))
+        .orderBy("user_id")
+    },
+
     // ---- lag / lead / first_value over an ordered per-key series ----
     QueryDef("q26_lag_lead",
       """SELECT event_id, user_id, value,

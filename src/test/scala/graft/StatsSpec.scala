@@ -63,4 +63,24 @@ class StatsSpec extends SparkSpec {
     val row = Stats.nullProfile(df).collect().head
     assert(row.getLong(0) == 2L && row.getLong(1) == 1L)
   }
+
+  test("q59 HLL merge: daily-sketch union within 5% of exact, == one-shot sketch") {
+    val ev = graft.core.Tables.events(spark, sf)
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("x"))
+      .as[(String, Long)].collect().toMap
+    val merged = SparkEntry.queries("q59_hll_merge")(spark, sf)
+      .select("event_type", "est_users").as[(String, Long)].collect().toMap
+    val oneShot = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .as[(String, Long)].collect().toMap
+    assert(merged.keySet == exact.keySet)
+    merged.foreach { case (t, est) =>
+      val err = math.abs(est.toDouble - exact(t)) / exact(t)
+      assert(err <= 0.05, f"$t: HLL estimate $est vs exact ${exact(t)} (err $err%.3f)")
+      // partition-then-union must agree with the single-pass sketch — the
+      // mergeability contract the incremental pattern relies on
+      assert(est == oneShot(t), s"$t: merged $est != one-shot ${oneShot(t)}")
+    }
+  }
 }
