@@ -147,6 +147,37 @@ object Similarity {
       .join(dropped, Seq("v_id"), "left_anti")
   }
 
+  /** Cluster-scoped semantic dedup (the SemDeDup shape from the public
+    * literature): coarse k-means cells first (IVF.assignTable), then the
+    * SAME any-lower-id cosine rule as [[cosineDedup]] applied only to
+    * pairs WITHIN a cell — the pair space drops from O(n²) to
+    * O(Σ cell²) ≈ n²/cells, and the per-cell join is an equi-join on the
+    * cell id (shuffle-partitioned by cell, never a cross join). The
+    * accepted approximation: a near-dup pair straddling a cell boundary
+    * is missed — exact duplicates never are (identical vectors share an
+    * argmin cell by construction; SimilaritySpec pins that). At 100 TB
+    * `cells` grows with the corpus (cells ≈ n/10⁴ keeps cell joins
+    * bounded) and the assignment is the stored cell column IVF already
+    * persists — dedup then reads each cell partition independently.
+    */
+  def clusterDedup(emb: DataFrame, id: String, vec: String,
+                   threshold: Double, cells: Int = 8,
+                   iters: Int = 3): DataFrame = {
+    val n = graft.ext.IVF.assignTable(emb, id, vec, cells, iters)
+      .withColumn("nrm", sqrt(dotNative(col("v"), col("v"))))
+      .localCheckpoint() // feeds both join sides — one assignment pass
+    val a = n.select(col("cell"), col("vid").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = n.select(col("cell"), col("vid").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val dropped = a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        round(dotNative(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id_b").as("v_id")).distinct()
+    emb.select(col(id).as("v_id")).join(dropped, Seq("v_id"), "left_anti")
+  }
+
   /** Signed-random-projection sketch: `bits` pseudo-hyperplanes whose
     * component signs come from murmur3(bit, dim-index) — deterministic,
     * data-independent, identical on every executor with no side state.

@@ -102,6 +102,18 @@ object SimilarityQueries {
         .orderBy("q_id", "rn")
     },
 
+    // Cluster-scoped semantic dedup (SemDeDup shape): k-means cells bound
+    // the pair space to n²/cells; same any-lower-id rule as s06's exact
+    // form. k-means → no SQL oracle; SimilaritySpec pins soundness
+    // (every drop justified by a lower-id cell-mate) and exact-dup recall.
+    QueryDef.noOracle("s08_semantic_dedup") { (s, dir) =>
+      // 0.35 sits inside the near-random corpus's top-pair cosine range
+      // (~0.30-0.36) so the decision actually fires at every SF
+      Similarity.clusterDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+          threshold = 0.35, cells = 8)
+        .orderBy("v_id")
+    },
+
     // Product-quantization ADC top-k (8 subspaces × 16-cell codebooks,
     // exact re-rank of the 4k shortlist) — the compressed-payload ANN
     // path; deterministic, but k-means codebooks have no SQL oracle.

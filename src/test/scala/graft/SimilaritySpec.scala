@@ -85,4 +85,29 @@ class SimilaritySpec extends SparkSpec {
     val recall = if (exact.isEmpty) 0.0 else (exact & ann).size.toDouble / exact.size
     info(f"ANN recall@5 vs brute force on near-random data: $recall%.2f")
   }
+
+  test("clusterDedup: exact dups always caught; drops are a sound subset of all-pairs") {
+    // 60 base vectors in 3 well-separated regions + 6 exact duplicates.
+    // Identical vectors share an argmin cell by construction, so exact
+    // duplicates can never escape through a cell boundary.
+    val base = (0 until 60).map { i =>
+      val region = i % 3
+      (i + 1L, Seq.tabulate(8)(d =>
+        (if (d == region * 2) 10.0 else 0.5) + (i / 3) * 0.01 * (d + 1)))
+    }
+    val dups = (0 until 6).map(j => (100L + j, base(j * 7)._2))
+    val data = (base ++ dups).toDF("vec_id", "embedding")
+    val survivors = Similarity.clusterDedup(data, "vec_id", "embedding",
+      threshold = 0.999999, cells = 3, iters = 2)
+      .as[Long].collect().toSet
+    dups.foreach { case (id, _) =>
+      assert(!survivors.contains(id), s"exact duplicate $id must be dropped")
+    }
+    // soundness vs the all-pairs rule: cluster-scoped drops ⊆ exact drops
+    // (a cell can only HIDE a pair, never invent one)
+    val exactSurvivors = Similarity.cosineDedup(data, "vec_id", "embedding",
+      lit(true), threshold = 0.999999).as[Long].collect().toSet
+    assert(exactSurvivors.subsetOf(survivors),
+      s"cluster dedup dropped ids the exact rule kept: ${exactSurvivors -- survivors}")
+  }
 }
