@@ -53,7 +53,8 @@ object Bench {
       "t06_jaccard_topk", "t07_minhash_lsh", "t13_pack_bins", "t14_tfidf",
       "t16_dedup_clusters", "s01_cosine_topk", "s04_ann_ivf",
       "st01_session_agg", "q47_merge_upsert", "q52_psi_drift",
-      "s06_embedding_dedup")
+      "s06_embedding_dedup", "q58_sessionize", "t26_bloom_decontaminate",
+      "s07_ann_pq", "s08_semantic_dedup", "st03_dedup_enrich_agg")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"),
       jsonLine(results.toSeq.sortBy(_._1)))
