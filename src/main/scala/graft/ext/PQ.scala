@@ -17,8 +17,10 @@ import Similarity.dotNative
   * All stages are DataFrame-native and deterministic (no RNG):
   *  - training: ONE grouped k-means trains all m subspace codebooks
   *    simultaneously — the (vid, sub, subv) rows carry their subspace id,
-  *    assignment is a broadcast join on `sub` + argmin window, update is
-  *    a per-(sub, cell, pos) average. Same job count as a single k-means.
+  *    assignment is a broadcast join on `sub` + `min_by` aggregate argmin
+  *    (map-side combine, no sort), update is a per-(sub, cell, pos)
+  *    average. Same job count as a single k-means; the final iteration's
+  *    assignment is reused as the stored codes.
   *  - codebooks are driver-collected per iteration (m·k·(d/m) = d·k
   *    doubles — same order as IVF's centroid state; vectors never leave
   *    executors) which also truncates the iteration lineage.
@@ -37,33 +39,51 @@ import Similarity.dotNative
 object PQ {
 
   /** Sub-vector rows: (vid, sub ∈ 0..m-1, subv = the d/m-dim slice).
-    * Requires d divisible by m (checked downstream by slice semantics:
-    * a short tail slice would change lengths — callers assert fixed d).
+    * Requires d divisible by m — a short tail slice would silently change
+    * sub-vector lengths and degrade codebooks, so a mismatched vector
+    * raises at scan time (mirrors rpSketch's `bits % bands` require; the
+    * dim is data, not a parameter, hence a row-level guard not a require).
     */
   private def subRows(v: DataFrame, m: Int): DataFrame = {
+    val guarded = when(size(col("v")) % m === 0, col("v")).otherwise(
+      raise_error(concat(
+        lit(s"PQ: vector dim must be divisible by m=$m, got dim="),
+        size(col("v")).cast("string"))))
     val len = (size(col("v")) / lit(m)).cast("int")
-    v.select(col("vid"),
+    v.select(col("vid"), guarded.as("v"))
+      .select(col("vid"),
         posexplode(transform(sequence(lit(0), lit(m - 1)),
           s => slice(col("v"), s * len + 1, len))))
       .select(col("vid"), col("pos").as("sub"), col("col").as("subv"))
   }
 
   /** Nearest-codebook-cell assignment: (vid, sub, cell, subv). Broadcast
-    * join on the subspace id + squared-L2 argmin (ties → lowest cell).
+    * join on the subspace id, then argmin as a `min_by` AGGREGATE over the
+    * k joined candidates (ties → lowest cell via the (d2, cell) ordering
+    * struct) — partial min_by combines map-side, so no per-(vid, sub) sort
+    * and the shuffle carries one row per sub-vector, not k. (A
+    * row_number window here was the round-3 perf outlier: it forced a
+    * sort of all n·m·k joined rows.)
     */
   private def assignCodes(subs: DataFrame, cb: DataFrame): DataFrame = {
     val d2 = dotNative(col("subv"), col("subv")) -
       lit(2.0) * dotNative(col("subv"), col("c")) + dotNative(col("c"), col("c"))
-    val w = Window.partitionBy("vid", "sub").orderBy(col("d2"), col("cell"))
     subs.join(broadcast(cb), "sub")
       .withColumn("d2", d2)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy(col("vid"), col("sub"))
+      .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"),
+        first(col("subv")).as("subv"))
       .select(col("vid"), col("sub"), col("cell"), col("subv"))
   }
 
-  private def trainCodebooks(subs: DataFrame, v: DataFrame,
-                             m: Int, k: Int, iters: Int): DataFrame = {
+  /** Lloyd iterations over all m subspaces at once. Returns the trained
+    * codebook AND the final iteration's assignment (localCheckpoint'd),
+    * so ADC/encode callers reuse it instead of re-running the assignment
+    * pass — the final (assignment, centroid-update) pair is exactly where
+    * k-means stops, and cell ids are stable across the update.
+    */
+  private def trainCodebooks(subs: DataFrame, v: DataFrame, m: Int, k: Int,
+                             iters: Int): (DataFrame, Option[DataFrame]) = {
     val spark = subs.sparkSession
     import spark.implicits._
     // init: k hash-spread seed vectors (IVF's degeneracy-avoiding pick);
@@ -73,9 +93,16 @@ object PQ {
       .select(row_number().over(seedW).cast("long").as("vid"), col("v"))
     var cb = subRows(seeds, m)
       .select(col("sub"), col("vid").cast("int").as("cell"), col("subv").as("c"))
+    var lastAssign: Option[DataFrame] = None
     var i = 0
     while (i < iters) {
-      val updated = assignCodes(subs, cb)
+      // intermediate assignments have ONE consumer (the update) — no
+      // checkpoint; the last one gains a second consumer (the caller's
+      // codes), so materialize it once (multi-consumer scan rule, SCALE.md)
+      val assign =
+        if (i == iters - 1) { val a = assignCodes(subs, cb).localCheckpoint(); lastAssign = Some(a); a }
+        else assignCodes(subs, cb)
+      val updated = assign
         .select(col("sub"), col("cell"), posexplode(col("subv")))
         .groupBy(col("sub"), col("cell"), col("pos"))
         .agg(avg(col("col")).as("mv"))
@@ -89,7 +116,7 @@ object PQ {
         .toSeq.toDF("sub", "cell", "c")
       i += 1
     }
-    cb
+    (cb, lastAssign)
   }
 
   /** Train the m per-subspace codebooks: (sub, cell, c), m·k rows. */
@@ -97,7 +124,7 @@ object PQ {
                 m: Int = 8, k: Int = 16, iters: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val v = emb.select(col(id).as("vid"), col(vec).cast("array<double>").as("v"))
-    trainCodebooks(subRows(v, m).localCheckpoint(), v, m, k, iters)
+    trainCodebooks(subRows(v, m).localCheckpoint(), v, m, k, iters)._1
   }
 
   /** Encode every vector to its packed code array: (vid, codes) with
@@ -124,11 +151,15 @@ object PQ {
               rerank: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val v = emb.select(col(id).as("vid"), col(vec).cast("array<double>").as("v"))
-    // the exploded sub-vector rows feed training iterations AND the final
-    // encode — materialize once (multi-consumer scan rule, SCALE.md)
+    // the exploded sub-vector rows feed every training iteration —
+    // materialize once (multi-consumer scan rule, SCALE.md)
     val subs = subRows(v, m).localCheckpoint()
-    val cb = trainCodebooks(subs, v, m, kc, iters)
-    val codes = assignCodes(subs, cb).select(col("vid"), col("sub"), col("cell"))
+    val (cb, lastAssign) = trainCodebooks(subs, v, m, kc, iters)
+    // codes = the final training iteration's assignment, NOT a fresh
+    // assignment pass (round-3 verdict: recomputing it doubled the
+    // most expensive stage; cell ids are stable across the last update)
+    val codes = lastAssign.getOrElse(assignCodes(subs, cb))
+      .select(col("vid"), col("sub"), col("cell"))
 
     val q = emb.filter(queryPred)
       .select(col(id).as("q_id"), col(vec).cast("array<double>").as("q_vec"))

@@ -288,11 +288,11 @@ object PipelineQueries {
     //      affordable at 100 TB. ----
     QueryDef("q56_constraint_audit",
       """WITH a AS (SELECT count(*) AS n_rows,
-        |  sum(CASE WHEN value < 0 OR value > 400 THEN 1 ELSE 0 END) AS value_out_of_range,
-        |  sum(CASE WHEN event_type NOT IN ('view','click','purchase','signup') THEN 1 ELSE 0 END) AS unknown_event_type,
-        |  sum(CASE WHEN user_id IS NULL OR value IS NULL THEN 1 ELSE 0 END) AS null_required_field,
-        |  sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 90
-        |            OR json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS props_k_out_of_range
+        |  CAST(sum(CASE WHEN value < 0 OR value > 400 THEN 1 ELSE 0 END) AS BIGINT) AS value_out_of_range,
+        |  CAST(sum(CASE WHEN event_type NOT IN ('view','click','purchase','signup') THEN 1 ELSE 0 END) AS BIGINT) AS unknown_event_type,
+        |  CAST(sum(CASE WHEN user_id IS NULL OR value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_required_field,
+        |  CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 90
+        |            OR json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS props_k_out_of_range
         |  FROM events)
         |SELECT * FROM (
         |  SELECT 'null_required_field' AS rule, null_required_field AS n_violations, n_rows FROM a
