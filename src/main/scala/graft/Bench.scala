@@ -12,12 +12,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up: JVM/codegen/parquet-footer costs land here, not on whichever
     // query happens to run first (measured ~6 s of pure first-query noise).
-    try {
-      graft.core.Tables.names.foreach { t =>
-        graft.core.Tables.load(spark, sfDir, t).limit(1).count()
-      }
-      SparkEntry.queries.get("q01_pricing_summary").foreach(_(spark, sfDir).count())
-    } catch { case _: Throwable => () }
+    // Per-table try: one missing/odd table must not abort the rest of the
+    // warm-up (r4 shipped exactly that bug — the raw `events` load threw on
+    // TIMESTAMP(NANOS) and silently skipped the remaining tables + q01).
+    graft.core.Tables.names.foreach { t =>
+      try graft.core.Tables.loadNormalized(spark, sfDir, t).limit(1).count()
+      catch { case e: Throwable => System.err.println(s"[bench] warm-up $t failed: ${e.getMessage}") }
+    }
+    try SparkEntry.queries.get("q01_pricing_summary").foreach(_(spark, sfDir).count())
+    catch { case e: Throwable => System.err.println(s"[bench] warm-up query failed: ${e.getMessage}") }
     // min of two runs per query: damps shared-machine load spikes without
     // hiding real cost (both runs rebuild the full plan; only JVM/codegen
     // warmth carries over, which the warm-up pass already granted).
@@ -35,11 +38,18 @@ object Bench {
       name -> (if (times.exists(_.isNaN)) -1.0 else times.min)
     }
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Contention guard (r4's driver numbers were ~1.8× the uncontended truth
+    // because another build was running): record host CPU count and the
+    // 1-minute loadavg taken at sweep end, so a contended snapshot is
+    // self-documenting instead of reading as a code regression.
+    val hostCpus = Runtime.getRuntime.availableProcessors()
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     def jsonLine(rs: Iterable[(String, Double)]): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val total = results.values.filter(_ >= 0).sum
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","host_cpus":$hostCpus,"loadavg_1m":${fmt(loadAvg)}}"""
     }
     // The driver keeps only a ~2k-char tail of stdout; the full 80-query
     // map doesn't fit, so stdout carries the headline subset (cost drivers

@@ -18,7 +18,7 @@ object TimeQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.core.Tables.names.foreach { t =>
-      graft.core.Tables.load(spark, sfDir, t).limit(1).count()
+      graft.core.Tables.loadNormalized(spark, sfDir, t).limit(1).count()
     }
     SparkEntry.queries.get("q01_pricing_summary").foreach(_(spark, sfDir).count())
     args.foreach { name =>

@@ -42,6 +42,15 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
+  /** Name-dispatching loader that applies per-table normalization —
+    * currently just `events`' TIMESTAMP(NANOS) handling. This is the loader
+    * harnesses (Bench/TimeQuery warm-up, registerAll) must use when walking
+    * [[names]] generically: a raw `load` of `events` throws
+    * PARQUET_TYPE_ILLEGAL before the nanos conf is set.
+    */
+  def loadNormalized(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir) else load(spark, dir, name)
+
   /** Register every testdata table as a temp view so ad-hoc ANSI SQL runs
     * directly via `spark.sql(...)` — the engine's SQL entry point (the
     * DataFrame registry and Spark SQL share Catalyst, so plans and
@@ -49,8 +58,5 @@ object Tables {
     * nanos-normalizing loader above.
     */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach { t =>
-      val df = if (t == "events") events(spark, dir) else load(spark, dir, t)
-      df.createOrReplaceTempView(t)
-    }
+    names.foreach(t => loadNormalized(spark, dir, t).createOrReplaceTempView(t))
 }

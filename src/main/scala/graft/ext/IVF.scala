@@ -72,9 +72,6 @@ object IVF {
     centroids
   }
 
-  /** Nearest-centroid assignment: (vid, v, cell) via broadcast cross join
-    * + argmin window (squared L2; ties broken by cell id).
-    */
   /** The stored-index build: every vector labeled with its coarse cell —
     * (vid, v, cell). Persist this partitioned BY `cell` and a probe scan
     * reads nprobe/cells of the data via partition pruning instead of the
@@ -90,14 +87,21 @@ object IVF {
       centroids)
   }
 
+  /** Nearest-centroid assignment: (vid, v, cell) via broadcast cross join
+    * + `min_by` AGGREGATE argmin (squared L2; ties → lowest cell via the
+    * (d2, cell) ordering struct). Same pattern as PQ.assignCodes — partial
+    * min_by combines map-side, so the shuffle carries one row per vector,
+    * not k; a row_number window here (the round-3 PQ perf outlier's shape)
+    * would force a full shuffle+sort of all n·k joined rows.
+    */
   private def assignCells(v: DataFrame, centroids: DataFrame): DataFrame = {
     val d2 = dotNative(col("v"), col("v")) - lit(2.0) * dotNative(col("v"), col("c")) +
       dotNative(col("c"), col("c"))
-    val w = Window.partitionBy("vid").orderBy(col("d2"), col("cell"))
     v.crossJoin(broadcast(centroids))
       .withColumn("d2", d2)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy(col("vid"))
+      .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"),
+        first(col("v")).as("v"))
       .select(col("vid"), col("v"), col("cell"))
   }
 

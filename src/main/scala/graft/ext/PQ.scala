@@ -45,10 +45,14 @@ object PQ {
     * dim is data, not a parameter, hence a row-level guard not a require).
     */
   private def subRows(v: DataFrame, m: Int): DataFrame = {
+    // coalesce in the message: a NULL vector makes size() NULL, which would
+    // otherwise NULL the whole concat and surface as an exception with a
+    // null message (it still lands in raise_error — the when() condition is
+    // NULL, i.e. not-true — but now says so legibly)
     val guarded = when(size(col("v")) % m === 0, col("v")).otherwise(
       raise_error(concat(
         lit(s"PQ: vector dim must be divisible by m=$m, got dim="),
-        size(col("v")).cast("string"))))
+        coalesce(size(col("v")).cast("string"), lit("NULL (null vector)")))))
     val len = (size(col("v")) / lit(m)).cast("int")
     v.select(col("vid"), guarded.as("v"))
       .select(col("vid"),
@@ -83,7 +87,7 @@ object PQ {
     * k-means stops, and cell ids are stable across the update.
     */
   private def trainCodebooks(subs: DataFrame, v: DataFrame, m: Int, k: Int,
-                             iters: Int): (DataFrame, Option[DataFrame]) = {
+                             iters: Int, keepAssign: Boolean = true): (DataFrame, Option[DataFrame]) = {
     val spark = subs.sparkSession
     import spark.implicits._
     // init: k hash-spread seed vectors (IVF's degeneracy-avoiding pick);
@@ -98,9 +102,12 @@ object PQ {
     while (i < iters) {
       // intermediate assignments have ONE consumer (the update) — no
       // checkpoint; the last one gains a second consumer (the caller's
-      // codes), so materialize it once (multi-consumer scan rule, SCALE.md)
+      // codes), so materialize it once (multi-consumer scan rule, SCALE.md).
+      // keepAssign=false (codebooks()-only callers) skips that checkpoint:
+      // materializing n·m assignment rows nobody reads would retain
+      // executor storage for the life of the session.
       val assign =
-        if (i == iters - 1) { val a = assignCodes(subs, cb).localCheckpoint(); lastAssign = Some(a); a }
+        if (keepAssign && i == iters - 1) { val a = assignCodes(subs, cb).localCheckpoint(); lastAssign = Some(a); a }
         else assignCodes(subs, cb)
       val updated = assign
         .select(col("sub"), col("cell"), posexplode(col("subv")))
@@ -124,13 +131,23 @@ object PQ {
                 m: Int = 8, k: Int = 16, iters: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val v = emb.select(col(id).as("vid"), col(vec).cast("array<double>").as("v"))
-    trainCodebooks(subRows(v, m).localCheckpoint(), v, m, k, iters)._1
+    trainCodebooks(subRows(v, m).localCheckpoint(), v, m, k, iters,
+      keepAssign = false)._1
   }
 
   /** Encode every vector to its packed code array: (vid, codes) with
     * `codes[sub] ∈ 1..k` — the stored-index payload (m small ints vs d
     * floats). Decode-side consumers re-explode; the array form is what a
     * table column would persist.
+    *
+    * Convention note: encode() assigns FRESH against the final codebook,
+    * while [[adcTopK]] reuses the final training iteration's assignment —
+    * which was computed against the pre-update codebook, i.e. the two
+    * differ by half a Lloyd step for vectors whose nearest cell changed in
+    * the last update. Both are valid PQ codes for their codebook; adcTopK's
+    * exact re-rank absorbs the difference, and a stored index should
+    * simply pick one convention (persist either encode()'s output or the
+    * training assignment) and query with it consistently.
     */
   def encode(emb: DataFrame, id: String, vec: String, cb: DataFrame,
              m: Int = 8): DataFrame = {

@@ -114,8 +114,13 @@ object MediaStreamQueries {
         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
       val dim = Tables.customer(s, dir)
         .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      // Dedup key includes value: an exact re-delivery carries the same
+      // payload, and (user_id, ts, value) makes the surviving set equal to
+      // the oracle's DISTINCT — with (user_id, ts) alone, two events sharing
+      // a key+timestamp but differing in value would keep one arbitrary row
+      // here and both rows in DuckDB.
       Tables.events(s, dir).select(col("user_id"), col("ts"), col("value"))
-        .transform(StreamOps.dedupStream(Seq("user_id"), "ts", "1 hour"))
+        .transform(StreamOps.dedupStream(Seq("user_id", "value"), "ts", "1 hour"))
         .transform(StreamOps.enrich(dim, Seq("user_id")))
         .withColumn("seg", coalesce(col("c_mktsegment"), lit("(none)")))
         .transform(StreamOps.tumblingAgg("ts", "seg", "15 minutes"))

@@ -23,6 +23,27 @@ object TextQueries {
        |            / len($duckWords) * 5.0, 1.0) * 0.5
        |      + least(len($duckWords) / 100.0, 1.0) * 0.5, 4)""".stripMargin
 
+  /** Survivor selection shared by t23 (exact edges, oracled) and t27 (LSH
+    * edges, scale form): one kept doc per connected component, argmax by
+    * (word_count desc, node asc), with member counts. Windows partition BY
+    * COMPONENT — no global sort.
+    */
+  private def survivors(docs: org.apache.spark.sql.DataFrame,
+                        comp: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val wc = docs.select(col("doc_id"),
+      TextOps.wordCount(col("text")).as("word_count"))
+    val byComp = Window.partitionBy(col("component"))
+    val rank = Window.partitionBy(col("component"))
+      .orderBy(col("word_count").desc, col("node"))
+    comp.join(wc, comp("node") === wc("doc_id"))
+      .withColumn("n_members", count(lit(1)).over(byComp))
+      .withColumn("rn", row_number().over(rank))
+      .filter(col("rn") === 1)
+      .select(col("component"), col("node").as("survivor_id"),
+        col("word_count"), col("n_members"))
+      .orderBy("component")
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef("t01_token_stats",
@@ -452,7 +473,12 @@ object TextQueries {
     //      id) — the keep-list a dedup pipeline actually emits (t16 gives
     //      the clusters; this picks the winners). Ranked window
     //      partitioned BY COMPONENT, so no global sort. Oracle = the
-    //      recursive-CTE closure + the same argmax. ----
+    //      recursive-CTE closure + the same argmax. Edges come from the
+    //      EXACT inverted-index Jaccard (t06's path) so the oracle match
+    //      is by construction, not LSH-recall luck: the DuckDB closure is
+    //      exact, and a qualifying pair near the 0.5 threshold has a
+    //      10-35% chance of missing an LSH band — t27 is the LSH-fed
+    //      scale form of this same query. ----
     QueryDef("t23_cluster_survivors",
       """WITH RECURSIVE docs AS (
         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
@@ -492,23 +518,11 @@ object TextQueries {
         |      FROM comp c JOIN wc ON wc.doc_id = c.node)
         |WHERE rn = 1 ORDER BY component""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val pairs = Dedup.minhashNearDups(docs, col("doc_id"), col("text"))
+      val pairs = Dedup.jaccardPairs(docs, col("doc_id"), col("text"))
         .filter(col("jaccard") >= 0.5)
         .select(col("id_a"), col("id_b"))
         .union(docs.select(col("doc_id"), col("doc_id")))
-      val comp = Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
-      val wc = docs.select(col("doc_id"),
-        TextOps.wordCount(col("text")).as("word_count"))
-      val byComp = Window.partitionBy(col("component"))
-      val rank = Window.partitionBy(col("component"))
-        .orderBy(col("word_count").desc, col("node"))
-      comp.join(wc, comp("node") === wc("doc_id"))
-        .withColumn("n_members", count(lit(1)).over(byComp))
-        .withColumn("rn", row_number().over(rank))
-        .filter(col("rn") === 1)
-        .select(col("component"), col("node").as("survivor_id"),
-          col("word_count"), col("n_members"))
-        .orderBy("component")
+      survivors(docs, Dedup.connectedComponents(pairs, col("id_a"), col("id_b")))
     },
 
     // ---- per-domain document cap: keep the 10 highest-quality docs per
@@ -593,6 +607,21 @@ object TextQueries {
       Dedup.minhashNearDups(Tables.documents(s, dir), col("doc_id"), col("text"))
         .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
         .limit(100)
+    },
+
+    // ---- t23's scale form: identical survivor selection, but edges come
+    //      from MinHash-LSH banding (candidate-verify, never all-pairs) —
+    //      the path a 100 TB corpus actually runs. murmur3 bands → no
+    //      oracle; DedupSpec's recall property bounds the miss rate, and
+    //      on this fixture the survivor set equals t23's whenever LSH
+    //      recalls every qualifying pair. ----
+    QueryDef.noOracle("t27_cluster_survivors_lsh") { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashNearDups(docs, col("doc_id"), col("text"))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"))
+        .union(docs.select(col("doc_id"), col("doc_id")))
+      survivors(docs, Dedup.connectedComponents(pairs, col("id_a"), col("id_b")))
     },
 
     // SimHash signatures + chunk keys (xxhash64 → no oracle).

@@ -82,4 +82,22 @@ class SkewSpec extends SparkSpec {
     assert(salted == plain)
     assert(plain.nonEmpty)
   }
+
+  test("saltedJoin: MapType left column and explicit saltBy discriminator") {
+    // regression: the salt used to hash EVERY left column, so a map-typed
+    // column failed analysis (hash() rejects MapType); the fallback now
+    // skips unhashable columns, and saltBy hashes only key+discriminator
+    val left = (1 to 500).map(i => (0L, i)).toDF("k", "payload")
+      .withColumn("attrs", map(lit("seen"), col("payload")))
+    val right = Seq((0L, "hot"), (1L, "cold")).toDF("k", "name")
+    val plain = left.join(right, "k")
+      .select("k", "payload", "name").as[(Long, Int, String)].collect().sorted.toSeq
+    val fallback = Skew.saltedJoin(left, right, "k", salts = 4)
+      .select("k", "payload", "name").as[(Long, Int, String)].collect().sorted.toSeq
+    assert(fallback == plain)
+    val byPk = Skew.saltedJoin(left, right, "k", salts = 4, saltBy = Seq("payload"))
+      .select("k", "payload", "name").as[(Long, Int, String)].collect().sorted.toSeq
+    assert(byPk == plain)
+    assert(plain.size == 500)
+  }
 }

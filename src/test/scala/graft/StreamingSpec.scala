@@ -100,12 +100,14 @@ class StreamingSpec extends SparkSpec {
 
   test("st03 chain: streaming dedup -> enrich -> tumbling agg == batch, dups across batches") {
     // the st03 oracle query's composed chain through MemoryStream, with a
-    // duplicate (user_id, ts) row re-delivered in a LATER micro-batch —
-    // exactly the re-delivery the streaming dedup state must absorb
+    // duplicate (user_id, ts, value) row re-delivered in a LATER micro-batch
+    // (absorbed by dedup state) AND a crafted (user_id, ts) collision with a
+    // DIFFERENT value — both collision rows must survive, matching the
+    // oracle's DISTINCT (user_id, ts, value) semantics
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY")).toDF("user_id", "c_mktsegment")
     def chain(df: org.apache.spark.sql.DataFrame) =
-      df.transform(StreamOps.dedupStream(Seq("user_id"), "ts", "1 hour"))
+      df.transform(StreamOps.dedupStream(Seq("user_id", "value"), "ts", "1 hour"))
         .transform(StreamOps.enrich(dim, Seq("user_id")))
         .withColumn("seg", coalesce(col("c_mktsegment"), lit("(none)")))
         .transform(StreamOps.tumblingAgg("ts", "seg", "15 minutes"))
@@ -116,15 +118,20 @@ class StreamingSpec extends SparkSpec {
       .queryName("st03_out").start()
     mem.addData((1L, ts(0), 1.0), (2L, ts(5), 2.0), (9L, ts(10), 3.0))
     q.processAllAvailable()
-    mem.addData((1L, ts(0), 1.0), (1L, ts(20), 4.0))  // first row = re-delivery
+    // re-delivery (dropped) + same (user_id, ts) different value (kept)
+    mem.addData((1L, ts(0), 1.0), (2L, ts(5), 7.5), (1L, ts(20), 4.0))
     q.processAllAvailable()
     val streamed = spark.table("st03_out").orderBy("w", "seg").collect().toSeq
     q.stop()
     val batch = chain(Seq(
-      (1L, ts(0), 1.0), (2L, ts(5), 2.0), (9L, ts(10), 3.0), (1L, ts(20), 4.0)
+      (1L, ts(0), 1.0), (2L, ts(5), 2.0), (2L, ts(5), 7.5),
+      (9L, ts(10), 3.0), (1L, ts(20), 4.0)
     ).toDF("user_id", "ts", "value")).orderBy("w", "seg").collect().toSeq
     assert(streamed == batch)
     assert(streamed.map(_.getString(1)).contains("(none)"))
+    // the collision pair contributed BOTH values to MACHINERY's window
+    assert(streamed.filter(_.getString(1) == "MACHINERY")
+      .map(r => (r.getLong(2), r.getDouble(3))) == Seq((2L, 9.5)))
   }
 
   test("enrich: stream-static broadcast join adds dimension columns") {
