@@ -53,6 +53,84 @@ object Multimodal {
       .withColumn("frame", col("f.frame"))
       .drop("f")
 
+  // ---------- real header formats (pure byte arithmetic, no codec) ----------
+
+  /** Little-endian hex encoding of the low `n` bytes of an int expression —
+    * the building block for assembling real binary headers in-plan.
+    */
+  private def leHex(v: Column, n: Int): Column =
+    concat((0 until n).map(i =>
+      lpad(hex(shiftright(v, 8 * i).bitwiseAND(lit(255))), 2, "0")): _*)
+
+  /** Little-endian unsigned field of `n` bytes at 1-based byte offset
+    * `off` of a binary column: hex the slice, reverse its byte pairs,
+    * radix-convert. All codegen'd string/bit ops — no UDF.
+    */
+  private def leInt(media: Column, off: Int, n: Int): Column = {
+    val h = hex(substring(media, off, n))
+    val reversed = concat((n - 1 to 0 by -1).map(i =>
+      substring(h, i * 2 + 1, 2)): _*)
+    conv(reversed, 16, 10).cast("long")
+  }
+
+  /** A REAL 54-byte BMP header (BITMAPFILEHEADER + BITMAPINFOHEADER,
+    * 24 bpp, BI_RGB) for the given dimensions — spec-valid bytes, built
+    * entirely with Catalyst expressions. Prepend to a payload to get a
+    * parseable .bmp byte stream.
+    */
+  def bmpHeader(width: Column, height: Column, dataLen: Column): Column =
+    unhex(concat(
+      lit("424D"),                  // 'BM' magic
+      leHex(dataLen + lit(54), 4),  // file size
+      lit("00000000"),              // reserved
+      leHex(lit(54), 4),            // pixel-data offset
+      leHex(lit(40), 4),            // DIB header size
+      leHex(width, 4),
+      leHex(height, 4),
+      leHex(lit(1), 2),             // color planes
+      leHex(lit(24), 2),            // bits per pixel
+      lit("00000000"),              // compression = BI_RGB
+      leHex(dataLen, 4),            // image size
+      lit("00000000" * 4)))         // ppm resolution + palette fields
+
+  /** Parse width/height/byte_len from REAL BMP header bytes (the
+    * little-endian ints at offsets 18/22) — actual header arithmetic,
+    * not a length-derived fake.
+    */
+  def bmpMeta(df: DataFrame, media: Column): DataFrame =
+    df.withColumn("byte_len", length(media))
+      .withColumn("width", leInt(media, 19, 4).cast("int"))
+      .withColumn("height", leInt(media, 23, 4).cast("int"))
+
+  /** A REAL 44-byte canonical PCM WAV header (RIFF/WAVE/fmt/data). */
+  def wavHeader(sampleRate: Column, channels: Column, bitsPerSample: Column,
+                dataLen: Column): Column = {
+    val blockAlign = channels * (bitsPerSample / lit(8))
+    val byteRate = sampleRate * blockAlign
+    unhex(concat(
+      lit("52494646"),              // 'RIFF'
+      leHex(dataLen + lit(36), 4),  // RIFF chunk size
+      lit("57415645"),              // 'WAVE'
+      lit("666D7420"),              // 'fmt '
+      leHex(lit(16), 4),            // fmt chunk size (PCM)
+      leHex(lit(1), 2),             // audio format = PCM
+      leHex(channels, 2),
+      leHex(sampleRate, 4),
+      leHex(byteRate, 4),
+      leHex(blockAlign, 2),
+      leHex(bitsPerSample, 2),
+      lit("64617461"),              // 'data'
+      leHex(dataLen, 4)))
+  }
+
+  /** Parse the canonical PCM WAV fields back out of real header bytes. */
+  def wavMeta(df: DataFrame, media: Column): DataFrame =
+    df.withColumn("byte_len", length(media))
+      .withColumn("n_channels", leInt(media, 23, 2).cast("int"))
+      .withColumn("sample_rate", leInt(media, 25, 4).cast("int"))
+      .withColumn("bits_per_sample", leInt(media, 35, 2).cast("int"))
+      .withColumn("data_len", leInt(media, 41, 4))
+
   // ---------- partition-batched decode seam ----------
 
   final case class MediaRow(doc_id: Long, media: Array[Byte])

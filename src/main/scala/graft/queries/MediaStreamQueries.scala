@@ -18,17 +18,50 @@ object MediaStreamQueries {
 
   val all: Seq[QueryDef] = Seq(
 
+    // ---- the media column carries a REAL 54-byte BMP header (built
+    //      in-plan from the doc's target dims) ahead of the payload, and
+    //      the engine PARSES width/height back out of the header bytes
+    //      (little-endian ints at offsets 18/22). The oracle computes the
+    //      same dims from n_chars directly — a wrong byte anywhere in the
+    //      build or parse arithmetic breaks the hash match. ----
     QueryDef("m01_media_meta",
       """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |  CAST(octet_length(encode(text)) + 54 AS INTEGER) AS byte_len,
         |  CAST(n_chars % 640 + 32 AS INTEGER) AS width,
         |  CAST((n_chars * 7) % 480 + 32 AS INTEGER) AS height
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      Multimodal.mediaMeta(
-          Multimodal.withMediaBytes(docs, col("text")),
-          col("media"), col("n_chars"))
+      val w = (col("n_chars") % 640 + 32).cast("int")
+      val h = ((col("n_chars").cast("long") * 7) % 480 + 32).cast("int")
+      val payload = col("text").cast("binary")
+      val withMedia = docs.withColumn("media",
+        concat(Multimodal.bmpHeader(w, h, length(payload)), payload))
+      Multimodal.bmpMeta(withMedia, col("media"))
         .select(col("doc_id"), col("byte_len"), col("width"), col("height"))
+        .orderBy("doc_id")
+    },
+
+    // ---- same round-trip for audio: a REAL 44-byte canonical PCM WAV
+    //      header built from doc-derived params, parsed back field by
+    //      field; the oracle recomputes the params directly. ----
+    QueryDef("m03_wav_meta",
+      """SELECT doc_id,
+        |  CAST(doc_id % 3 + 1 AS INTEGER) AS n_channels,
+        |  CAST(CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 8000
+        |       WHEN 1 THEN 16000 ELSE 44100 END AS INTEGER) AS sample_rate,
+        |  CAST(16 AS INTEGER) AS bits_per_sample,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS data_len
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val ch = (col("doc_id") % 3 + 1).cast("int")
+      val sr = when(col("doc_id") % 3 === 0, 8000)
+        .when(col("doc_id") % 3 === 1, 16000).otherwise(44100)
+      val payload = col("text").cast("binary")
+      val withMedia = docs.withColumn("media",
+        concat(Multimodal.wavHeader(sr, ch, lit(16), length(payload)), payload))
+      Multimodal.wavMeta(withMedia, col("media"))
+        .select(col("doc_id"), col("n_channels"), col("sample_rate"),
+          col("bits_per_sample"), col("data_len"))
         .orderBy("doc_id")
     },
 

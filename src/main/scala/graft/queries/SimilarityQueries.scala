@@ -7,15 +7,45 @@ import graft.ext.Similarity
 /** Similarity-search surface over `embeddings`. The exact queries are
   * DuckDB-oracled with the SAME cosine formula (explicit
   * dot/(sqrt·sqrt) over double lists — sequential folds on both engines
-  * → bit parity, then rounded to 6 for rank stability). The LSH ANN
-  * variant depends on murmur3 hyperplane signs → rows-only + recall
-  * measured in SimilaritySpec.
+  * → bit parity, then rounded to 6 for rank stability).
+  *
+  * The ANN variants (s03 LSH, s04 IVF, s07 PQ) have engine-specific
+  * candidate generation (murmur3 hyperplanes / k-means cells / k-means
+  * codebooks — none SQL-expressible), but their VERIFY stage — exact
+  * cosine + rank over the surviving candidates — IS oracled via the
+  * staged-output trick the climate fact chain uses: DuckDB reads the
+  * query's own dumped (q_id, c_id) pairs, independently recomputes the
+  * exact cosine from `embeddings`, and re-ranks. A wrong cosine, rank,
+  * or tie-break anywhere in the engine's ranking path turns the board
+  * red; only the candidate SET itself is engine-trusted (its recall is
+  * what SimilaritySpec/IVFSpec/PQSpec measure). s08's dedup decision is
+  * fully re-derived from the staged s09 cell table.
   */
 object SimilarityQueries {
 
   private val duckCos =
     """list_dot_product(q.e, c.e) /
       |   (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)))""".stripMargin
+
+  /** Oracle for ANN top-k queries: recompute exact cosine + rank over the
+    * query's own staged candidate pairs (`__GRAFT_OUT__` resolves to the
+    * Verify dump dir). Ranking the staged survivors by the same
+    * (cos DESC, c_id) order reproduces the engine's rn exactly — the kept
+    * set is ranks 1..k by construction.
+    */
+  private def stagedRerankSql(name: String): String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |staged AS (SELECT q_id, c_id
+       |           FROM read_parquet('${ClimateQueries.OutToken}/$name/*.parquet')),
+       |scored AS (
+       |  SELECT s.q_id, s.c_id, round($duckCos, 6) AS cos
+       |  FROM staged s
+       |  JOIN v q ON q.vec_id = s.q_id
+       |  JOIN v c ON c.vec_id = s.c_id)
+       |SELECT q_id, c_id, cos,
+       |  CAST(row_number() OVER (PARTITION BY q_id
+       |                          ORDER BY cos DESC, c_id) AS INTEGER) AS rn
+       |FROM scored ORDER BY q_id, rn""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
 
@@ -82,9 +112,10 @@ object SimilarityQueries {
         .orderBy("v_id")
     },
 
-    // murmur3-signed hyperplanes → no DuckDB form; recall vs s01 measured
-    // in SimilaritySpec.
-    QueryDef.noOracle("s03_ann_lsh") { (s, dir) =>
+    // murmur3-signed hyperplane candidates (engine-specific); the exact
+    // cosine + rank over the survivors is DuckDB-re-derived from the
+    // staged pairs. Recall vs s01 measured in SimilaritySpec.
+    QueryDef("s03_ann_lsh", stagedRerankSql("s03_ann_lsh")) { (s, dir) =>
       Similarity.annTopK(Tables.embeddings(s, dir),
           "vec_id", "embedding", col("vec_id") % 50 === 0,
           k = 5, bits = 32, bands = 4)
@@ -92,21 +123,48 @@ object SimilarityQueries {
     },
 
     // IVF coarse-quantized ANN (k-means cells + nprobe search) — the
-    // second scale path; deterministic but a SQL oracle would require
-    // re-implementing k-means in DuckDB → rows-only. IVFSpec proves
-    // nprobe == cells reduces exactly to brute force.
-    QueryDef.noOracle("s04_ann_ivf") { (s, dir) =>
+    // second scale path. k-means is not SQL-expressible, so the cell
+    // probe set is engine-trusted; the exact rank over probed candidates
+    // is DuckDB-re-derived. IVFSpec proves nprobe == cells reduces
+    // exactly to brute force.
+    QueryDef("s04_ann_ivf", stagedRerankSql("s04_ann_ivf")) { (s, dir) =>
       graft.ext.IVF.ivfTopK(Tables.embeddings(s, dir),
           "vec_id", "embedding", col("vec_id") % 50 === 0,
           k = 5, cells = 8, nprobe = 2)
         .orderBy("q_id", "rn")
     },
 
+    // The stored IVF index itself: (vid, cell) for every vector — the
+    // partition-key column a 100 TB deployment persists next to the data.
+    // k-means assignment → rows-only here; s08's oracle consumes this
+    // staged table, which is what makes its dedup decision cross-checkable.
+    QueryDef.noOracle("s09_ivf_cells") { (s, dir) =>
+      graft.ext.IVF.assignTable(Tables.embeddings(s, dir),
+          "vec_id", "embedding", cells = 8, iters = 3)
+        .select(col("vid"), col("cell"))
+        .orderBy("vid")
+    },
+
     // Cluster-scoped semantic dedup (SemDeDup shape): k-means cells bound
     // the pair space to n²/cells; same any-lower-id rule as s06's exact
-    // form. k-means → no SQL oracle; SimilaritySpec pins soundness
-    // (every drop justified by a lower-id cell-mate) and exact-dup recall.
-    QueryDef.noOracle("s08_semantic_dedup") { (s, dir) =>
+    // form. Given the staged s09 cell table (same deterministic
+    // assignTable call), DuckDB re-derives the ENTIRE dedup decision —
+    // within-cell pairs, cosines, threshold, survivor set. SimilaritySpec
+    // additionally pins soundness and exact-dup recall.
+    QueryDef("s08_semantic_dedup",
+      s"""WITH cells AS (SELECT vid, cell
+         |               FROM read_parquet('${ClimateQueries.OutToken}/s09_ivf_cells/*.parquet')),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |a AS (SELECT cells.cell, v.vec_id, v.e
+         |      FROM cells JOIN v ON v.vec_id = cells.vid),
+         |dropped AS (
+         |  SELECT DISTINCT c.vec_id AS v_id
+         |  FROM a q JOIN a c ON q.cell = c.cell AND q.vec_id < c.vec_id
+         |  WHERE round($duckCos, 6) >= 0.35)
+         |SELECT v.vec_id AS v_id FROM v
+         |LEFT JOIN dropped d ON d.v_id = v.vec_id
+         |WHERE d.v_id IS NULL
+         |ORDER BY v_id""".stripMargin) { (s, dir) =>
       // 0.35 sits inside the near-random corpus's top-pair cosine range
       // (~0.30-0.36) so the decision actually fires at every SF
       Similarity.clusterDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -116,9 +174,10 @@ object SimilarityQueries {
 
     // Product-quantization ADC top-k (8 subspaces × 16-cell codebooks,
     // exact re-rank of the 4k shortlist) — the compressed-payload ANN
-    // path; deterministic, but k-means codebooks have no SQL oracle.
-    // PQSpec pins clustered-vector recall ≥0.9 and determinism.
-    QueryDef.noOracle("s07_ann_pq") { (s, dir) =>
+    // path. Codebooks/ADC shortlist are engine-trusted; the exact-cosine
+    // re-rank the query actually emits is DuckDB-re-derived. PQSpec pins
+    // clustered-vector recall ≥0.9 and determinism.
+    QueryDef("s07_ann_pq", stagedRerankSql("s07_ann_pq")) { (s, dir) =>
       graft.ext.PQ.adcTopK(Tables.embeddings(s, dir),
           "vec_id", "embedding", col("vec_id") % 50 === 0,
           k = 5, m = 8, kc = 16)

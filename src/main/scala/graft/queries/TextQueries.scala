@@ -592,18 +592,74 @@ object TextQueries {
 
     // ---- Bloom-filter decontamination: t17's semantics with the eval
     //      shingle set compressed to a broadcast Bloom bitset probed
-    //      map-side (xxhash64 → engine-specific → no oracle; DedupSpec
-    //      pins superset-of-exact + FP-bound properties, and the
-    //      flagged-doc set here equals t17's whenever no false positive
-    //      fires). The train side is NEVER shuffled — the 100 TB path. ----
-    QueryDef.noOracle("t26_bloom_decontaminate") { (s, dir) =>
+    //      map-side (xxhash64-based — the exact flag counts are
+    //      engine-specific; DedupSpec pins the FP bound). The train side
+    //      is NEVER shuffled — the 100 TB path.
+    //      Oracle = the SUPERSET PROPERTY as a hash-equality: DuckDB
+    //      unions the staged flagged set with the exact contamination set
+    //      (t17's SQL) — equal to the staged set iff every truly
+    //      contaminated doc was flagged (Bloom guarantees no false
+    //      negatives; a miss would surface as an extra NULL-count row).
+    //      False positives are allowed by construction and absorbed by
+    //      the union. ----
+    QueryDef("t26_bloom_decontaminate",
+      s"""WITH staged AS (SELECT doc, n_maybe_shared
+         |  FROM read_parquet('${ClimateQueries.OutToken}/t26_bloom_decontaminate/*.parquet')),
+         |docs AS (
+         |  SELECT doc_id, doc_id % 10 = 9 AS is_eval,
+         |         regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, is_eval, unnest(list_distinct(
+         |    list_transform(range(1, len(w) - 1),
+         |                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+         |  FROM docs),
+         |ev AS (SELECT DISTINCT s FROM sh WHERE is_eval),
+         |exact AS (SELECT doc_id AS doc FROM sh JOIN ev USING (s)
+         |          WHERE NOT is_eval GROUP BY 1)
+         |SELECT doc, n_maybe_shared FROM (
+         |  SELECT doc, n_maybe_shared FROM staged
+         |  UNION
+         |  SELECT e.doc, st.n_maybe_shared
+         |  FROM exact e LEFT JOIN staged st ON st.doc = e.doc)
+         |ORDER BY doc""".stripMargin) { (s, dir) =>
       Dedup.contaminationBloom(Tables.documents(s, dir), col("doc_id"),
           col("text"), col("doc_id") % 10 === 9)
         .orderBy("doc")
     },
 
-    // MinHash-LSH verified near-dup pairs (murmur3 → no oracle).
-    QueryDef.noOracle("t07_minhash_lsh") { (s, dir) =>
+    // MinHash-LSH verified near-dup pairs. The banding (murmur3) is
+    // engine-specific, but the VERIFY stage is oracled via the staged
+    // pairs: DuckDB recomputes each staged pair's exact shingle Jaccard
+    // from `documents` — a wrong intersection/union/size anywhere in the
+    // engine's verify path breaks the hash match. (jaccard is an exact
+    // ratio of small ints → bit-identical double division both sides.)
+    QueryDef("t07_minhash_lsh",
+      s"""WITH staged AS (SELECT id_a, id_b
+         |  FROM read_parquet('${ClimateQueries.OutToken}/t07_minhash_lsh/*.parquet')),
+         |docs AS (SELECT doc_id,
+         |           regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+         |         FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, len(w) - 1),
+         |                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+         |  FROM docs),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT p.id_a, p.id_b, count(*) AS ni
+         |  FROM staged p
+         |  JOIN sh a ON a.doc_id = p.id_a
+         |  JOIN sh b ON b.doc_id = p.id_b AND b.s = a.s
+         |  GROUP BY 1, 2)
+         |SELECT p.id_a, p.id_b,
+         |  CAST(coalesce(i.ni, 0) AS DOUBLE)
+         |    / (sa.n + sb.n - coalesce(i.ni, 0)) AS jaccard
+         |FROM staged p
+         |JOIN sizes sa ON sa.doc_id = p.id_a
+         |JOIN sizes sb ON sb.doc_id = p.id_b
+         |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+         |ORDER BY jaccard DESC, p.id_a, p.id_b""".stripMargin) { (s, dir) =>
       Dedup.minhashNearDups(Tables.documents(s, dir), col("doc_id"), col("text"))
         .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
         .limit(100)

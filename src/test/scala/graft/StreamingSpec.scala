@@ -276,6 +276,54 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_._2) == Seq(100, 100, 50, 0))
   }
 
+  test("bmpMeta/wavMeta parse hand-assembled spec-valid header bytes") {
+    // golden arrays built byte-by-byte from the format specs — pins the
+    // parsers against REAL format bytes independent of the in-plan builders
+    def le(v: Int, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xFF).toByte).toArray
+    val bmp: Array[Byte] =
+      "BM".getBytes("ASCII") ++ le(54 + 18, 4) ++ le(0, 4) ++ le(54, 4) ++
+        le(40, 4) ++ le(2, 4) ++ le(3, 4) ++ le(1, 2) ++ le(24, 2) ++
+        le(0, 4) ++ le(18, 4) ++ le(0, 4) ++ le(0, 4) ++ le(0, 4) ++ le(0, 4)
+    assert(bmp.length == 54)
+    val bdf = Seq(Tuple1(bmp)).toDF("media")
+    val (bw, bh) = Multimodal.bmpMeta(bdf, col("media"))
+      .select("width", "height").as[(Int, Int)].head()
+    assert((bw, bh) == ((2, 3)))
+    val wav: Array[Byte] =
+      "RIFF".getBytes("ASCII") ++ le(36 + 64, 4) ++ "WAVE".getBytes("ASCII") ++
+        "fmt ".getBytes("ASCII") ++ le(16, 4) ++ le(1, 2) ++ le(2, 2) ++
+        le(16000, 4) ++ le(64000, 4) ++ le(4, 2) ++ le(16, 2) ++
+        "data".getBytes("ASCII") ++ le(64, 4)
+    assert(wav.length == 44)
+    val wdf = Seq(Tuple1(wav)).toDF("media")
+    val parsed = Multimodal.wavMeta(wdf, col("media"))
+      .select("n_channels", "sample_rate", "bits_per_sample", "data_len")
+      .as[(Int, Int, Int, Long)].head()
+    assert(parsed == ((2, 16000, 16, 64L)))
+  }
+
+  test("bmpHeader/wavHeader round-trip through their parsers") {
+    val df = Seq((1920, 1080, 100L), (2, 3, 7L), (640, 480, 0L))
+      .toDF("w", "h", "n")
+    val bmp = df.withColumn("media",
+      Multimodal.bmpHeader(col("w"), col("h"), col("n")))
+    val back = Multimodal.bmpMeta(bmp, col("media"))
+      .select("w", "h", "width", "height", "byte_len")
+      .as[(Int, Int, Int, Int, Int)].collect()
+    back.foreach { case (w, h, pw, ph, bl) =>
+      assert(pw == w && ph == h && bl == 54)
+    }
+    val wav = df.withColumn("media",
+      Multimodal.wavHeader(lit(44100), lit(2), lit(16), col("n")))
+    val wback = Multimodal.wavMeta(wav, col("media"))
+      .select("n", "n_channels", "sample_rate", "bits_per_sample", "data_len")
+      .as[(Long, Int, Int, Int, Long)].collect()
+    wback.foreach { case (n, ch, sr, bps, dl) =>
+      assert(ch == 2 && sr == 44100 && bps == 16 && dl == n)
+    }
+  }
+
   test("decodeBatched: deterministic fake codec through mapPartitions") {
     val ds = Seq(
       Multimodal.MediaRow(1L, "hello".getBytes),
