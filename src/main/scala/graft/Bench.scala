@@ -64,7 +64,9 @@ object Bench {
       "t16_dedup_clusters", "s01_cosine_topk", "s04_ann_ivf",
       "st01_session_agg", "q47_merge_upsert", "q52_psi_drift",
       "s06_embedding_dedup", "q58_sessionize", "t26_bloom_decontaminate",
-      "s07_ann_pq", "s08_semantic_dedup", "st03_dedup_enrich_agg")
+      "s07_ann_pq", "s08_semantic_dedup", "st03_dedup_enrich_agg",
+      "q61_zorder_layout", "q63_pagerank_parts", "s10_matryoshka_overlap",
+      "t28_leakage_safe_split")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"),
       jsonLine(results.toSeq.sortBy(_._1)))

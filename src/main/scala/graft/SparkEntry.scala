@@ -15,7 +15,7 @@ object SparkEntry {
     RelationalQueries.all ++ JoinQueries.all ++ AnalyticQueries.all ++
       TimeSeriesQueries.all ++ BehaviorQueries.all ++ ClimateQueries.all ++
       TextQueries.all ++ SimilarityQueries.all ++ MediaStreamQueries.all ++
-      PipelineQueries.all
+      PipelineQueries.all ++ PrepQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -11,5 +11,8 @@ object GraftConf {
     // unparsable cast → null, out-of-range getItem → null — which the
     // dropna-based validation depends on. Spark 4 defaults ANSI on.
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    // Engine optimizer rules (inert until their conf keys opt in) — the
+    // runtime twin of `spark.sql.extensions=graft.functions.GraftExtensions`.
+    graft.plans.ApproxDistinctRewrite.install(spark)
   }
 }

@@ -237,4 +237,25 @@ object Similarity {
       .filter(col("rn") <= k)
       .select(col("q_id"), col("c_id"), col("cos"), col("rn").cast("int").as("rn"))
   }
+
+  /** Matryoshka truncation audit: for each query, how many of its exact
+    * top-k neighbors survive when vectors are truncated to the first
+    * `dims` components (cosine is scale-invariant, so no renormalization
+    * is needed). This is the acceptance gate for trading embedding bytes
+    * against recall at 100 TB — truncating 64→32 dims halves scan I/O and
+    * doubles effective cache; the overlap histogram says what it costs.
+    * Both rankings are the same [[bruteForceTopK]] (rounded-cosine order,
+    * id tie-break), so the result is deterministic and fully oracled.
+    */
+  def matryoshkaOverlap(emb: DataFrame, id: String, vec: String,
+                        queryPred: Column, k: Int = 10, dims: Int = 32): DataFrame = {
+    val full = bruteForceTopK(emb, id, vec, queryPred, k).select("q_id", "c_id")
+    val trunc = bruteForceTopK(emb.withColumn(vec, slice(col(vec), 1, dims)),
+      id, vec, queryPred, k).select("q_id", "c_id")
+    val overlaps = full.join(trunc, Seq("q_id", "c_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("__c"))
+    emb.filter(queryPred).select(col(id).as("q_id"))
+      .join(overlaps, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("__c"), lit(0L)).cast("int").as("overlap"))
+  }
 }

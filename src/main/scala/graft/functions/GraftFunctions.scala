@@ -79,6 +79,11 @@ object GraftFunctions {
 /** `spark.sql.extensions` installer. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // Optimizer rules (conf-gated, inert by default) — injected into the
+    // operator-optimization batch, so unlike the runtime `install` path
+    // this also catches distinct aggregates before Catalyst's
+    // RewriteDistinctAggregates expands multi-distinct plans.
+    e.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
     e.injectFunction((
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),

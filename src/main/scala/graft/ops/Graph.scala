@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics as declarative join/agg rounds.
+  *
+  * PageRank is the canonical "iterate a join-aggregate to a fixed point"
+  * workload: each round shuffles O(edges) contribution rows into a
+  * per-node sum. The fixed-iteration form here keeps the full lineage
+  * declarative (3 rounds = 3 joins Catalyst can see through); the
+  * open-ended fixed-point form would truncate lineage per round with
+  * `localCheckpoint` exactly like [[graft.ext.Dedup]]'s label propagation.
+  *
+  * Cross-engine float parity (the DuckDB oracle hash-compares results):
+  * per-node contribution sums are accumulated in DECIMAL(38,18) — decimal
+  * addition is exact and therefore order-independent, so Spark's partial
+  * aggregation and DuckDB's single-threaded sum agree bit-for-bit. Every
+  * other step (the division by out-degree, the damping blend) is a fixed
+  * chain of scalar IEEE-754 ops that any engine evaluates identically.
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank over a directed edge list (`src`, `dst`;
+    * callers pass distinct edges). Dangling mass is dropped (the classic
+    * simplified formulation): r_{t+1}(v) = (1-d)/N + d·Σ_{u→v} r_t(u)/deg(u).
+    *
+    * The node count N is collected to the driver (one scalar — the same
+    * count-then-reinject shape as the reference's record_count,
+    * reference jobs/03_silver_to_gold.py:71-74) so `1/N` is a literal and
+    * the rank seed needs no extra join.
+    */
+  def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.875): DataFrame = {
+    // Same iteration discipline as Dedup.connectedComponents: truncate
+    // lineage EVERY round with an eager localCheckpoint, so no action
+    // ever faces the full cross-round plan (a 3-round nested join tree
+    // re-planned at materialization time measured 10×+ the cost of the
+    // three rounds run shallowly — and on a real cluster the fixed-point
+    // variant would be unplannable without truncation). The edge list is
+    // checkpointed once up front — loop-invariant, read every round —
+    // and the per-round checkpoints are O(nodes) rows that the context
+    // cleaner reclaims when the previous round's frame goes out of scope.
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true) // reused every round + for the final left join
+    val n = nodes.count()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+
+    var ranks = nodes.withColumn("r", lit(1.0) / lit(n))
+    for (_ <- 1 to iterations) {
+      val contribs = e.join(deg, "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          (col("r") / col("outdeg")).cast("decimal(38,18)").as("contrib"))
+        .groupBy("node")
+        .agg(sum(col("contrib")).cast("double").as("c"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) / lit(n) +
+            lit(damping) * coalesce(col("c"), lit(0.0))).as("r"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
+  /** Co-occurrence edge list: items sharing ≥ `minSupport` groups become
+    * mutual edges (both directions). Group sizes are assumed bounded (the
+    * self-join is O(Σ size²) — for unbounded groups cap with a top-k per
+    * group first). `minSupport` matters at scale: with it at 1 a dense
+    * corpus yields a near-complete graph (on the sf0.1 fixture, 2.39M
+    * edges over 2,000 parts = 60% density — pure co-incidence noise);
+    * support ≥ 2 keeps the ~7k pairs that actually recur, which is both
+    * the meaningful affinity graph and a 300× smaller one.
+    */
+  def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
+                        minSupport: Int = 1): DataFrame = {
+    val pairs = df.select(col(groupCol).as("g"), col(itemCol).as("item")).distinct()
+    pairs.as("a").join(pairs.as("b"), Seq("g"))
+      .filter(col("a.item") =!= col("b.item"))
+      .groupBy(col("a.item").as("src"), col("b.item").as("dst"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minSupport)
+      .select(col("src"), col("dst"))
+  }
+}

@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.{Graph, Layout, Prep}
+
+/** Data-layout, graph-centrality, and feature-prep operators (round 5):
+  * Z-order clustering keys, fixed-iteration PageRank, per-group min-max
+  * scaling, deterministic hash-reservoir sampling, and median/MAD robust
+  * outlier detection. Each has a full DuckDB hash oracle — including
+  * PageRank, whose per-node contribution sums run in DECIMAL(38,18) so
+  * the result is accumulation-order-independent (see [[graft.ops.Graph]]).
+  */
+object PrepQueries {
+
+  /** One PageRank round as DuckDB CTEs (mirrors [[Graph.pageRank]]'s loop
+    * body term for term — 0.875/0.125 are exact binary fractions so the
+    * damping constants are the same double in both engines).
+    */
+  private def prIterSql(i: Int): String = {
+    val prev = if (i == 1) "r0" else s"r${i - 1}"
+    s"""c$i AS (SELECT e.dst AS node,
+       |  CAST(sum(CAST(r.r / d.outdeg AS DECIMAL(38,18))) AS DOUBLE) AS c
+       |  FROM edges e JOIN $prev r ON e.src = r.node
+       |  JOIN deg d ON e.src = d.src GROUP BY 1),
+       |r$i AS (SELECT nodes.node,
+       |  CAST(0.125 AS DOUBLE) / nn.n +
+       |  CAST(0.875 AS DOUBLE) * coalesce(c$i.c, CAST(0 AS DOUBLE)) AS r
+       |  FROM nodes CROSS JOIN nn LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- Z-order (Morton) layout clustering key: the OPTIMIZE ZORDER BY
+    //      primitive. Quantize two dimensions against their global range,
+    //      interleave the bits, bucket by leading Z-prefix (what becomes
+    //      the file assignment on a real table). Pure codegen arithmetic;
+    //      the one shuffle is the final deterministic ordering. ----
+    QueryDef("q61_zorder_layout",
+      s"""WITH mm AS (SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+         |              min(l_suppkey) AS smin, max(l_suppkey) AS smax FROM lineitem),
+         |q AS (SELECT l_orderkey, l_linenumber,
+         |        CAST(floor(((l_partkey - pmin) * CAST(65535 AS DOUBLE)) / greatest(pmax - pmin, 1)) AS BIGINT) AS qx,
+         |        CAST(floor(((l_suppkey - smin) * CAST(65535 AS DOUBLE)) / greatest(smax - smin, 1)) AS BIGINT) AS qy
+         |      FROM lineitem CROSS JOIN mm),
+         |z AS (SELECT l_orderkey, l_linenumber,
+         |        ${Layout.zorderKeySql("qx", "qy", 16)} AS zkey FROM q)
+         |SELECT l_orderkey, l_linenumber, zkey, CAST(zkey >> 27 AS INTEGER) AS zbucket
+         |FROM z ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val mm = li.agg(
+        min(col("l_partkey")).as("pmin"), max(col("l_partkey")).as("pmax"),
+        min(col("l_suppkey")).as("smin"), max(col("l_suppkey")).as("smax"))
+      li.crossJoin(broadcast(mm))
+        .withColumn("qx", Layout.quantize(col("l_partkey"), col("pmin"), col("pmax"), 16))
+        .withColumn("qy", Layout.quantize(col("l_suppkey"), col("smin"), col("smax"), 16))
+        .withColumn("zkey", Layout.zorderKey(col("qx"), col("qy"), 16))
+        .select(col("l_orderkey"), col("l_linenumber"), col("zkey"),
+          shiftright(col("zkey"), 27).cast("int").as("zbucket"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // ---- per-group min-max feature scaling: one O(groups) agg broadcast
+    //      back onto the facts. min/max (unlike mean/stddev) are order-
+    //      independent, so the scaled doubles hash-match exactly. ----
+    QueryDef("q62_minmax_scale",
+      """WITH stats AS (SELECT c_mktsegment, min(c_acctbal) AS mn, max(c_acctbal) AS mx
+        |               FROM customer GROUP BY 1)
+        |SELECT c.c_mktsegment, c.c_custkey,
+        |  round(CASE WHEN mx = mn THEN CAST(0 AS DOUBLE)
+        |             ELSE (c.c_acctbal - mn) / (mx - mn) END, 6) AS acctbal_scaled
+        |FROM customer c JOIN stats ON c.c_mktsegment = stats.c_mktsegment
+        |ORDER BY c.c_mktsegment, c.c_custkey""".stripMargin) { (s, dir) =>
+      Prep.withMinMax(Tables.customer(s, dir), Seq("c_mktsegment"), "c_acctbal")
+        .select(col("c_mktsegment"), col("c_custkey"),
+          round(Prep.minMaxScaled(col("c_acctbal")), 6).as("acctbal_scaled"))
+        .orderBy("c_mktsegment", "c_custkey")
+    },
+
+    // ---- fixed-iteration PageRank over the part co-purchase graph
+    //      (parts sharing ≥2 orders are mutual edges — support 1 on this
+    //      corpus is a 60%-dense co-incidence blob, see Graph scaladoc).
+    //      3 declarative join-agg rounds; decimal contribution sums make
+    //      the ranks bit-stable across engines and partitionings. ----
+    QueryDef("q63_pagerank_parts",
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem),
+         |edges AS (SELECT a.item AS src, b.item AS dst
+         |          FROM li a JOIN li b ON a.g = b.g AND a.item <> b.item
+         |          GROUP BY 1, 2 HAVING count(*) >= 2),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges
+         |          UNION SELECT DISTINCT dst FROM edges),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+         |r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS r FROM nodes CROSS JOIN nn),
+         |${prIterSql(1)},
+         |${prIterSql(2)},
+         |${prIterSql(3)}
+         |SELECT node AS part, round(r * CAST(1000000 AS DOUBLE), 6) AS rank_ppm
+         |FROM r3 ORDER BY rank_ppm DESC, part LIMIT 100""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("g"), col("l_partkey").as("item"))
+      val edges = Graph.coOccurrenceEdges(li, "g", "item", minSupport = 2)
+      Graph.pageRank(edges, iterations = 3, damping = 0.875)
+        .select(col("node").as("part"),
+          round(col("r") * lit(1000000.0), 6).as("rank_ppm"))
+        .orderBy(col("rank_ppm").desc, col("part"))
+        .limit(100)
+    },
+
+    // ---- deterministic "reservoir" sample: fixed k per group, ranked by
+    //      a portable multiplicative hash (rand() is engine-specific; this
+    //      is reproducible everywhere). Scale path: pre-filter on a hash
+    //      threshold before the per-group rank so the window sees ~k·c
+    //      rows per group, not the full table. ----
+    QueryDef("q64_hash_reservoir",
+      s"""SELECT event_type, event_id, user_id, value, CAST(rn AS INTEGER) AS rn FROM (
+         |  SELECT event_type, event_id, user_id, value,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY ${Prep.portableHashSql("user_id", "event_id")}, event_id) AS rn
+         |  FROM events)
+         |WHERE rn <= 50 ORDER BY event_type, rn""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(Prep.portableHash(col("user_id"), col("event_id")), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 50)
+        .select(col("event_type"), col("event_id"), col("user_id"), col("value"), col("rn"))
+        .orderBy("event_type", "rn")
+    },
+
+    // ---- robust outliers via median/MAD (modified z-score, |z| > 3.5):
+    //      immune to the outliers polluting the baseline the way mean/
+    //      stddev z-scores are. Exact medians via the engine-portable
+    //      middle-rows form (see Prep.groupedMedian); two O(groups) stats
+    //      broadcast back onto the facts. ----
+    QueryDef("q65_mad_outliers",
+      s"""WITH med AS (${Prep.groupedMedianSql("events", "event_type", "value", "med")}),
+         |dev AS (SELECT e.event_type, e.event_id, e.value, med.med,
+         |               abs(e.value - med.med) AS dev
+         |        FROM events e JOIN med ON e.event_type = med.event_type),
+         |mad AS (${Prep.groupedMedianSql("dev", "event_type", "dev", "mad")})
+         |SELECT d.event_type, d.event_id, d.value,
+         |  round(CAST(0.6745 AS DOUBLE) * (d.value - d.med) / m.mad, 4) AS robust_z
+         |FROM dev d JOIN mad m ON d.event_type = m.event_type
+         |WHERE m.mad > 0
+         |  AND abs(CAST(0.6745 AS DOUBLE) * (d.value - d.med) / m.mad) > 3.5
+         |ORDER BY d.event_type, d.event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir).select("event_type", "event_id", "value")
+      val med = Prep.groupedMedian(ev, Seq("event_type"), "value", "med")
+      val withMed = ev.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("value") - col("med")))
+      val mad = Prep.groupedMedian(
+        withMed.select(col("event_type"), col("dev")), Seq("event_type"), "dev", "mad")
+      withMed.join(broadcast(mad), "event_type")
+        .filter(col("mad") > 0)
+        .withColumn("robust_z", lit(0.6745) * (col("value") - col("med")) / col("mad"))
+        .filter(abs(col("robust_z")) > 3.5)
+        .select(col("event_type"), col("event_id"), col("value"),
+          round(col("robust_z"), 4).as("robust_z"))
+        .orderBy("event_type", "event_id")
+    }
+  )
+}

@@ -183,5 +183,37 @@ object SimilarityQueries {
           k = 5, m = 8, kc = 16)
         .orderBy("q_id", "rn")
     },
+
+    // ---- matryoshka truncation audit: top-10 overlap between full-dim
+    //      and first-32-dims cosine rankings per query — the recall-vs-
+    //      bytes gate for shipping truncated embeddings. Fully
+    //      SQL-expressible (two brute-force rankings + a set intersect),
+    //      so unlike the ANN family this one has a complete oracle. ----
+    QueryDef("s10_matryoshka_overlap",
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         |             CAST(embedding[1:32] AS DOUBLE[]) AS et FROM embeddings),
+         |f AS (SELECT q_id, c_id FROM (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |                       ORDER BY round($duckCos, 6) DESC, c.vec_id) AS rn
+         |  FROM v q CROSS JOIN v c
+         |  WHERE q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id) WHERE rn <= 10),
+         |t AS (SELECT q_id, c_id FROM (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |                       ORDER BY round(list_dot_product(q.et, c.et) /
+         |                         (sqrt(list_dot_product(q.et, q.et)) * sqrt(list_dot_product(c.et, c.et))), 6)
+         |                         DESC, c.vec_id) AS rn
+         |  FROM v q CROSS JOIN v c
+         |  WHERE q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id) WHERE rn <= 10),
+         |ov AS (SELECT f.q_id, count(*) AS c
+         |       FROM f JOIN t ON f.q_id = t.q_id AND f.c_id = t.c_id GROUP BY 1)
+         |SELECT q.vec_id AS q_id, CAST(coalesce(ov.c, 0) AS INTEGER) AS overlap
+         |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0) q
+         |LEFT JOIN ov ON ov.q_id = q.vec_id ORDER BY q_id""".stripMargin) { (s, dir) =>
+      Similarity.matryoshkaOverlap(Tables.embeddings(s, dir),
+          "vec_id", "embedding", col("vec_id") % 50 === 0, k = 10, dims = 32)
+        .orderBy("q_id")
+    },
   )
 }

@@ -685,5 +685,55 @@ object TextQueries {
       Dedup.simhash(Tables.documents(s, dir), col("doc_id"), col("text"))
         .orderBy("doc")
     },
+
+    // ---- leakage-safe train/val/test split: hash-split by near-dup
+    //      CLUSTER, not by document — t12's per-doc hash split would put
+    //      two near-identical docs in train and test (the classic eval-
+    //      leak), whereas assigning the whole connected component by its
+    //      min-member id keeps every near-dup family in one split by
+    //      construction. Same exact-jaccard closure as t23, same CASE
+    //      buckets as t12, full recursive-CTE oracle. ----
+    QueryDef("t28_leakage_safe_split",
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(w) - 1),
+        |                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+        |  FROM docs),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jac AS (
+        |  SELECT id_a, id_b
+        |  FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM jac
+        |          UNION ALL SELECT id_b, id_a FROM jac),
+        |reach(node, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b),
+        |comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+        |SELECT node AS doc_id, component,
+        |  CASE WHEN component % 10 < 8 THEN 'train'
+        |       WHEN component % 10 < 9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM comp ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.jaccardPairs(docs, col("doc_id"), col("text"))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"))
+        .union(docs.select(col("doc_id"), col("doc_id")))
+      Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
+        .select(col("node").as("doc_id"), col("component"),
+          TextOps.splitAssign(col("component")).as("split"))
+        .orderBy("doc_id")
+    },
   )
 }

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Graph, Layout, Prep}
+
+/** Unit/property coverage for the round-5 layout/graph/prep operators
+  * (their cross-engine parity is pinned by the q61-q65 oracles; these
+  * tests pin the algebraic invariants the oracles can't see).
+  */
+class PrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zorderKey: interleaves bits (known values) and is monotone-safe in range") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L),
+      (65535L, 65535L), (43690L, 21845L)).toDF("qx", "qy")
+    val got = df.select(Layout.zorderKey(col("qx"), col("qy"), 16).as("z"))
+      .as[Long].collect().toSeq
+    // bit i of qx → position 2i+1, bit i of qy → position 2i
+    assert(got == Seq(0L, 2L, 1L, 3L, 4294967295L,
+      // 43690 = 0b1010101010101010 (odd positions), 21845 = 0b0101010101010101
+      (0 until 16).map { i =>
+        val xbit = (43690L >> i) & 1; val ybit = (21845L >> i) & 1
+        (xbit << (2 * i + 1)) | (ybit << (2 * i))
+      }.sum))
+  }
+
+  test("zorderKey is a bijection on the quantized grid (sampled)") {
+    val pts = for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong)
+    val keys = pts.toDF("qx", "qy")
+      .select(Layout.zorderKey(col("qx"), col("qy"), 6).as("z"))
+      .as[Long].collect()
+    assert(keys.distinct.length == pts.length)
+    assert(keys.min == 0L && keys.max == 4095L)
+  }
+
+  test("clusterByZorder: partitions hold disjoint contiguous z-ranges") {
+    val df = TestSpark.spark.read.parquet(s"$sf/lineitem.parquet")
+    val parts = Layout.clusterByZorder(df, "l_partkey", "l_suppkey",
+        bits = 16, numPartitions = 8)
+      .select(col("__zkey"), spark_partition_id().as("pid"))
+      .groupBy("pid").agg(min("__zkey").as("lo"), max("__zkey").as("hi"))
+      .orderBy("lo")
+      .as[(Int, Long, Long)].collect()
+    assert(parts.nonEmpty)
+    parts.sliding(2).foreach {
+      case Array((_, _, hi1), (_, lo2, _)) => assert(hi1 <= lo2,
+        s"overlapping z-ranges across partitions: $hi1 > $lo2")
+      case _ =>
+    }
+  }
+
+  test("pageRank: ranks positive and mass ≤ 1 (dangling mass drops)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val r = Graph.pageRank(edges, iterations = 5, damping = 0.875)
+      .as[(Long, Double)].collect().toMap
+    assert(r.size == 3 && r.values.forall(_ > 0))
+    val mass = r.values.sum
+    assert(mass > 0.99 && mass < 1.01, s"rank mass $mass")
+  }
+
+  test("pageRank: symmetric complete graph converges to uniform 1/N") {
+    val nodes = 1L to 4L
+    val edges = (for (a <- nodes; b <- nodes if a != b) yield (a, b)).toDF("src", "dst")
+    val r = Graph.pageRank(edges, iterations = 3).as[(Long, Double)].collect()
+    r.foreach { case (_, v) => assert(math.abs(v - 0.25) < 1e-12) }
+  }
+
+  test("groupedMedian matches percentile_approx-free exact median, odd and even") {
+    val df = Seq(("a", 1.0), ("a", 3.0), ("a", 100.0),
+      ("b", 1.0), ("b", 2.0), ("b", 3.0), ("b", 10.0)).toDF("k", "v")
+    val med = Prep.groupedMedian(df, Seq("k"), "v", "med")
+      .as[(String, Double)].collect().toMap
+    assert(med("a") == 3.0)   // odd count → middle value
+    assert(med("b") == 2.5)   // even count → (a+b)/2
+  }
+
+  test("portableHash is deterministic and spreads across the 2^32 range") {
+    val h = spark.range(10000)
+      .select(Prep.portableHash(col("id"), col("id") + 7).as("h"))
+      .as[Long].collect()
+    assert(h.forall(x => x >= 0 && x < 4294967296L))
+    assert(h.distinct.length > 9900) // essentially collision-free here
+    val buckets = h.groupBy(_ / (4294967296L / 16)).view.mapValues(_.size)
+    assert(buckets.size == 16 && buckets.values.min > 300)
+  }
+
+  test("coOccurrenceEdges: symmetric, no self-loops, distinct") {
+    val df = Seq((1L, 10L), (1L, 11L), (1L, 10L), (2L, 11L), (2L, 12L))
+      .toDF("g", "item")
+    val e = Graph.coOccurrenceEdges(df, "g", "item").as[(Long, Long)].collect().toSet
+    assert(e == Set((10L, 11L), (11L, 10L), (11L, 12L), (12L, 11L)))
+  }
+}
