@@ -238,6 +238,95 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cos"), col("rn").cast("int").as("rn"))
   }
 
+  /** Symmetric per-vector int8 scalar quantization: scale = max|x|/127,
+    * codes = round(x/scale) ∈ [−127, 127]. The stored form — (vid, scale,
+    * codes) — is the 4×-compression payload for 100 TB embedding stores
+    * (a float32 64-dim vector is 256 bytes; int8 + one float scale is 72),
+    * and dequantization (`code·scale`) is exact-arithmetic enough that
+    * cosine survives for shortlist ranking (s11 audits exactly that).
+    *
+    * Everything is built-in HOFs over doubles, so DuckDB reproduces the
+    * codes bit-for-bit: abs/max/division are exact-IEEE identical, and
+    * round-half-away-from-zero matches across engines. A zero vector
+    * would divide by zero — `nullif` turns that into NULL codes that
+    * coalesce to 0 on both engines (identical guard in the oracle SQL).
+    */
+  def int8Quantize(emb: DataFrame, id: String, vec: String): DataFrame = {
+    val v = col(vec).cast("array<double>")
+    val scale = array_max(transform(v, x => abs(x))) / lit(127.0)
+    emb.select(
+      col(id).as("vid"),
+      v.as("v"),
+      scale.as("scale"))
+      .withColumn("codes", transform(col("v"), x =>
+        // coalesce INSIDE the clamp: least/greatest IGNORE nulls on both
+        // engines, so clamping a NULL (zero-vector) code first would
+        // yield 127, not 0
+        greatest(lit(-127), least(lit(127),
+          coalesce(round(x / nullif(col("scale"), lit(0.0))).cast("int"),
+            lit(0))))))
+  }
+
+  /** Int8-quantization acceptance audit, one row per vector: the code-sum
+    * integer invariant (exact on both engines), the reconstruction cosine
+    * cos(v, scale·codes), and the mean squared reconstruction error.
+    * The MSE is computed from three dot products
+    * (‖v−v̂‖² = v·v − 2·v·v̂ + v̂·v̂) rather than a fold of squared
+    * diffs — each dot is a sequential left fold, bit-identical to DuckDB's
+    * `list_dot_product`, so the audit hash-matches without tolerance.
+    * This is the gate for shipping quantized embeddings at scale: a
+    * reconstruction cosine below ~0.99 means the int8 shortlist ranking
+    * can't be trusted and the corpus needs per-block scales instead.
+    */
+  def int8QuantAudit(emb: DataFrame, id: String, vec: String): DataFrame = {
+    ensureRegistered(emb)
+    val q = int8Quantize(emb, id, vec)
+      .withColumn("vh", transform(col("codes"), c => c.cast("double") * col("scale")))
+    val vv = dotNative(col("v"), col("v"))
+    val vh = dotNative(col("v"), col("vh"))
+    val hh = dotNative(col("vh"), col("vh"))
+    q.select(
+      col("vid").as("vec_id"),
+      round(col("scale"), 9).as("scale_r"),
+      aggregate(col("codes"), lit(0L), (acc, c) => acc + abs(c).cast("long"))
+        .as("code_l1"),
+      round(vh / (sqrt(vv) * sqrt(hh)), 6).as("cos_recon"),
+      round((vv - lit(2.0) * vh + hh) / size(col("codes")), 9).as("mse"))
+  }
+
+  /** k-nearest-neighbor GRAPH over the whole corpus — every vector gets
+    * its top-k within-cell neighbors (IVF coarse cells bound the pair
+    * space, the same blocking [[clusterDedup]] uses). The kNN graph is
+    * the backbone artifact for graph-based dedup, label propagation, and
+    * NN-descent-style refinement; at 100 TB the within-cell self-join is
+    * an equi-join on the cell id (shuffle partitioned by cell — never a
+    * cross join) and the per-node top-k window partitions by node, so no
+    * single task sees more than one cell's candidates. Accepted
+    * approximation: neighbors in a different coarse cell are missed
+    * (exact duplicates never are — identical vectors share an argmin
+    * cell); SimilaritySpec measures the within-cell recall.
+    * Returns (q_id, c_id, cos, rn) — same surface as the ANN top-k
+    * family, so the staged-rerank oracle applies as-is.
+    */
+  def knnGraph(emb: DataFrame, id: String, vec: String, k: Int = 3,
+               cells: Int = 8, iters: Int = 3): DataFrame = {
+    val n = graft.ext.IVF.assignTable(emb, id, vec, cells, iters)
+      .withColumn("nrm", sqrt(dotNative(col("v"), col("v"))))
+      .localCheckpoint() // feeds both self-join sides — one assignment pass
+    val a = n.select(col("cell"), col("vid").as("q_id"), col("v").as("qv"),
+      col("nrm").as("qn"))
+    val b = n.select(col("cell"), col("vid").as("c_id"), col("v").as("cv"),
+      col("nrm").as("cn"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    a.join(b, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos",
+        round(dotNative(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"), col("rn").cast("int").as("rn"))
+  }
+
   /** Matryoshka truncation audit: for each query, how many of its exact
     * top-k neighbors survive when vectors are truncated to the first
     * `dims` components (cosine is scale-invariant, so no renormalization

@@ -97,6 +97,48 @@ object TextOps {
       slice(w, lit(2), greatest(size(w) - 1, lit(0))),
       (a, b) => concat_ws(" ", a, b))
 
+  /** Aligned-slice trigram construction — same single-eval zip_with shape
+    * as [[bigrams]] (no per-element re-tokenization).
+    */
+  def trigrams(w: Column): Column = {
+    val n = greatest(size(w) - 2, lit(0))
+    zip_with(
+      zip_with(slice(w, lit(1), n), slice(w, lit(2), n),
+        (a, b) => concat_ws(" ", a, b)),
+      slice(w, lit(3), n),
+      (ab, c) => concat_ws(" ", ab, c))
+  }
+
+  /** Cross-document boilerplate n-gram flagging (the RefinedWeb/CCNet
+    * "duplicated spans" family): a trigram appearing in ≥ `minDf`
+    * DISTINCT documents is boilerplate (headers, footers, licence
+    * blurbs); each document reports how much of its distinct-trigram
+    * mass that set covers. Output: (doc, n_trigrams, n_boiler,
+    * boiler_frac) — the per-doc decision input for span-removal or
+    * doc-level down-weighting.
+    *
+    * Shape at scale: one distinct-per-doc pass, one count aggregate on
+    * the trigram (doc-frequency — shuffle carries (gram, partial-count),
+    * map-side combined), one equi-join back on the trigram, one per-doc
+    * aggregate. All ratios are integer arithmetic → exact cross-engine.
+    * Hot grams are naturally bounded by the doc count; a stoplist-style
+    * maxDf cap is NOT needed because the join key's fan-out is 1 (df is
+    * one row per gram), unlike the pair-join in [[graft.ext.Dedup]].
+    */
+  def boilerplateNgrams(df: DataFrame, id: Column, text: Column,
+                        minDf: Int = 3): DataFrame = {
+    val grams = df.select(id.as("doc"), trigrams(words(text)).as("g"))
+      .select(col("doc"), explode(array_distinct(col("g"))).as("t"))
+    val dfreq = grams.groupBy("t").agg(count(lit(1)).as("df"))
+    grams.join(dfreq, "t")
+      .groupBy("doc").agg(
+        count(lit(1)).as("n_trigrams"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_boiler"))
+      .select(col("doc"), col("n_trigrams"), col("n_boiler"),
+        round(col("n_boiler").cast("double") / col("n_trigrams").cast("double"), 6)
+          .as("boiler_frac"))
+  }
+
   /** Corpus-level top-k bigrams with counts — the vocabulary/repetition
     * profile a corpus audit starts from. Explode + one partial+final
     * count aggregate (shuffle carries (bigram, partial-count) rows), then

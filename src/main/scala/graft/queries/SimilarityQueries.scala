@@ -215,5 +215,46 @@ object SimilarityQueries {
           "vec_id", "embedding", col("vec_id") % 50 === 0, k = 10, dims = 32)
         .orderBy("q_id")
     },
+
+    // ---- int8 scalar-quantization audit: per-vector scale/codes are
+    //      pure exact arithmetic (abs/max/divide/round-half-away), the
+    //      cosine+MSE audit is three sequential-fold dot products — so
+    //      the WHOLE quantization pipeline hash-matches DuckDB, no
+    //      tolerance. The 4×-compression storage gate at 100 TB. ----
+    QueryDef("s11_int8_quant",
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |q AS (SELECT vec_id, e,
+        |        list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+        |      FROM v),
+        |c AS (SELECT vec_id, e, scale,
+        |        list_transform(e, x ->
+        |          greatest(-127, least(127,
+        |            coalesce(CAST(round(x / nullif(scale, 0.0)) AS INTEGER), 0)))) AS codes
+        |      FROM q),
+        |d AS (SELECT vec_id, scale, codes,
+        |        list_transform(codes, cc -> cc * scale) AS vh, e
+        |      FROM c)
+        |SELECT vec_id,
+        |  round(scale, 9) AS scale_r,
+        |  CAST(list_sum(list_transform(codes, cc -> abs(cc))) AS BIGINT) AS code_l1,
+        |  round(list_dot_product(e, vh) /
+        |    (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(vh, vh))), 6) AS cos_recon,
+        |  round((list_dot_product(e, e) - 2.0 * list_dot_product(e, vh)
+        |         + list_dot_product(vh, vh)) / len(codes), 9) AS mse
+        |FROM d ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      Similarity.int8QuantAudit(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .orderBy("vec_id")
+    },
+
+    // ---- kNN graph over the whole corpus: IVF cells bound the pair
+    //      space (equi-join on cell, top-k window per node). Candidate
+    //      blocking is k-means → engine-trusted; the exact cosine + rank
+    //      over the emitted edges is DuckDB-re-derived from the staged
+    //      pairs, same as the ANN family. ----
+    QueryDef("s12_knn_graph", stagedRerankSql("s12_knn_graph")) { (s, dir) =>
+      Similarity.knnGraph(Tables.embeddings(s, dir), "vec_id", "embedding",
+          k = 3, cells = 8)
+        .orderBy("q_id", "rn")
+    },
   )
 }

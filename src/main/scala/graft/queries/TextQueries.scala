@@ -735,5 +735,32 @@ object TextQueries {
           TextOps.splitAssign(col("component")).as("split"))
         .orderBy("doc_id")
     },
+
+    // ---- cross-doc boilerplate trigram flagging (RefinedWeb/CCNet
+    //      duplicated-spans family): trigram doc-frequency ≥ 3 marks a
+    //      span as boilerplate; each doc reports the covered fraction of
+    //      its distinct-trigram mass. Integer-ratio arithmetic → exact
+    //      oracle. ----
+    QueryDef("t29_boilerplate",
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(words) - 1),
+        |                   i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS t
+        |  FROM w),
+        |dfreq AS (SELECT t, count(*) AS df FROM g GROUP BY t)
+        |SELECT g.doc_id AS doc,
+        |  count(*) AS n_trigrams,
+        |  CAST(sum(CASE WHEN dfreq.df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |  round(CAST(sum(CASE WHEN dfreq.df >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*), 6) AS boiler_frac
+        |FROM g JOIN dfreq ON g.t = dfreq.t
+        |GROUP BY 1 ORDER BY doc""".stripMargin) { (s, dir) =>
+      TextOps.boilerplateNgrams(Tables.documents(s, dir),
+          col("doc_id"), col("text"), minDf = 3)
+        .orderBy("doc")
+    },
   )
 }

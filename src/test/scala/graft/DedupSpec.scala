@@ -281,4 +281,27 @@ class TextOpsSpec extends SparkSpec {
       col("doc_id") % 10 === 9, fpp = 1e-4)
     assert(flagged.count() <= 2, "disjoint corpora should produce ~no bloom flags")
   }
+
+  test("boilerplateNgrams: shared footer flagged at minDf, unique spans are not") {
+    // three docs share an identical 5-word footer (3 boilerplate
+    // trigrams); each body is unique → only footer trigrams reach df 3
+    val footer = "all rights reserved contact us"
+    val df = Seq(
+      (1L, s"alpha beta gamma delta $footer"),
+      (2L, s"epsilon zeta eta theta $footer"),
+      (3L, s"iota kappa lambda mu $footer"),
+      (4L, "nu xi omicron pi rho sigma tau")
+    ).toDF("doc_id", "text")
+    val got = TextOps.boilerplateNgrams(df, col("doc_id"), col("text"), minDf = 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    // each 9-word doc has 7 trigrams; exactly the 3 all-footer trigrams
+    // recur in all three docs (the 4 bridging body→footer trigrams are
+    // unique per doc)
+    got.take(3).foreach { case (doc, n, b, frac) =>
+      assert(n == 7 && b == 3, s"doc $doc: expected 3/7 boilerplate, got $b/$n")
+      assert(frac == math.rint(3.0 / 7.0 * 1e6) / 1e6)
+    }
+    val (_, n4, b4, f4) = got(3)
+    assert(n4 == 5 && b4 == 0 && f4 == 0.0, "unique doc must have no boilerplate")
+  }
 }

@@ -110,4 +110,53 @@ class SimilaritySpec extends SparkSpec {
     assert(exactSurvivors.subsetOf(survivors),
       s"cluster dedup dropped ids the exact rule kept: ${exactSurvivors -- survivors}")
   }
+
+  test("int8 quantization: code range, zero-vector guard, reconstruction fidelity") {
+    val data = Seq(
+      (1L, Seq(3.0f, -1.5f, 0.25f, 2.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),      // zero vector → all-zero codes
+      (3L, Seq(-127.0f, 127.0f, 1.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.int8Quantize(data, "vec_id", "embedding")
+      .select(col("vid"), col("scale"), col("codes"))
+      .as[(Long, Double, Seq[Int])].collect().sortBy(_._1)
+    // the max-|x| component always codes to exactly ±127
+    assert(q(0)._3 == Seq(127, -64, 11, 85), s"got ${q(0)._3}")
+    assert(q(1)._2 == 0.0 && q(1)._3 == Seq(0, 0, 0, 0),
+      "zero vector must yield scale 0 and all-zero codes, not 127s")
+    assert(q(2)._3.forall(c => c >= -127 && c <= 127))
+    assert(q(2)._3.head == -127 && q(2)._3(1) == 127)
+    // real corpus: int8 reconstruction keeps cosine ≥ 0.99 for every vector
+    val audit = Similarity.int8QuantAudit(
+      Tables.embeddings(spark, sf), "vec_id", "embedding")
+    val minCos = audit.agg(min(col("cos_recon"))).as[Double].head()
+    assert(minCos >= 0.99, s"int8 reconstruction cosine degraded to $minCos")
+  }
+
+  test("knnGraph: ≤k contiguous-rank within-cell edges; exact dups are mutual rank-1") {
+    val base = (0 until 60).map { i =>
+      val region = i % 3
+      (i + 1L, Seq.tabulate(8)(d =>
+        (if (d == region * 2) 10.0 else 0.5) + (i / 3) * 0.01 * (d + 1)))
+    }
+    val dups = Seq((101L, base(0)._2), (102L, base(1)._2))
+    val data = (base ++ dups).toDF("vec_id", "embedding")
+    val g = Similarity.knnGraph(data, "vec_id", "embedding",
+      k = 3, cells = 3, iters = 2)
+      .as[(Long, Long, Double, Int)].collect()
+    val perNode = g.groupBy(_._1)
+    assert(perNode.size == data.count(),
+      "every vector has at least one within-cell neighbor in this fixture")
+    perNode.values.foreach { edges =>
+      assert(edges.length <= 3)
+      assert(edges.map(_._4).sorted.toSeq == (1 to edges.length),
+        "ranks must be contiguous from 1")
+      val sorted = edges.sortBy(_._4)
+      assert(sorted.map(_._3).sliding(2).forall(p => p.head >= p.last),
+        "cos must be non-increasing in rank")
+    }
+    // identical vectors share an argmin cell → each is the other's rank-1
+    assert(g.exists(e => e._1 == 101L && e._2 == 1L && e._4 == 1))
+    assert(g.exists(e => e._1 == 1L && e._2 == 101L && e._4 == 1))
+  }
 }
