@@ -335,12 +335,16 @@ object Dedup {
     var converged = false
     while (iter < maxIter && !converged) {
       val nbr = labels.join(e, "n").select(col("m").as("n"), col("lbl"))
+      // the old label rides along INSIDE the checkpointed plan, so the
+      // convergence check is a cache-local filter+count — not a second
+      // shuffle join job per round (2 jobs/round → 1 shuffle job + 1
+      // cache scan)
       val next = labels.union(nbr)
         .groupBy("n").agg(min(col("lbl")).as("lbl"))
+        .join(labels.withColumnRenamed("lbl", "old"), "n")
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "n")
-        .filter(col("lbl") =!= col("old")).count()
-      labels = next
+      val changed = next.filter(col("lbl") =!= col("old")).count()
+      labels = next.select(col("n"), col("lbl"))
       converged = changed == 0
       iter += 1
     }

@@ -40,17 +40,25 @@ object Graph {
     // checkpointed once up front — loop-invariant, read every round —
     // and the per-round checkpoints are O(nodes) rows that the context
     // cleaner reclaims when the previous round's frame goes out of scope.
+    // The loop-invariant edge-weight table is built ONCE: every round
+    // needs edge × 1/outdeg, so joining deg inside the loop would pay the
+    // same O(edges) join 3× (and re-derive deg from e each time — lineage
+    // is truncated, but the jobs still run). One (src, dst, outdeg) table,
+    // checkpointed, leaves each round exactly one join + one aggregate.
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val ew = e.join(deg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint(true) // reused every round + for the final left join
     val n = nodes.count()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
 
     var ranks = nodes.withColumn("r", lit(1.0) / lit(n))
     for (_ <- 1 to iterations) {
-      val contribs = e.join(deg, "src")
+      val contribs = ew
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
           (col("r") / col("outdeg")).cast("decimal(38,18)").as("contrib"))
@@ -76,10 +84,19 @@ object Graph {
     */
   def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
                         minSupport: Int = 1): DataFrame = {
-    val pairs = df.select(col(groupCol).as("g"), col(itemCol).as("item")).distinct()
-    pairs.as("a").join(pairs.as("b"), Seq("g"))
-      .filter(col("a.item") =!= col("b.item"))
-      .groupBy(col("a.item").as("src"), col("b.item").as("dst"))
+    // One groupBy with collect_set replaces distinct + self-join: the set
+    // dedupes items within the group (what the distinct did) and the pair
+    // expansion happens per-row via HOFs under no shuffle at all (what
+    // the equi-join's second exchange + probe did). Two exchanges total —
+    // (1) group the items, (2) count the pairs — vs three before.
+    // collect_set is safe exactly because groups are bounded (doc above);
+    // the generated pair rows are the same O(Σ size²) either way.
+    df.groupBy(col(groupCol).as("g"))
+      .agg(collect_set(col(itemCol)).as("items"))
+      .select(explode(flatten(transform(col("items"), x =>
+        transform(filter(col("items"), y => y =!= x),
+          y => struct(x.as("src"), y.as("dst")))))).as("e"))
+      .groupBy(col("e.src").as("src"), col("e.dst").as("dst"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= minSupport)
       .select(col("src"), col("dst"))
