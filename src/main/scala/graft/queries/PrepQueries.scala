@@ -159,6 +159,33 @@ object PrepQueries {
         .select(col("event_type"), col("event_id"), col("value"),
           round(col("robust_z"), 4).as("robust_z"))
         .orderBy("event_type", "event_id")
-    }
+    },
+
+    // ---- DataSource V2 read path: the graft-synthetic source generates
+    //      rows on the executors from pure integer arithmetic on id
+    //      (Prep.portableHash's constants), with pushed id-range filters
+    //      pruning whole partitions at planning time (SourcesSpec pins
+    //      the pruned partition count). No parquet table — the oracle
+    //      rebuilds the identical rows from DuckDB's range(), so the
+    //      whole source→filter→aggregate path hash-matches. ----
+    QueryDef("q66_dsv2_source",
+      """WITH t AS (
+        |  SELECT range AS id,
+        |    ((range * 2654435761 + 40503) % 4294967296) AS h
+        |  FROM range(0, 100000))
+        |SELECT CAST(h % 32 AS INTEGER) AS bucket,
+        |  count(*) AS n,
+        |  CAST(sum(CAST((h % 100000) / 1000.0 AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM t WHERE id >= 25000 AND id < 75000
+        |GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, _) =>
+      graft.core.GraftConf.ensure(s)
+      s.read.format("graft-synthetic")
+        .option("rows", "100000").option("partitions", "16").load()
+        .filter(col("id") >= 25000 && col("id") < 75000)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          graft.core.Exact.decimalSum(col("value"), "sum_value"))
+        .orderBy("bucket")
+    },
   )
 }
