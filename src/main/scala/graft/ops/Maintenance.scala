@@ -66,4 +66,24 @@ object Maintenance {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** Zero-cost in-flight data-quality counters via the Observation API:
+    * row count + per-column null counts ride along with whatever action
+    * the caller already runs — NO second pass over the data (the naive
+    * alternative, a separate agg job, re-reads the whole input; q22 is
+    * that shape when a standalone profile IS the product). The returned
+    * Observation yields its metrics map after the first action on the
+    * returned frame — the hook a pipeline uses to fail a load whose null
+    * rate jumped without paying for a validation scan at 100 TB.
+    * Caveat (pinned in MaintenanceSpec): run it on a sort-free action —
+    * a global orderBy samples the input for range boundaries first, and
+    * the observe node counts that extra pass too.
+    */
+  def observedQuality(df: DataFrame, name: String, cols: Seq[String])
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    val metrics = count(lit(1)).as("n_rows") +:
+      cols.map(c => sum(col(c).isNull.cast("long")).as(s"nulls_$c"))
+    (df.observe(obs, metrics.head, metrics.tail: _*), obs)
+  }
 }

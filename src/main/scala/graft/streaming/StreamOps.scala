@@ -78,6 +78,46 @@ object StreamOps {
     (if (df.isStreaming) df.withWatermark(tsCol, watermark) else df)
       .dropDuplicates(keyCols :+ tsCol)
 
+  /** Continuous gold-table maintenance: every micro-batch SCD1-upserts
+    * into a parquet state table via [[graft.ops.Maintenance.upsert]]
+    * (key-unique enforced per batch with a dropDuplicates on the keys).
+    * This is the streaming deployment of q47's batch merge — the
+    * foreachBatch escape hatch exists precisely for sinks whose write
+    * semantics (read-modify-write) exceed append/update modes.
+    *
+    * Exactly-once EFFECTIVE state: a replayed batch re-upserts the same
+    * key-unique rows, and upsert is idempotent for identical updates, so
+    * the state table converges regardless of micro-batch retries (the
+    * checkpoint still dedupes source offsets — this is defense in depth).
+    *
+    * THE read-then-overwrite trap: the next state is materialized with an
+    * eager localCheckpoint BEFORE the overwrite starts — the plan reads
+    * the same directory it is about to replace, and a lazy write would
+    * delete its own input mid-scan. At 100 TB this helper's overwrite
+    * becomes a transactional-format MERGE (the read-modify-write shape is
+    * identical); partition the state by a key prefix and the per-batch
+    * rewrite touches only affected partitions.
+    */
+  def foreachBatchUpsert(stream: DataFrame, keys: Seq[String],
+                         statePath: String, checkpointPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val updates = batch.dropDuplicates(keys)
+        val merged =
+          if (new java.io.File(statePath).exists())
+            graft.ops.Maintenance.upsert(
+              spark.read.parquet(statePath), updates, keys)
+          else updates.toDF()
+        merged.localCheckpoint(true) // materialize BEFORE overwriting our own input
+          .write.mode("overwrite").parquet(statePath)
+        ()
+      }
+      .start()
+
   // ---------- custom-state example: per-key running counter ----------
 
   final case class Ev(user_id: Long, event_id: Long, value: Double)

@@ -114,4 +114,20 @@ class MaintenanceSpec extends SparkSpec {
     assert(once.count() === twice.count())
     assert(once.orderBy("v_id").as[Long].collect().toSeq === Seq(1L, 3L))
   }
+
+  test("observedQuality: metrics ride the action — no second pass") {
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("c")), (4L, None))
+      .toDF("id", "v")
+    val (observed, obs) = Maintenance.observedQuality(df, "dq", Seq("v", "id"))
+    // ONE sort-free action: a global orderBy would run the range-sampling
+    // pass over the input first and the observe node would count twice —
+    // exactly the double-scan observedQuality exists to avoid
+    val rows = observed.as[(Long, Option[String])].collect().toSeq.sortBy(_._1)
+    assert(rows ==
+      Seq((1L, Some("a")), (2L, None), (3L, Some("c")), (4L, None)))
+    val m = obs.get
+    assert(m("n_rows") == 4L)
+    assert(m("nulls_v") == 2L)
+    assert(m("nulls_id") == 0L)
+  }
 }

@@ -134,6 +134,25 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(2), r.getDouble(3))) == Seq((2L, 9.5)))
   }
 
+  test("foreachBatchUpsert: micro-batches converge the parquet state to latest-per-key") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val state = s"$dir/state"
+    val ckpt = s"$dir/ckpt"
+    val mem = MemoryStream[(Long, String, Double)]
+    val q = StreamOps.foreachBatchUpsert(
+      mem.toDF().toDF("k", "status", "amount"), Seq("k"), state, ckpt)
+    mem.addData((1L, "new", 10.0), (2L, "new", 20.0))
+    q.processAllAvailable()
+    // batch 2 updates key 1 (full-row replacement) and inserts key 3
+    mem.addData((1L, "shipped", 11.0), (3L, "new", 30.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(state).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "shipped", 11.0), (2L, "new", 20.0), (3L, "new", 30.0)))
+  }
+
   test("enrich: stream-static broadcast join adds dimension columns") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
