@@ -189,4 +189,41 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("s11 int8 quantization audit is map-only: zero shuffles") {
+    val q = graft.ext.Similarity.int8QuantAudit(
+      Tables.embeddings(spark, sf), "vec_id", "embedding")
+    assert(shuffles(q) == 0, q.queryExecution.executedPlan.toString)
+  }
+
+  test("s12 kNN graph: cell equi-join, never a cartesian/nested-loop pair space") {
+    val q = graft.ext.Similarity.knnGraph(
+      Tables.embeddings(spark, sf), "vec_id", "embedding", k = 3, cells = 4)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair space must be cell-bounded: $plan")
+  }
+
+  test("t29 boilerplate: df join back carries no explode on the probe side") {
+    // the doc-frequency aggregate joins back on the gram with fan-out 1;
+    // the plan must be a hash/merge equi-join (never nested-loop) and the
+    // per-doc window-free aggregation keeps it at 3 exchanges total
+    // (grams agg, df agg, doc agg)
+    val q = graft.ext.TextOps.boilerplateNgrams(
+      Tables.documents(spark, sf), col("doc_id"), col("text"), minDf = 3)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Window"), s"no window operator expected: $plan")
+  }
+
+  test("q66 DSv2 source: pushed range prunes partitions before execution") {
+    // the q66 scan shape without the aggregate: 16 range partitions over
+    // 100k ids; [25000, 75000) overlaps exactly 8 — the other 8 are
+    // dropped at planning time, before any task launches
+    val scan = spark.read.format("graft-synthetic")
+      .option("rows", "100000").option("partitions", "16").load()
+      .filter(col("id") >= 25000 && col("id") < 75000)
+    assert(scan.rdd.getNumPartitions == 8,
+      s"expected 8 surviving DSv2 partitions, got ${scan.rdd.getNumPartitions}")
+  }
 }
