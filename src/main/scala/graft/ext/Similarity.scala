@@ -294,6 +294,45 @@ object Similarity {
       round((vv - lit(2.0) * vh + hh) / size(col("codes")), 9).as("mse"))
   }
 
+  /** Asymmetric int8 search: queries stay full-precision, candidates are
+    * ranked from their DEQUANTIZED int8 form (codes·scale — the 4×-smaller
+    * stored payload), a `k·overfetch` shortlist survives, and the exact
+    * cosine over the true vectors re-ranks it. The scalar-quantization
+    * counterpart of PQ-ADC (s07) — same shortlist-then-rerank geometry,
+    * but the compression is element-wise, so UNLIKE PQ the whole path is
+    * deterministic arithmetic and carries a complete DuckDB oracle (no
+    * engine-trusted candidate stage at all).
+    *
+    * At 100 TB the win is I/O: the shortlist scan reads (codes, scale) —
+    * ~4× less than float32 — and only the k·overfetch survivors fetch
+    * their full vectors by key for the re-rank.
+    */
+  def int8TopK(emb: DataFrame, id: String, vec: String,
+               queryPred: Column, k: Int = 5, overfetch: Int = 4): DataFrame = {
+    ensureRegistered(emb)
+    val cand = int8Quantize(emb, id, vec)
+      .withColumn("vh", transform(col("codes"), c => c.cast("double") * col("scale")))
+      .select(col("vid").as("c_id"), col("v").as("c_vec"), col("vh"))
+      .withColumn("c_norm", sqrt(dotNative(col("c_vec"), col("c_vec"))))
+      .withColumn("h_norm", sqrt(dotNative(col("vh"), col("vh"))))
+    val q = emb.filter(queryPred)
+      .select(col(id).as("q_id"), col(vec).cast("array<double>").as("q_vec"))
+      .withColumn("q_norm", sqrt(dotNative(col("q_vec"), col("q_vec"))))
+    val wShort = Window.partitionBy("q_id").orderBy(col("cos_dq").desc, col("c_id"))
+    val wFinal = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    cand.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos_dq",
+        round(dotNative(col("q_vec"), col("vh")) / (col("q_norm") * col("h_norm")), 6))
+      .withColumn("sl", row_number().over(wShort))
+      .filter(col("sl") <= k * overfetch)
+      .withColumn("cos",
+        round(dotNative(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6))
+      .withColumn("rn", row_number().over(wFinal))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"), col("rn").cast("int").as("rn"))
+  }
+
   /** k-nearest-neighbor GRAPH over the whole corpus — every vector gets
     * its top-k within-cell neighbors (IVF coarse cells bound the pair
     * space, the same blocking [[clusterDedup]] uses). The kNN graph is

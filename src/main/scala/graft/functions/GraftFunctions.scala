@@ -48,11 +48,15 @@ object GraftFunctions {
       BloomFilterMightContain(exprs(0), new XxHash64(Seq(exprs(1))))
     }))
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     builders.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    // typed Aggregator UDAF (udf registry, not the expression registry)
+    spark.udf.register("graft_wmean",
+      org.apache.spark.sql.functions.udaf(WeightedMean))
+  }
 
   private[functions] def builderFor(name: String): Seq[Expression] => Expression =
     builders.find(_._1 == name).get._2

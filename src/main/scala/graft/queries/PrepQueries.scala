@@ -187,5 +187,28 @@ object PrepQueries {
           graft.core.Exact.decimalSum(col("value"), "sum_value"))
         .orderBy("bucket")
     },
+
+    // ---- typed Aggregator UDAF: quantity-weighted mean price via
+    //      graft_wmean (exact BigDecimal partial sums → merge-order-
+    //      independent → hash-oracleable; the double division happens
+    //      once, at finish, mirroring the oracle's CAST...AS DOUBLE). ----
+    QueryDef("q67_weighted_mean_udaf",
+      """SELECT l_returnflag,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))
+        |                 * CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE)
+        |      / CAST(sum(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE), 6)
+        |    AS wavg_price
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(round(call_function("graft_wmean",
+            // (15,2): lossless for 2-decimal prices/integral quantities,
+            // and the oracle's int64 decimal multiply stays in range
+            col("l_extendedprice").cast("decimal(15,2)"),
+            col("l_quantity").cast("decimal(15,2)")), 6)
+          .as("wavg_price"))
+        .orderBy("l_returnflag")
+    },
   )
 }

@@ -246,6 +246,47 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
+    // ---- asymmetric int8 ANN: shortlist ranked on dequantized codes
+    //      (the 4×-smaller stored payload), exact re-rank of the k·4
+    //      survivors. Scalar quantization is deterministic element-wise
+    //      arithmetic, so unlike the PQ/IVF/LSH family this compressed
+    //      search path has a COMPLETE oracle — shortlist, re-rank, and
+    //      tie-breaks all re-derived by DuckDB from scratch. ----
+    QueryDef("s13_ann_int8",
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |qz AS (SELECT vec_id, e,
+         |         list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM v),
+         |dq AS (SELECT vec_id, e,
+         |         list_transform(
+         |           list_transform(e, x -> greatest(-127, least(127,
+         |             coalesce(CAST(round(x / nullif(scale, 0.0)) AS INTEGER), 0)))),
+         |           cc -> cc * scale) AS vh
+         |       FROM qz),
+         |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id % 50 = 0),
+         |short AS (
+         |  SELECT * FROM (
+         |    SELECT q.q_id, q.qe, d.vec_id AS c_id, d.e AS ce,
+         |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |        round(list_dot_product(q.qe, d.vh) /
+         |          (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(d.vh, d.vh))), 6)
+         |          DESC, d.vec_id) AS sl
+         |    FROM q CROSS JOIN dq d WHERE d.vec_id <> q.q_id)
+         |  WHERE sl <= 20),
+         |fin AS (
+         |  SELECT q_id, c_id,
+         |    round(list_dot_product(qe, ce) /
+         |      (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))), 6) AS cos
+         |  FROM short)
+         |SELECT q_id, c_id, cos, CAST(rn AS INTEGER) AS rn FROM (
+         |  SELECT q_id, c_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+         |  FROM fin)
+         |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      Similarity.int8TopK(Tables.embeddings(s, dir),
+          "vec_id", "embedding", col("vec_id") % 50 === 0, k = 5, overfetch = 4)
+        .orderBy("q_id", "rn")
+    },
+
     // ---- kNN graph over the whole corpus: IVF cells bound the pair
     //      space (equi-join on cell, top-k window per node). Candidate
     //      blocking is k-means → engine-trusted; the exact cosine + rank

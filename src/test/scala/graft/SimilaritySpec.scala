@@ -133,6 +133,29 @@ class SimilaritySpec extends SparkSpec {
     assert(minCos >= 0.99, s"int8 reconstruction cosine degraded to $minCos")
   }
 
+  test("int8TopK: full overfetch reduces exactly to brute force; k·4 recall measured") {
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count().toInt
+    // overfetch covering the whole corpus → the shortlist filters nothing
+    // and the exact re-rank IS brute force (the same reduction property
+    // IVFSpec pins for nprobe == cells)
+    val full = Similarity.int8TopK(emb, "vec_id", "embedding",
+      col("vec_id") % 50 === 0, k = 5, overfetch = n)
+      .orderBy("q_id", "rn").collect().toSeq
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      col("vec_id") % 50 === 0, k = 5)
+      .orderBy("q_id", "rn").collect().toSeq
+    assert(full == brute, "int8 with full overfetch must equal exact top-k")
+    // production overfetch: recall of the exact top-5 via the 20-shortlist
+    val approx = Similarity.int8TopK(emb, "vec_id", "embedding",
+      col("vec_id") % 50 === 0, k = 5, overfetch = 4)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = brute.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.9,
+      s"int8 shortlist recall vs exact top-5 degraded to $recall")
+  }
+
   test("knnGraph: ≤k contiguous-rank within-cell edges; exact dups are mutual rank-1") {
     val base = (0 until 60).map { i =>
       val region = i % 3
