@@ -459,5 +459,34 @@ object AnalyticQueries {
           (col("value") - lag(col("value"), 1).over(w)).as("delta"))
         .orderBy("event_id")
     },
+
+    // ---- unpivot / melt (q17's inverse): wide measure columns → long
+    //      (measure, val) rows via the native Dataset.unpivot — a
+    //      Generate-based row expansion, wholly map-side (no shuffle
+    //      beyond the final ordering). The long form is what feature
+    //      stores and per-measure quality checks consume. ----
+    QueryDef("q68_unpivot_measures",
+      """SELECT l_orderkey, l_linenumber, measure, val FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+        |         CAST(l_quantity AS DOUBLE) AS val FROM lineitem WHERE l_orderkey < 1000
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', CAST(l_extendedprice AS DOUBLE)
+        |  FROM lineitem WHERE l_orderkey < 1000
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', CAST(l_discount AS DOUBLE)
+        |  FROM lineitem WHERE l_orderkey < 1000
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', CAST(l_tax AS DOUBLE)
+        |  FROM lineitem WHERE l_orderkey < 1000)
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") < 1000)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity").cast("double").as("l_quantity"),
+            col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    },
   )
 }
