@@ -66,7 +66,9 @@ object Bench {
       "s06_embedding_dedup", "q58_sessionize", "t26_bloom_decontaminate",
       "s07_ann_pq", "s08_semantic_dedup", "st03_dedup_enrich_agg",
       "q61_zorder_layout", "q63_pagerank_parts", "s10_matryoshka_overlap",
-      "t28_leakage_safe_split")
+      "t28_leakage_safe_split", "s11_int8_quant", "s12_knn_graph",
+      "s13_ann_int8", "t29_boilerplate", "q66_dsv2_source",
+      "q67_weighted_mean_udaf")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"),
       jsonLine(results.toSeq.sortBy(_._1)))
