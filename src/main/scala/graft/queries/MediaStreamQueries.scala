@@ -79,6 +79,38 @@ object MediaStreamQueries {
         .orderBy("doc_id", "frame_idx")
     },
 
+    // ---- content-addressed frame chunk dedup: the storage-dedup op a
+    //      multimodal lake runs — identical frames (by digest) collapse
+    //      to one stored chunk with a ref count and a deterministic
+    //      canonical owner (lexicographic-min (doc, idx), encoded as
+    //      doc·4+idx so the argmin is a plain integer MIN — portable and
+    //      map-side combinable). One hash aggregate on the 16-byte
+    //      digest: the t05 exact-dedup shape applied at CHUNK grain. ----
+    QueryDef("m04_frame_chunk_dedup",
+      """WITH f AS (
+        |  SELECT doc_id, t.frame_idx,
+        |    md5(substr(text, CAST(t.frame_idx * 100 + 1 AS BIGINT), 100)) AS frame_md5
+        |  FROM documents CROSS JOIN (SELECT unnest(range(4)) AS frame_idx) t)
+        |SELECT frame_md5, count(*) AS n_refs,
+        |  CAST(min(doc_id * 4 + frame_idx) // 4 AS BIGINT) AS canonical_doc,
+        |  CAST(min(doc_id * 4 + frame_idx) % 4 AS INTEGER) AS canonical_idx
+        |FROM f GROUP BY 1 ORDER BY frame_md5""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val frames = Multimodal.frameSample(
+          Multimodal.withMediaBytes(docs, col("text")),
+          col("media"), n = 4, stride = 100)
+        .select(col("doc_id"), col("frame_idx"),
+          md5(col("frame")).as("frame_md5"))
+      frames.groupBy("frame_md5")
+        .agg(count(lit(1)).as("n_refs"),
+          min(col("doc_id") * 4 + col("frame_idx")).as("__k"))
+        .select(col("frame_md5"), col("n_refs"),
+          // integer div — `/` on longs is DOUBLE division in Spark
+          expr("__k div 4").as("canonical_doc"),
+          (col("__k") % 4).cast("int").as("canonical_idx"))
+        .orderBy("frame_md5")
+    },
+
     QueryDef("st01_session_agg",
       """WITH flagged AS (
         |  SELECT user_id, ts, value,
