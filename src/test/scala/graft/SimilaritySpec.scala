@@ -182,4 +182,16 @@ class SimilaritySpec extends SparkSpec {
     assert(g.exists(e => e._1 == 101L && e._2 == 1L && e._4 == 1))
     assert(g.exists(e => e._1 == 1L && e._2 == 101L && e._4 == 1))
   }
+
+  test("degenerate inputs: single-vector corpus yields empty graph, empty audit runs") {
+    val one = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    // a 1-vector corpus has no pairs — not an error, an empty edge set
+    assert(Similarity.knnGraph(one, "vec_id", "embedding", k = 3, cells = 1, iters = 1)
+      .count() == 0)
+    assert(Similarity.int8QuantAudit(one, "vec_id", "embedding").count() == 1)
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.int8QuantAudit(empty, "vec_id", "embedding").count() == 0)
+    assert(Similarity.int8TopK(empty, "vec_id", "embedding", lit(true), k = 3)
+      .count() == 0)
+  }
 }

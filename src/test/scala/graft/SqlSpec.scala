@@ -47,4 +47,19 @@ class SqlSpec extends SparkSpec {
     val viaDf = Tables.events(spark, sf).agg(min(col("ts")).as("lo")).collect()(0)
     assert(viaSql == viaDf)
   }
+
+  test("engine functions are SQL-callable: graft_dot and the graft_wmean UDAF") {
+    Tables.registerAll(spark, sf)
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      """SELECT l_returnflag,
+        |  round(graft_wmean(CAST(l_extendedprice AS DECIMAL(15,2)),
+        |                    CAST(l_quantity AS DECIMAL(15,2))), 6) AS wavg_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+    val viaDf = SparkEntry.queries("q67_weighted_mean_udaf")(spark, sf)
+    assert(viaSql.collect().toSeq == viaDf.collect().toSeq)
+    val dot = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").collect()(0)
+    assert(dot.getDouble(0) == 11.0)
+  }
 }
