@@ -144,6 +144,24 @@ object ScaleCheck {
     check(survivors <= nVec / mult,
       s"exact-copy drop at scale: $survivors survivors of $nVec (base=${nVec / mult})")
 
+    // ---------- s12-shape: kNN graph at scale ----------
+    // the graph inherits clusterDedup's cell-blocking geometry but adds
+    // the per-node top-k window; the assertions pin (a) identical copies
+    // are each other's rank-1 neighbors THROUGH the scaled index, (b) no
+    // node exceeds k edges, (c) the stage story stays multi-task.
+    val t2 = System.nanoTime()
+    val knn = graft.ext.Similarity
+      .knnGraph(embBig, "vec_id", "embedding", k = 3, cells = cells)
+      .localCheckpoint()
+    val nEdges = knn.count()
+    val tKnn = (System.nanoTime() - t2) / 1e9
+    check(nEdges <= nVec * 3, s"kNN graph edge bound: $nEdges > 3·$nVec")
+    // vec 0's exact copy lives at id 10_000_000: cos 1 → mutual rank-1
+    val rank1Of0 = knn.filter(col("q_id") === 0L && col("rn") === 1)
+      .select(col("c_id"), col("cos")).first()
+    check(rank1Of0.getDouble(1) == 1.0,
+      s"vec 0's rank-1 neighbor must be an exact copy (cos 1.0), got $rank1Of0")
+
     // ---------- partition-story assertions ----------
     // every stage reading >=100k records must be multi-task; the only
     // single-task stages allowed at ANY volume are the documented
@@ -158,8 +176,8 @@ object ScaleCheck {
       .mkString(",")
 
     out ++= s""""n_docs":$nDocs,"n_vec":$nVec,"mult":$mult,"cells":$cells,"""
-    out ++= f""""t_cluster_sec":$tCluster%.1f,"t_semdedup_sec":$tDedup%.1f,"""
-    out ++= s""""hot_cluster_size":$hotSize,"components":$nComponents,"survivors":$survivors,"""
+    out ++= f""""t_cluster_sec":$tCluster%.1f,"t_semdedup_sec":$tDedup%.1f,"t_knn_sec":$tKnn%.1f,"""
+    out ++= s""""hot_cluster_size":$hotSize,"components":$nComponents,"survivors":$survivors,"knn_edges":$nEdges,"""
     out ++= s""""big_stages":${big.size},"top_stages":{$worstSkew},"""
     out ++= s""""failed":[${failed.reverse.map("\"" + _ + "\"").mkString(",")}]}"""
     println(out.result())

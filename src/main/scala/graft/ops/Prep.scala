@@ -78,4 +78,24 @@ object Prep {
   /** SQL form of [[portableHash]]. */
   def portableHashSql(a: String, b: String): String =
     s"(($a * 2654435761 + $b * 40503) % 4294967296)"
+
+  /** Weighted-sampling key (the A-ES / exponential-race scheme from the
+    * weighted-reservoir literature): key = −ln(u)/w with u a
+    * [[portableHash]]-derived uniform in (0, 1]; ranking ASCENDING keeps
+    * each item with probability ∝ its weight — the quality-weighted
+    * corpus-sampling primitive (sample docs ∝ quality score without ever
+    * materializing normalized probabilities, mergeable across partitions
+    * because the key is per-row). Deterministic: the uniform comes from
+    * the hash, never rand() — reproducible across runs, engines, AND
+    * task retries (a rand() sampling key re-rolls on retry; see
+    * Skew.saltedJoin's scaladoc for why that corrupts results).
+    * Consumers rank by (round(key, 6), id): the rounding collapses
+    * sub-ulp libm ln() differences across engines, the id breaks ties.
+    */
+  def weightedSampleKey(w: Column, a: Column, b: Column): Column =
+    -log((portableHash(a, b) + lit(1.0)) / lit(4294967297.0)) / w
+
+  /** SQL form of [[weightedSampleKey]]. */
+  def weightedSampleKeySql(w: String, a: String, b: String): String =
+    s"(-ln((${portableHashSql(a, b)} + 1.0) / 4294967297.0) / $w)"
 }

@@ -188,6 +188,33 @@ object PrepQueries {
         .orderBy("bucket")
     },
 
+    // ---- weighted sampling (A-ES): keep 50 events per type with
+    //      probability ∝ |value|+1 via the exponential-race key
+    //      −ln(u)/w — deterministic (hash uniform, not rand()), so the
+    //      sample is reproducible across runs/engines/retries and the
+    //      oracle recomputes it exactly. The quality-weighted corpus
+    //      sampling shape: heavier docs survive proportionally more. ----
+    QueryDef("q69_weighted_sample",
+      s"""SELECT event_type, event_id, samp_key, CAST(rn AS INTEGER) AS rn FROM (
+         |  SELECT event_type, event_id,
+         |    round(${Prep.weightedSampleKeySql("(abs(value) + 1)", "user_id", "event_id")}, 6) AS samp_key,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY round(${Prep.weightedSampleKeySql("(abs(value) + 1)", "user_id", "event_id")}, 6),
+         |               event_id) AS rn
+         |  FROM events)
+         |WHERE rn <= 50 ORDER BY event_type, rn""".stripMargin) { (s, dir) =>
+      val key = round(Prep.weightedSampleKey(
+        abs(col("value")) + 1, col("user_id"), col("event_id")), 6)
+      val w = Window.partitionBy(col("event_type")).orderBy(key, col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("samp_key", key)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 50)
+        .select(col("event_type"), col("event_id"), col("samp_key"),
+          col("rn").cast("int").as("rn"))
+        .orderBy("event_type", "rn")
+    },
+
     // ---- typed Aggregator UDAF: quantity-weighted mean price via
     //      graft_wmean (exact BigDecimal partial sums → merge-order-
     //      independent → hash-oracleable; the double division happens

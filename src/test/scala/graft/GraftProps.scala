@@ -165,4 +165,25 @@ object GraftProps extends Properties("graft") {
       }
       Prop(ok) :| s"got=${got.toList.take(5)}"
     }
+
+  // int8 quantization guarantee: |x − code·scale| ≤ scale/2 per element
+  // (round-to-nearest with the max element hitting ±127 exactly), codes
+  // clamped to [−127, 127] — over arbitrary float vectors incl. negatives
+  private val vecGen = Gen.nonEmptyListOf(
+    Gen.chooseNum(-1e6f, 1e6f)).map(_.take(32))
+  property("int8Quantize: reconstruction error ≤ scale/2, codes in [-127,127]") =
+    forAll(Gen.nonEmptyListOf(vecGen).map(_.take(8))) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val rows = graft.ext.Similarity.int8Quantize(df, "vec_id", "embedding")
+        .select(col("vid"), col("v"), col("scale"), col("codes"))
+        .as[(Long, Seq[Double], Double, Seq[Int])].collect()
+      val ok = rows.forall { case (_, v, scale, codes) =>
+        codes.forall(c => c >= -127 && c <= 127) &&
+          v.zip(codes).forall { case (x, c) =>
+            math.abs(x - c * scale) <= scale / 2 + 1e-9 * math.max(1.0, scale)
+          }
+      }
+      Prop(ok) :| s"first=${rows.headOption.map(r => (r._3, r._4.take(4)))}"
+    }
 }

@@ -90,4 +90,26 @@ class PrepSpec extends SparkSpec {
     val e = Graph.coOccurrenceEdges(df, "g", "item").as[(Long, Long)].collect().toSet
     assert(e == Set((10L, 11L), (11L, 10L), (11L, 12L), (12L, 11L)))
   }
+
+  test("weightedSampleKey: heavy weights dominate the sample ∝ weight; deterministic") {
+    // 100 items at weight 100, 900 at weight 1 → a 100-item sample should
+    // be mostly heavy items (each heavy item ~100× likelier); with the
+    // hash-derived uniforms the outcome is a fixed set, so the bound is
+    // stable, not flaky
+    val df = (0L until 1000L)
+      .map(i => (i, i * 7919L, if (i < 100) 100.0 else 1.0))
+      .toDF("id", "salt", "w")
+    val ranked = df.withColumn("k",
+        round(Prep.weightedSampleKey(col("w"), col("id"), col("salt")), 6))
+      .orderBy(col("k"), col("id")).limit(100)
+      .select("id").as[Long].collect()
+    val heavy = ranked.count(_ < 100)
+    assert(heavy >= 60, s"only $heavy/100 heavy items sampled — not ∝ weight")
+    // determinism: a second evaluation yields the identical set
+    val again = df.withColumn("k",
+        round(Prep.weightedSampleKey(col("w"), col("id"), col("salt")), 6))
+      .orderBy(col("k"), col("id")).limit(100)
+      .select("id").as[Long].collect()
+    assert(ranked.toSeq == again.toSeq)
+  }
 }
