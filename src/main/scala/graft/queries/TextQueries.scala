@@ -671,7 +671,45 @@ object TextQueries {
     //      oracle; DedupSpec's recall property bounds the miss rate, and
     //      on this fixture the survivor set equals t23's whenever LSH
     //      recalls every qualifying pair. ----
-    QueryDef.noOracle("t27_cluster_survivors_lsh") { (s, dir) =>
+    // The verified LSH pair list itself, staged (rows-only — murmur3
+    // banding has no DuckDB form): what makes t27's closure + survivor
+    // selection fully DuckDB-re-derivable, the same staging role s09
+    // plays for s08.
+    QueryDef.noOracle("t30_lsh_pairs") { (s, dir) =>
+      Dedup.minhashNearDups(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // LSH-fed survivor selection: candidate generation is engine-trusted
+    // (t30's staged pairs), but EVERYTHING downstream — the transitive
+    // closure, member counts, and the per-component argmax — is
+    // re-derived by DuckDB from the staged edges (recursive CTE), so a
+    // wrong closure or rank anywhere turns the board red. t23 is the
+    // exact-edges twin whose oracle needs no staging.
+    QueryDef("t27_cluster_survivors_lsh",
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT id_a, id_b
+         |  FROM read_parquet('${ClimateQueries.OutToken}/t30_lsh_pairs/*.parquet')),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(node, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b),
+         |comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+         |wc AS (SELECT doc_id, CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+         |                           AS INTEGER) AS word_count
+         |       FROM documents)
+         |SELECT component, node AS survivor_id, word_count,
+         |  CAST(n_members AS BIGINT) AS n_members
+         |FROM (SELECT c.component, c.node, wc.word_count,
+         |        count(*) OVER (PARTITION BY c.component) AS n_members,
+         |        row_number() OVER (PARTITION BY c.component
+         |          ORDER BY wc.word_count DESC, c.node) AS rn
+         |      FROM comp c JOIN wc ON wc.doc_id = c.node)
+         |WHERE rn = 1 ORDER BY component""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val pairs = Dedup.minhashNearDups(docs, col("doc_id"), col("text"))
         .filter(col("jaccard") >= 0.5)
@@ -680,8 +718,22 @@ object TextQueries {
       survivors(docs, Dedup.connectedComponents(pairs, col("id_a"), col("id_b")))
     },
 
-    // SimHash signatures + chunk keys (xxhash64 → no oracle).
-    QueryDef.noOracle("t08_simhash") { (s, dir) =>
+    // SimHash signatures + chunk keys. The signature itself is xxhash64-
+    // based (engine-trusted, no DuckDB form — DedupSpec's precision/recall
+    // vs exact jaccard covers it), but the 16-bit chunk DECOMPOSITION the
+    // blocking join keys on is pure bit arithmetic — so the oracle
+    // re-derives every chunk column from the query's own staged signature
+    // (the staged-parquet trick): wrong shift/mask/sign handling anywhere
+    // in the blocking path turns the board red. Arithmetic >> matches on
+    // both engines because the & 0xFFFF mask kills the sign-extended bits.
+    QueryDef("t08_simhash",
+      s"""SELECT doc, simhash,
+         |  (simhash >> 0)  & 65535 AS chunk0,
+         |  (simhash >> 16) & 65535 AS chunk1,
+         |  (simhash >> 32) & 65535 AS chunk2,
+         |  (simhash >> 48) & 65535 AS chunk3
+         |FROM read_parquet('${ClimateQueries.OutToken}/t08_simhash/*.parquet')
+         |ORDER BY doc""".stripMargin) { (s, dir) =>
       Dedup.simhash(Tables.documents(s, dir), col("doc_id"), col("text"))
         .orderBy("doc")
     },
