@@ -67,6 +67,24 @@ object Maintenance {
       .drop("__rn")
   }
 
+  /** Full CDC apply — [[upsert]] plus DELETE semantics: `changes` rows
+    * carry `opCol` ∈ {I, U, D}; I/U rows replace same-key target rows
+    * (SCD1, whole-row), D keys vanish. Same single-shuffle shape as
+    * upsert: ONE anti-join on the full touched-key set (insert, update,
+    * AND delete keys all remove the old row), then a union of the
+    * non-delete change rows. Deletes cost nothing extra.
+    *
+    * CONTRACT (as upsert): `changes` must be key-unique — compact a raw
+    * multi-version CDC batch with [[latestPerKey]] over (key, version)
+    * FIRST, so "U then D" within one batch resolves to D before apply.
+    */
+  def applyCdc(target: DataFrame, changes: DataFrame, keys: Seq[String],
+               opCol: String = "op"): DataFrame = {
+    val touched = changes.select(keys.map(col): _*).distinct()
+    target.join(touched, keys, "left_anti")
+      .unionByName(changes.filter(col(opCol) =!= "D").drop(opCol))
+  }
+
   /** Zero-cost in-flight data-quality counters via the Observation API:
     * row count + per-column null counts ride along with whatever action
     * the caller already runs — NO second pass over the data (the naive

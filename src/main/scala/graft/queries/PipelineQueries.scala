@@ -67,6 +67,35 @@ object PipelineQueries {
         .orderBy("o_orderkey")
     },
 
+    // ---- full CDC apply (q47 + deletes): every 100th order is a D,
+    //      every (100k+1)th a U (price bump), negated-key inserts — one
+    //      anti-join on the touched-key set + union, deletes free. ----
+    QueryDef("q70_cdc_apply",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 NOT IN (0, 1)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 1.5
+        |  FROM orders WHERE o_orderkey % 100 = 1
+        |  UNION ALL
+        |  SELECT -(o_orderkey + 1), o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 1000 = 500)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val target = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val deletes = target.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("op", lit("D"))
+      val updates = target.filter(col("o_orderkey") % 100 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.5)
+        .withColumn("op", lit("U"))
+      val inserts = target.filter(col("o_orderkey") % 1000 === 500)
+        .withColumn("o_orderkey", -(col("o_orderkey") + 1L))
+        .withColumn("op", lit("I"))
+      Maintenance.applyCdc(target,
+          deletes.unionByName(updates).unionByName(inserts), Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    },
+
     // ---- SCD2: per-customer order history as validity intervals ----
     QueryDef("q48_scd2_history",
       """SELECT o_custkey, o_orderkey, o_orderstatus,

@@ -115,6 +115,27 @@ class MaintenanceSpec extends SparkSpec {
     assert(once.orderBy("v_id").as[Long].collect().toSeq === Seq(1L, 3L))
   }
 
+  test("applyCdc: deletes vanish, updates replace, inserts land, missing-key delete is a no-op") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "v", "x")
+    val changes = Seq(
+      (2L, "b2", 21.0, "U"),   // replace
+      (3L, "c", 30.0, "D"),    // delete
+      (4L, "d", 40.0, "I"),    // insert
+      (9L, "?", 0.0, "D")      // delete of a key not in target — no-op
+    ).toDF("k", "v", "x", "op")
+    val got = Maintenance.applyCdc(target, changes, Seq("k"))
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "a", 10.0), (2L, "b2", 21.0), (4L, "d", 40.0)))
+    // idempotent for I/U (deletes already gone): re-applying the non-D
+    // subset changes nothing
+    val again = Maintenance.applyCdc(
+      Maintenance.applyCdc(target, changes, Seq("k")),
+      changes.filter(col("op") =!= "D"), Seq("k"))
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(again == got)
+  }
+
   test("observedQuality: metrics ride the action — no second pass") {
     val df = Seq((1L, Some("a")), (2L, None), (3L, Some("c")), (4L, None))
       .toDF("id", "v")
