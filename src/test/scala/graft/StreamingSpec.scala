@@ -134,6 +134,29 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(2), r.getDouble(3))) == Seq((2L, 9.5)))
   }
 
+  test("dropDuplicatesWithinWatermark: id-only dedup drops a re-delivery with a DIFFERENT ts") {
+    // the API StreamOps.dedupStream's scaladoc points to for id-only
+    // semantics: a replayed event whose timestamp drifted (retry after
+    // delay) still deduplicates, which (key, ts)-keyed dedupStream
+    // deliberately would NOT
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val q = mem.toDF().toDF("event_id", "ts", "value")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ddww_out").start()
+    mem.addData((1L, ts(0), 1.0), (2L, ts(5), 2.0))
+    q.processAllAvailable()
+    // same event_id, ts drifted by 3 minutes → still a duplicate
+    mem.addData((1L, ts(3), 1.0), (3L, ts(10), 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("ddww_out").select("event_id")
+      .as[Long].collect().toSeq.sorted
+    assert(ids == Seq(1L, 2L, 3L), s"got $ids")
+  }
+
   test("foreachBatchUpsert: micro-batches converge the parquet state to latest-per-key") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
