@@ -14,5 +14,6 @@ object GraftConf {
     // Engine optimizer rules (inert until their conf keys opt in) — the
     // runtime twin of `spark.sql.extensions=graft.functions.GraftExtensions`.
     graft.plans.ApproxDistinctRewrite.install(spark)
+    graft.plans.ApproxPercentileRewrite.install(spark)
   }
 }

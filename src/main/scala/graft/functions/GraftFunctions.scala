@@ -88,6 +88,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // this also catches distinct aggregates before Catalyst's
     // RewriteDistinctAggregates expands multi-distinct plans.
     e.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
+    e.injectOptimizerRule(_ => graft.plans.ApproxPercentileRewrite)
     e.injectFunction((
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),

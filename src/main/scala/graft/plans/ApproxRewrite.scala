@@ -53,3 +53,53 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
         spark.experimental.extraOptimizations :+ ApproxDistinctRewrite
     }
 }
+
+/** Second conf-gated AQP rewrite: when
+  * `spark.graft.approx.percentile=true`, every exact `percentile(x, p)`
+  * becomes `approx_percentile(x, p)` (KLL-style mergeable sketch,
+  * default accuracy).
+  *
+  * Same 100 TB rationale as the HLL rule: exact percentile materializes
+  * per-group sorted value buffers (`OpenHashMap` of every distinct value
+  * + count — memory proportional to group cardinality), while the
+  * approximate sketch is a bounded buffer merged map-side; this is the
+  * q44 → q45 swap applied to a whole workload by flipping one conf.
+  *
+  * The rewrite is deliberately narrower than it could be:
+  *  - only `frequency = 1` percentiles (the plain form) rewrite — the
+  *    weighted form has no approximate counterpart;
+  *  - only DOUBLE-typed children rewrite, because exact percentile
+  *    INTERPOLATES (always double) while the sketch returns an observed
+  *    value of the child's type — for double inputs the types match and
+  *    downstream resolved expressions stay valid; for integral inputs a
+  *    rewrite would change the result type mid-plan (and quietly drop
+  *    interpolation), so those keep their exact plan.
+  */
+object ApproxPercentileRewrite extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{ApproximatePercentile, Percentile}
+  import org.apache.spark.sql.types.DoubleType
+
+  val ConfKey = "spark.graft.approx.percentile"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(ConfKey, "false").toBoolean) plan
+    else plan.transformUp {
+      case agg: Aggregate =>
+        agg.transformExpressions {
+          case ae @ AggregateExpression(p: Percentile, _, false, _, _)
+              if p.child.dataType == DoubleType &&
+                p.frequencyExpression == Literal(1L) =>
+            ae.copy(aggregateFunction = ApproximatePercentile(
+              p.child, p.percentageExpression,
+              Literal(ApproximatePercentile.DEFAULT_PERCENTILE_ACCURACY),
+              0, 0))
+        }
+    }
+
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(ApproxPercentileRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ ApproxPercentileRewrite
+    }
+}
