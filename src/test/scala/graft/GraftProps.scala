@@ -166,6 +166,34 @@ object GraftProps extends Properties("graft") {
       Prop(ok) :| s"got=${got.toList.take(5)}"
     }
 
+  // DSv2 pushdown soundness: under ANY random id band, the pruned scan
+  // returns exactly the rows a full scan + filter would — pruning is an
+  // optimization, never the semantics (filters stay residual)
+  property("graft-synthetic DSv2: random range filters always exact under pruning") =
+    forAll(Gen.chooseNum(0L, 999L), Gen.chooseNum(0L, 999L)) { (a, b) =>
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      val df = spark.read.format("graft-synthetic")
+        .option("rows", "1000").option("partitions", "7").load()
+      val pruned = df.filter(col("id") >= lo && col("id") < hi)
+      val expected = math.max(0L, hi - lo)
+      Prop(pruned.count() == expected) :| s"[$lo,$hi): got ${pruned.count()}"
+    }
+
+  // applyCdc cardinality law: |result| = |target \ touched| + |non-D changes|
+  property("applyCdc: cardinality law holds for arbitrary I/U/D batches") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.chooseNum(1L, 40L)).map(_.distinct),
+      Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(1L, 60L), Gen.oneOf("I", "U", "D")))
+        .map(_.distinctBy(_._1))) { (targetKeys, changes) =>
+      val target = targetKeys.map(k => (k, s"t$k")).toDF("k", "v")
+      val ch = changes.map { case (k, op) => (k, s"c$k", op) }.toDF("k", "v", "op")
+      val got = graft.ops.Maintenance.applyCdc(target, ch, Seq("k")).count()
+      val touched = changes.map(_._1).toSet
+      val expected = targetKeys.count(!touched.contains(_)) +
+        changes.count(_._2 != "D")
+      Prop(got == expected) :| s"got $got want $expected"
+    }
+
   // int8 quantization guarantee: |x − code·scale| ≤ scale/2 per element
   // (round-to-nearest with the max element hitting ±127 exactly), codes
   // clamped to [−127, 127] — over arbitrary float vectors incl. negatives
