@@ -94,7 +94,7 @@ object IVF {
     * not k; a row_number window here (the round-3 PQ perf outlier's shape)
     * would force a full shuffle+sort of all n·k joined rows.
     */
-  private def assignCells(v: DataFrame, centroids: DataFrame): DataFrame = {
+  private[graft] def assignCells(v: DataFrame, centroids: DataFrame): DataFrame = {
     val d2 = dotNative(col("v"), col("v")) - lit(2.0) * dotNative(col("v"), col("c")) +
       dotNative(col("c"), col("c"))
     v.crossJoin(broadcast(centroids))

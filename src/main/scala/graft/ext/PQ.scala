@@ -215,4 +215,81 @@ object PQ {
       .select(col("q_id"), col("vid").as("c_id"), col("cos"),
         col("rn").cast("int").as("rn"))
   }
+
+  /** IVF-PQ: the canonical billion-scale ANN composition (coarse k-means
+    * cells bound WHICH vectors are scanned; PQ codes bound WHAT the scan
+    * reads per vector). Each query probes its `nprobe` nearest coarse
+    * cells, the ADC approximate-cosine scan runs ONLY over code rows of
+    * vectors in probed cells, and the k·`rerank` shortlist re-ranks with
+    * exact cosine. Work per query drops from O(n·m) LUT adds to
+    * O(n·m·nprobe/cells), and at 100 TB the coarse cell is the stored
+    * partition column — the probe scan is partition pruning
+    * (PartitionPruningSpec), the code column is the 30×-smaller payload,
+    * and only the shortlist fetches full vectors by key.
+    * Returns (q_id, c_id, cos, rn) — the shared ANN surface, so the
+    * staged-rerank oracle applies as-is (s14).
+    */
+  def ivfAdcTopK(emb: DataFrame, id: String, vec: String, queryPred: Column,
+                 k: Int = 5, cells: Int = 8, nprobe: Int = 2, ivfIters: Int = 3,
+                 m: Int = 8, kc: Int = 16, pqIters: Int = 2,
+                 rerank: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val v = emb.select(col(id).as("vid"), col(vec).cast("array<double>").as("v"))
+    // coarse quantizer — trained ONCE here (IVF.assignTable would retrain)
+    val centroids = IVF.kmeansCentroids(emb, id, vec, cells, ivfIters)
+    val coarse = IVF.assignCells(v, centroids)
+      .select(col("vid"), col("cell").as("ccell"))
+    // fine quantizer over the full corpus (at scale: a sample, stored codes)
+    val subs = subRows(v, m).localCheckpoint()
+    val (cb, lastAssign) = trainCodebooks(subs, v, m, kc, pqIters)
+    val codes = lastAssign.getOrElse(assignCodes(subs, cb))
+      .select(col("vid"), col("sub"), col("cell"))
+
+    val q = emb.filter(queryPred)
+      .select(col(id).as("q_id"), col(vec).cast("array<double>").as("q_vec"))
+    val dq = dotNative(col("q_vec"), col("q_vec")) -
+      lit(2.0) * dotNative(col("q_vec"), col("c")) + dotNative(col("c"), col("c"))
+    val wp = Window.partitionBy("q_id").orderBy(col("d2"), col("cell"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("d2", dq)
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("cell").as("ccell"))
+    // the per-query candidate universe: vectors in probed coarse cells
+    val cands = coarse.join(broadcast(probes), "ccell")
+      .filter(col("vid") =!= col("q_id"))
+      .select(col("q_id"), col("vid"))
+
+    val qsubs = subRows(q.select(col("q_id").as("vid"), col("q_vec").as("v")), m)
+      .select(col("vid").as("q_id"), col("sub"), col("subv").as("qs"))
+    val lut = qsubs.join(cb, "sub")
+      .select(col("q_id"), col("sub"), col("cell"),
+        dotNative(col("qs"), col("c")).as("qd"),
+        dotNative(col("c"), col("c")).as("cc"))
+    val qn = q.select(col("q_id"),
+      sqrt(dotNative(col("q_vec"), col("q_vec"))).as("q_norm"), col("q_vec"))
+
+    // ADC over the probed-cell candidates only: the cell restriction rides
+    // the (vid → q_id) join, the LUT lookup keys on (q_id, sub, cell)
+    val wApprox = Window.partitionBy("q_id").orderBy(col("approx_cos").desc, col("vid"))
+    val shortlist = codes.join(cands, "vid")
+      .join(broadcast(lut), Seq("q_id", "sub", "cell"))
+      .groupBy(col("q_id"), col("vid"))
+      .agg(sum(col("qd")).as("num"), sum(col("cc")).as("cand_n2"))
+      .join(broadcast(qn.select(col("q_id"), col("q_norm"))), "q_id")
+      .withColumn("approx_cos", col("num") / (col("q_norm") * sqrt(col("cand_n2"))))
+      .withColumn("arn", row_number().over(wApprox))
+      .filter(col("arn") <= k * rerank)
+      .select(col("q_id"), col("vid"))
+
+    val vn = v.withColumn("v_norm", sqrt(dotNative(col("v"), col("v"))))
+    val wExact = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vid"))
+    shortlist.join(vn, "vid").join(broadcast(qn), "q_id")
+      .withColumn("cos", round(
+        dotNative(col("q_vec"), col("v")) / (col("q_norm") * col("v_norm")), 6))
+      .withColumn("rn", row_number().over(wExact))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vid").as("c_id"), col("cos"),
+        col("rn").cast("int").as("rn"))
+  }
 }

@@ -246,6 +246,20 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
+    // ---- IVF-PQ: the canonical billion-scale ANN composition — coarse
+    //      cells bound WHICH vectors scan, PQ codes bound WHAT each scan
+    //      reads. Candidate generation is doubly engine-trusted (two
+    //      k-means); the exact-cosine re-rank the query emits is DuckDB-
+    //      re-derived from the staged pairs, like the rest of the ANN
+    //      family. PQSpec pins clustered recall ≥0.9 and the
+    //      full-probe/full-rerank reduction to brute force. ----
+    QueryDef("s14_ann_ivfpq", stagedRerankSql("s14_ann_ivfpq")) { (s, dir) =>
+      graft.ext.PQ.ivfAdcTopK(Tables.embeddings(s, dir),
+          "vec_id", "embedding", col("vec_id") % 50 === 0,
+          k = 5, cells = 8, nprobe = 2, m = 8, kc = 16)
+        .orderBy("q_id", "rn")
+    },
+
     // ---- asymmetric int8 ANN: shortlist ranked on dequantized codes
     //      (the 4×-smaller stored payload), exact re-rank of the k·4
     //      survivors. Scalar quantization is deterministic element-wise

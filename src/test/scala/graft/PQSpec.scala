@@ -52,4 +52,27 @@ class PQSpec extends SparkSpec {
       .orderBy("q_id", "rn").collect().toSeq
     assert(run() == run())
   }
+
+  test("ivfAdcTopK: clustered recall >= 0.9; full probe + full rerank == brute force") {
+    val pred = col("vec_id") % 25 === 1
+    val exact = Similarity.bruteForceTopK(clustered, "vec_id", "embedding", pred, 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    // production shape: 2 of 8 coarse cells probed, k·4 ADC shortlist.
+    // 8 tight clusters ↔ 8 cells: a query's cluster-mates share its
+    // nearest cell, so nprobe=2 should recall essentially everything.
+    val ivfpq = PQ.ivfAdcTopK(clustered, "vec_id", "embedding", pred,
+        k = 5, cells = 8, nprobe = 2, m = 4, kc = 16)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivfpq).size.toDouble / exact.size
+    info(f"IVF-PQ clustered recall@5: $recall%.3f")
+    assert(recall >= 0.9, f"IVF-PQ recall $recall%.3f below 0.9")
+    // reduction: probe EVERY cell and keep the whole ADC ranking → the
+    // exact re-rank sees all candidates and must equal brute force exactly
+    val full = PQ.ivfAdcTopK(clustered, "vec_id", "embedding", pred,
+        k = 5, cells = 8, nprobe = 8, m = 4, kc = 16, rerank = 40)
+      .orderBy("q_id", "rn").collect().toSeq
+    val brute = Similarity.bruteForceTopK(clustered, "vec_id", "embedding", pred, 5)
+      .orderBy("q_id", "rn").collect().toSeq
+    assert(full == brute, "full-probe/full-rerank IVF-PQ must reduce to brute force")
+  }
 }
