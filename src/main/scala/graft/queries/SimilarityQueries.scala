@@ -254,9 +254,14 @@ object SimilarityQueries {
     //      family. PQSpec pins clustered recall ≥0.9 and the
     //      full-probe/full-rerank reduction to brute force. ----
     QueryDef("s14_ann_ivfpq", stagedRerankSql("s14_ann_ivfpq")) { (s, dir) =>
+      // ivfIters=2: the coarse quantizer only needs stable-enough cells
+      // for blocking (the exact re-rank owns final quality); the third
+      // Lloyd round bought no recall on this corpus and ~10% of the
+      // query's wall (both quantizers train IN-QUERY here only so the
+      // query is self-contained — at scale training is a build-time cost)
       graft.ext.PQ.ivfAdcTopK(Tables.embeddings(s, dir),
           "vec_id", "embedding", col("vec_id") % 50 === 0,
-          k = 5, cells = 8, nprobe = 2, m = 8, kc = 16)
+          k = 5, cells = 8, nprobe = 2, ivfIters = 2, m = 8, kc = 16)
         .orderBy("q_id", "rn")
     },
 
