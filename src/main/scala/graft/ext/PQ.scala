@@ -216,6 +216,56 @@ object PQ {
         col("rn").cast("int").as("rn"))
   }
 
+  /** ADC top-k from a STORED index — the build-once/query-many deployment
+    * path: `cb` is a persisted [[codebooks]] table and `codes` a persisted
+    * [[encode]] table ((vid, codes) packed arrays, the column a 100 TB
+    * corpus stores next to — or instead of scanning — its vectors). No
+    * training happens here; the scan reads only the m-byte code arrays,
+    * and full vectors are fetched BY KEY for the k·`rerank` shortlist
+    * re-rank. [[adcTopK]] is the self-contained in-query twin (trains +
+    * queries in one call); this is what production queries run.
+    */
+  def adcTopKFromIndex(emb: DataFrame, id: String, vec: String,
+                       queryPred: Column, cb: DataFrame, codes: DataFrame,
+                       k: Int = 5, m: Int = 8, rerank: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val v = emb.select(col(id).as("vid"), col(vec).cast("array<double>").as("v"))
+    val codeRows = codes.select(col("vid"), posexplode(col("codes")))
+      .select(col("vid"), col("pos").as("sub"), col("col").as("cell"))
+
+    val q = emb.filter(queryPred)
+      .select(col(id).as("q_id"), col(vec).cast("array<double>").as("q_vec"))
+    val qsubs = subRows(q.select(col("q_id").as("vid"), col("q_vec").as("v")), m)
+      .select(col("vid").as("q_id"), col("sub"), col("subv").as("qs"))
+    val lut = qsubs.join(cb, "sub")
+      .select(col("q_id"), col("sub"), col("cell"),
+        dotNative(col("qs"), col("c")).as("qd"),
+        dotNative(col("c"), col("c")).as("cc"))
+    val qn = q.select(col("q_id"),
+      sqrt(dotNative(col("q_vec"), col("q_vec"))).as("q_norm"), col("q_vec"))
+
+    val wApprox = Window.partitionBy("q_id").orderBy(col("approx_cos").desc, col("vid"))
+    val shortlist = codeRows.join(broadcast(lut), Seq("sub", "cell"))
+      .filter(col("vid") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vid"))
+      .agg(sum(col("qd")).as("num"), sum(col("cc")).as("cand_n2"))
+      .join(broadcast(qn.select(col("q_id"), col("q_norm"))), "q_id")
+      .withColumn("approx_cos", col("num") / (col("q_norm") * sqrt(col("cand_n2"))))
+      .withColumn("arn", row_number().over(wApprox))
+      .filter(col("arn") <= k * rerank)
+      .select(col("q_id"), col("vid"))
+
+    val vn = v.withColumn("v_norm", sqrt(dotNative(col("v"), col("v"))))
+    val wExact = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vid"))
+    shortlist.join(vn, "vid").join(broadcast(qn), "q_id")
+      .withColumn("cos", round(
+        dotNative(col("q_vec"), col("v")) / (col("q_norm") * col("v_norm")), 6))
+      .withColumn("rn", row_number().over(wExact))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vid").as("c_id"), col("cos"),
+        col("rn").cast("int").as("rn"))
+  }
+
   /** IVF-PQ: the canonical billion-scale ANN composition (coarse k-means
     * cells bound WHICH vectors are scanned; PQ codes bound WHAT the scan
     * reads per vector). Each query probes its `nprobe` nearest coarse

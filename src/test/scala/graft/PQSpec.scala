@@ -53,6 +53,33 @@ class PQSpec extends SparkSpec {
     assert(run() == run())
   }
 
+  test("adcTopKFromIndex: stored codebooks+codes round-trip parquet, recall >= 0.9, no retraining") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_index").toString
+    // BUILD once: train codebooks, encode the corpus, persist both
+    val cb = PQ.codebooks(clustered, "vec_id", "embedding", m = 4, k = 16)
+    PQ.encode(clustered, "vec_id", "embedding", cb, m = 4)
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    cb.write.mode("overwrite").parquet(s"$dir/codebooks")
+    // QUERY many: a reader that only has the parquet index + the vectors
+    val pred = col("vec_id") % 25 === 1
+    val got = PQ.adcTopKFromIndex(clustered, "vec_id", "embedding", pred,
+        spark.read.parquet(s"$dir/codebooks"),
+        spark.read.parquet(s"$dir/codes"), k = 5, m = 4)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(clustered, "vec_id", "embedding", pred, 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(f"stored-index recall@5: $recall%.3f")
+    assert(recall >= 0.9, f"stored-index recall $recall%.3f below 0.9")
+    // per-query contract: exactly k rows, ranks contiguous
+    val rows = PQ.adcTopKFromIndex(clustered, "vec_id", "embedding", pred,
+        spark.read.parquet(s"$dir/codebooks"),
+        spark.read.parquet(s"$dir/codes"), k = 5, m = 4).collect()
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.map(_.getInt(3)).sorted.toSeq == (1 to g.length) && g.length <= 5)
+    }
+  }
+
   test("ivfAdcTopK: clustered recall >= 0.9; full probe + full rerank == brute force") {
     val pred = col("vec_id") % 25 === 1
     val exact = Similarity.bruteForceTopK(clustered, "vec_id", "embedding", pred, 5)
