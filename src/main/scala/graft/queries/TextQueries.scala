@@ -788,6 +788,38 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- quality-weighted corpus subsampling: keep 20 docs per source
+    //      with probability ∝ quality score (A-ES exponential race over
+    //      q69's deterministic hash uniform — reproducible across runs,
+    //      engines, and retries). THE canonical LLM-corpus downsampling
+    //      shape: higher-quality docs survive proportionally more, and
+    //      the per-source partition keeps any one domain from flooding
+    //      the sample. Fully oracled: the quality formula is t02's and
+    //      the sampling key is exact arithmetic + ln (round(6)+id
+    //      tie-break absorbs sub-ulp libm differences). ----
+    QueryDef("t31_quality_weighted_sample",
+      s"""SELECT source, CAST(rn AS INTEGER) AS rn, doc_id, samp_key FROM (
+         |  SELECT source, doc_id,
+         |    round(${graft.ops.Prep.weightedSampleKeySql(
+               s"($duckQuality + 0.1)", "doc_id", "n_chars")}, 6) AS samp_key,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY round(${graft.ops.Prep.weightedSampleKeySql(
+               s"($duckQuality + 0.1)", "doc_id", "n_chars")}, 6),
+         |               doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= 20 ORDER BY source, rn""".stripMargin) { (s, dir) =>
+      val key = round(graft.ops.Prep.weightedSampleKey(
+        TextOps.qualityScore(col("text")) + 0.1, col("doc_id"), col("n_chars")), 6)
+      val w = Window.partitionBy(col("source")).orderBy(key, col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("samp_key", key)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select(col("source"), col("rn").cast("int").as("rn"),
+          col("doc_id"), col("samp_key"))
+        .orderBy("source", "rn")
+    },
+
     // ---- cross-doc boilerplate trigram flagging (RefinedWeb/CCNet
     //      duplicated-spans family): trigram doc-frequency ≥ 3 marks a
     //      span as boilerplate; each doc reports the covered fraction of
