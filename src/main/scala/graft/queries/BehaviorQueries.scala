@@ -103,6 +103,45 @@ object BehaviorQueries {
         .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
     },
 
+    // ---- time-constrained funnel (q40 + conversion windows): each step
+    //      must land within 1 hour of the previous step's first event —
+    //      the form product analytics actually ships ("converted within
+    //      an hour"), where the unconstrained funnel overcounts users who
+    //      came back days later. Same per-user min-ts reduction chain,
+    //      one extra band predicate riding each join; the per-user tables
+    //      shrink at every stage, each stage one shuffle on user_id. ----
+    QueryDef("q71_funnel_windowed",
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts
+        |      FROM events e JOIN v ON v.user_id = e.user_id
+        |      WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+        |        AND e.ts <= v.v_ts + INTERVAL 1 HOUR GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts
+        |      FROM events e JOIN c ON c.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+        |        AND e.ts <= c.c_ts + INTERVAL 1 HOUR GROUP BY 1)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |  (SELECT count(*) FROM c) AS n_click,
+        |  (SELECT count(*) FROM p) AS n_purchase""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir)
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("ts") >= col("v_ts") &&
+          col("ts") <= col("v_ts") + expr("interval 1 hour"))
+        .groupBy("user_id").agg(min(col("ts")).as("c_ts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("ts") >= col("c_ts") &&
+          col("ts") <= col("c_ts") + expr("interval 1 hour"))
+        .groupBy("user_id").agg(min(col("ts")).as("p_ts"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+    },
+
     // ---- gap-based batch sessionization: a new session starts after a
     //      >30-minute silence. lag + running-sum over ONE user-partitioned
     //      window, then a per-(user, session) aggregate that reuses the
