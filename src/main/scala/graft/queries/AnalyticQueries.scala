@@ -386,6 +386,54 @@ object AnalyticQueries {
         .orderBy("event_id")
     },
 
+    // ---- bounded as-of join (q29 + max staleness): the feature-store
+    //      form — a match older than the bound is no match (serving stale
+    //      features silently is the classic training/serving bug; the
+    //      9000-day bound is sized to the fixture's events-vs-orders date
+    //      gap so it splits the order span instead of matching nothing or
+    //      everything). Same
+    //      join-free union-spine, ONE extra filter after the pick: the
+    //      as-of match is the LATEST order ≤ t, so if IT is stale every
+    //      earlier candidate is staler — bounding after the pick equals
+    //      bounding inside the join predicate (what the oracle does). ----
+    QueryDef("q72_asof_bounded",
+      """SELECT event_id, user_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+        |  o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        |FROM (
+        |  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |       AND o.o_orderdate >= e.ts - INTERVAL 9000 DAY)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir).select(
+        col("o_custkey").as("k"),
+        col("o_orderdate").as("t"),
+        lit(0).as("kind"),
+        lit(null).cast("long").as("event_id"),
+        col("o_orderkey"), col("o_orderdate"))
+      val e = Tables.events(s, dir).select(
+        col("user_id").as("k"), col("ts").as("t"), lit(1).as("kind"),
+        col("event_id"),
+        lit(null).cast("long").as("o_orderkey"),
+        lit(null).cast("timestamp").as("o_orderdate"))
+      val w = Window.partitionBy(col("k"))
+        .orderBy(col("t"), col("kind"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.unionByName(e)
+        .select(col("k"), col("t"), col("kind"), col("event_id"),
+          last(col("o_orderkey"), ignoreNulls = true).over(w).as("asof_key"),
+          last(col("o_orderdate"), ignoreNulls = true).over(w).as("asof_date"))
+        .filter(col("kind") === 1 && col("asof_key").isNotNull &&
+          col("asof_date") >= col("t") - expr("interval 9000 days"))
+        .select(col("event_id"), col("k").as("user_id"),
+          tsStr(col("t")).as("event_ts"),
+          col("asof_key").as("o_orderkey"), dayStr(col("asof_date")).as("order_date"))
+        .orderBy("event_id")
+    },
+
     // ---- approx distinct (HLL sketches differ across engines → the
     //      driver records a rows-only check; exactness bound tested in
     //      QueriesSpec against q11's exact counts) ----
