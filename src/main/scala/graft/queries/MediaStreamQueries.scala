@@ -160,6 +160,32 @@ object MediaStreamQueries {
         .orderBy("window_start", "event_type")
     },
 
+    // ---- sliding window aggregate (30-min width / 15-min slide): every
+    //      event lands in exactly TWO windows — epoch-aligned starts
+    //      trunc15(ts) and trunc15(ts)−15m — so the oracle is the UNION
+    //      ALL of two shifted tumbling groupings. Same alignment note as
+    //      st02 (time_bucket's origin is a whole multiple of 15 min from
+    //      the epoch). StreamingSpec proves streaming==batch with a
+    //      watermark. ----
+    QueryDef("st04_sliding_agg",
+      """WITH w AS (
+        |  SELECT time_bucket(INTERVAL '15 minutes', ts) AS ws, event_type, value
+        |  FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '15 minutes', ts) - INTERVAL '15 minutes',
+        |    event_type, value
+        |  FROM events)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .transform(StreamOps.slidingAgg("ts", "event_type", "30 minutes", "15 minutes"))
+        .select(tsStr(col("window.start")).as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("window_start", "event_type")
+    },
+
     // ---- composed streaming pipeline, batch form: exact-re-delivery
     //      dedup → stream-static dimension enrichment → 15-min tumbling
     //      aggregate per market segment. The SAME three StreamOps

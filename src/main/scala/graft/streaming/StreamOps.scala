@@ -23,6 +23,19 @@ object StreamOps {
       .agg(count(lit(1)).as("n"),
         graft.core.Exact.decimalSum(col(valueCol), "sum_value"))
 
+  /** Sliding event-time window aggregate: width > slide ⇒ every event
+    * contributes to width/slide overlapping windows (the trend-smoothing
+    * form tumbling can't express — a spike shows in every window it
+    * touches). The generate-per-window expansion happens inside the
+    * `window()` expression, map-side; state under streaming is
+    * width/slide × the tumbling equivalent, still watermark-bounded.
+    */
+  def slidingAgg(tsCol: String, keyCol: String, width: String, slide: String,
+                 valueCol: String = "value")(df: DataFrame): DataFrame =
+    df.groupBy(window(col(tsCol), width, slide), col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        graft.core.Exact.decimalSum(col(valueCol), "sum_value"))
+
   /** Event-time sessionization via the built-in session_window: events
     * within `gap` of each other merge into one session per key. Identical
     * semantics batch and streaming (streaming needs a watermark).

@@ -69,6 +69,29 @@ class StreamingSpec extends SparkSpec {
     assert(n == rows.length)
   }
 
+  test("slidingAgg: streaming == batch; every event lands in exactly width/slide windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val sdf = mem.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "2 hours")
+    val q = StreamOps.slidingAgg("ts", "user_id", "30 minutes", "15 minutes")(sdf)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("slide_out").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("slide_out")
+      .select(col("window.start").as("w"), col("user_id"), col("n"), col("sum_value"))
+      .orderBy("w", "user_id").collect().toSeq
+    q.stop()
+    val batch = StreamOps.slidingAgg("ts", "user_id", "30 minutes", "15 minutes")(
+        rows.toDF("user_id", "ts", "value"))
+      .select(col("window.start").as("w"), col("user_id"), col("n"), col("sum_value"))
+      .orderBy("w", "user_id").collect().toSeq
+    assert(streamed == batch)
+    // 30/15 ⇒ every event is counted exactly twice across windows
+    assert(batch.map(_.getLong(2)).sum == 2L * rows.length)
+  }
+
   test("st02 exact config: streaming 15-min tumbling agg == batch query") {
     // the st02 oracle query's precise shape (15-minute windows keyed by
     // event_type, decimal-exact sums) replayed through MemoryStream —
