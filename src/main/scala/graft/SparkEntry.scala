@@ -12,10 +12,10 @@ import graft.queries._
 object SparkEntry {
 
   private def registry: Seq[QueryDef] =
-    RelationalQueries.all ++ JoinQueries.all ++ AnalyticQueries.all ++
-      TimeSeriesQueries.all ++ BehaviorQueries.all ++ ClimateQueries.all ++
-      TextQueries.all ++ SimilarityQueries.all ++ MediaStreamQueries.all ++
-      PipelineQueries.all ++ PrepQueries.all
+    RelationalQueries.all ++ JoinQueries.all ++ SubqueryQueries.all ++
+      AnalyticQueries.all ++ TimeSeriesQueries.all ++ BehaviorQueries.all ++
+      ClimateQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
+      MediaStreamQueries.all ++ PipelineQueries.all ++ PrepQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

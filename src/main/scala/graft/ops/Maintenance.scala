@@ -77,12 +77,24 @@ object Maintenance {
     * CONTRACT (as upsert): `changes` must be key-unique — compact a raw
     * multi-version CDC batch with [[latestPerKey]] over (key, version)
     * FIRST, so "U then D" within one batch resolves to D before apply.
+    *
+    * The op domain is VALIDATED: a row whose op is NULL or outside
+    * {I, U, D} fails the job (raise_error) rather than being silently
+    * dropped — without the guard, `op =!= "D"` evaluates NULL for a NULL
+    * op, so the anti-join would remove the touched key while the union
+    * skipped its replacement row: a malformed CDC row deleting data
+    * (ADVICE r5).
     */
   def applyCdc(target: DataFrame, changes: DataFrame, keys: Seq[String],
                opCol: String = "op"): DataFrame = {
-    val touched = changes.select(keys.map(col): _*).distinct()
+    val checked = changes.withColumn(opCol,
+      when(col(opCol).isin("I", "U", "D"), col(opCol))
+        .otherwise(raise_error(concat(
+          lit(s"applyCdc: invalid $opCol value: "),
+          coalesce(col(opCol).cast("string"), lit("NULL"))))))
+    val touched = checked.select(keys.map(col): _*).distinct()
     target.join(touched, keys, "left_anti")
-      .unionByName(changes.filter(col(opCol) =!= "D").drop(opCol))
+      .unionByName(checked.filter(col(opCol) =!= "D").drop(opCol))
   }
 
   /** Zero-cost in-flight data-quality counters via the Observation API:

@@ -199,13 +199,17 @@ object PrepQueries {
          |  SELECT event_type, event_id,
          |    round(${Prep.weightedSampleKeySql("(abs(value) + 1)", "user_id", "event_id")}, 6) AS samp_key,
          |    row_number() OVER (PARTITION BY event_type
-         |      ORDER BY round(${Prep.weightedSampleKeySql("(abs(value) + 1)", "user_id", "event_id")}, 6),
+         |      ORDER BY round(${Prep.weightedSampleKeySql("(abs(value) + 1)", "user_id", "event_id")}, 6) NULLS LAST,
          |               event_id) AS rn
          |  FROM events)
          |WHERE rn <= 50 ORDER BY event_type, rn""".stripMargin) { (s, dir) =>
       val key = round(Prep.weightedSampleKey(
         abs(col("value")) + 1, col("user_id"), col("event_id")), 6)
-      val w = Window.partitionBy(col("event_type")).orderBy(key, col("event_id"))
+      // events.value is nullable → a NULL weight yields a NULL samp_key;
+      // Spark ASC defaults NULLS FIRST while DuckDB defaults NULLS LAST,
+      // so pin NULLS LAST explicitly on both sides (ADVICE r5).
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(key.asc_nulls_last, col("event_id"))
       Tables.events(s, dir)
         .withColumn("samp_key", key)
         .withColumn("rn", row_number().over(w))

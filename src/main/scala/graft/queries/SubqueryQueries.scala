@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import graft.core.Tables
+
+/** Correlated-subquery surface — the relational family a SQL user of the
+  * engine hits daily (`WHERE EXISTS`, `NOT EXISTS`, `IN (...)`, scalar
+  * aggregate subqueries), exercised THROUGH `spark.sql` over the
+  * registered testdata views so Catalyst's actual decorrelation pipeline
+  * fires (RewritePredicateSubquery → left-semi/anti join,
+  * RewriteCorrelatedScalarSubquery → aggregate + join). q07/q08 cover the
+  * already-decorrelated DataFrame forms; these are the SQL-text twins a
+  * user migrating TPC-H-style queries writes verbatim.
+  *
+  * Scale posture (PlanSpec pins the shapes): every subquery here
+  * decorrelates to a hash join — left semi (q73, q76), left anti (q75),
+  * or inner against a pre-aggregated per-key subquery side (q74). None
+  * plan as a per-row nested-loop re-execution, which is what makes the
+  * same SQL viable on a 100 TB fact table: the subquery side shuffles
+  * once on its correlation key instead of being re-run per outer row.
+  *
+  * Oracle parity: both engines run the IDENTICAL SQL text (dialect
+  * intersection), so every constant, cast, and rounding agrees by
+  * construction. q74's threshold `0.2 * avg(l_quantity)` is exact across
+  * engines: l_quantity is integral-valued, so its double sum is exact in
+  * any accumulation order, and avg = one IEEE division at finish in both.
+  */
+object SubqueryQueries {
+
+  /** Runs the same text on Spark (after registering the testdata views)
+    * and hands it to DuckDB as the oracle, so there is exactly one
+    * definition of each query's semantics.
+    */
+  private def sqlQuery(name: String, sql: String): QueryDef =
+    QueryDef(name, sql) { (s: SparkSession, dir: String) =>
+      Tables.registerAll(s, dir)
+      s.sql(sql)
+    }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- correlated EXISTS → left-semi join: orders having at least one
+    //      high-value line. The filter on the subquery side pushes below
+    //      the semi join, so at scale the probe side is the pre-filtered
+    //      lineitem slice, not the full table. ----
+    sqlQuery("q73_exists_filter",
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_extendedprice > 80000.0)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // ---- correlated scalar aggregate subquery (TPC-H Q17 shape): lines
+    //      below 20% of their part's average quantity. Catalyst rewrites
+    //      the per-part avg into ONE grouped aggregate over lineitem
+    //      joined back on l_partkey — a single shuffle, not a per-row
+    //      re-scan. ----
+    sqlQuery("q74_scalar_subquery",
+      """SELECT p_partkey, count(*) AS n_small,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS small_revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        |GROUP BY p_partkey
+        |ORDER BY p_partkey""".stripMargin),
+
+    // ---- correlated NOT EXISTS → left-anti join: customers who never
+    //      placed a top-tier order. ----
+    sqlQuery("q75_not_exists",
+      """SELECT c_custkey, c_mktsegment, c_acctbal
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin),
+
+    // ---- IN subquery → left-semi join on the DISTINCT inner keys:
+    //      parts that ever shipped at near-max quantity. ----
+    sqlQuery("q76_in_subquery",
+      """SELECT p_partkey, p_brand, p_retailprice
+        |FROM part
+        |WHERE p_partkey IN (SELECT l_partkey FROM lineitem
+        |                    WHERE l_quantity >= 49.0)
+        |ORDER BY p_partkey""".stripMargin),
+  )
+}

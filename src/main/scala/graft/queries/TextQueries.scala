@@ -804,13 +804,16 @@ object TextQueries {
                s"($duckQuality + 0.1)", "doc_id", "n_chars")}, 6) AS samp_key,
          |    row_number() OVER (PARTITION BY source
          |      ORDER BY round(${graft.ops.Prep.weightedSampleKeySql(
-               s"($duckQuality + 0.1)", "doc_id", "n_chars")}, 6),
+               s"($duckQuality + 0.1)", "doc_id", "n_chars")}, 6) NULLS LAST,
          |               doc_id) AS rn
          |  FROM documents)
          |WHERE rn <= 20 ORDER BY source, rn""".stripMargin) { (s, dir) =>
       val key = round(graft.ops.Prep.weightedSampleKey(
         TextOps.qualityScore(col("text")) + 0.1, col("doc_id"), col("n_chars")), 6)
-      val w = Window.partitionBy(col("source")).orderBy(key, col("doc_id"))
+      // Same NULLS LAST pinning as q69: a NULL text → NULL quality → NULL
+      // key, and Spark/DuckDB disagree on default null ordering (ADVICE r5).
+      val w = Window.partitionBy(col("source"))
+        .orderBy(key.asc_nulls_last, col("doc_id"))
       Tables.documents(s, dir)
         .withColumn("samp_key", key)
         .withColumn("rn", row_number().over(w))

@@ -48,6 +48,12 @@ class SyntheticTableProvider extends TableProvider
                         properties: util.Map[String, String]): Table = {
     val rows = Option(properties.get("rows")).map(_.toLong).getOrElse(1000L)
     val parts = Option(properties.get("partitions")).map(_.toInt).getOrElse(8)
+    // Above this id, id·2654435761 overflows Long and Scala's signed `%`
+    // turns the documented cross-engine formula negative (DuckDB errors on
+    // the same BIGINT overflow) — fail loudly instead of diverging.
+    require(rows <= SyntheticSource.maxRows,
+      s"rows=$rows exceeds ${SyntheticSource.maxRows}: the generator hash " +
+        "(id*2654435761+40503) overflows 64-bit beyond that id")
     new SyntheticTable(rows, parts)
   }
 }
@@ -65,6 +71,10 @@ object SyntheticSource {
     * engine.
     */
   def hash(id: Long): Long = (id * 2654435761L + 40503L) % 4294967296L
+
+  /** Largest row count whose every id keeps `id·2654435761 + 40503` inside
+    * signed 64-bit: floor((2⁶³−1−40503)/2654435761). */
+  val maxRows: Long = (Long.MaxValue - 40503L) / 2654435761L
 }
 
 private[sources] class SyntheticTable(rows: Long, parts: Int)
@@ -85,14 +95,20 @@ private[sources] class SyntheticScanBuilder(rows: Long, parts: Int)
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = SyntheticSource.schema
 
+  // Saturating successor: v+1 overflows for v == Long.MaxValue, and an
+  // overflowed bound (Long.MinValue) would prune EVERY partition — turning
+  // an all-inclusive predicate like id <= Long.MaxValue into zero rows
+  // (filters being residual doesn't save us once the partitions are gone).
+  private def succ(v: Long): Long = if (v == Long.MaxValue) v else v + 1
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val usable = ArrayBuffer.empty[Filter]
     filters.foreach {
-      case f @ GreaterThan("id", v: Long)        => lo = math.max(lo, v + 1); usable += f
+      case f @ GreaterThan("id", v: Long)        => lo = math.max(lo, succ(v)); usable += f
       case f @ GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v); usable += f
       case f @ LessThan("id", v: Long)           => hi = math.min(hi, v); usable += f
-      case f @ LessThanOrEqual("id", v: Long)    => hi = math.min(hi, v + 1); usable += f
-      case f @ EqualTo("id", v: Long)            => lo = math.max(lo, v); hi = math.min(hi, v + 1); usable += f
+      case f @ LessThanOrEqual("id", v: Long)    => hi = math.min(hi, succ(v)); usable += f
+      case f @ EqualTo("id", v: Long)            => lo = math.max(lo, v); hi = math.min(hi, succ(v)); usable += f
       case _ => ()
     }
     pushed = usable.toArray

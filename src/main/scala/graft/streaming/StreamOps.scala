@@ -120,8 +120,14 @@ object StreamOps {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
         val updates = batch.dropDuplicates(keys)
+        // Existence via the Hadoop FileSystem API, not java.io.File — the
+        // state table may live on hdfs://, s3a://, etc., where a local
+        // File.exists() is always false and every batch would silently
+        // overwrite the merged state with just that batch (ADVICE r5).
+        val statePathH = new org.apache.hadoop.fs.Path(statePath)
+        val fs = statePathH.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val merged =
-          if (new java.io.File(statePath).exists())
+          if (fs.exists(statePathH))
             graft.ops.Maintenance.upsert(
               spark.read.parquet(statePath), updates, keys)
           else updates.toDF()

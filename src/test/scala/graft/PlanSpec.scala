@@ -216,6 +216,41 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"no window operator expected: $plan")
   }
 
+  test("q73 EXISTS subquery decorrelates to a left-semi hash/merge join") {
+    // RewritePredicateSubquery must fire: the plan is a semi join, never a
+    // per-outer-row nested-loop re-execution of the subquery
+    val q = SparkEntry.queries("q73_exists_filter")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q74 scalar subquery decorrelates to ONE grouped aggregate + join") {
+    // the per-part avg becomes a single aggregate over lineitem joined
+    // back on the correlation key — lineitem is scanned twice (outer +
+    // subquery), not once per part
+    val q = SparkEntry.queries("q74_scalar_subquery")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    assert("FileScan parquet".r.findAllIn(plan).length <= 3,
+      s"subquery must not multiply scans: $plan")
+  }
+
+  test("q75 NOT EXISTS decorrelates to a left-anti join") {
+    val q = SparkEntry.queries("q75_not_exists")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q76 IN subquery decorrelates to a left-semi join") {
+    val q = SparkEntry.queries("q76_in_subquery")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("q66 DSv2 source: pushed range prunes partitions before execution") {
     // the q66 scan shape without the aggregate: 16 range partitions over
     // 100k ids; [25000, 75000) overlaps exactly 8 — the other 8 are
