@@ -29,4 +29,19 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
+
+  /** Auxiliary engine artifacts Verify stages alongside the query dumps —
+    * NOT graded queries, just inputs an oracle needs to re-derive an
+    * otherwise engine-trusted step (referenced via the OutToken path).
+    * `_staged_ivf_centroids` is the k-row coarse-quantizer table behind
+    * s09: given these centroids, the cell assignment is pure deterministic
+    * arithmetic DuckDB re-derives exactly (kmeansCentroids is
+    * deterministic, so this second call reproduces s09's internals — the
+    * same property s08's oracle already relies on).
+    */
+  def staged: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "_staged_ivf_centroids" -> ((s, dir) =>
+      graft.ext.IVF.kmeansCentroids(
+        graft.core.Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 8, iters = 3)))
 }

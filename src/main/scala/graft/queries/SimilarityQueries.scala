@@ -136,9 +136,25 @@ object SimilarityQueries {
 
     // The stored IVF index itself: (vid, cell) for every vector — the
     // partition-key column a 100 TB deployment persists next to the data.
-    // k-means assignment → rows-only here; s08's oracle consumes this
-    // staged table, which is what makes its dedup decision cross-checkable.
-    QueryDef.noOracle("s09_ivf_cells") { (s, dir) =>
+    // FULLY oracled via the staged centroid table (_staged_ivf_centroids,
+    // dumped by Verify from the same deterministic kmeansCentroids call):
+    // given the k centroids, the assignment is pure arithmetic — DuckDB
+    // re-derives the argmin (squared L2, ties → lowest cell) from scratch,
+    // so a wrong distance, tie-break, or dropped vector anywhere in
+    // assignCells turns the board red. Only the centroid VALUES are
+    // engine-trusted (k-means isn't SQL-expressible). s08's oracle also
+    // consumes this query's staged output.
+    QueryDef("s09_ivf_cells",
+      s"""WITH cents AS (SELECT cell, CAST(c AS DOUBLE[]) AS c
+         |               FROM read_parquet('${ClimateQueries.OutToken}/_staged_ivf_centroids/*.parquet')),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+         |SELECT vec_id AS vid, cell FROM (
+         |  SELECT v.vec_id, cents.cell,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      list_dot_product(v.e, v.e) - 2.0 * list_dot_product(v.e, cents.c)
+         |        + list_dot_product(cents.c, cents.c), cents.cell) AS rn
+         |  FROM v CROSS JOIN cents) WHERE rn = 1
+         |ORDER BY vid""".stripMargin) { (s, dir) =>
       graft.ext.IVF.assignTable(Tables.embeddings(s, dir),
           "vec_id", "embedding", cells = 8, iters = 3)
         .select(col("vid"), col("cell"))
@@ -303,6 +319,32 @@ object SimilarityQueries {
          |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
       Similarity.int8TopK(Tables.embeddings(s, dir),
           "vec_id", "embedding", col("vec_id") % 50 === 0, k = 5, overfetch = 4)
+        .orderBy("q_id", "rn")
+    },
+
+    // ---- the stored-index ANN deployment path, as a named query: the PQ
+    //      index (codebooks + encoded codes) is BUILT and persisted first
+    //      (the side-write below = the build job a 100 TB deployment runs
+    //      once), then the returned plan queries via adcTopKFromIndex —
+    //      ZERO training in the plan: it reads the two index parquets plus
+    //      embeddings, and PlanSpec pins the absence of any driver-
+    //      materialized training state (no LocalTableScan/ExistingRDD).
+    //      This is the "train once, query many" claim as a board row, not
+    //      just a unit test (PQSpec round-trips the same path). Same
+    //      staged-rerank oracle as s07. ----
+    QueryDef("s15_ann_pq_stored", stagedRerankSql("s15_ann_pq_stored")) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      // deterministic per-sf location; overwrite = idempotent rebuild
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_pq_index_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      val cb = graft.ext.PQ.codebooks(emb, "vec_id", "embedding", m = 8, k = 16)
+      cb.write.mode("overwrite").parquet(s"$idxDir/codebooks")
+      graft.ext.PQ.encode(emb, "vec_id", "embedding", cb, m = 8)
+        .write.mode("overwrite").parquet(s"$idxDir/codes")
+      graft.ext.PQ.adcTopKFromIndex(emb, "vec_id", "embedding",
+          col("vec_id") % 50 === 0,
+          s.read.parquet(s"$idxDir/codebooks"), s.read.parquet(s"$idxDir/codes"),
+          k = 5, m = 8)
         .orderBy("q_id", "rn")
     },
 

@@ -251,6 +251,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("s15 stored-index ANN: zero training in the plan, index read from parquet") {
+    // the in-query twin (s07/adcTopK) carries driver-collected codebooks
+    // (LocalTableScan) and a localCheckpoint'd assignment (ExistingRDD);
+    // the stored-index path must have NEITHER — every input is a scan of
+    // the persisted index or the embeddings table
+    val q = SparkEntry.queries("s15_ann_pq_stored")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"), s"training state leaked into plan: $plan")
+    assert(!plan.contains("LocalTableScan"), s"driver-collected state in plan: $plan")
+    assert("FileScan parquet".r.findAllIn(plan).length >= 3, plan)
+  }
+
   test("q66 DSv2 source: pushed range prunes partitions before execution") {
     // the q66 scan shape without the aggregate: 16 range partitions over
     // 100k ids; [25000, 75000) overlaps exactly 8 — the other 8 are
