@@ -56,6 +56,12 @@ object ScaleCheck {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the check asserts the CONSTRUCTED layout (no operator funnels big
+      // record counts through one task). AQE's byte-based coalescing would
+      // legitimately fold this fixture's ~1-2 MB shuffles to 1 partition —
+      // an optimization that never engages at real volumes — and mask
+      // exactly the class of bug the record-count assertions exist to catch
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -162,6 +168,98 @@ object ScaleCheck {
     check(rank1Of0.getDouble(1) == 1.0,
       s"vec 0's rank-1 neighbor must be an exact copy (cos 1.0), got $rank1Of0")
 
+    // ---------- q63-shape: PageRank at scale ----------
+    // mult DISJOINT copies of the co-purchase graph (orderkeys AND
+    // partkeys offset per copy): every copy has identical structure, so
+    // (a) total rank mass stays exactly 1 per iteration (the co-occurrence
+    // graph is symmetric → no dangling mass), and (b) corresponding nodes
+    // across copies must get BIT-IDENTICAL ranks — the decimal-sum
+    // order-independence claim tested at 10× the data, where partial-agg
+    // partitioning actually differs per copy.
+    val li = graft.core.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("g"), col("l_partkey").as("item"))
+    val liScaled = (0 until mult).map { i =>
+      if (i == 0) li
+      else li.select((col("g") + lit(i * 100_000_000L)).as("g"),
+        (col("item") + lit(i * 10_000_000L)).as("item"))
+    }.reduce(_ union _)
+    val t3 = System.nanoTime()
+    val edges = graft.ops.Graph
+      .coOccurrenceEdges(liScaled, "g", "item", minSupport = 2)
+      .localCheckpoint()
+    val nEdgesPr = edges.count()
+    // rank mass conserved per iteration: |Σr − 1| at each depth 1..3
+    val massErrs = (1 to 3).map { iters =>
+      val r = graft.ops.Graph.pageRank(edges, iterations = iters)
+      math.abs(r.agg(sum(col("r"))).first().getDouble(0) - 1.0)
+    }
+    massErrs.zipWithIndex.foreach { case (err, i) =>
+      check(err < 1e-9, s"rank mass conserved at iter ${i + 1}: |Σr−1|=$err")
+    }
+    val ranks = graft.ops.Graph.pageRank(edges, iterations = 3).localCheckpoint()
+    val tPr = (System.nanoTime() - t3) / 1e9
+    // copy-symmetry: node v in copy i must rank exactly as v in copy 0
+    val base0 = ranks.filter(col("node") < 10_000_000L)
+      .select(col("node").as("n0"), col("r").as("r0"))
+    val rankDiff = (1 until mult).map { i =>
+      ranks.filter(col("node") >= i * 10_000_000L &&
+          col("node") < (i + 1) * 10_000_000L)
+        .select((col("node") - lit(i * 10_000_000L)).as("n0"), col("r"))
+        .join(base0, "n0")
+        .agg(max(abs(col("r") - col("r0")))).first().getDouble(0)
+    }.max
+    check(rankDiff == 0.0,
+      s"disjoint-copy ranks bit-identical (decimal-sum order independence): max diff $rankDiff")
+
+    // ---------- s14/s15-shape: stored-index IVF-PQ at scale ----------
+    // the deployment geometry: IVF assignment persisted PARTITIONED BY
+    // cell + PQ codebooks/codes persisted once; the probe scan must read
+    // only the probed cells' rows (partition pruning measured via the
+    // stage listener, not asserted from the plan), and the ADC query path
+    // runs with zero training against the 10× corpus.
+    val ivfCells = 8
+    val ivfDir = s"/tmp/graft_scale/ivf_index_x$mult"
+    val t4 = System.nanoTime()
+    graft.ext.IVF.assignTable(embBig, "vec_id", "embedding",
+        cells = ivfCells, iters = 2)
+      .select(col("vid"), col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(ivfDir)
+    val idx = spark.read.parquet(ivfDir)
+    val cellSizes = idx.groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val probedCells = cellSizes.keys.toSeq.sorted.take(2) // nprobe = 2
+    val probedRows = probedCells.map(cellSizes).sum
+    val beforeProbe = listener.stats.synchronized(listener.stats.size)
+    val gotProbe = idx.filter(col("cell").isin(probedCells.map(Integer.valueOf): _*)).count()
+    val probeRead = listener.stats.synchronized {
+      listener.stats.drop(beforeProbe).map(_.records).sum
+    }
+    check(gotProbe == probedRows, s"probe row count: $gotProbe vs $probedRows")
+    // pruning: the scan reads the probed cells' rows only (small slack for
+    // agg partials riding the same stages), never the full index
+    check(probeRead <= probedRows + 10_000L,
+      s"stored-index probe pruned: read $probeRead records for $probedRows probed rows (n=$nVec)")
+    check(probedRows < nVec,
+      s"probe fraction sane: $probedRows of $nVec")
+    // stored PQ index + ADC query path at 10×: exact copies must surface
+    // as rank-1 (cos 1.0) through shortlist + re-rank, with no training
+    // in the query
+    val pqDir = s"/tmp/graft_scale/pq_index_x$mult"
+    val cbBig = graft.ext.PQ.codebooks(embBig, "vec_id", "embedding", m = 8, k = 16)
+    cbBig.write.mode("overwrite").parquet(s"$pqDir/codebooks")
+    graft.ext.PQ.encode(embBig, "vec_id", "embedding", cbBig, m = 8)
+      .write.mode("overwrite").parquet(s"$pqDir/codes")
+    val adc = graft.ext.PQ.adcTopKFromIndex(embBig, "vec_id", "embedding",
+        col("vec_id") === 0L || col("vec_id") === 7L,
+        spark.read.parquet(s"$pqDir/codebooks"),
+        spark.read.parquet(s"$pqDir/codes"), k = 5, m = 8)
+      .localCheckpoint()
+    val tIvfPq = (System.nanoTime() - t4) / 1e9
+    val adcRank1 = adc.filter(col("rn") === 1).select(col("q_id"), col("cos"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    check(adcRank1.values.forall(_ == 1.0),
+      s"ADC rank-1 at 10x must be an exact copy (cos 1.0): $adcRank1")
+
     // ---------- partition-story assertions ----------
     // every stage reading >=100k records must be multi-task; the only
     // single-task stages allowed at ANY volume are the documented
@@ -177,6 +275,9 @@ object ScaleCheck {
 
     out ++= s""""n_docs":$nDocs,"n_vec":$nVec,"mult":$mult,"cells":$cells,"""
     out ++= f""""t_cluster_sec":$tCluster%.1f,"t_semdedup_sec":$tDedup%.1f,"t_knn_sec":$tKnn%.1f,"""
+    out ++= f""""t_pagerank_sec":$tPr%.1f,"t_ivfpq_sec":$tIvfPq%.1f,"""
+    out ++= s""""pr_edges":$nEdgesPr,"pr_mass_err":${massErrs.max},"pr_copy_diff":$rankDiff,"""
+    out ++= s""""probe_rows":$probedRows,"probe_read":$probeRead,"""
     out ++= s""""hot_cluster_size":$hotSize,"components":$nComponents,"survivors":$survivors,"knn_edges":$nEdges,"""
     out ++= s""""big_stages":${big.size},"top_stages":{$worstSkew},"""
     out ++= s""""failed":[${failed.reverse.map("\"" + _ + "\"").mkString(",")}]}"""

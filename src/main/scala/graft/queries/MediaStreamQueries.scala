@@ -186,6 +186,37 @@ object MediaStreamQueries {
         .orderBy("window_start", "event_type")
     },
 
+    // ---- stream-stream watermarked join, batch form: every click joined
+    //      to the same user's views in the preceding 12 hours (attribution
+    //      shape). Under readStream BOTH sides carry watermarks and the
+    //      time-bound condition is what lets the engine expire join state
+    //      (StreamOps.intervalJoin; StreamingSpec proves batch==stream AND
+    //      that an event arriving behind the watermark no longer joins).
+    //      Batch mode is the same range equi-join — fully oracled. ----
+    QueryDef("st05_stream_stream_join",
+      """SELECT c.user_id, c.event_id AS click_id, i.event_id AS view_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |  strftime(i.ts, '%Y-%m-%d %H:%M:%S') AS view_ts
+        |FROM events c JOIN events i
+        |  ON i.user_id = c.user_id
+        |  AND c.event_type = 'click' AND i.event_type = 'view'
+        |  AND i.ts >= c.ts - INTERVAL 12 HOUR AND i.ts <= c.ts
+        |ORDER BY c.user_id, click_id, view_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"),
+          col("event_id").as("view_id"))
+      StreamOps.intervalJoin(clicks, views, "user_id", "click_ts", "view_ts",
+          lookback = "12 hours", watermark = "1 hour")
+        .select(col("user_id"), col("click_id"), col("view_id"),
+          tsStr(col("click_ts")).as("click_ts"),
+          tsStr(col("view_ts")).as("view_ts"))
+        .orderBy("user_id", "click_id", "view_id")
+    },
+
     // ---- composed streaming pipeline, batch form: exact-re-delivery
     //      dedup → stream-static dimension enrichment → 15-min tumbling
     //      aggregate per market segment. The SAME three StreamOps

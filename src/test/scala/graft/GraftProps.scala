@@ -194,6 +194,49 @@ object GraftProps extends Properties("graft") {
       Prop(got == expected) :| s"got $got want $expected"
     }
 
+  // applyCdc idempotence: re-applying the same key-unique batch is a no-op
+  // (the at-least-once-delivery law a CDC consumer relies on — a replayed
+  // batch re-upserts identical rows and re-deletes already-absent keys)
+  property("applyCdc: applying the same batch twice == once") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.chooseNum(1L, 40L)).map(_.distinct),
+      Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(1L, 60L), Gen.oneOf("I", "U", "D")))
+        .map(_.distinctBy(_._1))) { (targetKeys, changes) =>
+      val target = targetKeys.map(k => (k, s"t$k")).toDF("k", "v")
+      val ch = changes.map { case (k, op) => (k, s"c$k", op) }.toDF("k", "v", "op")
+      val once = graft.ops.Maintenance.applyCdc(target, ch, Seq("k"))
+      val twice = graft.ops.Maintenance.applyCdc(once, ch, Seq("k"))
+      val a = once.as[(Long, String)].collect().toSet
+      val b = twice.as[(Long, String)].collect().toSet
+      Prop(a == b) :| s"once=${a.take(3)} twice=${b.take(3)}"
+    }
+
+  // applyCdc ordering law: applying two batches in version order ==
+  // compacting their union to the latest row per key (latestPerKey) and
+  // applying once — the contract that makes multi-batch catch-up safe for
+  // an out-of-order CDC consumer (compact by op version FIRST, then apply)
+  property("applyCdc: sequential batches == latestPerKey-compacted single apply") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.chooseNum(1L, 30L)).map(_.distinct),
+      Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(1L, 45L), Gen.oneOf("I", "U", "D")))
+        .map(_.distinctBy(_._1)),
+      Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(1L, 45L), Gen.oneOf("I", "U", "D")))
+        .map(_.distinctBy(_._1))) { (targetKeys, b1, b2) =>
+      val target = targetKeys.map(k => (k, s"t$k")).toDF("k", "v")
+      val ch1 = b1.map { case (k, op) => (k, s"a$k", op, 1L) }.toDF("k", "v", "op", "ver")
+      val ch2 = b2.map { case (k, op) => (k, s"b$k", op, 2L) }.toDF("k", "v", "op", "ver")
+      val sequential = graft.ops.Maintenance.applyCdc(
+        graft.ops.Maintenance.applyCdc(target, ch1.drop("ver"), Seq("k")),
+        ch2.drop("ver"), Seq("k"))
+      val compacted = graft.ops.Maintenance.latestPerKey(
+        ch1.unionByName(ch2), Seq(col("k")), Seq(col("ver").desc))
+      val oneShot = graft.ops.Maintenance.applyCdc(
+        target, compacted.drop("ver"), Seq("k"))
+      val a = sequential.as[(Long, String)].collect().toSet
+      val b = oneShot.as[(Long, String)].collect().toSet
+      Prop(a == b) :| s"seq=${a.take(3)} one=${b.take(3)}"
+    }
+
   // int8 quantization guarantee: |x − code·scale| ≤ scale/2 per element
   // (round-to-nearest with the max element hitting ±127 exactly), codes
   // clamped to [−127, 127] — over arbitrary float vectors incl. negatives

@@ -67,6 +67,97 @@ class IVFSpec extends SparkSpec {
   }
 }
 
+/** Measured evidence for SCALE.md's "AQE owns skew" claim: with skew-join
+  * handling on, the oversized shuffle partition is SPLIT — observed at the
+  * TASK level via a metrics listener (max shuffle-read records per task),
+  * not inferred from the plan string.
+  */
+class AqeSkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  /** Runs `action`, returns every task's shuffle-read record count. */
+  private def taskShuffleReads(action: => Unit): Seq[Long] = {
+    val recs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) recs.synchronized {
+          recs += te.taskMetrics.shuffleReadMetrics.recordsRead
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      action
+      // listener events are posted async — poll until the buffer settles
+      var last = -1
+      var same = 0
+      while (same < 3) {
+        Thread.sleep(100)
+        val now = recs.synchronized(recs.size)
+        if (now == last) same += 1 else { same = 0; last = now }
+      }
+      recs.synchronized(recs.toVector)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("AQE skew join: the hot partition is split — no task reads the whole key") {
+    // one key carries 50k of 60k left rows (a ~5 MB shuffle partition vs
+    // ~250 KB for the rest); with skew handling ON the hot partition must
+    // be split so the max per-task read drops by >4x vs OFF
+    // payload must be INCOMPRESSIBLE: skew detection compares compressed
+    // shuffle-partition bytes against the threshold, and a repeated-char
+    // payload lz4-compresses below it no matter how many rows it has
+    // 16 input splits: a skewed reduce partition can only be split at
+    // map-output granularity, so the mapper count bounds how finely AQE
+    // can carve the hot partition
+    val left = spark.range(0, 60000, 1, 16)
+      .select(when(col("id") < 50000, 0L).otherwise(col("id") % 99 + 1).as("k"),
+        concat(md5(col("id").cast("string")),
+          md5((col("id") + 1000000).cast("string")),
+          md5((col("id") + 2000000).cast("string"))).as("payload"))
+    val right = spark.range(0, 100).select(col("id").as("k"),
+      concat(lit("n"), col("id")).as("name"))
+    // sum(length(...)) — not count: count(concat) folds to count(1) and
+    // column pruning then drops payload from the shuffle entirely, leaving
+    // the hot partition too small in bytes to ever register as skewed
+    def runJoin(): Long = left.join(right, "k")
+      .agg(sum(length(concat(col("payload"), col("name"))))).first().getLong(0)
+
+    val common = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "512k",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "128k")
+
+    var totalUnskewed = 0L
+    var maxOff = 0L
+    withConf(common :+ ("spark.sql.adaptive.skewJoin.enabled" -> "false"): _*) {
+      val reads = taskShuffleReads { totalUnskewed = runJoin() }
+      maxOff = reads.max
+    }
+    var totalSkewed = 0L
+    var maxOn = 0L
+    withConf(common :+ ("spark.sql.adaptive.skewJoin.enabled" -> "true"): _*) {
+      val reads = taskShuffleReads { totalSkewed = runJoin() }
+      maxOn = reads.max
+    }
+    assert(totalSkewed == totalUnskewed, "skew handling must not change results")
+    assert(maxOff >= 50000L, s"without skew handling one task reads the hot key: $maxOff")
+    assert(maxOn * 4 <= maxOff,
+      s"skew split must cap per-task reads: maxOn=$maxOn vs maxOff=$maxOff")
+  }
+}
+
 class SkewSpec extends SparkSpec {
   import spark.implicits._
 

@@ -246,6 +246,64 @@ class StreamingSpec extends SparkSpec {
     assert(batch == streamed)
   }
 
+  test("intervalJoin: event arriving behind the watermark no longer joins (state evicted)") {
+    implicit val sqlCtx = spark.sqlContext
+    val lmem = MemoryStream[(Long, Timestamp, Long)]
+    val rmem = MemoryStream[(Long, Timestamp, Double)]
+    val q = StreamOps.intervalJoin(
+        lmem.toDF().toDF("user_id", "l_ts", "l_id"),
+        rmem.toDF().toDF("user_id", "r_ts", "r_v"),
+        "user_id", "l_ts", "r_ts", lookback = "10 minutes", watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ij_evict_out").start()
+    // in-window match at t≈200
+    lmem.addData((1L, ts(200), 100L))
+    rmem.addData((1L, ts(195), 1.0))
+    q.processAllAvailable()
+    // advance BOTH watermarks far past t=200 (global watermark = min of sources)
+    lmem.addData((99L, ts(600), 0L))
+    rmem.addData((99L, ts(601), 0.0))
+    q.processAllAvailable()
+    // this right event WOULD match the t=200 left row, but that row's join
+    // state is evicted and the event is behind the watermark → no new output
+    rmem.addData((1L, ts(199), 2.0))
+    q.processAllAvailable()
+    val got = spark.table("ij_evict_out").select("l_id", "r_v")
+      .as[(Long, Double)].collect().toSeq.sorted
+    q.stop()
+    assert(got == Seq((100L, 1.0)), s"late event must not join: $got")
+  }
+
+  test("st05 exact config: streaming click-view attribution join == batch query") {
+    // the st05 oracle query's precise shape (clicks ⋈ views within 12h per
+    // user) replayed through MemoryStream on a real events slice
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.core.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").limit(800).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    def shape(df: org.apache.spark.sql.DataFrame) = {
+      val clicks = df.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      val views = df.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+      StreamOps.intervalJoin(clicks, views, "user_id", "click_ts", "view_ts",
+        lookback = "12 hours", watermark = "1 hour")
+    }
+    val mem = MemoryStream[(Long, Timestamp, Long, String)]
+    val q = shape(mem.toDF().toDF("user_id", "ts", "event_id", "event_type"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st05_out").start()
+    mem.addData(ev.toSeq: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("st05_out").select("click_id", "view_id")
+      .as[(Long, Long)].collect().toSeq.sorted
+    q.stop()
+    val batch = shape(ev.toSeq.toDF("user_id", "ts", "event_id", "event_type"))
+      .select("click_id", "view_id").as[(Long, Long)].collect().toSeq.sorted
+    assert(streamed == batch)
+    assert(streamed.nonEmpty, "slice produced no click-view matches — weak test")
+  }
+
   test("dedupStream: duplicates across micro-batches dropped, state bounded") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]
