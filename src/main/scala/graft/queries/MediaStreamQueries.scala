@@ -217,6 +217,38 @@ object MediaStreamQueries {
         .orderBy("user_id", "click_id", "view_id")
     },
 
+    // ---- stream-stream LEFT OUTER interval join, batch form: every
+    //      click, with its preceding-2h views or null-padded if none.
+    //      The outer variant is semantically heavier than st05 under
+    //      streaming: an unmatched click can only be emitted once the
+    //      watermark PROVES no view can still arrive — StreamingSpec pins
+    //      exactly that deferred emission. Batch form fully oracled
+    //      (~80% of clicks here have no view in window, so the null-pad
+    //      path carries the hash). ----
+    QueryDef("st06_stream_outer_join",
+      """SELECT c.user_id, c.event_id AS click_id, i.event_id AS view_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |  strftime(i.ts, '%Y-%m-%d %H:%M:%S') AS view_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') i
+        |  ON i.user_id = c.user_id
+        |  AND i.ts >= c.ts - INTERVAL 2 HOUR AND i.ts <= c.ts
+        |ORDER BY c.user_id, click_id, view_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"),
+          col("event_id").as("view_id"))
+      StreamOps.intervalJoin(clicks, views, "user_id", "click_ts", "view_ts",
+          lookback = "2 hours", watermark = "1 hour", joinType = "left_outer")
+        .select(col("user_id"), col("click_id"), col("view_id"),
+          tsStr(col("click_ts")).as("click_ts"),
+          tsStr(col("view_ts")).as("view_ts"))
+        .orderBy("user_id", "click_id", "view_id")
+    },
+
     // ---- composed streaming pipeline, batch form: exact-re-delivery
     //      dedup → stream-static dimension enrichment → 15-min tumbling
     //      aggregate per market segment. The SAME three StreamOps

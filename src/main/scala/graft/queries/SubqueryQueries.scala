@@ -83,5 +83,32 @@ object SubqueryQueries {
         |WHERE p_partkey IN (SELECT l_partkey FROM lineitem
         |                    WHERE l_quantity >= 49.0)
         |ORDER BY p_partkey""".stripMargin),
+
+    // ---- WITH RECURSIVE (Spark 4's recursive CTE execution): bounded-
+    //      depth BFS over the q63 co-purchase graph from the lowest-keyed
+    //      part — (reachable part, min hop count, path count ≤ depth 2).
+    //      Each recursion level is one join-against-previous-level job;
+    //      the depth bound is the termination guarantee (the level-limit
+    //      conf is the backstop). At scale: materialize `edges` first —
+    //      here the CTE re-derives it per level, fine at query scale,
+    //      wasteful at 100 TB (same note as q63's build-vs-query split).
+    //      Path counts are exact integers → bit parity for free. ----
+    sqlQuery("q77_recursive_reach",
+      """WITH RECURSIVE
+        |li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem),
+        |edges AS (SELECT a.item AS src, b.item AS dst
+        |          FROM li a JOIN li b ON a.g = b.g AND a.item <> b.item
+        |          GROUP BY 1, 2 HAVING count(*) >= 2),
+        |seed AS (SELECT src AS s FROM edges
+        |         GROUP BY src ORDER BY count(*) DESC, src LIMIT 1),
+        |reach(node, depth) AS (
+        |  SELECT s, 0 FROM seed
+        |  UNION ALL
+        |  SELECT e.dst, r.depth + 1
+        |  FROM reach r JOIN edges e ON e.src = r.node
+        |  WHERE r.depth < 2)
+        |SELECT node AS part, CAST(min(depth) AS INTEGER) AS min_depth,
+        |  count(*) AS n_paths
+        |FROM reach GROUP BY node ORDER BY part""".stripMargin),
   )
 }

@@ -62,18 +62,31 @@ object StreamOps {
     * stream-stream join buffers forever). Batch mode: the same range
     * equi-join, oracle-checkable (q35 is the banded batch analog).
     *
+    * joinType "left_outer": an unmatched left row is emitted null-padded
+    * — under streaming ONLY once the watermark proves no match can still
+    * arrive (the row sits in state until its window closes), which is why
+    * outer stream-stream joins REQUIRE the watermark + time bound where
+    * inner joins merely use them to bound state. Batch mode emits the
+    * null-padded row immediately, same result set (StreamingSpec pins
+    * both the parity and the deferred-emission behavior).
+    *
     * Expects `ts` columns pre-named distinctly via the select aliases.
     */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    leftTs: String, rightTs: String, lookback: String,
-                   watermark: String): DataFrame = {
+                   watermark: String, joinType: String = "inner"): DataFrame = {
     val l = if (left.isStreaming) left.withWatermark(leftTs, watermark) else left
     val r = if (right.isStreaming) right.withWatermark(rightTs, watermark) else right
-    l.join(r,
-      l(key) === r(key) &&
+    // dataset aliases, not l(key)/r(key): when both sides derive from the
+    // SAME source (self-join — st05/st06's clicks vs views), the attribute
+    // ids coincide and an unaliased drop can remove the LEFT key, which
+    // null-pads the key on outer-join rows. Aliases make the drop precise.
+    l.alias("__ijl").join(r.alias("__ijr"),
+      col(s"__ijl.$key") === col(s"__ijr.$key") &&
         col(rightTs) >= col(leftTs) - expr(s"interval $lookback") &&
-        col(rightTs) <= col(leftTs))
-      .drop(r(key))
+        col(rightTs) <= col(leftTs),
+      joinType)
+      .drop(col(s"__ijr.$key"))
   }
 
   /** Streaming EXACT-re-delivery dedup: the dedup key is `keyCols` PLUS

@@ -304,6 +304,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty, "slice produced no click-view matches — weak test")
   }
 
+  test("intervalJoin left_outer: null-padded row emitted ONLY once the watermark closes the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val lmem = MemoryStream[(Long, Timestamp, Long)]
+    val rmem = MemoryStream[(Long, Timestamp, Double)]
+    val q = StreamOps.intervalJoin(
+        lmem.toDF().toDF("user_id", "l_ts", "l_id"),
+        rmem.toDF().toDF("user_id", "r_ts", "r_v"),
+        "user_id", "l_ts", "r_ts", lookback = "10 minutes",
+        watermark = "10 minutes", joinType = "left_outer")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("oj_out").start()
+    // matched left at t=20; UNMATCHED left at t=30
+    lmem.addData((1L, ts(20), 100L), (2L, ts(30), 200L))
+    rmem.addData((1L, ts(15), 1.0))
+    q.processAllAvailable()
+    val early = spark.table("oj_out").select("l_id", "r_v")
+      .as[(Long, Option[Double])].collect().toSeq
+    // the unmatched row must NOT be emitted yet — a view could still arrive
+    assert(!early.map(_._1).contains(200L),
+      s"null-pad must wait for the watermark: $early")
+    // advance both watermarks far past t=30 → no match can arrive anymore
+    lmem.addData((99L, ts(600), 0L))
+    rmem.addData((99L, ts(600), 0.0))
+    q.processAllAvailable()
+    q.processAllAvailable()
+    val late = spark.table("oj_out").select("l_id", "r_v")
+      .as[(Long, Option[Double])].collect().toSeq.sortBy(_._1)
+    q.stop()
+    assert(late.filter(_._1 == 100L) == Seq((100L, Some(1.0))))
+    assert(late.filter(_._1 == 200L) == Seq((200L, None)),
+      s"unmatched left row must null-pad after watermark: $late")
+  }
+
   test("dedupStream: duplicates across micro-batches dropped, state bounded") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]
