@@ -386,4 +386,39 @@ object Similarity {
       .join(overlaps, Seq("q_id"), "left")
       .select(col("q_id"), coalesce(col("__c"), lit(0L)).cast("int").as("overlap"))
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher's public RRF) of two
+    * retrieval rankings: rrf(d) = Σ_lists 1/(rrfK + rank_list(d)) over the
+    * union of both depth-`depth` lists, missing-list terms contributing 0.
+    * Fused here: the full-dim and first-`dims` (matryoshka) cosine
+    * rankings — the cheap-index/expensive-index hybrid s10 audits.
+    *
+    * RRF is the standard hybrid-retrieval combiner precisely because it
+    * is rank-based: no score normalization across heterogeneous lists,
+    * and integer ranks → exact reciprocals → deterministic across
+    * engines (the oracle re-derives the whole fusion from scratch).
+    * Returns (q_id, c_id, rrf, rn), rn ≤ k.
+    *
+    * At scale each ranking is its own ANN query (s03/s04/s07 forms); the
+    * fusion is a join on the tiny per-query lists — cost lives in the
+    * rankings, never the combiner.
+    */
+  def rrfHybridTopK(emb: DataFrame, id: String, vec: String,
+                    queryPred: Column, k: Int = 5, depth: Int = 20,
+                    dims: Int = 32, rrfK: Int = 60): DataFrame = {
+    val full = bruteForceTopK(emb, id, vec, queryPred, depth)
+      .select(col("q_id"), col("c_id"), col("rn").as("rn_f"))
+    val trunc = bruteForceTopK(emb.withColumn(vec, slice(col(vec), 1, dims)),
+        id, vec, queryPred, depth)
+      .select(col("q_id"), col("c_id"), col("rn").as("rn_t"))
+    val w = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("c_id"))
+    full.join(trunc, Seq("q_id", "c_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("rn_f")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("rn_t")), lit(0.0)), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), col("rrf"),
+        col("rn").cast("int").as("rn"))
+  }
 }

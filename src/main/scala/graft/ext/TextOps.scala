@@ -183,6 +183,59 @@ object TextOps {
         col("rn").cast("int").as("rn"))
   }
 
+  /** Okapi BM25 ranking for a fixed query-term set — the lexical half of
+    * a hybrid retrieval pipeline (Robertson et al.'s public formulation):
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)),
+    * idf(t) = ln(1 + (N−df+0.5)/(df+0.5)).
+    *
+    * Shapes: ONE tokenize+explode pass materialized as the (doc, term, tf)
+    * table (the same staged table tfidfTopK documents); doc lengths derive
+    * from it (sum of tf — no second scan); the query-term filter prunes
+    * the scoring join to |queryTerms| rows per doc BEFORE any shuffle. N
+    * and avgdl are the count-then-reinject scalar pattern (avgdl =
+    * exact-integer sum / count → one IEEE division, cross-engine-stable).
+    * Per-term scores sum through DECIMAL(18,6) so the 2-4-term addition
+    * is order-independent (Exact.decimalSum rationale).
+    *
+    * At 100 TB: tf/dl are the stored inverted-index tables (built once);
+    * a query touches only its terms' postings — the scoring join input is
+    * O(Σ_t df(t)), never the corpus.
+    */
+  def bm25TopK(df: DataFrame, id: Column, text: Column,
+               queryTerms: Seq[String], k: Int = 20,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(id.as("doc"), explode(words(text)).as("term"))
+      .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // two consumers: dl + the query-term branch
+    val dl = tf.groupBy("doc").agg(sum(col("tf")).as("dl"))
+    val n = df.count()
+    val avgdl = dl.agg((sum(col("dl")).cast("double") / count(lit(1))))
+      .first().getDouble(0)
+    val qt = tf.filter(col("term").isin(queryTerms: _*))
+    val dfreq = qt.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (lit(n.toDouble) - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val s = (col("idf") * (col("tf").cast("double") * lit(k1 + 1.0))) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(avgdl)))
+    val scored = qt.join(broadcast(dfreq), "term")
+      .join(dl, "doc")
+      .withColumn("idf", idf)
+      .withColumn("s", s)
+      .groupBy("doc")
+      .agg(round(graft.core.Exact.decimalSumExpr(col("s")), 6).as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc"))
+      .limit(k) // global top-k = TakeOrdered, not a single-partition window
+    // rank the k survivors (a window over k rows, not the corpus)
+    scored.withColumn("rn", row_number().over(
+        Window.orderBy(col("score").desc, col("doc"))))
+      .select(col("doc"), col("score"),
+        col("n_terms").cast("int").as("n_terms"), col("rn").cast("int").as("rn"))
+  }
+
   /** Repetition signals (Gopher-style quality filters): duplicate-word
     * fraction and the frequency share of the most common unigram/bigram,
     * per document. Formulated as explode + two-level aggregation (NOT

@@ -232,6 +232,45 @@ object SimilarityQueries {
         .orderBy("q_id")
     },
 
+    // ---- reciprocal-rank fusion of the full-dim and 32-dim (matryoshka)
+    //      cosine rankings — the standard hybrid-retrieval combiner
+    //      (rank-based: no score normalization across lists). Integer
+    //      ranks → exact reciprocals → the WHOLE fusion re-derived by
+    //      DuckDB from scratch: full oracle, unlike the ANN family. ----
+    QueryDef("s16_hybrid_rrf",
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         |             CAST(embedding[1:32] AS DOUBLE[]) AS et FROM embeddings),
+         |f AS (SELECT q_id, c_id, rn FROM (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |                       ORDER BY round($duckCos, 6) DESC, c.vec_id) AS rn
+         |  FROM v q CROSS JOIN v c
+         |  WHERE q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id) WHERE rn <= 20),
+         |t AS (SELECT q_id, c_id, rn FROM (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |                       ORDER BY round(list_dot_product(q.et, c.et) /
+         |                         (sqrt(list_dot_product(q.et, q.et)) * sqrt(list_dot_product(c.et, c.et))), 6)
+         |                         DESC, c.vec_id) AS rn
+         |  FROM v q CROSS JOIN v c
+         |  WHERE q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id) WHERE rn <= 20),
+         |u AS (SELECT coalesce(f.q_id, t.q_id) AS q_id,
+         |        coalesce(f.c_id, t.c_id) AS c_id, f.rn AS rn_f, t.rn AS rn_t
+         |      FROM f FULL OUTER JOIN t ON f.q_id = t.q_id AND f.c_id = t.c_id),
+         |sc AS (SELECT q_id, c_id,
+         |    round(coalesce(CAST(1.0 AS DOUBLE) / (60 + rn_f), 0.0)
+         |        + coalesce(CAST(1.0 AS DOUBLE) / (60 + rn_t), 0.0), 6) AS rrf
+         |  FROM u)
+         |SELECT q_id, c_id, rrf, CAST(rn AS INTEGER) AS rn FROM (
+         |  SELECT q_id, c_id, rrf,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, c_id) AS rn
+         |  FROM sc)
+         |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      Similarity.rrfHybridTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+          col("vec_id") % 50 === 0, k = 5, depth = 20, dims = 32)
+        .orderBy("q_id", "rn")
+    },
+
     // ---- int8 scalar-quantization audit: per-vector scale/codes are
     //      pure exact arithmetic (abs/max/divide/round-half-away), the
     //      cosine+MSE audit is three sequential-fold dot products — so

@@ -252,6 +252,42 @@ object TextQueries {
         .orderBy("doc", "rn")
     },
 
+    // ---- Okapi BM25 top-20 for a fixed 3-term query — the lexical half
+    //      of hybrid retrieval (s16 fuses the vector half). Every
+    //      floating constant is interpolated from the SAME Scala doubles
+    //      the engine uses and CAST AS DOUBLE (a bare 2.2 literal would
+    //      be DECIMAL in DuckDB and change the arithmetic); the per-term
+    //      sum goes through DECIMAL(18,6) on both sides. ----
+    QueryDef("t32_bm25_topk", {
+      val (k1, b) = (1.2, 0.75)
+      s"""WITH w AS (SELECT doc_id AS doc, unnest($duckWords) AS term FROM documents),
+         |tf AS (SELECT doc, term, count(*) AS tf FROM w GROUP BY 1, 2),
+         |dl AS (SELECT doc, sum(tf) AS dl FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |ad AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |qt AS (SELECT * FROM tf WHERE term IN ('hash', 'join', 'spark')),
+         |dfreq AS (SELECT term, count(*) AS df FROM qt GROUP BY 1),
+         |sc AS (SELECT qt.doc,
+         |    (ln(1.0 + (CAST(n.n AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5)
+         |              / (CAST(dfreq.df AS DOUBLE) + 0.5))
+         |     * (CAST(qt.tf AS DOUBLE) * CAST(${k1 + 1.0} AS DOUBLE)))
+         |    / (CAST(qt.tf AS DOUBLE)
+         |       + CAST($k1 AS DOUBLE) * (CAST(${1.0 - b} AS DOUBLE)
+         |         + CAST($b AS DOUBLE) * CAST(dl.dl AS DOUBLE) / ad.avgdl)) AS s
+         |  FROM qt JOIN dfreq USING (term) JOIN dl USING (doc)
+         |  CROSS JOIN n CROSS JOIN ad),
+         |agg AS (SELECT doc, round(CAST(sum(CAST(s AS DECIMAL(18,6))) AS DOUBLE), 6) AS score,
+         |          count(*) AS n_terms
+         |        FROM sc GROUP BY doc)
+         |SELECT doc, score, CAST(n_terms AS INTEGER) AS n_terms,
+         |  CAST(row_number() OVER (ORDER BY score DESC, doc) AS INTEGER) AS rn
+         |FROM agg ORDER BY score DESC, doc LIMIT 20""".stripMargin
+    }) { (s, dir) =>
+      TextOps.bm25TopK(Tables.documents(s, dir), col("doc_id"), col("text"),
+          queryTerms = Seq("hash", "join", "spark"), k = 20)
+        .orderBy("rn")
+    },
+
     // ---- corpus-level top-20 bigrams ----
     QueryDef("t15_ngram_topk",
       """WITH w AS (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS words

@@ -155,6 +155,31 @@ class DedupSpec extends SparkSpec {
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("bm25TopK: rare-term docs outrank common-term docs; tf saturates; dl normalizes") {
+    // 'needle' appears in 1 of 4 docs (high idf), 'water' in all (low idf):
+    // the needle doc must rank first. Docs 3 vs 4 share tf('water')=1 but
+    // 4 is longer → dl normalization ranks 3 above 4.
+    val df = Seq(
+      (1L, "needle water"),
+      (2L, "water water water water water water water water"),
+      (3L, "water rock"),
+      (4L, "water rock rock rock rock rock rock rock rock rock")
+    ).toDF("doc_id", "text")
+    val got = graft.ext.TextOps.bm25TopK(df, col("doc_id"), col("text"),
+        queryTerms = Seq("needle", "water"), k = 4)
+      .select("doc", "rn").as[(Long, Int)].collect().sortBy(_._2).toSeq
+    assert(got.map(_._1).head == 1L, s"high-idf needle doc must rank 1: $got")
+    assert(got.map(_._1).indexOf(3L) < got.map(_._1).indexOf(4L),
+      s"shorter doc must outrank longer at equal tf (dl normalization): $got")
+    // tf saturation: doc 2 has 8x the tf of doc 3 but the same idf terms —
+    // its score must be < 8x doc 3's water-term share (k1 bounds tf gain)
+    val scores = graft.ext.TextOps.bm25TopK(df, col("doc_id"), col("text"),
+        queryTerms = Seq("water"), k = 4)
+      .select("doc", "score").as[(Long, Double)].collect().toMap
+    assert(scores(2L) < 8.0 * scores(3L) && scores(2L) > scores(3L),
+      s"tf gain must saturate: $scores")
+  }
+
   test("langPredict: marker stopwords pick the language; und on no signal") {
     val df = Seq(
       ("the cat is on a mat of wool"),

@@ -183,6 +183,28 @@ class SimilaritySpec extends SparkSpec {
     assert(g.exists(e => e._1 == 1L && e._2 == 101L && e._4 == 1))
   }
 
+  test("rrfHybridTopK: both-lists rank-1 maximizes rrf; single-list items still fuse") {
+    // vec 1's nearest by BOTH full and truncated cosine is its duplicate 2
+    // → rrf = 2/61 exactly; an item present in only one list contributes
+    // only that list's reciprocal (union semantics, not intersection)
+    val data = Seq(
+      (1L, Seq.fill(64)(1.0f)),
+      (2L, Seq.fill(64)(1.0f)),                                 // dup of 1
+      (3L, (Seq.fill(32)(1.0f) ++ Seq.fill(32)(-1.0f)).toSeq),  // matches 1 on first 32 dims only
+      (4L, Seq.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.rrfHybridTopK(data, "vec_id", "embedding",
+        col("vec_id") === 1L, k = 3, depth = 2, dims = 32)
+      .select("c_id", "rrf", "rn").as[(Long, Double, Int)]
+      .collect().sortBy(_._3).toSeq
+    assert(got.head._1 == 2L, s"dup must fuse to rank 1: $got")
+    assert(math.abs(got.head._2 - math.floor(2.0 / 61.0 * 1e6) / 1e6) < 1e-9 ||
+      math.abs(got.head._2 - (1.0 / 61 + 1.0 / 61)) < 1e-6, s"rrf of dual rank-1: $got")
+    // vec 3 ties vec 2 at cos 1.0 in the TRUNCATED list (first 32 dims all
+    // 1s) but ranks low in the full list — it must still appear, fused
+    assert(got.map(_._1).contains(3L), s"single-list item must fuse in: $got")
+  }
+
   test("degenerate inputs: single-vector corpus yields empty graph, empty audit runs") {
     val one = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
     // a 1-vector corpus has no pairs — not an error, an empty edge set
