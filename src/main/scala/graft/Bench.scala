@@ -68,7 +68,9 @@ object Bench {
       "q61_zorder_layout", "q63_pagerank_parts", "s10_matryoshka_overlap",
       "t28_leakage_safe_split", "s11_int8_quant", "s12_knn_graph",
       "s13_ann_int8", "t29_boilerplate", "q66_dsv2_source",
-      "q67_weighted_mean_udaf", "s14_ann_ivfpq", "m04_frame_chunk_dedup")
+      "q67_weighted_mean_udaf", "s14_ann_ivfpq", "m04_frame_chunk_dedup",
+      "q74_scalar_subquery", "q77_recursive_reach", "s15_ann_pq_stored",
+      "s16_hybrid_rrf", "t32_bm25_topk", "st05_stream_stream_join")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"),
       jsonLine(results.toSeq.sortBy(_._1)))
