@@ -188,15 +188,18 @@ object ScaleCheck {
       .coOccurrenceEdges(liScaled, "g", "item", minSupport = 2)
       .localCheckpoint()
     val nEdgesPr = edges.count()
-    // rank mass conserved per iteration: |Σr − 1| at each depth 1..3
+    // rank mass conserved per iteration: |Σr − 1| at each depth 1..3;
+    // the depth-3 run doubles as THE ranks table (no duplicate pipeline)
+    var ranks: DataFrame = null
     val massErrs = (1 to 3).map { iters =>
       val r = graft.ops.Graph.pageRank(edges, iterations = iters)
-      math.abs(r.agg(sum(col("r"))).first().getDouble(0) - 1.0)
+      if (iters == 3) ranks = r.localCheckpoint()
+      math.abs((if (iters == 3) ranks else r)
+        .agg(sum(col("r"))).first().getDouble(0) - 1.0)
     }
     massErrs.zipWithIndex.foreach { case (err, i) =>
       check(err < 1e-9, s"rank mass conserved at iter ${i + 1}: |Σr−1|=$err")
     }
-    val ranks = graft.ops.Graph.pageRank(edges, iterations = 3).localCheckpoint()
     val tPr = (System.nanoTime() - t3) / 1e9
     // copy-symmetry: node v in copy i must rank exactly as v in copy 0
     val base0 = ranks.filter(col("node") < 10_000_000L)
@@ -207,7 +210,7 @@ object ScaleCheck {
         .select((col("node") - lit(i * 10_000_000L)).as("n0"), col("r"))
         .join(base0, "n0")
         .agg(max(abs(col("r") - col("r0")))).first().getDouble(0)
-    }.max
+    }.maxOption.getOrElse(0.0) // mult=1: no copies, nothing to compare
     check(rankDiff == 0.0,
       s"disjoint-copy ranks bit-identical (decimal-sum order independence): max diff $rankDiff")
 
@@ -229,8 +232,22 @@ object ScaleCheck {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val probedCells = cellSizes.keys.toSeq.sorted.take(2) // nprobe = 2
     val probedRows = probedCells.map(cellSizes).sum
-    val beforeProbe = listener.stats.synchronized(listener.stats.size)
+    // stage-completed events post ASYNC: settle the listener before
+    // snapshotting (else a straggler from the cellSizes job lands inside
+    // the probe window) and after the probe (else the probe's own events
+    // may not have arrived and the assertion reads 0 = vacuously green)
+    def settle(): Int = {
+      var last = -1; var same = 0
+      while (same < 3) {
+        Thread.sleep(100)
+        val now = listener.stats.synchronized(listener.stats.size)
+        if (now == last) same += 1 else { same = 0; last = now }
+      }
+      last
+    }
+    val beforeProbe = settle()
     val gotProbe = idx.filter(col("cell").isin(probedCells.map(Integer.valueOf): _*)).count()
+    settle()
     val probeRead = listener.stats.synchronized {
       listener.stats.drop(beforeProbe).map(_.records).sum
     }

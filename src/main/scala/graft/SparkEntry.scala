@@ -35,9 +35,11 @@ object SparkEntry {
     * otherwise engine-trusted step (referenced via the OutToken path).
     * `_staged_ivf_centroids` is the k-row coarse-quantizer table behind
     * s09: given these centroids, the cell assignment is pure deterministic
-    * arithmetic DuckDB re-derives exactly (kmeansCentroids is
-    * deterministic, so this second call reproduces s09's internals — the
-    * same property s08's oracle already relies on).
+    * arithmetic DuckDB re-derives exactly. kmeansCentroids is
+    * deterministic BY CONSTRUCTION (decimal-sum means — merge-order-
+    * independent, see IVF.kmeansCentroidsInit), so this second call
+    * reproduces s09's internals bit-for-bit — the same property s08's
+    * oracle already relies on.
     */
   def staged: Map[String, (SparkSession, String) => DataFrame] = Map(
     "_staged_ivf_centroids" -> ((s, dir) =>

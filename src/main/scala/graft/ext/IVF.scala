@@ -53,10 +53,18 @@ object IVF {
         col("v").as("c"))
     var i = 0
     while (i < iters) {
+      // mean via DECIMAL(38,18) sum / count, not avg(): decimal addition
+      // is exact and therefore merge-order-independent, so the centroids
+      // are bit-stable across runs and partitionings BY CONSTRUCTION —
+      // the property every staged-centroid oracle (s08/s09) and every
+      // repeated-training call (s15's build vs s09's dump) depends on.
+      // A double avg() leaves the reduce-side merge order to Spark's
+      // scheduler; same rationale as Graph.pageRank's contribution sums.
       val updated = assignCells(v, centroids)
         .select(col("cell"), posexplode(col("v")))
         .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("col")).as("m"))
+        .agg((sum(col("col").cast("decimal(38,18)")).cast("double") /
+          count(lit(1))).as("m"))
         .groupBy("cell")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("c"))

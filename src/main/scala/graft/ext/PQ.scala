@@ -109,10 +109,14 @@ object PQ {
       val assign =
         if (keepAssign && i == iters - 1) { val a = assignCodes(subs, cb).localCheckpoint(); lastAssign = Some(a); a }
         else assignCodes(subs, cb)
+      // decimal-sum mean (not avg()): merge-order-independent codebooks —
+      // see IVF.kmeansCentroidsInit's rationale; keeps encode()/adcTopK
+      // codes reproducible across runs by construction
       val updated = assign
         .select(col("sub"), col("cell"), posexplode(col("subv")))
         .groupBy(col("sub"), col("cell"), col("pos"))
-        .agg(avg(col("col")).as("mv"))
+        .agg((sum(col("col").cast("decimal(38,18)")).cast("double") /
+          count(lit(1))).as("mv"))
         .groupBy("sub", "cell")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
           s => s.getField("mv")).as("c"))

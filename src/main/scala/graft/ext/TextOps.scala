@@ -210,8 +210,13 @@ object TextOps {
       .localCheckpoint() // two consumers: dl + the query-term branch
     val dl = tf.groupBy("doc").agg(sum(col("tf")).as("dl"))
     val n = df.count()
-    val avgdl = dl.agg((sum(col("dl")).cast("double") / count(lit(1))))
-      .first().getDouble(0)
+    val avgdlRow = dl.agg((sum(col("dl")).cast("double") / count(lit(1)))).first()
+    // empty corpus (or all-null text): no dl rows → NULL aggregate; an
+    // empty ranking, not an NPE (degenerate-input contract as Similarity's)
+    if (avgdlRow.isNullAt(0))
+      return tf.select(col("doc"), lit(0.0).as("score"),
+        lit(0).as("n_terms"), lit(0).as("rn")).limit(0)
+    val avgdl = avgdlRow.getDouble(0)
     val qt = tf.filter(col("term").isin(queryTerms: _*))
     val dfreq = qt.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0) +

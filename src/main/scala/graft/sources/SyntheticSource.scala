@@ -72,9 +72,11 @@ object SyntheticSource {
     */
   def hash(id: Long): Long = (id * 2654435761L + 40503L) % 4294967296L
 
-  /** Largest row count whose every id keeps `id·2654435761 + 40503` inside
-    * signed 64-bit: floor((2⁶³−1−40503)/2654435761). */
-  val maxRows: Long = (Long.MaxValue - 40503L) / 2654435761L
+  /** Largest row count whose every id (0..rows−1) keeps
+    * `id·2654435761 + 40503` inside signed 64-bit: the largest safe id is
+    * floor((2⁶³−1−40503)/2654435761), and ids stop at rows−1, so one more
+    * row than that id is still safe. */
+  val maxRows: Long = (Long.MaxValue - 40503L) / 2654435761L + 1L
 }
 
 private[sources] class SyntheticTable(rows: Long, parts: Int)
