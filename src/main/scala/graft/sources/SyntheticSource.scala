@@ -7,9 +7,9 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -126,20 +126,57 @@ private[sources] case class SyntheticRange(start: Long, end: Long)
     extends InputPartition
 
 private[sources] class SyntheticScan(rows: Long, parts: Int, lo: Long, hi: Long,
-                                     required: StructType) extends Scan with Batch {
+                                     required: StructType)
+    extends Scan with Batch with SupportsRuntimeFiltering {
+  // Runtime (DPP) tightening on top of the planning-time bounds: Spark
+  // calls filter() AFTER build(), with the broadcast join side's actual
+  // key set (an In filter), and planInputPartitions re-plans against the
+  // narrowed state. Same soundness posture as the pushed filters: this is
+  // PRUNING ONLY — runtime filters may false-positive (the join still
+  // filters rows), so dropping only provably-disjoint ranges is safe.
+  @volatile private var rLo = lo
+  @volatile private var rHi = hi
+  @volatile private var rVals: Option[Array[Long]] = None
+  private def succ(v: Long): Long = if (v == Long.MaxValue) v else v + 1
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("id"))
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("id", vs) =>
+      val longs = vs.collect {
+        case l: java.lang.Long => l.longValue()
+        case i: java.lang.Integer => i.longValue()
+      }.sorted
+      if (longs.nonEmpty) {
+        rLo = math.max(rLo, longs.head)
+        rHi = math.min(rHi, succ(longs.last))
+        rVals = Some(longs)
+      }
+    case EqualTo("id", v: Long) =>
+      rLo = math.max(rLo, v); rHi = math.min(rHi, succ(v))
+    case _ => () // unknown runtime filter: no pruning, never wrong results
+  }
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-synthetic rows=$rows parts=$parts prunedRange=[$lo,$hi)"
 
-  /** Contiguous id ranges; ranges disjoint from the pushed [lo, hi)
-    * bound never become partitions — pruning happens HERE, at planning.
+  /** Contiguous id ranges; ranges disjoint from the (planning ∩ runtime)
+    * [rLo, rHi) bound — or, with a runtime key SET, containing none of
+    * its keys — never become partitions.
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val per = math.max(1L, (rows + parts - 1) / parts)
+    def hasKey(r: SyntheticRange): Boolean = rVals.forall { vs =>
+      // sorted keys: any key in [start, end)?
+      val i = java.util.Arrays.binarySearch(vs, r.start)
+      val next = if (i >= 0) r.start else vs.lift(-(i + 1)).getOrElse(Long.MaxValue)
+      next < r.end
+    }
     (0L until rows by per)
       .map(s => SyntheticRange(s, math.min(s + per, rows)))
-      .filter(r => r.end > lo && r.start < hi)
+      .filter(r => r.end > rLo && r.start < rHi && hasKey(r))
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =

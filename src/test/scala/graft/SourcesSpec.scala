@@ -89,6 +89,39 @@ class SourcesSpec extends SparkSpec {
     assert(band.count() == 125)
   }
 
+  test("graft-synthetic DSv2: DPP runtime filter prunes partitions from broadcast join keys") {
+    import org.apache.spark.sql.functions._
+    // the dim's selective predicate is on grp = id div 6250 — NOT
+    // invertible to a key bound, so planning-time pushdown/inference sees
+    // nothing; ONLY the runtime (DPP) In-filter from the broadcast side
+    // can prune. grp=4 keys are exactly fact partition 4's id range.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // plain plan → metrics reachable
+    try {
+      val fact = spark.read.format("graft-synthetic")
+        .option("rows", "100000").option("partitions", "16").load()
+      val dim = spark.range(0, 100000)
+        .select(col("id").as("k"), expr("id div 6250").cast("int").as("grp"))
+        .filter(col("grp") === 4)
+        .select(col("k"))
+      val joined = fact.join(broadcast(dim), fact("id") === dim("k"))
+      // collect(), not count(): count() builds its OWN aggregate plan —
+      // the metrics below must come from the same QueryExecution that ran
+      assert(joined.collect().length == 6250)
+      val plan = joined.queryExecution.executedPlan
+      assert(plan.toString.contains("RuntimeFilters: [dynamicpruningexpression"),
+        s"DPP filter must reach the v2 scan: $plan")
+      // partition-level evidence: the scan PRODUCED only the probed
+      // partition's rows (6250 of 100k) — runtime pruning, not row filtering
+      val scanRows = plan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.metrics("numOutputRows").value
+      }.sum
+      assert(scanRows == 6250L,
+        s"runtime filter must prune 15 of 16 partitions: scan produced $scanRows rows")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("graft-synthetic DSv2: column pruning reaches the reader") {
     val df = spark.read.format("graft-synthetic")
       .option("rows", "100").option("partitions", "2").load()
