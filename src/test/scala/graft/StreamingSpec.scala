@@ -401,6 +401,47 @@ class StreamingSpec extends SparkSpec {
       s"emitted=$emitted\nexpected=$expected")
   }
 
+  test("Trigger.AvailableNow: drains all available input then stops; next run picks up only new files") {
+    // the incremental-batch deployment pattern (cron-scheduled streaming):
+    // each run processes exactly the files that arrived since the last
+    // checkpoint, emits, and terminates — no long-running query needed
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft_avnow").toString
+    val (srcDir, chkDir, outDir) = (s"$root/src", s"$root/chk", s"$root/out")
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("ts", TimestampType), StructField("value", DoubleType)))
+    def runOnce(): Unit = {
+      val sdf = spark.readStream.schema(schema).parquet(srcDir)
+        .withWatermark("ts", "10 minutes")
+      val q = StreamOps.tumblingAgg("ts", "user_id", "1 hour")(sdf)
+        .select(col("window.start").as("w"), col("user_id"), col("n"), col("sum_value"))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", chkDir)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000) // AvailableNow self-terminates when drained
+      assert(!q.isActive, "AvailableNow query must stop after draining")
+    }
+    Seq((1L, ts(0), 1.0), (1L, ts(10), 2.0), (2L, ts(30), 3.0))
+      .toDF("user_id", "ts", "value").coalesce(1).write.mode("append").parquet(srcDir)
+    // a far-future row pushes the watermark so the early windows finalize
+    Seq((9L, ts(600), 0.0)).toDF("user_id", "ts", "value")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce()
+    val firstRun = spark.read.parquet(outDir)
+      .select("user_id", "n").as[(Long, Long)].collect().toSet
+    assert(firstRun == Set((1L, 2L), (2L, 1L)), s"first drain: $firstRun")
+    // second run: ONLY the new file is processed (checkpoint carries the
+    // offset); user 9's window finalizes once the new watermark passes it
+    Seq((9L, ts(1200), 0.0)).toDF("user_id", "ts", "value")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce()
+    val secondRun = spark.read.parquet(outDir)
+      .select("user_id", "n").as[(Long, Long)].collect().toSet
+    assert(secondRun == firstRun + ((9L, 1L)),
+      s"second drain must add exactly user 9's sealed window: $secondRun")
+  }
+
   test("flatMapGroupsWithState running totals accumulate across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamOps.Ev]
