@@ -207,5 +207,30 @@ object JoinQueries {
         .select(col("o_custkey").as("c_custkey"))
       a.except(b).orderBy("c_custkey")
     },
+
+    // ---- null-safe equi join (<=> / IS NOT DISTINCT FROM): NULL join
+    //      keys MATCH each other — the semantics a plain equi join
+    //      silently drops (NULL = NULL is NULL, the rows vanish). The
+    //      nullable key is manufactured with nullif so the NULL bucket
+    //      actually exists; Spark plans EqualNullSafe as a real hash-join
+    //      key (coalesced), never a nested loop (PlanSpec pins it). ----
+    QueryDef("q78_nullsafe_join",
+      """WITH a AS (SELECT nullif(user_id % 7, 3) AS k, count(*) AS n_events
+        |           FROM events GROUP BY 1),
+        |b AS (SELECT nullif(u % 7, 3) AS k, count(*) AS n_users
+        |      FROM (SELECT DISTINCT user_id AS u FROM events) GROUP BY 1)
+        |SELECT a.k, n_events, n_users
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |ORDER BY a.k NULLS LAST""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val a = ev.groupBy(nullif(col("user_id") % 7, lit(3)).as("k"))
+        .agg(count(lit(1)).as("n_events"))
+      val b = ev.select(col("user_id").as("u")).distinct()
+        .groupBy(nullif(col("u") % 7, lit(3)).as("k"))
+        .agg(count(lit(1)).as("n_users"))
+      a.join(b, a("k") <=> b("k"))
+        .select(a("k"), col("n_events"), col("n_users"))
+        .orderBy(a("k").asc_nulls_last)
+    },
   )
 }

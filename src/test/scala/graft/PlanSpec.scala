@@ -251,6 +251,15 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("q78 null-safe join plans as a hash/merge equi-join, never a nested loop") {
+    // EqualNullSafe must become a (coalesced) join KEY — a BNLJ here means
+    // Catalyst treated <=> as a non-equi condition
+    val q = SparkEntry.queries("q78_nullsafe_join")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
   test("s15 stored-index ANN: zero training in the plan, index read from parquet") {
     // the in-query twin (s07/adcTopK) carries driver-collected codebooks
     // (LocalTableScan) and a localCheckpoint'd assignment (ExistingRDD);
