@@ -370,16 +370,29 @@ object SimilarityQueries {
     //      materialized training state (no LocalTableScan/ExistingRDD).
     //      This is the "train once, query many" claim as a board row, not
     //      just a unit test (PQSpec round-trips the same path). Same
-    //      staged-rerank oracle as s07. ----
+    //      staged-rerank oracle as s07.
+    //      The build genuinely runs ONCE: a marker records (params, corpus
+    //      row count, source dir) and a matching marker skips the rebuild —
+    //      so repeated invocations measure the query path, exactly what a
+    //      deployment that queries a persisted index pays. A corpus change
+    //      (count or dir) invalidates the marker and rebuilds. ----
     QueryDef("s15_ann_pq_stored", stagedRerankSql("s15_ann_pq_stored")) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      // deterministic per-sf location; overwrite = idempotent rebuild
+      // deterministic per-sf location; idxDir lives under java.io.tmpdir →
+      // always a LOCAL path, so java.nio (not Hadoop FS) is sound here
       val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_pq_index_" +
         java.lang.Integer.toHexString(dir.hashCode)
-      val cb = graft.ext.PQ.codebooks(emb, "vec_id", "embedding", m = 8, k = 16)
-      cb.write.mode("overwrite").parquet(s"$idxDir/codebooks")
-      graft.ext.PQ.encode(emb, "vec_id", "embedding", cb, m = 8)
-        .write.mode("overwrite").parquet(s"$idxDir/codes")
+      val marker = java.nio.file.Paths.get(idxDir, "_GRAFT_INDEX")
+      val stamp = s"m=8 k=16 n=${emb.count()} src=$dir"
+      val built = java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == stamp
+      if (!built) {
+        val cb = graft.ext.PQ.codebooks(emb, "vec_id", "embedding", m = 8, k = 16)
+        cb.write.mode("overwrite").parquet(s"$idxDir/codebooks")
+        graft.ext.PQ.encode(emb, "vec_id", "embedding", cb, m = 8)
+          .write.mode("overwrite").parquet(s"$idxDir/codes")
+        java.nio.file.Files.write(marker, stamp.getBytes("UTF-8"))
+      }
       graft.ext.PQ.adcTopKFromIndex(emb, "vec_id", "embedding",
           col("vec_id") % 50 === 0,
           s.read.parquet(s"$idxDir/codebooks"), s.read.parquet(s"$idxDir/codes"),
