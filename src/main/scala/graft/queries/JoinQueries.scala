@@ -208,6 +208,37 @@ object JoinQueries {
       a.except(b).orderBy("c_custkey")
     },
 
+    // ---- multiset set ops (INTERSECT ALL / EXCEPT ALL): q15/q16 keep
+    //      DISTINCT semantics; these keep MULTIPLICITY — per month,
+    //      min(#urgent, #high) matched order pairs survive INTERSECT ALL
+    //      and the urgent surplus survives EXCEPT ALL, which no distinct
+    //      set op can express. Spark plans both as one hash aggregate
+    //      per side + a join on the counts (no row replication shuffle
+    //      beyond the grouped counts), so multiplicity handling is
+    //      aggregate-shaped, scale-safe. The post-aggregation makes the
+    //      multiset observable (and the output deterministic). ----
+    QueryDef("q80_multiset_ops",
+      """WITH a AS (SELECT CAST(month(o_orderdate) AS INTEGER) AS m
+        |           FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |b AS (SELECT CAST(month(o_orderdate) AS INTEGER) AS m
+        |      FROM orders WHERE o_orderpriority = '2-HIGH')
+        |SELECT 'intersect_all' AS op, m, count(*) AS n
+        |FROM (SELECT m FROM a INTERSECT ALL SELECT m FROM b) ia GROUP BY m
+        |UNION ALL
+        |SELECT 'except_all' AS op, m, count(*) AS n
+        |FROM (SELECT m FROM a EXCEPT ALL SELECT m FROM b) ea GROUP BY m
+        |ORDER BY op, m""".stripMargin) { (s, dir) =>
+      val orders = Tables.orders(s, dir)
+      def bag(prio: String) = orders.filter(col("o_orderpriority") === prio)
+        .select(month(col("o_orderdate")).cast("int").as("m"))
+      val a = bag("1-URGENT"); val b = bag("2-HIGH")
+      val ia = a.intersectAll(b).groupBy("m").agg(count(lit(1)).as("n"))
+        .select(lit("intersect_all").as("op"), col("m"), col("n"))
+      val ea = a.exceptAll(b).groupBy("m").agg(count(lit(1)).as("n"))
+        .select(lit("except_all").as("op"), col("m"), col("n"))
+      ia.unionByName(ea).orderBy("op", "m")
+    },
+
     // ---- null-safe equi join (<=> / IS NOT DISTINCT FROM): NULL join
     //      keys MATCH each other — the semantics a plain equi join
     //      silently drops (NULL = NULL is NULL, the rows vanish). The

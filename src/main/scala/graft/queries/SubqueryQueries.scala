@@ -133,5 +133,22 @@ object SubqueryQueries {
           |  count(*) AS n_paths
           |FROM reach GROUP BY node ORDER BY part""".stripMargin)
     },
+
+    // ---- LATERAL join with a correlated ORDER BY ... LIMIT — the SQL
+    //      spelling of per-key top-k (the DataFrame twin is q19's window
+    //      rank). Catalyst decorrelates the correlated LIMIT into
+    //      WindowGroupLimit (map-side per-group top-k pruning BEFORE the
+    //      shuffle, then again after) + a hash join — never a per-row
+    //      re-execution — so on a 100 TB orders table each map task
+    //      forwards at most 3 rows per customer it sees (PlanSpec pins
+    //      WindowGroupLimit + absence of BNLJ). `ON true` is the lateral
+    //      spelling both dialects accept. ----
+    sqlQuery("q79_lateral_topk",
+      """SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+        |FROM customer c JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t ON true
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin),
   )
 }

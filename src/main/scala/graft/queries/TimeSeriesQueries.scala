@@ -101,5 +101,52 @@ object TimeSeriesQueries {
           col("rev_7d"))
         .orderBy("day")
     },
+
+    // ---- autocorrelation function of the daily event-count series at
+    //      lags 1..7 — the stationarity/seasonality diagnostic run before
+    //      fitting any forecast (the reference's notebook eyeballs its
+    //      monthly series; ACF is that check quantified). Pearson corr of
+    //      the series against its own lag, pairwise-complete (both
+    //      engines' corr skips NULL pairs, so the first L rows drop out
+    //      per lag). The lag window is GLOBAL by construction — but over
+    //      the DAILY series, whose length is bounded by the calendar
+    //      (≤ 36,525 rows/century), not the 100 TB event count: the heavy
+    //      lifting is the distributed groupBy(day) in front. stack()
+    //      unpivots the 7 coefficients; the oracle spells the same thing
+    //      as 7 UNION ALL arms (dialect intersection). ----
+    QueryDef("q81_acf",
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d, count(*) AS c
+        |               FROM events GROUP BY 1),
+        |lagged AS (SELECT c,
+        |    lag(c, 1) OVER (ORDER BY d) AS c1, lag(c, 2) OVER (ORDER BY d) AS c2,
+        |    lag(c, 3) OVER (ORDER BY d) AS c3, lag(c, 4) OVER (ORDER BY d) AS c4,
+        |    lag(c, 5) OVER (ORDER BY d) AS c5, lag(c, 6) OVER (ORDER BY d) AS c6,
+        |    lag(c, 7) OVER (ORDER BY d) AS c7
+        |  FROM daily)
+        |SELECT lag_k, round(acf, 6) AS acf, n_pairs FROM (
+        |  SELECT 1 AS lag_k, corr(c, c1) AS acf, count(c1) AS n_pairs FROM lagged
+        |  UNION ALL SELECT 2, corr(c, c2), count(c2) FROM lagged
+        |  UNION ALL SELECT 3, corr(c, c3), count(c3) FROM lagged
+        |  UNION ALL SELECT 4, corr(c, c4), count(c4) FROM lagged
+        |  UNION ALL SELECT 5, corr(c, c5), count(c5) FROM lagged
+        |  UNION ALL SELECT 6, corr(c, c6), count(c6) FROM lagged
+        |  UNION ALL SELECT 7, corr(c, c7), count(c7) FROM lagged) t
+        |ORDER BY lag_k""".stripMargin) { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.orderBy("d")
+      val lagged = daily.select(col("c") +:
+        (1 to 7).map(l => lag(col("c"), l).over(w).as(s"c$l")): _*)
+      val aggCols = (1 to 7).flatMap(l => Seq(
+        corr(col("c"), col(s"c$l")).as(s"acf$l"),
+        count(col(s"c$l")).as(s"n$l")))
+      val acfs = lagged.agg(aggCols.head, aggCols.tail: _*)
+      acfs.select(expr(
+          "stack(7, " + (1 to 7).map(l => s"$l, acf$l, n$l").mkString(", ") +
+          ") AS (lag_k, acf, n_pairs)"))
+        .select(col("lag_k"), round(col("acf"), 6).as("acf"), col("n_pairs"))
+        .orderBy("lag_k")
+    },
   )
 }

@@ -260,6 +260,23 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
   }
 
+  test("q79 lateral LIMIT decorrelates to WindowGroupLimit + hash join") {
+    // the correlated ORDER BY ... LIMIT 3 must become a per-group top-k
+    // window with map-side group-limit pruning joined on the correlation
+    // key — NOT a per-outer-row re-execution (BNLJ/cartesian), which is
+    // what makes the same SQL viable when orders is 100 TB
+    val q = SparkEntry.queries("q79_lateral_topk")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q80 multiset set ops never replicate via nested-loop or cartesian plans") {
+    val q = SparkEntry.queries("q80_multiset_ops")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("s15 stored-index ANN: zero training in the plan, index read from parquet") {
     // the in-query twin (s07/adcTopK) carries driver-collected codebooks
     // (LocalTableScan) and a localCheckpoint'd assignment (ExistingRDD);
