@@ -536,5 +536,58 @@ object AnalyticQueries {
           "measure", "val")
         .orderBy("l_orderkey", "l_linenumber", "measure")
     },
+
+    // ---- FILTER-clause aggregates: per-group conditional KPIs in ONE
+    //      aggregation pass — the SQL-standard spelling of the
+    //      when/otherwise pivot (q17/A5). Every FILTER arm is a codegen'd
+    //      conditional inside the same hash aggregate: one scan, one
+    //      shuffle, regardless of how many conditions a dashboard stacks.
+    //      An all-false arm yields NULL avg / 0 count in both engines.
+    //      The DataFrame side embeds the clause via expr() — the parser
+    //      path a SQL-writing user exercises. ----
+    QueryDef("q82_filtered_agg",
+      """SELECT c_mktsegment,
+        |  count(*) AS n_orders,
+        |  count(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
+        |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+        |  round(avg(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 4) AS avg_urgent_price,
+        |  count(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 200000.0) AS n_big_custs
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          expr("count(*) FILTER (WHERE o_totalprice > 200000.0)").as("n_big"),
+          expr("count(*) FILTER (WHERE o_orderpriority = '1-URGENT')").as("n_urgent"),
+          round(expr("avg(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT')"), 4)
+            .as("avg_urgent_price"),
+          expr("count(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 200000.0)")
+            .as("n_big_custs"))
+        .orderBy("c_mktsegment")
+    },
+
+    // ---- approx_top_k heavy hitters: the sketch-based frequent-items
+    //      aggregate (mergeable partial state, one pass, no global sort).
+    //      The sketch tracks up to maxItemsTracked=100 distinct items and
+    //      is EXACT whenever the true cardinality fits the tracker (5
+    //      event types here) — so unlike the HLL/percentile sketches
+    //      (q30/q45, rows-only) this approx query carries a full DuckDB
+    //      oracle: the exact GROUP BY top-k must match bit-for-bit. At
+    //      real cardinalities the same plan degrades gracefully to
+    //      approximate counts while staying one mergeable pass. ----
+    QueryDef("q83_approx_topk",
+      """SELECT event_type AS item, count(*) AS est_count
+        |FROM events GROUP BY 1
+        |ORDER BY est_count DESC, item LIMIT 3""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .agg(expr("approx_top_k(event_type, 3, 100)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("item"), col("e.count").as("est_count"))
+        .orderBy(col("est_count").desc, col("item"))
+    },
   )
 }

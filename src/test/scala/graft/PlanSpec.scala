@@ -277,6 +277,50 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("q79 WindowGroupLimit prunes the shuffle — measured, not just plan-shaped") {
+    // the map-side group limit must shrink what the orders shuffle
+    // CARRIES, not only what the window later discards: run q79 with the
+    // rewrite on vs off (windowGroupLimitThreshold=0 suppresses it) and
+    // compare total shuffle-write records. Listener events post async —
+    // poll until the buffer settles (3 stable polls; AQE lessons).
+    def totalShuffleWrites(action: => Unit): Long = {
+      val recs = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null) recs.synchronized {
+            recs += te.taskMetrics.shuffleWriteMetrics.recordsWritten
+          }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        action
+        var last = -1; var same = 0
+        while (same < 3) {
+          Thread.sleep(100)
+          val now = recs.synchronized(recs.size)
+          if (now == last) same += 1 else { same = 0; last = now }
+        }
+        recs.synchronized(recs.sum)
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val key = "spark.sql.optimizer.windowGroupLimitThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "0")
+      val qOff = SparkEntry.queries("q79_lateral_topk")(spark, sf)
+      assert(!qOff.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+      var nOff = 0L
+      val wOff = totalShuffleWrites { nOff = qOff.count() }
+      spark.conf.set(key, old)
+      val qOn = SparkEntry.queries("q79_lateral_topk")(spark, sf)
+      var nOn = 0L
+      val wOn = totalShuffleWrites { nOn = qOn.count() }
+      assert(nOn == nOff, "the rewrite must not change results")
+      assert(wOn < wOff,
+        s"group limit must cut shuffled records: on=$wOn vs off=$wOff")
+    } finally spark.conf.set(key, old)
+  }
+
   test("s15 stored-index ANN: zero training in the plan, index read from parquet") {
     // the in-query twin (s07/adcTopK) carries driver-collected codebooks
     // (LocalTableScan) and a localCheckpoint'd assignment (ExistingRDD);
