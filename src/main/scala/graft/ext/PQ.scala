@@ -286,17 +286,36 @@ object PQ {
   def ivfAdcTopK(emb: DataFrame, id: String, vec: String, queryPred: Column,
                  k: Int = 5, cells: Int = 8, nprobe: Int = 2, ivfIters: Int = 3,
                  m: Int = 8, kc: Int = 16, pqIters: Int = 2,
-                 rerank: Int = 4): DataFrame = {
+                 rerank: Int = 4, trainFrac: Int = 1): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val v = emb.select(col(id).as("vid"), col(vec).cast("array<double>").as("v"))
+    // both quantizers are ESTIMATORS (their outputs are averages): a
+    // deterministic 1/trainFrac hash-sample saturates them long before
+    // the full corpus does, so training Lloyd rounds run on the sample
+    // and only the single assignment pass (cells, codes) touches every
+    // vector — the sample/assign split a 100 TB build job uses. The
+    // sample keys on xxhash64(id), so it is stable across runs and
+    // partitionings (the determinism every staged oracle depends on).
+    val trainSet =
+      if (trainFrac <= 1) emb
+      else emb.filter(pmod(xxhash64(col(id)), lit(trainFrac)) === 0)
     // coarse quantizer — trained ONCE here (IVF.assignTable would retrain)
-    val centroids = IVF.kmeansCentroids(emb, id, vec, cells, ivfIters)
+    val centroids = IVF.kmeansCentroids(trainSet, id, vec, cells, ivfIters)
     val coarse = IVF.assignCells(v, centroids)
       .select(col("vid"), col("cell").as("ccell"))
-    // fine quantizer over the full corpus (at scale: a sample, stored codes)
+    // fine quantizer: train on the sample, then ONE full-corpus encode
+    // pass when sampling (the last training assignment only covers the
+    // sample, so it can no longer double as the stored codes)
+    val sampled = trainFrac > 1
     val subs = subRows(v, m).localCheckpoint()
-    val (cb, lastAssign) = trainCodebooks(subs, v, m, kc, pqIters)
-    val codes = lastAssign.getOrElse(assignCodes(subs, cb))
+    val trainSubs =
+      if (sampled) subs.filter(pmod(xxhash64(col("vid")), lit(trainFrac)) === 0)
+      else subs
+    val vTrain = trainSet.select(col(id).as("vid"), col(vec).cast("array<double>").as("v"))
+    val (cb, lastAssign) = trainCodebooks(trainSubs, vTrain, m, kc, pqIters,
+      keepAssign = !sampled)
+    val codes = (if (sampled) assignCodes(subs, cb)
+                 else lastAssign.getOrElse(assignCodes(subs, cb)))
       .select(col("vid"), col("sub"), col("cell"))
 
     val q = emb.filter(queryPred)

@@ -313,10 +313,14 @@ object SimilarityQueries {
       // for blocking (the exact re-rank owns final quality); the third
       // Lloyd round bought no recall on this corpus and ~10% of the
       // query's wall (both quantizers train IN-QUERY here only so the
-      // query is self-contained — at scale training is a build-time cost)
+      // query is self-contained — at scale training is a build-time cost).
+      // trainFrac=4: Lloyd rounds run on a deterministic 1/4 hash-sample
+      // (quantizers are averages — the sample saturates them); only the
+      // single cell/code assignment pass reads every vector.
       graft.ext.PQ.ivfAdcTopK(Tables.embeddings(s, dir),
           "vec_id", "embedding", col("vec_id") % 50 === 0,
-          k = 5, cells = 8, nprobe = 2, ivfIters = 2, m = 8, kc = 16)
+          k = 5, cells = 8, nprobe = 2, ivfIters = 2, m = 8, kc = 16,
+          trainFrac = 4)
         .orderBy("q_id", "rn")
     },
 

@@ -102,4 +102,18 @@ class PQSpec extends SparkSpec {
       .orderBy("q_id", "rn").collect().toSeq
     assert(full == brute, "full-probe/full-rerank IVF-PQ must reduce to brute force")
   }
+
+  test("ivfAdcTopK trainFrac: sample-trained quantizers keep recall >= 0.9 (s14's shape)") {
+    // quantizers are averages — a 1/4 hash-sample must saturate them; the
+    // assignment pass still covers every vector, so only training moved
+    val pred = col("vec_id") % 25 === 1
+    val exact = Similarity.bruteForceTopK(clustered, "vec_id", "embedding", pred, 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val sampled = PQ.ivfAdcTopK(clustered, "vec_id", "embedding", pred,
+        k = 5, cells = 8, nprobe = 2, m = 4, kc = 16, trainFrac = 4)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & sampled).size.toDouble / exact.size
+    info(f"sample-trained IVF-PQ recall@5: $recall%.3f")
+    assert(recall >= 0.9, f"sample-trained recall $recall%.3f below 0.9")
+  }
 }
