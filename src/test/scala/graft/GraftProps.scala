@@ -257,4 +257,19 @@ object GraftProps extends Properties("graft") {
       }
       Prop(ok) :| s"first=${rows.headOption.map(r => (r._3, r._4.take(4)))}"
     }
+
+  // multiset partition law behind q80: INTERSECT ALL and EXCEPT ALL split
+  // the left bag exactly — per element, min(na, nb) + max(na − nb, 0) = na
+  // — so the two results together ARE the left input (as a multiset),
+  // over arbitrary bags with arbitrary duplicate structure
+  private val bagGen = Gen.listOf(Gen.choose(0, 5))
+  property("intersectAll + exceptAll partition the left multiset exactly") =
+    forAll(bagGen, bagGen) { (as, bs) =>
+      val a = as.toDF("m")
+      val b = bs.toDF("m")
+      val together = a.intersectAll(b).unionAll(a.exceptAll(b))
+        .groupBy("m").count().as[(Int, Long)].collect().toMap
+      val expected = as.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      Prop(together == expected) :| s"got=$together expected=$expected"
+    }
 }
