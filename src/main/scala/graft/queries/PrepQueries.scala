@@ -108,6 +108,44 @@ object PrepQueries {
         .limit(100)
     },
 
+    // ---- per-node triangle counts on the q63 co-purchase graph: the
+    //      clustering/community primitive PageRank doesn't see (rank
+    //      measures reach; triangles measure cohesion). Degree-ordered
+    //      orientation (Graph.triangleCounts scaladoc) keeps every step
+    //      an equi-join and each out-list O(√E); exact integer counts →
+    //      bit parity with the oracle's identical enumeration for free. ----
+    QueryDef("q84_triangle_count",
+      """WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem),
+        |und AS (SELECT a.item AS lo, b.item AS hi
+        |        FROM li a JOIN li b ON a.g = b.g AND a.item < b.item
+        |        GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT node, count(*) AS d FROM
+        |          (SELECT lo AS node FROM und UNION ALL SELECT hi FROM und) u
+        |        GROUP BY 1),
+        |ork AS (SELECT u.lo, u.hi,
+        |          dl.d * 100000000 + u.lo AS klo, dh.d * 100000000 + u.hi AS khi
+        |        FROM und u JOIN deg dl ON dl.node = u.lo
+        |                   JOIN deg dh ON dh.node = u.hi),
+        |o AS (SELECT CASE WHEN klo < khi THEN lo ELSE hi END AS a,
+        |             CASE WHEN klo < khi THEN hi ELSE lo END AS b FROM ork),
+        |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |      FROM o e1 JOIN o e2 ON e2.a = e1.b
+        |                JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |pn AS (SELECT node, count(*) AS n_tri FROM
+        |         (SELECT x AS node FROM t UNION ALL SELECT y FROM t
+        |          UNION ALL SELECT z FROM t) q
+        |       GROUP BY 1)
+        |SELECT node AS part, n_tri FROM pn
+        |ORDER BY n_tri DESC, part LIMIT 50""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("g"), col("l_partkey").as("item"))
+      val edges = Graph.coOccurrenceEdges(li, "g", "item", minSupport = 2)
+      Graph.triangleCounts(edges)
+        .select(col("node").as("part"), col("n_tri"))
+        .orderBy(col("n_tri").desc, col("part"))
+        .limit(50)
+    },
+
     // ---- deterministic "reservoir" sample: fixed k per group, ranked by
     //      a portable multiplicative hash (rand() is engine-specific; this
     //      is reproducible everywhere). Scale path: pre-filter on a hash

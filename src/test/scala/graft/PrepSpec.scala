@@ -65,6 +65,21 @@ class PrepSpec extends SparkSpec {
     r.foreach { case (_, v) => assert(math.abs(v - 0.25) < 1e-12) }
   }
 
+  test("triangleCounts: K4 has C(4,3) triangles with every node in 3; a path has none") {
+    // K4, edges in one direction only — canonicalization must not care
+    val nodes = 1L to 4L
+    val k4 = (for (a <- nodes; b <- nodes if a < b) yield (a, b)).toDF("src", "dst")
+    val r = Graph.triangleCounts(k4).as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), r.toString)
+    // the same graph with BOTH directions + self-loops changes nothing
+    val noisy = (for (a <- nodes; b <- nodes) yield (a, b)).toDF("src", "dst")
+    val r2 = Graph.triangleCounts(noisy).as[(Long, Long)].collect().toMap
+    assert(r2 == r, r2.toString)
+    // a 5-path is triangle-free → empty result
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    assert(Graph.triangleCounts(path).count() == 0)
+  }
+
   test("groupedMedian matches percentile_approx-free exact median, odd and even") {
     val df = Seq(("a", 1.0), ("a", 3.0), ("a", 100.0),
       ("b", 1.0), ("b", 2.0), ("b", 3.0), ("b", 10.0)).toDF("k", "v")
