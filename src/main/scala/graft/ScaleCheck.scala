@@ -214,6 +214,34 @@ object ScaleCheck {
     check(rankDiff == 0.0,
       s"disjoint-copy ranks bit-identical (decimal-sum order independence): max diff $rankDiff")
 
+    // ---------- q84-shape: triangle counting at scale ----------
+    // same mult-disjoint-copy graph (reuses the checkpointed edges): the
+    // per-node triangle counts are exact integers, so each copy must
+    // reproduce copy 0 EXACTLY and the global participation total must be
+    // exactly mult × copy 0's — any orientation or join bug that double-
+    // counts or drops a wedge breaks an equality, not a tolerance.
+    val t3b = System.nanoTime()
+    val tri = graft.ops.Graph.triangleCounts(edges).localCheckpoint()
+    val triTotal = tri.agg(sum(col("n_tri"))).first().getLong(0)
+    val tri0 = tri.filter(col("node") < 10_000_000L)
+      .select(col("node").as("n0"), col("n_tri").as("t0")).localCheckpoint()
+    val tri0Total = tri0.agg(sum(col("t0"))).first().getLong(0)
+    check(tri0Total > 0, s"copy-0 graph has triangles: $tri0Total")
+    check(triTotal == mult.toLong * tri0Total,
+      s"triangle total scales exactly: $triTotal vs $mult × $tri0Total")
+    val triCopyMismatch = (1 until mult).map { i =>
+      tri.filter(col("node") >= i * 10_000_000L &&
+          col("node") < (i + 1) * 10_000_000L)
+        .select((col("node") - lit(i * 10_000_000L)).as("n0"), col("n_tri"))
+        .join(tri0, Seq("n0"), "full_outer")
+        .filter(col("n_tri").isNull || col("t0").isNull ||
+          col("n_tri") =!= col("t0"))
+        .count()
+    }.maxOption.getOrElse(0L)
+    check(triCopyMismatch == 0L,
+      s"disjoint-copy triangle counts identical: $triCopyMismatch mismatches")
+    val tTri = (System.nanoTime() - t3b) / 1e9
+
     // ---------- s14/s15-shape: stored-index IVF-PQ at scale ----------
     // the deployment geometry: IVF assignment persisted PARTITIONED BY
     // cell + PQ codebooks/codes persisted once; the probe scan must read
@@ -292,8 +320,9 @@ object ScaleCheck {
 
     out ++= s""""n_docs":$nDocs,"n_vec":$nVec,"mult":$mult,"cells":$cells,"""
     out ++= f""""t_cluster_sec":$tCluster%.1f,"t_semdedup_sec":$tDedup%.1f,"t_knn_sec":$tKnn%.1f,"""
-    out ++= f""""t_pagerank_sec":$tPr%.1f,"t_ivfpq_sec":$tIvfPq%.1f,"""
+    out ++= f""""t_pagerank_sec":$tPr%.1f,"t_triangles_sec":$tTri%.1f,"t_ivfpq_sec":$tIvfPq%.1f,"""
     out ++= s""""pr_edges":$nEdgesPr,"pr_mass_err":${massErrs.max},"pr_copy_diff":$rankDiff,"""
+    out ++= s""""tri_total":$triTotal,"tri_copy_mismatch":$triCopyMismatch,"""
     out ++= s""""probe_rows":$probedRows,"probe_read":$probeRead,"""
     out ++= s""""hot_cluster_size":$hotSize,"components":$nComponents,"survivors":$survivors,"knn_edges":$nEdges,"""
     out ++= s""""big_stages":${big.size},"top_stages":{$worstSkew},"""
