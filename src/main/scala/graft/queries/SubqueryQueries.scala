@@ -150,5 +150,24 @@ object SubqueryQueries {
         |  WHERE o.o_custkey = c.c_custkey
         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t ON true
         |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin),
+
+    // ---- correlated scalar subqueries in the SELECT clause (q74 covers
+    //      the WHERE-clause form): per-customer max order price and order
+    //      count. The count(*) arm deliberately has NO coalesce — a
+    //      customer with zero orders must get 0, which is exactly the
+    //      classic COUNT bug: naive outer-join decorrelation yields NULL
+    //      there, and Catalyst's RewriteCorrelatedScalarSubquery patches
+    //      the aggregate output specifically for it. Both subqueries
+    //      decorrelate into grouped aggregates over orders LEFT-joined
+    //      back on the correlation key — one shuffle per subquery, never
+    //      a per-customer rescan (PlanSpec pins no-BNLJ). ----
+    sqlQuery("q85_select_scalar_subquery",
+      """SELECT c_custkey, c_mktsegment,
+        |  (SELECT max(o_totalprice) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_price,
+        |  (SELECT count(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer c
+        |ORDER BY c_custkey""".stripMargin),
   )
 }

@@ -251,6 +251,13 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("q85 SELECT-clause scalar subqueries decorrelate to aggregate + outer join") {
+    val q = SparkEntry.queries("q85_select_scalar_subquery")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
   test("q78 null-safe join plans as a hash/merge equi-join, never a nested loop") {
     // EqualNullSafe must become a (coalesced) join KEY — a BNLJ here means
     // Catalyst treated <=> as a non-equi condition

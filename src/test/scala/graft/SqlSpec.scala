@@ -62,4 +62,22 @@ class SqlSpec extends SparkSpec {
       "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").collect()(0)
     assert(dot.getDouble(0) == 11.0)
   }
+
+  test("correlated count(*) scalar subquery yields 0, not NULL, on empty groups (COUNT bug)") {
+    // the q85 shape with the edge the testdata lacks (every sf0.01
+    // customer has orders): decorrelation must patch the aggregate output
+    // for the key with NO matching rows — naive outer-join rewrite gives
+    // NULL, the correct scalar-subquery answer is 0
+    import spark.implicits._
+    Seq((1L, "A"), (2L, "B")).toDF("c_custkey", "seg")
+      .createOrReplaceTempView("cb_cust")
+    Seq((10L, 1L), (11L, 1L)).toDF("o_orderkey", "o_custkey")
+      .createOrReplaceTempView("cb_ord")
+    val rows = spark.sql(
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM cb_ord o WHERE o.o_custkey = c.c_custkey) AS n
+        |FROM cb_cust c ORDER BY c_custkey""".stripMargin).collect()
+    assert(!rows.exists(_.isNullAt(1)), "COUNT bug: empty group produced NULL")
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L), (2L, 0L)))
+  }
 }
