@@ -119,11 +119,20 @@ object Graph {
     * never goes near a cross join.
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
+    // node ids must stay below the pack base or the composite order key
+    // (d·base + node) stops being a total order — mis-orientation then
+    // silently double-counts or drops triangles, so oversized ids raise
+    // at scan time instead (row-level guard: the ids are data, not a
+    // parameter — same posture as PQ.subRows' dim guard)
+    val guardedHi = when(greatest(col("src"), col("dst")) < lit(100000000L),
+      greatest(col("src"), col("dst"))).otherwise(raise_error(concat(
+        lit("triangleCounts: node id must be < 1e8 (order-key pack base), got "),
+        greatest(col("src"), col("dst")).cast("string"))))
     // canonical undirected edge set: multi-consumer (degrees + 2 key
     // joins) → materialize once (SCALE.md scan rule)
     val und = edges.select(
         least(col("src"), col("dst")).as("lo"),
-        greatest(col("src"), col("dst")).as("hi"))
+        guardedHi.as("hi"))
       .filter(col("lo") =!= col("hi")).distinct().localCheckpoint(true)
     val deg = und.select(explode(array(col("lo"), col("hi"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("d"))

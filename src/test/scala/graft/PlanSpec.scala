@@ -251,6 +251,22 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("join hints steer the physical strategy: BROADCAST and SHUFFLE_MERGE honored") {
+    // the hint surface a SQL user tunes with — the engine must pass it
+    // through to strategy selection, not swallow it in view plumbing
+    graft.core.Tables.registerAll(spark, sf)
+    val sql =
+      """SELECT %s o_orderkey, c_mktsegment
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"""
+        .stripMargin
+    val bc = spark.sql(sql.format("/*+ BROADCAST(c) */"))
+      .queryExecution.executedPlan.toString
+    assert(bc.contains("BroadcastHashJoin"), bc)
+    val smj = spark.sql(sql.format("/*+ SHUFFLE_MERGE(c) */"))
+      .queryExecution.executedPlan.toString
+    assert(smj.contains("SortMergeJoin"), smj)
+  }
+
   test("q85 SELECT-clause scalar subqueries decorrelate to aggregate + outer join") {
     val q = SparkEntry.queries("q85_select_scalar_subquery")(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
