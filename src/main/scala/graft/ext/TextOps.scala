@@ -400,4 +400,26 @@ object TextOps {
     */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")))
+
+  /** Hashing-trick vectorizer: every token maps straight to one of
+    * `buckets` feature indices via a cross-engine hash (first 8 hex chars
+    * of md5, base-16 → mod), and the per-(doc, bucket) counts ARE the
+    * sparse feature vector. The point at 100 TB is what this op does NOT
+    * need: no vocabulary table, no broadcast dictionary, no OOV path, no
+    * fit/transform split — dimensionality is fixed up front, so the whole
+    * thing is one stateless map + one aggregate regardless of corpus
+    * vocabulary growth (the trade: hash collisions fold rare features
+    * together, the classic Weinberger et al. trick). Returns
+    * (id, bucket ∈ [0, buckets), n).
+    */
+  def hashedFeatures(df: DataFrame, idCol: String, textCol: String,
+                     buckets: Int = 64): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    df.select(col(idCol).as("id"), explode(words(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .select(col("id"),
+        (conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long")
+          % buckets).cast("int").as("bucket"))
+      .groupBy("id", "bucket").agg(count(lit(1)).as("n"))
+  }
 }

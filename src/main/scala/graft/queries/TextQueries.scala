@@ -885,5 +885,28 @@ object TextQueries {
           col("doc_id"), col("text"), minDf = 3)
         .orderBy("doc")
     },
+
+    // ---- hashing-trick vectorizer (t14's vocabulary-free counterpart):
+    //      tokens hash straight into 64 fixed feature buckets — no vocab
+    //      table, no broadcast, no OOV, so the op's shape is independent
+    //      of corpus vocabulary growth (TextOps.hashedFeatures scaladoc).
+    //      The cross-engine hash (md5 hex head, base-16) makes the
+    //      bucket assignment — collisions included — bit-reproducible in
+    //      DuckDB, so the whole sparse matrix has an exact oracle. ----
+    QueryDef("t33_feature_hashing",
+      """WITH w AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT doc_id, CAST(
+        |    CAST(concat('0x', substring(md5(term), 1, 8)) AS BIGINT) % 64
+        |  AS INTEGER) AS bucket, count(*) AS n
+        |FROM w WHERE term <> ''
+        |GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin) { (s, dir) =>
+      TextOps.hashedFeatures(
+          Tables.documents(s, dir).filter(col("doc_id") < 100),
+          "doc_id", "text", buckets = 64)
+        .select(col("id").as("doc_id"), col("bucket"), col("n"))
+        .orderBy("doc_id", "bucket")
+    },
   )
 }

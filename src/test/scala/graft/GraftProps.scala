@@ -262,6 +262,24 @@ object GraftProps extends Properties("graft") {
   // the left bag exactly — per element, min(na, nb) + max(na − nb, 0) = na
   // — so the two results together ARE the left input (as a multiset),
   // over arbitrary bags with arbitrary duplicate structure
+  // hashing-trick vectorizer: no token is lost or invented (Σn == token
+  // count) and every bucket lands in [0, buckets) — over arbitrary docs
+  // incl. empty/whitespace-only ones
+  private val docGen: Gen[String] = Gen.listOf(
+    Gen.oneOf(Gen.alphaLowerStr.map(_.take(6)), Gen.const(""))).map(_.mkString(" "))
+  property("hashedFeatures conserves token mass; buckets in range") =
+    forAll(Gen.nonEmptyListOf(docGen).map(_.take(6))) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val feats = graft.ext.TextOps.hashedFeatures(df, "doc_id", "text", 64)
+        .as[(Long, Int, Long)].collect()
+      val expectedTokens = docs.map(
+        _.toLowerCase.trim.split("\\s+").count(_.nonEmpty)).sum
+      val ok = feats.map(_._3).sum == expectedTokens &&
+        feats.forall(f => f._2 >= 0 && f._2 < 64)
+      Prop(ok) :| s"sum=${feats.map(_._3).sum} expected=$expectedTokens"
+    }
+
   private val bagGen = Gen.listOf(Gen.choose(0, 5))
   property("intersectAll + exceptAll partition the left multiset exactly") =
     forAll(bagGen, bagGen) { (as, bs) =>
