@@ -298,7 +298,18 @@ object PQ {
     // partitionings (the determinism every staged oracle depends on).
     val trainSet =
       if (trainFrac <= 1) emb
-      else emb.filter(pmod(xxhash64(col(id)), lit(trainFrac)) === 0)
+      else {
+        val t = emb.filter(pmod(xxhash64(col(id)), lit(trainFrac)) === 0)
+        // a too-small sample would train degenerate quantizers and the
+        // query would SILENTLY return thin/empty results — fail loudly
+        // instead (one cheap count on the 1/frac slice, paid only when
+        // sampling is requested)
+        val n = t.count()
+        require(n >= math.max(cells, kc),
+          s"ivfAdcTopK: trainFrac=$trainFrac leaves $n training vectors, " +
+            s"need >= max(cells=$cells, kc=$kc) — lower trainFrac")
+        t
+      }
     // coarse quantizer — trained ONCE here (IVF.assignTable would retrain)
     val centroids = IVF.kmeansCentroids(trainSet, id, vec, cells, ivfIters)
     val coarse = IVF.assignCells(v, centroids)

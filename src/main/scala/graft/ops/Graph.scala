@@ -119,15 +119,17 @@ object Graph {
     * never goes near a cross join.
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    // node ids must stay below the pack base or the composite order key
-    // (d·base + node) stops being a total order — mis-orientation then
-    // silently double-counts or drops triangles, so oversized ids raise
-    // at scan time instead (row-level guard: the ids are data, not a
+    // node ids must fit [0, pack base) or the composite order key
+    // (d·base + node) stops being a total order — a NEGATIVE id can pack
+    // onto another degree class just as an oversized one can, losing the
+    // O(√E) out-list bound the orientation exists for — so out-of-range
+    // ids raise at scan time (row-level guard: the ids are data, not a
     // parameter — same posture as PQ.subRows' dim guard)
-    val guardedHi = when(greatest(col("src"), col("dst")) < lit(100000000L),
+    val guardedHi = when(greatest(col("src"), col("dst")) < lit(100000000L) &&
+        least(col("src"), col("dst")) >= lit(0L),
       greatest(col("src"), col("dst"))).otherwise(raise_error(concat(
-        lit("triangleCounts: node id must be < 1e8 (order-key pack base), got "),
-        greatest(col("src"), col("dst")).cast("string"))))
+        lit("triangleCounts: node ids must be in [0, 1e8) (order-key pack base), got ("),
+        col("src").cast("string"), lit(", "), col("dst").cast("string"), lit(")"))))
     // canonical undirected edge set: multi-consumer (degrees + 2 key
     // joins) → materialize once (SCALE.md scan rule)
     val und = edges.select(

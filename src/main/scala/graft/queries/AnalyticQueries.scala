@@ -583,11 +583,16 @@ object AnalyticQueries {
       """SELECT event_type AS item, count(*) AS est_count
         |FROM events GROUP BY 1
         |ORDER BY est_count DESC, item LIMIT 3""".stripMargin) { (s, dir) =>
+      // overfetch k=5 (≥ the true cardinality) then cut to 3 under OUR
+      // (count desc, item) order: the sketch's own choice among items
+      // TIED at the k-boundary is unspecified, so the deterministic
+      // tie-break must happen after the sketch, not inside it
       Tables.events(s, dir)
-        .agg(expr("approx_top_k(event_type, 3, 100)").as("tk"))
+        .agg(expr("approx_top_k(event_type, 5, 100)").as("tk"))
         .select(explode(col("tk")).as("e"))
         .select(col("e.item").as("item"), col("e.count").as("est_count"))
         .orderBy(col("est_count").desc, col("item"))
+        .limit(3)
     },
   )
 }

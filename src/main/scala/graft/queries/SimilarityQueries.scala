@@ -387,7 +387,14 @@ object SimilarityQueries {
       val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_pq_index_" +
         java.lang.Integer.toHexString(dir.hashCode)
       val marker = java.nio.file.Paths.get(idxDir, "_GRAFT_INDEX")
-      val stamp = s"m=8 k=16 n=${emb.count()} src=$dir"
+      // the stamp carries an order-independent CONTENT hash (summed
+      // xxhash64 over id+vector), not just the row count — a regenerated
+      // corpus at the same path and cardinality must invalidate the
+      // index. One cheap column scan vs retraining; a real deployment
+      // swaps this for the table format's snapshot/version id.
+      val fp = emb.agg(sum(xxhash64(col("vec_id"), col("embedding"))))
+        .first().getLong(0)
+      val stamp = s"m=8 k=16 n=${emb.count()} fp=$fp src=$dir"
       val built = java.nio.file.Files.exists(marker) &&
         new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == stamp
       if (!built) {
