@@ -594,5 +594,33 @@ object AnalyticQueries {
         .orderBy(col("est_count").desc, col("item"))
         .limit(3)
     },
+
+    // ---- SQL PIVOT clause (q17's DataFrame pivot covers the semantics;
+    //      this is the parser surface a SQL user writes). An explicit IN
+    //      list is what keeps it scale-safe: no distinct-values pre-scan,
+    //      one hash aggregate wide-by-construction. Empty cells come back
+    //      NULL from PIVOT — the outer coalesce zero-fills them in both
+    //      engines (the oracle's conditional counts are 0 there natively,
+    //      so the engine side must normalize to match). ----
+    QueryDef("q86_pivot_sql",
+      """SELECT c_mktsegment,
+        |  count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent,
+        |  count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS n_high,
+        |  count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS n_low
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT c_mktsegment,
+          |  coalesce(urgent, 0) AS n_urgent,
+          |  coalesce(high, 0)   AS n_high,
+          |  coalesce(low, 0)    AS n_low
+          |FROM (SELECT c_mktsegment, o_orderpriority
+          |      FROM orders JOIN customer ON o_custkey = c_custkey)
+          |PIVOT (count(*) FOR o_orderpriority IN
+          |       ('1-URGENT' AS urgent, '2-HIGH' AS high, '5-LOW' AS low))
+          |ORDER BY c_mktsegment""".stripMargin)
+    },
   )
 }
