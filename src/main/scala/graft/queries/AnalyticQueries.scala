@@ -597,11 +597,13 @@ object AnalyticQueries {
 
     // ---- SQL PIVOT clause (q17's DataFrame pivot covers the semantics;
     //      this is the parser surface a SQL user writes). An explicit IN
-    //      list is what keeps it scale-safe: no distinct-values pre-scan,
-    //      one hash aggregate wide-by-construction. Empty cells come back
-    //      NULL from PIVOT — the outer coalesce zero-fills them in both
-    //      engines (the oracle's conditional counts are 0 there natively,
-    //      so the engine side must normalize to match). ----
+    //      list avoids the distinct-values pre-scan; note Spark still
+    //      plans PIVOT as TWO aggregates (on (group, pivot) then
+    //      pivot-first on group — 2 exchanges, PlanSpec pins it), so the
+    //      1-exchange spelling of the same table is the CASE-count
+    //      crosstab the oracle below uses. Empty cells come back NULL
+    //      from PIVOT — the outer coalesce zero-fills them to match the
+    //      crosstab's native 0s. ----
     QueryDef("q86_pivot_sql",
       """SELECT c_mktsegment,
         |  count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent,

@@ -251,6 +251,33 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("q84 triangle enumeration: equi-joins only — no cartesian/nested-loop anywhere") {
+    // the degree-ordered orientation exists precisely so the wedge and
+    // closing joins stay hash/merge equi-joins; a BNLJ here means the
+    // pair space went quadratic
+    val q = SparkEntry.queries("q84_triangle_count")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q82/q86 conditional aggregates: arms share the aggregate — no per-arm shuffles") {
+    // exchange counts are set by aggregate STRUCTURE, never by how many
+    // arms/conditions stack: q82's count(DISTINCT …) FILTER needs the
+    // two-phase distinct expansion (partial on (group, distinct key) →
+    // final on group) = 2; q86's PIVOT is likewise rewritten by Spark to
+    // agg-on-(group, pivot) → pivot-first-on-group = 2. The 1-exchange
+    // form of a pivot is the CASE-count crosstab (exactly what q86's
+    // oracle spells, and q82's non-distinct arms use) — the plan fact
+    // that makes the crosstab the better 100 TB spelling.
+    def aggExchanges(name: String): Int = {
+      val q = SparkEntry.queries(name)(spark, sf)
+      "Exchange hashpartitioning\\(c_mktsegment".r
+        .findAllIn(q.queryExecution.executedPlan.toString).length
+    }
+    assert(aggExchanges("q86_pivot_sql") == 2)
+    assert(aggExchanges("q82_filtered_agg") == 2)
+  }
+
   test("join hints steer the physical strategy: BROADCAST and SHUFFLE_MERGE honored") {
     // the hint surface a SQL user tunes with — the engine must pass it
     // through to strategy selection, not swallow it in view plumbing
