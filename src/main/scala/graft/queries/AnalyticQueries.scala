@@ -127,6 +127,32 @@ object AnalyticQueries {
         .orderBy("event_type")
     },
 
+    // ---- VARIANT semi-structured type (Spark 4) — q24's modern twin:
+    //      props parses ONCE into a binary variant column and every field
+    //      access is a typed variant_get on the parsed form, not a
+    //      re-parse of the JSON string per path (at 100 TB the parse is
+    //      the cost; a stored variant column amortizes it to zero).
+    //      try_variant_get on an absent path yields NULL (not an error) —
+    //      pinned by n_missing == 0. Typed extraction means sum_k is
+    //      exact BIGINT arithmetic, so the oracle (string-extract + cast
+    //      in DuckDB, which has no variant) matches bit-for-bit. ----
+    QueryDef("q87_variant_json",
+      """SELECT event_type,
+        |  sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+        |  count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_k,
+        |  count(json_extract_string(props, '$.missing')) AS n_missing
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val v = expr("parse_json(props)")
+      Tables.events(s, dir)
+        .withColumn("v", v)
+        .groupBy(col("event_type"))
+        .agg(
+          sum(expr("variant_get(v, '$.k', 'int')")).as("sum_k"),
+          count(expr("variant_get(v, '$.k', 'int')")).as("n_k"),
+          count(expr("try_variant_get(v, '$.missing', 'string')")).as("n_missing"))
+        .orderBy("event_type")
+    },
+
     // ---- ranked-window family: rank / dense_rank / ntile / percent_rank ----
     QueryDef("q25_rank_family",
       """SELECT c_mktsegment, c_custkey, c_acctbal,

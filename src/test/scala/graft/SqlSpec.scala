@@ -63,6 +63,21 @@ class SqlSpec extends SparkSpec {
     assert(dot.getDouble(0) == 11.0)
   }
 
+  test("parameterized SQL: named parameters bind as literals, matching the DataFrame filter") {
+    // the injection-safe surface a SQL-first user templates with —
+    // parameters must reach Catalyst as typed literals, not string splices
+    Tables.registerAll(spark, sf)
+    val viaParams = spark.sql(
+      """SELECT count(*) AS n FROM orders
+        |WHERE o_totalprice > :minPrice AND o_orderpriority = :prio""".stripMargin,
+      Map("minPrice" -> 300000.0, "prio" -> "1-URGENT"))
+      .collect()(0).getLong(0)
+    val viaDf = Tables.orders(spark, sf)
+      .filter(col("o_totalprice") > 300000.0 &&
+        col("o_orderpriority") === "1-URGENT").count()
+    assert(viaParams == viaDf && viaDf > 0)
+  }
+
   test("correlated count(*) scalar subquery yields 0, not NULL, on empty groups (COUNT bug)") {
     // the q85 shape with the edge the testdata lacks (every sf0.01
     // customer has orders): decorrelation must patch the aggregate output
