@@ -251,6 +251,16 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("q87 variant: JSON parses ONCE — a single parseJson feeds every typed get") {
+    // CollapseProject must NOT inline parse_json into each aggregate arm
+    // (v has multiple consumers, so the Project survives); 3 typed gets
+    // over a duplicated parse would triple the dominant per-row cost
+    val q = SparkEntry.queries("q87_variant_json")(spark, sf)
+    val plan = q.queryExecution.optimizedPlan.toString
+    val parses = "parseJson".r.findAllIn(plan).length
+    assert(parses == 1, s"expected exactly 1 parseJson, got $parses\n$plan")
+  }
+
   test("q84 triangle enumeration: equi-joins only — no cartesian/nested-loop anywhere") {
     // the degree-ordered orientation exists precisely so the wedge and
     // closing joins stay hash/merge equi-joins; a BNLJ here means the
