@@ -66,6 +66,29 @@ object Prep {
        |WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
        |GROUP BY $key""".stripMargin
 
+  /** Engine-portable fixed-decimal truncation: floor(x·10^d)/10^d.
+    * Use this — not `round(x, d)` — when a DOUBLE computed identically in
+    * both engines is the output column: round() implementations diverge
+    * at representability boundaries (Spark rounds the exact binary
+    * expansion via BigDecimal, DuckDB rounds a decimal shortening, so a
+    * value a few ulps under .xxxx5 can round down in one and up in the
+    * other — q65 hit exactly this at sf0.1). floor has no tie semantics:
+    * identical doubles in, identical doubles out. Existing round() sites
+    * pass the full 3-SF sweep and are left as-is; NEW rounded-double
+    * display columns should prefer this. SQL twin: [[floorToSql]].
+    */
+  def floorTo(x: Column, digits: Int): Column = {
+    val p = math.pow(10.0, digits)
+    floor(x * lit(p)) / lit(p)
+  }
+
+  /** DuckDB SQL form of [[floorTo]] (CAST keeps the scale factor DOUBLE —
+    * a bare literal would be DECIMAL and change the arithmetic). */
+  def floorToSql(x: String, digits: Int): String = {
+    val p = math.pow(10.0, digits).toLong
+    s"floor(($x) * CAST($p AS DOUBLE)) / CAST($p AS DOUBLE)"
+  }
+
   /** Deterministic multiplicative hash in [0, 2^32) from two integer
     * columns — a portable stand-in for `rand()` that any engine computes
     * identically (Knuth multiplicative constants; products stay below

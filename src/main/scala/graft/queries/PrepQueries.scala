@@ -179,8 +179,7 @@ object PrepQueries {
          |        FROM events e JOIN med ON e.event_type = med.event_type),
          |mad AS (${Prep.groupedMedianSql("dev", "event_type", "dev", "mad")})
          |SELECT d.event_type, d.event_id, d.value,
-         |  floor(CAST(0.6745 AS DOUBLE) * (d.value - d.med) / m.mad
-         |        * CAST(10000 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS robust_z
+         |  ${Prep.floorToSql("CAST(0.6745 AS DOUBLE) * (d.value - d.med) / m.mad", 4)} AS robust_z
          |FROM dev d JOIN mad m ON d.event_type = m.event_type
          |WHERE m.mad > 0
          |  AND abs(CAST(0.6745 AS DOUBLE) * (d.value - d.med) / m.mad) > 3.5
@@ -195,15 +194,11 @@ object PrepQueries {
         .filter(col("mad") > 0)
         .withColumn("robust_z", lit(0.6745) * (col("value") - col("med")) / col("mad"))
         .filter(abs(col("robust_z")) > 3.5)
-        // 4-decimal FLOOR, not round(): the unrounded z doubles are
-        // bit-identical across engines, but round() is not — Spark rounds
-        // the exact binary expansion while DuckDB rounds a decimal
-        // shortening of it, and a z that lands a few ulps under a .00005
-        // boundary rounds differently (hit at sf0.1: 3.85224999…97 →
-        // 3.8522 vs 3.8523). floor(z·10⁴)/10⁴ has no tie semantics at
-        // all — identical doubles in, identical doubles out.
+        // 4-decimal FLOOR, not round() — the cross-engine rounding
+        // divergence this dodges is documented at Prep.floorTo (q65 hit
+        // it at sf0.1: 3.85224999…97 → 3.8522 Spark vs 3.8523 DuckDB)
         .select(col("event_type"), col("event_id"), col("value"),
-          (floor(col("robust_z") * lit(10000.0)) / lit(10000.0)).as("robust_z"))
+          Prep.floorTo(col("robust_z"), 4).as("robust_z"))
         .orderBy("event_type", "event_id")
     },
 

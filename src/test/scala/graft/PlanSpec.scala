@@ -279,13 +279,15 @@ class PlanSpec extends SparkSpec {
     // form of a pivot is the CASE-count crosstab (exactly what q86's
     // oracle spells, and q82's non-distinct arms use) — the plan fact
     // that makes the crosstab the better 100 TB spelling.
-    def aggExchanges(name: String): Int = {
-      val q = SparkEntry.queries(name)(spark, sf)
-      "Exchange hashpartitioning\\(c_mktsegment".r
-        .findAllIn(q.queryExecution.executedPlan.toString).length
+    def aggExchanges(name: String): (Int, String) = {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      ("Exchange hashpartitioning\\(c_mktsegment".r.findAllIn(plan).length, plan)
     }
-    assert(aggExchanges("q86_pivot_sql") == 2)
-    assert(aggExchanges("q82_filtered_agg") == 2)
+    val (nPivot, pivotPlan) = aggExchanges("q86_pivot_sql")
+    assert(nPivot == 2, s"q86: $nPivot exchanges\n$pivotPlan")
+    val (nFilter, filterPlan) = aggExchanges("q82_filtered_agg")
+    assert(nFilter == 2, s"q82: $nFilter exchanges\n$filterPlan")
   }
 
   test("join hints steer the physical strategy: BROADCAST and SHUFFLE_MERGE honored") {
