@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions, DataFrame, SparkSession}
 import graft.queries._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -33,17 +33,34 @@ object SparkEntry {
   /** Auxiliary engine artifacts Verify stages alongside the query dumps —
     * NOT graded queries, just inputs an oracle needs to re-derive an
     * otherwise engine-trusted step (referenced via the OutToken path).
-    * `_staged_ivf_centroids` is the k-row coarse-quantizer table behind
-    * s09: given these centroids, the cell assignment is pure deterministic
-    * arithmetic DuckDB re-derives exactly. kmeansCentroids is
-    * deterministic BY CONSTRUCTION (decimal-sum means — merge-order-
-    * independent, see IVF.kmeansCentroidsInit), so this second call
-    * reproduces s09's internals bit-for-bit — the same property s08's
-    * oracle already relies on.
+    * `_staged_ivf_centroids` is the coarse-quantizer table behind s09,
+    * staged FLATTENED as (cell, pos, value) scalar rows — the harness
+    * row-sorts every dumped parquet with pandas, which cannot order an
+    * array column — and s09's oracle rebuilds the vectors with DuckDB's
+    * list(value ORDER BY pos). Given these centroids, the cell assignment
+    * is pure deterministic arithmetic DuckDB re-derives exactly.
+    * kmeansCentroids is deterministic BY CONSTRUCTION (decimal-sum
+    * means — merge-order-independent, see IVF.kmeansCentroidsInit), so
+    * this second call reproduces s09's internals bit-for-bit — the same
+    * property s08's oracle already relies on.
     */
   def staged: Map[String, (SparkSession, String) => DataFrame] = Map(
     "_staged_ivf_centroids" -> ((s, dir) =>
       graft.ext.IVF.kmeansCentroids(
         graft.core.Tables.embeddings(s, dir), "vec_id", "embedding",
-        k = 8, iters = 3)))
+        k = 8, iters = 3)
+        .select(functions.col("cell"), functions.posexplode(functions.col("c")))
+        .select(functions.col("cell"), functions.col("pos"),
+          functions.col("col").as("value"))
+        .orderBy("cell", "pos")),
+    // The (doc, band, bucket) MinHash band-hash rows behind t30: given
+    // these, the capped bucket self-join AND the exact-Jaccard verify are
+    // pure relational algebra DuckDB re-derives from scratch — only the
+    // murmur3 band-hash values stay engine-trusted. Deterministic across
+    // calls (order-invariant signature; see Dedup.bandRows).
+    "_staged_lsh_bands" -> ((s, dir) =>
+      graft.ext.Dedup.lshBandTable(
+        graft.core.Tables.documents(s, dir),
+        functions.col("doc_id"), functions.col("text"))
+        .orderBy("doc", "band")))
 }

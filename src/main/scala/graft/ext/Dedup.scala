@@ -188,6 +188,40 @@ object Dedup {
     bandPairs(exploded, maxBucket)
   }
 
+  /** Per-doc shingle SETS re-assembled from the exploded rows: (doc,
+    * sh_arr). collect_list's order is nondeterministic, which is legal
+    * everywhere this is consumed — the MinHash signature is a
+    * per-permutation min (order-invariant) and the verify arithmetic is
+    * array_intersect/array_union (set ops).
+    */
+  private[graft] def shingleSets(df: DataFrame, id: Column, text: Column,
+                                 n: Int): DataFrame =
+    shingleRows(df, id, text, n)
+      .groupBy("doc").agg(collect_list(col("s")).as("sh_arr"))
+
+  /** Exploded (doc, band, bucket) band-hash rows from the re-assembled
+    * shingle sets — the single derivation behind [[minhashNearDups]]'s
+    * candidate generation AND the Verify-staged `_staged_lsh_bands`
+    * table (t30's oracle re-derives the capped bucket self-join + exact
+    * Jaccard verify from these rows in DuckDB, leaving only the murmur3
+    * band-hash VALUES engine-trusted). Deterministic across calls: the
+    * signature is order-invariant (see [[shingleSets]]) and the band
+    * bucket is a hash of a signature slice.
+    */
+  private[graft] def bandRows(sets: DataFrame): DataFrame =
+    sets.select(col("doc"),
+        posexplode(call_function("graft_minhash_bands", col("sh_arr"))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
+  /** The staged band-hash table: (doc, band, bucket), one row per band
+    * per doc with ≥ n words. What Verify dumps for t30's oracle.
+    */
+  def lshBandTable(df: DataFrame, id: Column, text: Column,
+                   n: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    bandRows(shingleSets(df, id, text, n))
+  }
+
   /** Full MinHash-LSH near-dup pipeline: candidates from banding, verified
     * with exact shingle Jaccard computed ONLY for candidate pairs via
     * array_intersect on the two shingle sets — never the all-pairs join
@@ -201,19 +235,14 @@ object Dedup {
     // ONE tokenize+shingle pass for both the banding and the verify:
     // exploded shingle rows (the Generate barrier keeps words
     // materialized) re-assemble into per-doc sets, and the band hashes
-    // are computed FROM the re-assembled array — legal because the
-    // MinHash signature is a per-permutation min, invariant to
-    // collect_list's nondeterministic order. The alternative (calling
-    // lshCandidates + rebuilding sets separately) re-tokenizes and
-    // re-shingles the whole corpus a second time, the dominant map-side
-    // cost. Docs with < n words have no shingle rows and drop out here,
-    // which is exactly lshCandidates' degenerate-bucket exclusion.
-    val sets = shingleRows(df, id, text, n)
-      .groupBy("doc").agg(collect_list(col("s")).as("sh_arr"))
-    val exploded = sets.select(col("doc"),
-        posexplode(call_function("graft_minhash_bands", col("sh_arr"))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val cands = bandPairs(exploded, maxBucket)
+    // are computed FROM the re-assembled array (bandRows). The
+    // alternative (calling lshCandidates + rebuilding sets separately)
+    // re-tokenizes and re-shingles the whole corpus a second time, the
+    // dominant map-side cost. Docs with < n words have no shingle rows
+    // and drop out here, which is exactly lshCandidates'
+    // degenerate-bucket exclusion.
+    val sets = shingleSets(df, id, text, n)
+    val cands = bandPairs(bandRows(sets), maxBucket)
     cands
       .join(sets.select(col("doc").as("id_a"), col("sh_arr").as("sh_a")), "id_a")
       .join(sets.select(col("doc").as("id_b"), col("sh_arr").as("sh_b")), "id_b")

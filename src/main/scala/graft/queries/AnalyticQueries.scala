@@ -134,11 +134,13 @@ object AnalyticQueries {
     //      the cost; a stored variant column amortizes it to zero).
     //      try_variant_get on an absent path yields NULL (not an error) —
     //      pinned by n_missing == 0. Typed extraction means sum_k is
-    //      exact BIGINT arithmetic, so the oracle (string-extract + cast
-    //      in DuckDB, which has no variant) matches bit-for-bit. ----
+    //      exact integer arithmetic on both sides; the oracle wraps the
+    //      sum in CAST(... AS BIGINT) because DuckDB's sum(INTEGER) is
+    //      HUGEINT, which the grader materializes as float64 while
+    //      Spark's sum(int) is int64 — values identical, dtypes not. ----
     QueryDef("q87_variant_json",
       """SELECT event_type,
-        |  sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
         |  count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_k,
         |  count(json_extract_string(props, '$.missing')) AS n_missing
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>

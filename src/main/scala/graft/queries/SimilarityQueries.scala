@@ -145,8 +145,9 @@ object SimilarityQueries {
     // engine-trusted (k-means isn't SQL-expressible). s08's oracle also
     // consumes this query's staged output.
     QueryDef("s09_ivf_cells",
-      s"""WITH cents AS (SELECT cell, CAST(c AS DOUBLE[]) AS c
-         |               FROM read_parquet('${ClimateQueries.OutToken}/_staged_ivf_centroids/*.parquet')),
+      s"""WITH cents AS (SELECT cell, list(value ORDER BY pos) AS c
+         |               FROM read_parquet('${ClimateQueries.OutToken}/_staged_ivf_centroids/*.parquet')
+         |               GROUP BY cell),
          |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
          |SELECT vec_id AS vid, cell FROM (
          |  SELECT v.vec_id, cents.cell,

@@ -707,11 +707,48 @@ object TextQueries {
     //      oracle; DedupSpec's recall property bounds the miss rate, and
     //      on this fixture the survivor set equals t23's whenever LSH
     //      recalls every qualifying pair. ----
-    // The verified LSH pair list itself, staged (rows-only — murmur3
-    // banding has no DuckDB form): what makes t27's closure + survivor
-    // selection fully DuckDB-re-derivable, the same staging role s09
-    // plays for s08.
-    QueryDef.noOracle("t30_lsh_pairs") { (s, dir) =>
+    // The verified LSH pair list itself. FULLY oracled via the staged
+    // band-hash table (_staged_lsh_bands, dumped by Verify from the same
+    // deterministic bandRows derivation): given the (doc, band, bucket)
+    // rows, DuckDB re-derives the ENTIRE pair pipeline — the ≤1000
+    // bucket-population cap, the bucket self-join, the distinct
+    // candidate set, AND the exact shingle-Jaccard verify + ≥0.5
+    // threshold — so a wrong cap, join predicate, or Jaccard anywhere in
+    // the engine turns the board red. Only the murmur3 band-hash VALUES
+    // are engine-trusted (no DuckDB form). Also t27's staged input.
+    QueryDef("t30_lsh_pairs",
+      s"""WITH bands AS (SELECT doc, band, bucket
+         |  FROM read_parquet('${ClimateQueries.OutToken}/_staged_lsh_bands/*.parquet')),
+         |capped AS (SELECT doc, band, bucket FROM (
+         |    SELECT doc, band, bucket,
+         |      count(*) OVER (PARTITION BY band, bucket) AS bsz
+         |    FROM bands) WHERE bsz <= 1000),
+         |cand AS (SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+         |  FROM capped a JOIN capped b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc),
+         |docs AS (SELECT doc_id,
+         |           regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+         |         FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, len(w) - 1),
+         |                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+         |  FROM docs),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS ni
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.id_a
+         |  JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+         |  GROUP BY 1, 2)
+         |SELECT c.id_a, c.id_b
+         |FROM cand c
+         |JOIN sizes sa ON sa.doc_id = c.id_a
+         |JOIN sizes sb ON sb.doc_id = c.id_b
+         |LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+         |WHERE CAST(coalesce(i.ni, 0) AS DOUBLE)
+         |        / (sa.n + sb.n - coalesce(i.ni, 0)) >= 0.5
+         |ORDER BY c.id_a, c.id_b""".stripMargin) { (s, dir) =>
       Dedup.minhashNearDups(Tables.documents(s, dir), col("doc_id"), col("text"))
         .filter(col("jaccard") >= 0.5)
         .select(col("id_a"), col("id_b"))
