@@ -4,6 +4,36 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Canonical per-query reference from the COMMITTED bench_full.json,
+    // read before this run overwrites it: feeds the outlier re-run gate
+    // at sweep end. Crude regex parse — keys are [A-Za-z0-9_] and values
+    // plain numbers by construction (this file writes them).
+    val canonical: Map[String, Double] = try {
+      val s = java.nio.file.Files.readString(java.nio.file.Paths.get("bench_full.json"))
+      // only comparable when the snapshot was measured at THIS scale
+      // factor (a dev run at another sf must not trigger re-runs)
+      if (!s.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
+      else {
+        val qStart = s.indexOf("\"queries\":{")
+        val body = s.substring(qStart + 11, s.indexOf("}", qStart))
+        """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+    // Pre-flight contention gate: the min-of-two + loadavg-recording
+    // guards DOCUMENT contention but the headline number still whipsaws
+    // when another build shares the machine (r6: 101 s contended vs 78-86 s
+    // truth). Spin-wait up to 120 s for the 1-minute loadavg to drop
+    // below ~cpus/8 (4.0 on 32 cpus) before measuring anything.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val hostCpus = Runtime.getRuntime.availableProcessors()
+    val loadGate = math.max(2.0, hostCpus / 8.0)
+    val loadAtStart = osBean.getSystemLoadAverage
+    val gateT0 = System.nanoTime()
+    while (osBean.getSystemLoadAverage > loadGate &&
+      (System.nanoTime() - gateT0) < 120L * 1000000000L)
+      Thread.sleep(5000)
+    val preflightWait = (System.nanoTime() - gateT0) / 1e9
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,35 +51,50 @@ object Bench {
     }
     try SparkEntry.queries.get("q01_pricing_summary").foreach(_(spark, sfDir).count())
     catch { case e: Throwable => System.err.println(s"[bench] warm-up query failed: ${e.getMessage}") }
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        Double.NaN
+      }
+    }
     // min of two runs per query: damps shared-machine load spikes without
     // hiding real cost (both runs rebuild the full plan; only JVM/codegen
     // warmth carries over, which the warm-up pass already granted).
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          Double.NaN
-        }
-      }
+    val measured = SparkEntry.queries.map { case (name, fn) =>
+      val times = (1 to 2).map(_ => timeOnce(name, fn))
       // a failed query reports -1, never its time-to-exception (a broken
       // query must not read as a speedup)
       name -> (if (times.exists(_.isNaN)) -1.0 else times.min)
     }
+    // Outlier re-run: any query >2.5× its canonical bench_full entry gets
+    // ONE more attempt at sweep end (load spikes are transient; a real
+    // regression reproduces). min() keeps genuine slowdowns visible when
+    // they repeat and removes them when they were a one-off spike.
+    var rerunCount = 0
+    val results = measured.map { case (name, t) =>
+      val ref = canonical.getOrElse(name, -1.0)
+      name -> (if (t > 0 && ref > 0 && t > 2.5 * ref)
+        SparkEntry.queries.get(name).map { fn =>
+          rerunCount += 1
+          val t2 = timeOnce(name, fn)
+          if (t2.isNaN) t else math.min(t, t2)
+        }.getOrElse(t)
+      else t)
+    }
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     // Contention guard (r4's driver numbers were ~1.8× the uncontended truth
-    // because another build was running): record host CPU count and the
-    // 1-minute loadavg taken at sweep end, so a contended snapshot is
+    // because another build was running): record host CPU count, the
+    // 1-minute loadavg at gate entry and sweep end, the pre-flight wait,
+    // and the outlier re-run count — a contended snapshot is
     // self-documenting instead of reading as a code regression.
-    val hostCpus = Runtime.getRuntime.availableProcessors()
-    val loadAvg = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadAvg = osBean.getSystemLoadAverage
     def jsonLine(rs: Iterable[(String, Double)]): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val total = results.values.filter(_ >= 0).sum
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","host_cpus":$hostCpus,"loadavg_1m":${fmt(loadAvg)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","host_cpus":$hostCpus,"loadavg_1m":${fmt(loadAvg)},"loadavg_preflight":${fmt(loadAtStart)},"preflight_wait_sec":${fmt(preflightWait)},"rerun_outliers":$rerunCount}"""
     }
     // The driver keeps only a ~2k-char tail of stdout; the full 80-query
     // map doesn't fit, so stdout carries the headline subset (cost drivers
