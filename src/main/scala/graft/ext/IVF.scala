@@ -23,6 +23,23 @@ import Similarity.dotNative
   */
 object IVF {
 
+  /** Loud-failure guard on decimal-mean inputs: with ANSI off,
+    * `cast(x as decimal(38,18))` silently NULLs any |x| ≥ 1e20, which
+    * would surface as a NULL centroid dimension instead of an error
+    * (the repo's documented decimal-overflow trap). Components are
+    * required |x| < 1e8 — generous for any normalized/quantized
+    * embedding corpus, and low enough that even 10^12 rows per cell
+    * (100 TB territory) cannot overflow the 38-digit sum — and a
+    * violation raises with the offending value instead of corrupting
+    * the quantizer. Shared by [[kmeansCentroidsInit]] and
+    * PQ.trainCodebooks.
+    */
+  private[ext] def decimalSafe(c: Column): Column =
+    when(c.isNull || abs(c) < 1e8d, c)
+      .otherwise(raise_error(concat(
+        lit("graft: embedding component outside decimal-safe range (|x| >= 1e8): "),
+        c.cast("string"))))
+
   /** Deterministic small k-means over an embedding column.
     * Init = the k vectors FIRST IN xxhash64(id) ORDER — deterministic (no
     * RNG) but decorrelated from id locality: the k smallest ids often
@@ -63,7 +80,7 @@ object IVF {
       val updated = assignCells(v, centroids)
         .select(col("cell"), posexplode(col("v")))
         .groupBy(col("cell"), col("pos"))
-        .agg((sum(col("col").cast("decimal(38,18)")).cast("double") /
+        .agg((sum(decimalSafe(col("col")).cast("decimal(38,18)")).cast("double") /
           count(lit(1))).as("m"))
         .groupBy("cell")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),

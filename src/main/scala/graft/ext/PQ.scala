@@ -115,7 +115,7 @@ object PQ {
       val updated = assign
         .select(col("sub"), col("cell"), posexplode(col("subv")))
         .groupBy(col("sub"), col("cell"), col("pos"))
-        .agg((sum(col("col").cast("decimal(38,18)")).cast("double") /
+        .agg((sum(IVF.decimalSafe(col("col")).cast("decimal(38,18)")).cast("double") /
           count(lit(1))).as("mv"))
         .groupBy("sub", "cell")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),

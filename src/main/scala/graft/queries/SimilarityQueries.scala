@@ -391,11 +391,13 @@ object SimilarityQueries {
       // the stamp carries an order-independent CONTENT hash (summed
       // xxhash64 over id+vector), not just the row count — a regenerated
       // corpus at the same path and cardinality must invalidate the
-      // index. One cheap column scan vs retraining; a real deployment
-      // swaps this for the table format's snapshot/version id.
-      val fp = emb.agg(sum(xxhash64(col("vec_id"), col("embedding"))))
-        .first().getLong(0)
-      val stamp = s"m=8 k=16 n=${emb.count()} fp=$fp src=$dir"
+      // index. Count and fingerprint come from ONE agg (a single corpus
+      // scan — the staleness probe must not itself cost two passes of
+      // the very scan the stored index exists to avoid); a real
+      // deployment swaps this for the table format's snapshot/version id.
+      val stampRow = emb.agg(count(lit(1)),
+        sum(xxhash64(col("vec_id"), col("embedding")))).first()
+      val stamp = s"m=8 k=16 n=${stampRow.getLong(0)} fp=${stampRow.getLong(1)} src=$dir"
       val built = java.nio.file.Files.exists(marker) &&
         new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == stamp
       if (!built) {
