@@ -169,5 +169,31 @@ object SubqueryQueries {
         |   WHERE o.o_custkey = c.c_custkey) AS n_orders
         |FROM customer c
         |ORDER BY c_custkey""".stripMargin),
+
+    // ---- named-parameter SQL binding (`spark.sql(text, args)`) — the
+    //      injection-safe surface a SQL-first user actually scripts
+    //      against: parameters reach Catalyst as TYPED literals (a
+    //      double and a date below), never string splices, so the plan
+    //      is identical to hand-inlined literals (constant folding,
+    //      parquet filter pushdown — the pushed predicate shows the
+    //      bound values). Oracle = the same query with the literals
+    //      inlined; green iff binding neither changes types nor values.
+    //      decimalSum-pattern cast on the sum (DuckDB HUGEINT trap). ----
+    QueryDef("q88_param_binding",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_totalprice > 150000.0 AND o_orderdate >= DATE '1995-01-01'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+          |FROM orders
+          |WHERE o_totalprice > :minPrice AND o_orderdate >= :cutoff
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+        Map("minPrice" -> 150000.0,
+            "cutoff" -> java.sql.Date.valueOf("1995-01-01")))
+    },
   )
 }

@@ -395,6 +395,24 @@ class PlanSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(plan).length >= 3, plan)
   }
 
+  test("q88 named parameters bind as typed literals: filter pushed to the scan") {
+    // binding must be plan-identical to hand-inlined literals — the bound
+    // double reaches the parquet scan as a pushed filter, proof the
+    // parameter became a typed Catalyst literal (a string splice would
+    // also lose the date comparison's type)
+    val q = SparkEntry.queries("q88_param_binding")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThan(o_totalprice,150000.0)"), plan)
+    val inlined = spark.sql(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_totalprice > 150000.0 AND o_orderdate >= DATE '1995-01-01'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    assert(q.collect().toSeq == inlined.collect().toSeq)
+  }
+
   test("q66 DSv2 source: pushed range prunes partitions before execution") {
     // the q66 scan shape without the aggregate: 16 range partitions over
     // 100k ids; [25000, 75000) overlaps exactly 8 — the other 8 are
