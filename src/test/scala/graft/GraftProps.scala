@@ -290,4 +290,57 @@ object GraftProps extends Properties("graft") {
       val expected = as.groupBy(identity).view.mapValues(_.size.toLong).toMap
       Prop(together == expected) :| s"got=$together expected=$expected"
     }
+
+  // random small directed edge lists over ≤12 nodes (self-loops and
+  // duplicates included on purpose — triangleCounts must canonicalize)
+  private val edgesGen: Gen[List[(Long, Long)]] =
+    Gen.choose(2, 12).flatMap { n =>
+      Gen.choose(0, 26).flatMap(m => Gen.listOfN(m, for {
+        s <- Gen.choose(0L, (n - 1).toLong)
+        d <- Gen.choose(0L, (n - 1).toLong)
+      } yield (s, d)))
+    }
+
+  private def bruteTriangles(es: List[(Long, Long)]): Map[Long, Long] = {
+    val und = es.collect { case (s, d) if s != d =>
+      (math.min(s, d), math.max(s, d)) }.toSet
+    val nodes = und.flatMap(e => Set(e._1, e._2)).toList.sorted
+    val acc = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      tri <- nodes.combinations(3)
+      Seq(x, y, z) = tri
+      if und((x, y)) && und((x, z)) && und((y, z))
+    } { acc(x) += 1; acc(y) += 1; acc(z) += 1 }
+    acc.toMap
+  }
+
+  property("triangleCounts == brute-force all-triples on ≤12 nodes") =
+    forAll(edgesGen) { es =>
+      val got = graft.ops.Graph.triangleCounts(es.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      val expected = bruteTriangles(es)
+      Prop(got == expected) :| s"got=$got expected=$expected"
+    }
+
+  property("triangleCounts invariant to edge direction + duplication") =
+    forAll(edgesGen) { es =>
+      val base = graft.ops.Graph.triangleCounts(es.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      // flip every other edge, then append a reversed copy of half the
+      // list — the undirected canonicalization must absorb both
+      val mangled = es.zipWithIndex.map { case ((s, d), i) =>
+        if (i % 2 == 0) (d, s) else (s, d)
+      } ++ es.take(es.size / 2).map { case (s, d) => (d, s) }
+      val got = graft.ops.Graph.triangleCounts(mangled.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      Prop(got == base) :| s"mangled=$got base=$base"
+    }
+
+  property("triangleCounts id-range guard raises on negative/oversized ids") =
+    forAll(Gen.oneOf(-1L, -5L, 100000000L, 7000000000L)) { bad =>
+      val df = Seq((bad, 1L), (1L, 2L), (2L, bad)).toDF("src", "dst")
+      Prop(scala.util.Try(
+        graft.ops.Graph.triangleCounts(df).collect()).isFailure) :|
+        s"id $bad must raise"
+    }
 }
