@@ -282,5 +282,46 @@ object MediaStreamQueries {
           col("seg"), col("n"), col("sum_value"))
         .orderBy("window_start", "seg")
     },
+
+    // ---- st03's heavier sibling: THREE chained stateful operators —
+    //      exact-re-delivery click dedup → stream-stream interval join
+    //      (each click to the same user's views in the preceding 2h) →
+    //      15-min tumbling aggregate over the joined pairs. Watermark
+    //      propagation ACROSS stateful operators is where streaming
+    //      engines break (the agg must see the join's delayed event-time
+    //      domain, not the sources'); StreamingSpec runs this exact chain
+    //      through MemoryStream in append mode and pins streaming==batch.
+    //      Batch form below is fully oracled: dedup = DISTINCT (clicks
+    //      carry no payload), the join a range equi-join, the window a
+    //      time_bucket group. ----
+    QueryDef("st07_funnel_chain",
+      """WITH c AS (SELECT DISTINCT user_id, event_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        |v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view'),
+        |j AS (SELECT c.ts AS cts, v.value
+        |      FROM c JOIN v ON v.user_id = c.user_id
+        |        AND v.ts >= c.ts - INTERVAL 2 HOUR AND v.ts <= c.ts)
+        |SELECT strftime(time_bucket(INTERVAL '15 minutes', cts),
+        |         '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  count(*) AS n_pairs,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_view_value
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+        .transform(StreamOps.dedupStream(Seq("user_id", "click_id"),
+          "click_ts", "1 hour"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"), col("value"))
+      StreamOps.intervalJoin(clicks, views, "user_id", "click_ts", "view_ts",
+          lookback = "2 hours", watermark = "1 hour")
+        .groupBy(window(col("click_ts"), "15 minutes"))
+        .agg(count(lit(1)).as("n_pairs"),
+          graft.core.Exact.decimalSum(col("value"), "sum_view_value"))
+        .select(tsStr(col("window.start")).as("window_start"),
+          col("n_pairs"), col("sum_view_value"))
+        .orderBy("window_start")
+    },
   )
 }

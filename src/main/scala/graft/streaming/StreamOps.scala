@@ -75,8 +75,17 @@ object StreamOps {
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    leftTs: String, rightTs: String, lookback: String,
                    watermark: String, joinType: String = "inner"): DataFrame = {
-    val l = if (left.isStreaming) left.withWatermark(leftTs, watermark) else left
-    val r = if (right.isStreaming) right.withWatermark(rightTs, watermark) else right
+    // a side arriving from an UPSTREAM stateful operator (st07's deduped
+    // clicks) already carries its watermark — redefining it downstream is
+    // disallowed under multi-stateful-operator propagation, so only set
+    // one where none exists (the column's delay metadata is the marker)
+    def hasWm(df: DataFrame, c: String): Boolean =
+      df.schema.exists(f => f.name == c &&
+        f.metadata.contains("spark.watermarkDelayMs"))
+    val l = if (left.isStreaming && !hasWm(left, leftTs))
+      left.withWatermark(leftTs, watermark) else left
+    val r = if (right.isStreaming && !hasWm(right, rightTs))
+      right.withWatermark(rightTs, watermark) else right
     // dataset aliases, not l(key)/r(key): when both sides derive from the
     // SAME source (self-join — st05/st06's clicks vs views), the attribute
     // ids coincide and an unaliased drop can remove the LEFT key, which

@@ -457,6 +457,66 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(last == StreamOps.UserRunning(7L, 3L, 10.0))
   }
+
+  test("st07 chain: dedup -> stream-stream join -> windowed agg == batch (append)") {
+    // THREE chained stateful operators — the watermark must propagate
+    // THROUGH the dedup state and the join's delayed event-time domain
+    // for the final windowed agg to ever finalize in append mode (this
+    // composition, not any single operator, is where streaming engines
+    // break). Re-delivered click in a LATER micro-batch must be absorbed
+    // by dedup state BEFORE it can double the join's pair count.
+    implicit val sqlCtx = spark.sqlContext
+    def shape(df: org.apache.spark.sql.DataFrame) = {
+      val clicks = df.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+        .transform(StreamOps.dedupStream(Seq("user_id", "click_id"),
+          "click_ts", "1 hour"))
+      val views = df.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"), col("value"))
+      StreamOps.intervalJoin(clicks, views, "user_id", "click_ts", "view_ts",
+          lookback = "2 hours", watermark = "1 hour")
+        .groupBy(window(col("click_ts"), "15 minutes"))
+        .agg(count(lit(1)).as("n_pairs"),
+          graft.core.Exact.decimalSum(col("value"), "sum_view_value"))
+        .select(col("window.start").as("w"), col("n_pairs"),
+          col("sum_view_value"))
+    }
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = shape(mem.toDF().toDF("user_id", "ts", "event_id", "event_type", "value"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("st07_out").start()
+    // user 1: click t=30; views at t=25 (in window), t=-100 (older than
+    // 2h lookback, out), t=31 (after the click, out)
+    val batch1 = Seq(
+      (1L, ts(30), 100L, "click", 0.0),
+      (1L, ts(25), 200L, "view", 2.0),
+      (1L, ts(-100), 201L, "view", 3.0),
+      (1L, ts(31), 202L, "view", 5.0))
+    // re-delivered click 100 (dedup drops it — pair must NOT double) +
+    // user 2 click/view pair
+    val batch2 = Seq(
+      (1L, ts(30), 100L, "click", 0.0),
+      (2L, ts(40), 300L, "click", 0.0),
+      (2L, ts(35), 400L, "view", 7.0))
+    // watermark-advancing tail on both filters' sides (no pairs of its
+    // own: user 98 has no views, user 99 no clicks) — closes all windows
+    val tail = Seq(
+      (98L, ts(5000), 900L, "click", 0.0),
+      (99L, ts(5001), 901L, "view", 0.0))
+    mem.addData(batch1: _*); q.processAllAvailable()
+    mem.addData(batch2: _*); q.processAllAvailable()
+    mem.addData(tail: _*); q.processAllAvailable()
+    val streamed = spark.table("st07_out")
+      .as[(Timestamp, Long, Double)].collect().toSeq.sortBy(_._1.getTime)
+    q.stop()
+    val batch = shape((batch1 ++ batch2 ++ tail)
+        .toDF("user_id", "ts", "event_id", "event_type", "value"))
+      .as[(Timestamp, Long, Double)].collect().toSeq.sortBy(_._1.getTime)
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    // exactly the two true pairs — the re-delivered click added none
+    assert(streamed.map(_._2).sum == 2L, s"pair count: $streamed")
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
