@@ -318,6 +318,51 @@ object ScaleCheck {
     check(adcRank1.values.forall(_ == 1.0),
       s"ADC rank-1 at 10x must be an exact copy (cos 1.0): $adcRank1")
 
+    // ---------- q77-shape: bounded-depth recursive BFS at scale ----------
+    // the recursion over the SAME mult-disjoint-copy edge table (reused
+    // checkpoint — q77's materialize-the-edges-once posture): seed each
+    // copy with copy 0's max-degree node + its offset images, so every
+    // BFS level must contain EXACTLY mult × copy 0's rows (disjoint
+    // identical copies), and the recursion's joins must show up as
+    // multi-task stages — a recursion whose levels funnel through one
+    // task is the local-mode bug that serializes at 1000 executors.
+    val t5 = System.nanoTime()
+    val seed0 = edges.filter(col("src") < 10_000_000L)
+      .groupBy("src").agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("src")).limit(1)
+      .select(col("src")).first().getLong(0)
+    edges.createOrReplaceTempView("__scale_edges")
+    edges.filter(col("src") < 10_000_000L && col("dst") < 10_000_000L)
+      .createOrReplaceTempView("__scale_edges0")
+    def bfsLevels(view: String, seeds: Seq[Long]): Map[Int, Long] =
+      spark.sql(
+        s"""WITH RECURSIVE reach(node, depth) AS (
+           |  SELECT s, 0 FROM (VALUES ${seeds.map(s => s"(${s}L)").mkString(", ")} AS t(s))
+           |  UNION ALL
+           |  SELECT e.dst, r.depth + 1
+           |  FROM reach r JOIN $view e ON e.src = r.node
+           |  WHERE r.depth < 2)
+           |SELECT depth, count(*) AS n FROM reach GROUP BY depth""".stripMargin)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val beforeBfs = settle()
+    val lvlScaled = bfsLevels("__scale_edges",
+      (0 until mult).map(i => seed0 + i * 10_000_000L))
+    settle()
+    val bfsStages = listener.stats.synchronized {
+      listener.stats.drop(beforeBfs).toVector
+    }
+    val lvl0 = bfsLevels("__scale_edges0", Seq(seed0))
+    val tBfs = (System.nanoTime() - t5) / 1e9
+    check(lvl0.size == 3 && lvl0.values.forall(_ > 0),
+      s"copy-0 BFS reaches depth 2 with nonempty levels: $lvl0")
+    check(lvlScaled == lvl0.map { case (d, n) => d -> n * mult },
+      s"per-level BFS rows scale exactly with the copy multiplier: " +
+        s"$lvlScaled vs $mult × $lvl0")
+    val bfsBig = bfsStages.filter(_.records >= 100_000)
+    check(bfsBig.nonEmpty && bfsBig.forall(_.numTasks > 1),
+      s"BFS levels run multi-task over non-trivial volume: " +
+        bfsStages.map(s => s"${s.stageId}(${s.numTasks}t,${s.records}r)").mkString(", "))
+
     // ---------- partition-story assertions ----------
     // every stage reading >=100k records must be multi-task; the only
     // single-task stages allowed at ANY volume are the documented
@@ -333,7 +378,8 @@ object ScaleCheck {
 
     out ++= s""""n_docs":$nDocs,"n_vec":$nVec,"mult":$mult,"cells":$cells,"""
     out ++= f""""t_cluster_sec":$tCluster%.1f,"t_semdedup_sec":$tDedup%.1f,"t_knn_sec":$tKnn%.1f,"""
-    out ++= f""""t_pagerank_sec":$tPr%.1f,"t_triangles_sec":$tTri%.1f,"t_ivfpq_sec":$tIvfPq%.1f,"""
+    out ++= f""""t_pagerank_sec":$tPr%.1f,"t_triangles_sec":$tTri%.1f,"t_ivfpq_sec":$tIvfPq%.1f,"t_bfs_sec":$tBfs%.1f,"""
+    out ++= s""""bfs_levels":{${lvlScaled.toSeq.sorted.map { case (d, n) => s""""$d":$n""" }.mkString(",")}},"""
     out ++= s""""pr_edges":$nEdgesPr,"pr_mass_err":${massErrs.max},"pr_copy_diff":$rankDiff,"""
     out ++= s""""tri_total":$triTotal,"tri_copy_mismatch":$triCopyMismatch,"""
     out ++= s""""probe_rows":$probedRows,"probe_read":$probeRead,"""

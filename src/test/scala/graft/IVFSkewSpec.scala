@@ -174,6 +174,57 @@ class SkewSpec extends SparkSpec {
     assert(plain.nonEmpty)
   }
 
+  test("zscoreViaAgg: hot key never funnels the fact rows through one task") {
+    // the claim Stats.zscoreViaAgg exists for, measured at the TASK level:
+    // one user carries 50k of 60k rows. The window form moves every row of
+    // the hot key into ONE task (max per-task shuffle read ≥ 50k); the
+    // agg+join form shuffles only per-key (avg, stddev) partials and
+    // broadcast-joins them back, so no task ever shuffle-reads more than a
+    // sliver regardless of key skew.
+    def taskReads(action: => Unit): Seq[Long] = {
+      val recs = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null) recs.synchronized {
+            recs += te.taskMetrics.shuffleReadMetrics.recordsRead
+          }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        action
+        var last = -1; var same = 0
+        while (same < 3) {
+          Thread.sleep(100)
+          val now = recs.synchronized(recs.size)
+          if (now == last) same += 1 else { same = 0; last = now }
+        }
+        recs.synchronized(recs.toVector)
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val hot = spark.range(0, 60000, 1, 16)
+      .select(col("id").as("event_id"),
+        when(col("id") < 50000, 7L).otherwise(col("id") % 97).as("user_id"),
+        (col("id") % 1000).cast("double").as("value"))
+    def collect4dp(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+      df.select(col("event_id"), round(col("z_score"), 4).as("z"))
+        .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    var winRows: Seq[(Long, Double)] = null
+    val winMax = taskReads {
+      winRows = collect4dp(
+        graft.ops.Stats.zscore(col("value"), Seq(col("user_id")))(hot))
+    }.max
+    var aggRows: Seq[(Long, Double)] = null
+    val aggMax = taskReads {
+      aggRows = collect4dp(
+        graft.ops.Stats.zscoreViaAgg(col("value"), Seq(col("user_id")))(hot))
+    }.max
+    assert(winRows == aggRows, "forms must agree at 4dp")
+    assert(winMax >= 50000L,
+      s"window form funnels the hot key through one task: max read $winMax")
+    assert(aggMax <= 5000L,
+      s"agg form must stay skew-immune: max per-task read $aggMax (vs window's $winMax)")
+  }
+
   test("saltedJoin: MapType left column and explicit saltBy discriminator") {
     // regression: the salt used to hash EVERY left column, so a map-typed
     // column failed analysis (hash() rejects MapType); the fallback now
