@@ -422,4 +422,47 @@ object TextOps {
           % buckets).cast("int").as("bucket"))
       .groupBy("id", "bucket").agg(count(lit(1)).as("n"))
   }
+
+  /** Adjacent-bigram collocation strength — the corpus-linguistics PMI
+    * extractor, and a classic data-quality probe (boilerplate/templated
+    * text surfaces as impossibly strong collocations). Emits the LIFT
+    * (c_ab/N2) / ((c_a/N1)·(c_b/N1)) = exp(PMI) rather than the log:
+    * monotonic in PMI (identical ranking) but pure IEEE divide/multiply
+    * in a fixed order, so any engine computes the bit-identical double —
+    * ln() is libm territory, the one place two engines legitimately
+    * diverge by an ulp. Counts are occurrence counts (NOT distinct —
+    * frequency is the signal here, unlike the dedup shingle sets).
+    *
+    * Shape at scale: one tokenize pass materialized for the two count
+    * aggregates (multi-consumer scan rule); corpus totals ride a
+    * broadcast; the final join keys are the (already aggregated) vocab
+    * tables, orders of magnitude smaller than the token stream. Returns
+    * (w1, w2, c_ab, lift) for pairs with c_ab ≥ minCount.
+    */
+  def pmiCollocations(df: DataFrame, textCol: Column,
+                      minCount: Long = 5L): DataFrame = {
+    val wdf = df.select(words(textCol).as("w")).localCheckpoint()
+    val uni = wdf.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val bi = wdf.select(explode(when(size(col("w")) >= 2,
+        transform(sequence(lit(1), size(col("w")) - 1),
+          i => struct(element_at(col("w"), i).as("w1"),
+            element_at(col("w"), i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint()
+    val n1 = uni.agg(sum(col("c")).cast("double").as("n1"))
+    val n2 = bi.agg(sum(col("c_ab")).cast("double").as("n2"))
+    bi.filter(col("c_ab") >= minCount)
+      .join(uni.select(col("t").as("w1"), col("c").as("c_a")), "w1")
+      .join(uni.select(col("t").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .withColumn("lift",
+        (col("c_ab").cast("double") / col("n2")) /
+          ((col("c_a").cast("double") / col("n1")) *
+            (col("c_b").cast("double") / col("n1"))))
+      .select(col("w1"), col("w2"), col("c_ab"), col("lift"))
+  }
 }

@@ -945,5 +945,40 @@ object TextQueries {
         .select(col("id").as("doc_id"), col("bucket"), col("n"))
         .orderBy("doc_id", "bucket")
     },
+
+    // ---- PMI collocations (TextOps.pmiCollocations): top-20 adjacent
+    //      bigrams by association lift = exp(PMI) — pure IEEE arithmetic
+    //      in a pinned order on both engines (no ln(): libm is the one
+    //      place engines legitimately diverge an ulp), display column
+    //      floored (Prep.floorTo — the portable-rounding rule), ORDER on
+    //      the raw lift so the top-20 cut is bit-deterministic. ----
+    QueryDef("t34_pmi_collocations",
+      s"""WITH docs AS (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+         |              FROM documents),
+         |uc AS (SELECT t, count(*) AS c
+         |       FROM (SELECT unnest(w) AS t FROM docs) GROUP BY 1),
+         |bc AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c_ab FROM (
+         |         SELECT unnest(list_transform(range(1, len(w)),
+         |                  i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS p
+         |         FROM docs) GROUP BY 1, 2),
+         |tot AS (SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM uc) AS n1,
+         |               (SELECT CAST(sum(c_ab) AS DOUBLE) FROM bc) AS n2)
+         |SELECT w1, w2, c_ab, ${graft.ops.Prep.floorToSql("lift_raw", 4)} AS lift
+         |FROM (
+         |  SELECT bc.w1, bc.w2, bc.c_ab,
+         |    (CAST(bc.c_ab AS DOUBLE) / tot.n2) /
+         |      ((CAST(ca.c AS DOUBLE) / tot.n1) * (CAST(cb.c AS DOUBLE) / tot.n1))
+         |      AS lift_raw
+         |  FROM bc
+         |  JOIN uc ca ON ca.t = bc.w1
+         |  JOIN uc cb ON cb.t = bc.w2
+         |  CROSS JOIN tot
+         |  WHERE bc.c_ab >= 5)
+         |ORDER BY lift_raw DESC, w1, w2 LIMIT 20""".stripMargin) { (s, dir) =>
+      TextOps.pmiCollocations(Tables.documents(s, dir), col("text"), minCount = 5L)
+        .orderBy(col("lift").desc, col("w1"), col("w2")).limit(20)
+        .select(col("w1"), col("w2"), col("c_ab"),
+          graft.ops.Prep.floorTo(col("lift"), 4).as("lift"))
+    },
   )
 }
