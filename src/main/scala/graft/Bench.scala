@@ -115,7 +115,8 @@ object Bench {
       "s13_ann_int8", "t29_boilerplate", "q66_dsv2_source",
       "q67_weighted_mean_udaf", "s14_ann_ivfpq", "m04_frame_chunk_dedup",
       "q74_scalar_subquery", "q77_recursive_reach", "s15_ann_pq_stored",
-      "s16_hybrid_rrf", "t32_bm25_topk", "st05_stream_stream_join")
+      "s16_hybrid_rrf", "t32_bm25_topk", "st05_stream_stream_join",
+      "q88_param_binding", "st07_funnel_chain", "t34_pmi_collocations")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"),
       jsonLine(results.toSeq.sortBy(_._1)))
