@@ -439,6 +439,22 @@ object TextOps {
     * tables, orders of magnitude smaller than the token stream. Returns
     * (w1, w2, c_ab, lift) for pairs with c_ab ≥ minCount.
     */
+  /** Adjacent-bigram collocation strength — the corpus-linguistics PMI
+    * extractor, and a classic data-quality probe (boilerplate/templated
+    * text surfaces as impossibly strong collocations). Emits the LIFT
+    * (c_ab/N2) / ((c_a/N1)·(c_b/N1)) = exp(PMI) rather than the log:
+    * monotonic in PMI (identical ranking) but pure IEEE divide/multiply
+    * in a fixed order, so any engine computes the bit-identical double —
+    * ln() is libm territory, the one place two engines legitimately
+    * diverge by an ulp. Counts are occurrence counts (NOT distinct —
+    * frequency is the signal here, unlike the dedup shingle sets).
+    *
+    * Shape at scale: one tokenize pass materialized for the two count
+    * aggregates (multi-consumer scan rule); corpus totals ride a
+    * broadcast; the final join keys are the (already aggregated) vocab
+    * tables, orders of magnitude smaller than the token stream. Returns
+    * (w1, w2, c_ab, lift) for pairs with c_ab ≥ minCount.
+    */
   /** Intra-document repetition metrics — the Gopher repetition-filter
     * family (Rae et al. 2021 §A1.1.2): templated/looping generations
     * show up as one dominant n-gram or a collapsed vocabulary long

@@ -981,48 +981,5 @@ object TextQueries {
           graft.ops.Prep.floorTo(col("lift"), 4).as("lift"))
     },
 
-    // ---- Gopher repetition filters (TextOps.repetitionScores): per-doc
-    //      vocabulary-collapse + dominant-bigram-loop fractions, flag on
-    //      the RAW doubles (pinned-order exact small-int ratios — both
-    //      engines compare the identical value), display floored. The
-    //      bigram key is struct vs 'w1 w2' concat across engines —
-    //      injective because words can't contain whitespace. ----
-    QueryDef("t35_repetition_score",
-      s"""WITH docs AS (SELECT doc_id AS doc,
-         |    regexp_split_to_array(lower(trim(text)), '\\s+') AS w
-         |  FROM documents),
-         |st AS (SELECT doc, len(w) AS n_words,
-         |         len(list_distinct(w)) AS n_distinct, w FROM docs),
-         |bt AS (SELECT doc, max(c) AS top_c FROM (
-         |    SELECT doc, p, count(*) AS c FROM (
-         |      SELECT doc, unnest(list_transform(range(1, len(w)),
-         |               i -> w[i] || ' ' || w[i+1])) AS p
-         |      FROM docs WHERE len(w) >= 2)
-         |    GROUP BY 1, 2) GROUP BY 1),
-         |f AS (SELECT st.doc, st.n_words,
-         |    CAST(1 AS DOUBLE) - CAST(st.n_distinct AS DOUBLE)
-         |      / CAST(st.n_words AS DOUBLE) AS dupf,
-         |    CASE WHEN st.n_words >= 2
-         |      THEN CAST(coalesce(bt.top_c, 0) AS DOUBLE)
-         |             / CAST(st.n_words - 1 AS DOUBLE)
-         |      ELSE CAST(0 AS DOUBLE) END AS topf
-         |  FROM st LEFT JOIN bt ON bt.doc = st.doc)
-         |SELECT doc, CAST(n_words AS INTEGER) AS n_words,
-         |  ${graft.ops.Prep.floorToSql("dupf", 6)} AS dup_word_frac,
-         |  ${graft.ops.Prep.floorToSql("topf", 6)} AS top_bigram_frac,
-         |  (topf >= 0.08 OR dupf >= 0.62) AS flagged
-         |FROM f ORDER BY doc""".stripMargin) { (s, dir) =>
-      // thresholds tuned to the fixture so BOTH arms discriminate
-      // (34 loop-flagged, 154 collapse-flagged of 500 at sf0.01);
-      // the op's defaults stay at the literature values
-      TextOps.repetitionScores(Tables.documents(s, dir),
-          col("doc_id"), col("text"),
-          topBigramMax = 0.08, dupWordMax = 0.62)
-        .select(col("doc"), col("n_words"),
-          graft.ops.Prep.floorTo(col("dup_word_frac"), 6).as("dup_word_frac"),
-          graft.ops.Prep.floorTo(col("top_bigram_frac"), 6).as("top_bigram_frac"),
-          col("flagged"))
-        .orderBy("doc")
-    },
   )
 }
