@@ -155,6 +155,27 @@ class DedupSpec extends SparkSpec {
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("pmiCollocations: hand-computed lifts on a two-doc corpus") {
+    // docs "a b a b" + "a b c": unigrams a=3 b=3 c=1 (N1=7);
+    // bigrams ab=3 ba=1 bc=1 (N2=5).
+    // lift(a,b) = (3/5)/((3/7)(3/7)) = 49·3/(5·9)  = 3.2666…
+    // lift(b,c) = (1/5)/((3/7)(1/7)) = 49/(5·3)    = 3.2666…
+    // lift(b,a) = (1/5)/((3/7)(3/7)) = 49/(5·9)    = 1.0888…
+    val df = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = graft.ext.TextOps.pmiCollocations(df, col("text"), minCount = 1L)
+      .orderBy("w1", "w2")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) ==
+      Seq(("a", "b", 3L), ("b", "a", 1L), ("b", "c", 1L)))
+    val lifts = got.map(_._4)
+    assert(math.abs(lifts(0) - 49.0 * 3 / 45) < 1e-12)
+    assert(math.abs(lifts(1) - 49.0 / 45) < 1e-12)
+    assert(math.abs(lifts(2) - 49.0 / 15) < 1e-12)
+    // frequency asymmetry: the rarer right-hand word (c) lifts harder
+    // than the common one at equal pair count
+    assert(lifts(2) > lifts(1))
+  }
+
   test("bm25TopK: rare-term docs outrank common-term docs; tf saturates; dl normalizes") {
     // 'needle' appears in 1 of 4 docs (high idf), 'water' in all (low idf):
     // the needle doc must rank first. Docs 3 vs 4 share tf('water')=1 but
