@@ -421,4 +421,49 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("rrf"),
         col("rn").cast("int").as("rn"))
   }
+
+  /** Grid-blocked exact nearest neighbors in a 2-D projection (the first
+    * two embedding dims as a point set) — the spatial-join pattern: every
+    * point lands in a square cell of side `cellSize` (`floor(x/w)`,
+    * `floor(y/w)`), each QUERY point explodes into its 3×3 neighbor
+    * cells, and candidates come from an EQUI-join on the cell id — never
+    * a cross join or a range (theta) join. Semantics: top-k by squared
+    * euclidean distance among the points sharing the query's 3×3
+    * neighborhood (self excluded); a true NN farther than one cell away
+    * is out of scope by definition, exactly like an LSH bucket miss.
+    *
+    * Scale posture: the ×9 neighbor expansion rides the (small,
+    * broadcast) query side; the corpus side is hashed once on its cell
+    * id. With BOTH sides large this becomes a shuffle equi-join on the
+    * cell key with per-task work bounded by cell occupancy — cellSize is
+    * the recall/cost dial, same role as IVF's nprobe. Distance is pure
+    * `(dx·dx + dy·dy)` arithmetic in a pinned order (no sqrt, no trig) →
+    * bit parity with the DuckDB oracle.
+    */
+  def gridNN2d(emb: DataFrame, id: String, vec: String,
+               queryPred: Column, cellSize: Double, k: Int = 3): DataFrame = {
+    def pts(df: DataFrame, p: String): DataFrame =
+      df.select(col(id).as(s"${p}_id"),
+          element_at(col(vec), 1).cast("double").as(s"${p}x"),
+          element_at(col(vec), 2).cast("double").as(s"${p}y"))
+        .withColumn(s"${p}gx", floor(col(s"${p}x") / cellSize).cast("long"))
+        .withColumn(s"${p}gy", floor(col(s"${p}y") / cellSize).cast("long"))
+    val corpus = pts(emb, "c")
+    val queries = pts(emb.filter(queryPred), "q")
+      .withColumn("dx", explode(lit(Array(-1L, 0L, 1L))))
+      .withColumn("dy", explode(lit(Array(-1L, 0L, 1L))))
+      .withColumn("jgx", col("qgx") + col("dx"))
+      .withColumn("jgy", col("qgy") + col("dy"))
+    val w = Window.partitionBy("q_id").orderBy(col("dist2"), col("c_id"))
+    corpus.join(broadcast(queries),
+        col("cgx") === col("jgx") && col("cgy") === col("jgy") &&
+          col("c_id") =!= col("q_id"))
+      .withColumn("dist2", round(
+        (col("cx") - col("qx")) * (col("cx") - col("qx")) +
+          (col("cy") - col("qy")) * (col("cy") - col("qy")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), col("dist2"),
+        col("rn").cast("int").as("rn"))
+  }
 }

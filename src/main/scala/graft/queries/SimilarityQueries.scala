@@ -424,5 +424,37 @@ object SimilarityQueries {
           k = 3, cells = 8)
         .orderBy("q_id", "rn")
     },
+
+    // ---- grid-blocked 2-D nearest neighbors (the spatial-join pattern):
+    //      square cells of side 0.1 over (embedding[1], embedding[2]),
+    //      query explodes into its 3×3 neighborhood, candidates via
+    //      EQUI-join on the cell id — never a cross/theta join. FULLY
+    //      oracled: the grid assignment, neighborhood, pinned-order
+    //      (dx·dx + dy·dy) distance and rank are all plain arithmetic
+    //      DuckDB reproduces bit-for-bit (the oracle's BETWEEN join is
+    //      set-equivalent to the engine's exploded equi-join). ----
+    QueryDef("s17_grid_nn",
+      """WITH g AS (
+        |  SELECT vec_id,
+        |    CAST(embedding[1] AS DOUBLE) AS x, CAST(embedding[2] AS DOUBLE) AS y,
+        |    CAST(floor(CAST(embedding[1] AS DOUBLE) / CAST(0.1 AS DOUBLE)) AS BIGINT) AS gx,
+        |    CAST(floor(CAST(embedding[2] AS DOUBLE) / CAST(0.1 AS DOUBLE)) AS BIGINT) AS gy
+        |  FROM embeddings),
+        |q AS (SELECT * FROM g WHERE vec_id % 50 = 0)
+        |SELECT q_id, c_id, dist2, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    round((c.x - q.x) * (c.x - q.x) + (c.y - q.y) * (c.y - q.y), 6) AS dist2,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round((c.x - q.x) * (c.x - q.x) + (c.y - q.y) * (c.y - q.y), 6),
+        |               c.vec_id) AS rn
+        |  FROM q JOIN g c
+        |    ON c.gx BETWEEN q.gx - 1 AND q.gx + 1
+        |   AND c.gy BETWEEN q.gy - 1 AND q.gy + 1
+        |   AND c.vec_id <> q.vec_id)
+        |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      Similarity.gridNN2d(Tables.embeddings(s, dir), "vec_id", "embedding",
+          col("vec_id") % 50 === 0, cellSize = 0.1, k = 3)
+        .orderBy("q_id", "rn")
+    },
   )
 }

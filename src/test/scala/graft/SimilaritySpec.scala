@@ -216,4 +216,33 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.int8TopK(empty, "vec_id", "embedding", lit(true), k = 3)
       .count() == 0)
   }
+
+  test("gridNN2d: hand-crafted grid — neighborhood-bounded NN, self excluded") {
+    // cellSize 1.0: query (0.5,0.5) sits in cell (0,0). Point 1 shares the
+    // cell, point 2 is in neighbor cell (1,0), point 3 is in cell (3,0) —
+    // OUTSIDE the 3×3 neighborhood, so it must NOT appear even though k=10
+    // would admit it by distance. Point 4 shares coordinates with the query
+    // but a different id — kept (only SELF is excluded).
+    val pts = Seq(
+      (0L, Seq(0.5f, 0.5f)),
+      (1L, Seq(0.6f, 0.5f)),
+      (2L, Seq(1.4f, 0.5f)),
+      (3L, Seq(3.5f, 0.5f)),
+      (4L, Seq(0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.gridNN2d(pts, "vec_id", "embedding",
+        col("vec_id") === 0, cellSize = 1.0, k = 10)
+      .orderBy("rn").as[(Long, Long, Double, Int)].collect().toSeq
+    assert(got == Seq((0L, 4L, 0.0, 1), (0L, 1L, 0.01, 2), (0L, 2L, 0.81, 3)),
+      s"got $got")
+  }
+
+  test("gridNN2d plans as an equi-join on the cell id — never nested-loop") {
+    val plan = Similarity.gridNN2d(Tables.embeddings(spark, sf),
+        "vec_id", "embedding", col("vec_id") % 50 === 0, cellSize = 0.1, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected hash join:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"grid join degenerated to a nested loop:\n$plan")
+  }
 }
