@@ -48,11 +48,19 @@ object Dedup {
     *    inline split re-tokenizes the text 3× per shingle (16× slower
     *    at sf0.1: 11 s → 0.7 s for the explode).
     */
-  def shinglesOfWords(w: Column, n: Int = 3): Column = {
+  def shinglesOfWords(w: Column, n: Int = 3): Column =
+    array_distinct(gramsOfWords(w, n))
+
+  /** POSITIONAL word n-grams (one per starting position, duplicates
+    * preserved) — the multiplicity-aware base [[shinglesOfWords]]
+    * deduplicates. [[crossDocDupRatio]] needs every position: the
+    * duplicated-span fraction counts gram OCCURRENCES, not distinct grams.
+    */
+  def gramsOfWords(w: Column, n: Int): Column = {
     val cnt = size(w) - (n - 1)
     when(cnt >= 1,
-      array_distinct(transform(sequence(lit(1), cnt),
-        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*))))
+      transform(sequence(lit(1), cnt),
+        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)))
       .otherwise(array().cast("array<string>"))
   }
 
@@ -426,5 +434,38 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  // ---------- cross-document duplicated spans ----------
+
+  /** Per-document duplicated-span fraction, the exact-substring-dedup
+    * signal of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better" (arXiv:2107.06499) at word-n-gram granularity: the
+    * fraction of a document's n-gram POSITIONS whose gram appears
+    * verbatim in at least one OTHER document. Returns
+    * (doc, n_grams, dup_grams, dup_ratio); documents shorter than n
+    * words have no positions and are absent.
+    *
+    * Shape: positional grams → one shuffle to (doc, gram) multiplicities
+    * (the map-side combine absorbs within-doc repeats) → gram
+    * document-frequency over those DISTINCT pairs (second, smaller
+    * shuffle) → join back and one aggregate per doc. Grouping keys are
+    * the raw gram strings so the DuckDB oracle re-derives every step; at
+    * petabyte scale you'd group on xxhash64(gram) instead (the
+    * [[contamination]]/[[minhashSignature]] trade: 8-byte shuffle keys,
+    * engine-trusted hashes).
+    */
+  def crossDocDupRatio(df: DataFrame, id: Column, text: Column,
+                       n: Int = 8): DataFrame = {
+    val grams = df.select(id.as("doc"), TextOps.words(text).as("w"))
+      .select(col("doc"), explode(gramsOfWords(col("w"), n)).as("gram"))
+    val perDoc = grams.groupBy("doc", "gram").agg(count(lit(1)).as("m"))
+    val gramDf = perDoc.groupBy("gram").agg(count(lit(1)).as("ndocs"))
+    perDoc.join(gramDf, "gram")
+      .groupBy("doc")
+      .agg(sum(col("m")).as("n_grams"),
+        sum(when(col("ndocs") >= 2, col("m")).otherwise(lit(0L))).as("dup_grams"))
+      .withColumn("dup_ratio",
+        round(col("dup_grams").cast("double") / col("n_grams").cast("double"), 6))
   }
 }

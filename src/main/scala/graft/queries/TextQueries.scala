@@ -981,5 +981,31 @@ object TextQueries {
           graft.ops.Prep.floorTo(col("lift"), 4).as("lift"))
     },
 
+    // ---- Lee-et-al cross-doc duplicated-span fraction (exact substring
+    //      dedup signal at word-8-gram granularity): per doc, the share
+    //      of n-gram POSITIONS whose gram appears verbatim in ≥1 OTHER
+    //      document. Grouping on raw gram strings keeps every step
+    //      DuckDB-re-derivable; sums are CAST BIGINT on the oracle side
+    //      (DuckDB sum(BIGINT)→HUGEINT, the q87 dtype trap). ----
+    QueryDef("t36_dup_spans",
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, array_to_string(w[i : i + 7], ' ') AS gram
+        |      FROM (SELECT doc_id, w, unnest(range(1, len(w) - 8 + 2)) AS i
+        |            FROM t WHERE len(w) >= 8)),
+        |pd AS (SELECT doc_id, gram, count(*) AS m FROM g GROUP BY 1, 2),
+        |dfreq AS (SELECT gram, count(*) AS ndocs FROM pd GROUP BY 1)
+        |SELECT pd.doc_id AS doc,
+        |  CAST(sum(pd.m) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN dfreq.ndocs >= 2 THEN pd.m ELSE 0 END) AS BIGINT) AS dup_grams,
+        |  round(CAST(sum(CASE WHEN dfreq.ndocs >= 2 THEN pd.m ELSE 0 END) AS DOUBLE)
+        |        / CAST(sum(pd.m) AS DOUBLE), 6) AS dup_ratio
+        |FROM pd JOIN dfreq USING (gram)
+        |GROUP BY 1 ORDER BY doc""".stripMargin) { (s, dir) =>
+      Dedup.crossDocDupRatio(Tables.documents(s, dir),
+          col("doc_id"), col("text"), n = 8)
+        .orderBy("doc")
+    },
+
   )
 }

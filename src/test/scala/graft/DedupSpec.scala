@@ -350,4 +350,23 @@ class TextOpsSpec extends SparkSpec {
     val (_, n4, b4, f4) = got(3)
     assert(n4 == 5 && b4 == 0 && f4 == 0.0, "unique doc must have no boilerplate")
   }
+
+  test("crossDocDupRatio: positional multiplicity, cross-doc-only rule, short docs absent") {
+    val df = Seq(
+      (1L, "a b c d"),      // bigrams: "a b" "b c" "c d"
+      (2L, "x y a b"),      // bigrams: "x y" "y a" "a b"
+      (3L, "p q r"),        // bigrams: "p q" "q r" — none shared
+      (4L, "a b a b a"),    // "a b" ×2 (cross-doc dup), "b a" ×2 (ONLY in
+                            // this doc — within-doc repeats don't count)
+      (5L, "z")             // shorter than n → no positions → absent
+    ).toDF("doc_id", "text")
+    val got = Dedup.crossDocDupRatio(df, col("doc_id"), col("text"), n = 2)
+      .orderBy("doc").as[(Long, Long, Long, Double)].collect().toSeq
+    val third = math.rint(1.0 / 3.0 * 1e6) / 1e6
+    assert(got == Seq(
+      (1L, 3L, 1L, third),
+      (2L, 3L, 1L, third),
+      (3L, 2L, 0L, 0.0),
+      (4L, 4L, 2L, 0.5)), s"got $got")
+  }
 }
