@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM-data pipelines (north star,
@@ -525,5 +526,38 @@ object TextOps {
           ((col("c_a").cast("double") / col("n1")) *
             (col("c_b").cast("double") / col("n1"))))
       .select(col("w1"), col("w2"), col("c_ab"), col("lift"))
+  }
+
+  /** Source-mixture rebalancing (the Pile/DoReMi pretraining-mix shape):
+    * deterministically subsample so source s contributes ∝ `weight` of
+    * the output. All-integer quota arithmetic — with integer weights w_s,
+    * `m = min_s(cnt_s div w_s)` and `quota_s = w_s · m` is the LARGEST
+    * total any target mixture admits without oversampling (every
+    * per-source rate ≤ 1) while hitting the ratios exactly. Row selection
+    * ranks each source by a Knuth multiplicative hash of the id
+    * (`id · 2654435761 mod 2³²` — pure integer arithmetic: deterministic,
+    * decorrelated from id locality, and reproducible by ANY engine; no
+    * RNG, no engine-private hash). Returns the kept rows
+    * (doc, source, pick), pick = 1..quota_s.
+    *
+    * At 100 TB: two scans (count + rank) and one shuffle on `source`; the
+    * per-source quota table is k rows broadcast back. The window ranks
+    * WITHIN source partitions — no global sort. Skewed sources are real
+    * here (that's what the rebalance corrects); a pathological single
+    * source would call for the q46 salting shape on the rank instead.
+    */
+  def mixtureRebalance(df: DataFrame, id: Column, source: Column,
+                       weight: Column): DataFrame = {
+    val rows = df.select(id.as("doc"), source.as("source"),
+      weight.cast("long").as("w"))
+    val quotas = rows.groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+    val mScalar = quotas.agg(min(expr("cnt div w")).as("m"))
+    val w = Window.partitionBy("source")
+      .orderBy((col("doc") * lit(2654435761L)) % lit(4294967296L), col("doc"))
+    rows.withColumn("pick", row_number().over(w))
+      .join(broadcast(quotas.crossJoin(mScalar)
+        .select(col("source"), (col("w") * col("m")).as("quota"))), "source")
+      .filter(col("pick") <= col("quota"))
+      .select(col("doc"), col("source"), col("pick").cast("int").as("pick"))
   }
 }

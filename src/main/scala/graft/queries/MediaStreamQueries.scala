@@ -323,5 +323,29 @@ object MediaStreamQueries {
           col("n_pairs"), col("sum_view_value"))
         .orderBy("window_start")
     },
+
+    // ---- key-only dedup, batch form: the event-time-FIRST event per
+    //      user (event_id tie-break for equal timestamps). Under
+    //      readStream the SAME StreamOps.firstPerKey runs as
+    //      dropDuplicatesWithinWatermark — key-only matching with
+    //      watermark-evicted state; StreamingSpec pins the in-order
+    //      batch==stream equality and the deliberate beyond-horizon
+    //      re-emission. Fully oracled window query. ----
+    QueryDef("st08_first_per_key",
+      """SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |  event_type, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), col("value"))
+        .transform(StreamOps.firstPerKey("user_id", "ts", "30 minutes",
+          tieBreak = Seq("event_id")))
+        .select(col("user_id"), col("event_id"),
+          tsStr(col("ts")).as("ts"), col("event_type"), col("value"))
+        .orderBy("user_id")
+    },
   )
 }

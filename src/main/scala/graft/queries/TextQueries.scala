@@ -1007,5 +1007,37 @@ object TextQueries {
         .orderBy("doc")
     },
 
+    // ---- source-mixture rebalancing (Pile/DoReMi pretraining-mix): keep
+    //      the largest subsample hitting target weights 3:2:1 across the
+    //      source tiers EXACTLY — all-integer quota arithmetic
+    //      (m = min(cnt div w), quota = w·m) and a Knuth multiplicative
+    //      id-hash pick order, so every step is engine-neutral integer
+    //      math with a full oracle. ----
+    QueryDef("t37_mixture_rebalance",
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 3
+        |         WHEN source IN ('src5','src6','src7','src8','src9') THEN 2
+        |         ELSE 1 END AS w
+        |  FROM documents),
+        |c AS (SELECT source, w, count(*) AS cnt FROM d GROUP BY 1, 2),
+        |m AS (SELECT min(cnt // w) AS m FROM c),
+        |r AS (SELECT d.doc_id, d.source, c.w * m.m AS quota,
+        |        row_number() OVER (PARTITION BY d.source
+        |          ORDER BY (d.doc_id * 2654435761) % 4294967296, d.doc_id) AS rn
+        |      FROM d JOIN c USING (source) CROSS JOIN m)
+        |SELECT doc_id, source, CAST(rn AS INTEGER) AS pick
+        |FROM r WHERE rn <= quota
+        |ORDER BY source, pick""".stripMargin) { (s, dir) =>
+      val tier3 = Seq("src0", "src1", "src2", "src3", "src4")
+      val tier2 = Seq("src5", "src6", "src7", "src8", "src9")
+      TextOps.mixtureRebalance(Tables.documents(s, dir),
+          col("doc_id"), col("source"),
+          when(col("source").isin(tier3: _*), 3)
+            .when(col("source").isin(tier2: _*), 2).otherwise(1))
+        .select(col("doc").as("doc_id"), col("source"), col("pick"))
+        .orderBy("source", "pick")
+    },
+
   )
 }

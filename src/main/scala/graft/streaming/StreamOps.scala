@@ -113,6 +113,30 @@ object StreamOps {
     (if (df.isStreaming) df.withWatermark(tsCol, watermark) else df)
       .dropDuplicates(keyCols :+ tsCol)
 
+  /** KEY-ONLY dedup with watermark-bounded state —
+    * `dropDuplicatesWithinWatermark`: a row drops when ANY row with the
+    * same key was seen within the watermark horizon, whatever its own
+    * timestamp ([[dedupStream]] by contrast matches on exact (key, ts)
+    * identity). Batch twin: the event-time-EARLIEST row per key via a
+    * row_number window (deterministic, `tieBreak` for equal timestamps).
+    * The two coincide exactly when replay is event-time-ordered and every
+    * re-occurrence of a key falls within one horizon; StreamingSpec pins
+    * both that equality AND the divergence the streaming form is
+    * DESIGNED to have — a key recurring beyond the horizon re-emits,
+    * because unbounded key memory does not exist at scale.
+    */
+  def firstPerKey(keyCol: String, tsCol: String, watermark: String,
+                  tieBreak: Seq[String] = Nil)(df: DataFrame): DataFrame =
+    if (df.isStreaming)
+      df.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark(Seq(keyCol))
+    else {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
+        .orderBy((col(tsCol) +: tieBreak.map(col)): _*)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+
   /** Continuous gold-table maintenance: every micro-batch SCD1-upserts
     * into a parquet state table via [[graft.ops.Maintenance.upsert]]
     * (key-unique enforced per batch with a dropDuplicates on the keys).

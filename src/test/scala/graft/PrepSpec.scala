@@ -127,4 +127,21 @@ class PrepSpec extends SparkSpec {
       .select("id").as[Long].collect()
     assert(ranked.toSeq == again.toSeq)
   }
+
+  test("mixtureRebalance: exact integer quotas on a skewed corpus, hash-order picks") {
+    import spark.implicits._
+    // source a: 6 rows at weight 2; source b: 2 rows at weight 1.
+    // m = min(6 div 2, 2 div 1) = 2 → quotas a=4, b=2 — an exact 2:1 mix,
+    // b fully consumed (it is the binding constraint).
+    val df = ((1L to 6L).map(i => (i, "a")) ++ Seq((7L, "b"), (8L, "b")))
+      .toDF("doc_id", "source")
+    val got = graft.ext.TextOps.mixtureRebalance(df, col("doc_id"),
+        col("source"), when(col("source") === "a", 2).otherwise(1))
+      .orderBy("source", "doc").as[(Long, String, Int)].collect().toSeq
+    // pick order within a source follows the Knuth multiplicative hash
+    // (id·2654435761 mod 2³²): for ids 1..6 that order is 5,2,4,1,6,3 —
+    // quota 4 keeps {5,2,4,1}; id 3 and 6 (hash-largest) are dropped.
+    assert(got == Seq((1L, "a", 4), (2L, "a", 2), (4L, "a", 3), (5L, "a", 1),
+      (7L, "b", 1), (8L, "b", 2)), s"got $got")
+  }
 }

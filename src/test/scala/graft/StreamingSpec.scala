@@ -517,6 +517,40 @@ class StreamingSpec extends SparkSpec {
     // exactly the two true pairs — the re-delivered click added none
     assert(streamed.map(_._2).sum == 2L, s"pair count: $streamed")
   }
+
+  test("firstPerKey streaming: key-only within-horizon drop, beyond-horizon re-emit") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val sdf = mem.toDF().toDF("user_id", "ts", "value")
+    val q = StreamOps.firstPerKey("user_id", "ts", "30 minutes")(sdf)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("fpk_out").start()
+    // user 1 twice within the horizon at DIFFERENT timestamps — the
+    // key-only rule drops the second (dedupStream would keep both)
+    mem.addData((1L, ts(0), 1.0), (1L, ts(10), 2.0), (2L, ts(5), 3.0))
+    q.processAllAvailable()
+    val batch1 = spark.table("fpk_out")
+      .select("user_id", "value").as[(Long, Double)].collect().toSet
+    assert(batch1 == Set((1L, 1.0), (2L, 3.0)), s"got $batch1")
+    // in-order replay within one horizon == the batch twin on the same data
+    val batchTwin = StreamOps.firstPerKey("user_id", "ts", "30 minutes")(
+        Seq((1L, ts(0), 1.0), (1L, ts(10), 2.0), (2L, ts(5), 3.0))
+          .toDF("user_id", "ts", "value"))
+      .select("user_id", "value").as[(Long, Double)].collect().toSet
+    assert(batchTwin == batch1, s"stream $batch1 != batch $batchTwin")
+    // advance the watermark far past user 1's horizon, then re-deliver the
+    // key: its state was evicted, so it MUST re-emit (the bounded-memory
+    // trade the operator is designed around)
+    mem.addData((9L, ts(1000), 0.0))
+    q.processAllAvailable()
+    mem.addData((1L, ts(1010), 9.0))
+    q.processAllAvailable()
+    val all = spark.table("fpk_out")
+      .select("user_id", "value").as[(Long, Double)].collect().toSet
+    q.stop()
+    assert(all.contains((1L, 9.0)), s"beyond-horizon key must re-emit: $all")
+    assert(!all.contains((1L, 2.0)), s"within-horizon dup must stay dropped: $all")
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
