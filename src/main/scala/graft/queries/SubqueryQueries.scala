@@ -195,5 +195,25 @@ object SubqueryQueries {
         Map("minPrice" -> 150000.0,
             "cutoff" -> java.sql.Date.valueOf("1995-01-01")))
     },
+
+    // ---- NOT IN over a NULLABLE key — the three-valued-logic cousin of
+    //      q75/q76 with genuinely different semantics: a left row whose
+    //      key is NULL compares UNKNOWN against every right row, so it is
+    //      dropped (here the 10 custkey-7 orders), and if the subquery
+    //      produced ANY null the whole result would empty out. A plain
+    //      left-anti join gets both cases wrong, so Catalyst plans the
+    //      single-column null-aware anti join (BroadcastHashJoin
+    //      isNullAwareAntiJoin — PlanSpec pins it, and pins that the
+    //      general O(n·m) BroadcastNestedLoopJoin fallback never fires).
+    //      At 100 TB: the subquery side is the broadcast build (tiny
+    //      after its pushed filter); the orders probe never shuffles.
+    //      decimalSum cast = the q88 HUGEINT/fold-parity pattern. ----
+    sqlQuery("q89_notin_nullaware",
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM orders
+        |WHERE nullif(o_custkey, 7) NOT IN
+        |  (SELECT c_custkey FROM customer WHERE c_acctbal < -900.0)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
   )
 }

@@ -251,6 +251,19 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("q89 NOT IN nullable: single-column null-aware anti join, never BNLJ") {
+    // the nullable key makes a plain LeftAnti WRONG (3VL); the efficient
+    // plan is the broadcast-hash null-aware anti, not the O(n·m)
+    // BroadcastNestedLoopJoin general fallback
+    val q = SparkEntry.queries("q89_notin_nullaware")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    // BroadcastHashJoinExec.toString prints the isNullAwareAntiJoin flag
+    // as a bare trailing boolean after the build side
+    assert("BroadcastHashJoin .*LeftAnti, BuildRight, true".r
+      .findFirstIn(plan).isDefined, plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("q87 variant: JSON parses ONCE — a single parseJson feeds every typed get") {
     // CollapseProject must NOT inline parse_json into each aggregate arm
     // (v has multiple consumers, so the Project survives); 3 typed gets
