@@ -1,7 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
 
 /** Loaders for the driver-generated testdata tables (repo:TESTDATA.md).
   *
@@ -28,16 +28,30 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default. Read nanos as long (legacy conf) and floor-divide to
-    * microseconds — exactly what DuckDB does when it reads the same file
-    * (its TIMESTAMP is µs precision), so oracle comparisons line up.
-    * Integer `div` (not `/`) — double division loses precision at 1.7e18 ns.
+  /** events.parquet has shipped with different physical types for `ts`
+    * across testdata generations; normalize all of them to a session-tz
+    * TimestampType so every downstream operator sees one stable schema:
+    *
+    *   - TIMESTAMP(NANOS): Spark 4 rejects it by default — read as long via
+    *     the legacy conf, then floor-divide to microseconds (integer `div`,
+    *     not `/` — double division loses precision at 1.7e18 ns). This is
+    *     exactly what DuckDB's µs-precision TIMESTAMP does with the same
+    *     file, so oracle comparisons line up.
+    *   - TIMESTAMP(µs, isAdjustedToUTC=false): Spark reads TIMESTAMP_NTZ;
+    *     cast to TimestampType (wall-clock interpreted in the session tz,
+    *     UTC here — same instants DuckDB's naive TIMESTAMP yields).
+    *   - TIMESTAMP(µs, adjusted): already TimestampType — pass through.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
