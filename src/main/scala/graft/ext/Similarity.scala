@@ -422,6 +422,66 @@ object Similarity {
         col("rn").cast("int").as("rn"))
   }
 
+  /** Maximum-inner-product top-k via the norm-augmentation reduction
+    * (Bachrach et al., RecSys 2014; Neyshabur & Srebro, ICML 2015):
+    * append `sqrt(M² − ‖x‖²)` to every CANDIDATE (M = corpus max norm)
+    * and a literal 0 to every QUERY. In the augmented space every
+    * candidate has norm exactly M, so `cos(q̃, c̃) = ⟨q,c⟩ / (‖q‖·M)` —
+    * a per-query monotone transform of the inner product — and ANY
+    * cosine-ANN index serves MIPS unchanged. Candidate generation here is
+    * the same signed-random-projection sketch [[annTopK]] uses, built
+    * over the AUGMENTED vectors (the hyperplane signs are
+    * data-independent murmur3, so queries and candidates hash with the
+    * same planes); the final rank is the EXACT inner product over
+    * surviving candidates (rounded to 6, ties → lowest id), which the
+    * DuckDB oracle re-derives from the staged pairs.
+    *
+    * Scale posture: one max-norm agg (scalar broadcast), one sketch pass,
+    * then the same band-bucket equi-join as annTopK — never all-pairs;
+    * the augmentation adds O(1) per vector. MIPS is the retrieval mode of
+    * un-normalized embedding stores (recommender/two-tower scores), where
+    * cosine ANN alone would rank wrongly.
+    */
+  def mipsTopK(emb: DataFrame, id: String, vec: String,
+               queryPred: Column, k: Int = 5,
+               bits: Int = 32, bands: Int = 4): DataFrame = {
+    ensureRegistered(emb)
+    val qIds = emb.filter(queryPred).select(col(id).as("q_id"))
+    val v = emb.select(col(id).as("vid"), col(vec).cast("array<double>").as("v"))
+      .withColumn("n2", dotNative(col("v"), col("v")))
+    val m2 = v.agg(max(col("n2")).as("m2"))
+    // one (vector, norm, M²) pass feeds the two sketch builds AND the
+    // exact-rank join — the same single-assignment idiom clusterDedup uses
+    val base = v.crossJoin(broadcast(m2)).localCheckpoint()
+    // greatest(...,0) guards the max-norm row itself, where M²−‖x‖² is an
+    // exact 0 that double subtraction could otherwise leave at −0.0/−ε
+    val candAug = base.select(col("vid"),
+      concat(col("v"),
+        array(sqrt(greatest(col("m2") - col("n2"), lit(0.0))))).as("av"))
+    val qAug = base.join(qIds, col("vid") === col("q_id"))
+      .select(col("vid"), concat(col("v"), array(lit(0.0))).as("av"))
+    def buckets(df: DataFrame): DataFrame =
+      df.select(col("doc"), explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"), col(s"band$b").as("bucket"))): _*)).as("bb"))
+        .select(col("doc"), col("bb.band"), col("bb.bucket"))
+    val cB = buckets(rpSketch(candAug, "vid", "av", bits, bands))
+    val qB = buckets(rpSketch(qAug, "vid", "av", bits, bands))
+      .withColumnRenamed("doc", "q_id")
+    val cands = cB.join(qB, Seq("band", "bucket"))
+      .filter(col("doc") =!= col("q_id"))
+      .select(col("q_id"), col("doc").as("c_id")).distinct()
+    val c = base.select(col("vid").as("c_id"), col("v").as("c_vec"))
+    val q = base.join(qIds, col("vid") === col("q_id"))
+      .select(col("q_id"), col("v").as("q_vec"))
+    val w = Window.partitionBy("q_id").orderBy(col("dot").desc, col("c_id"))
+    cands.join(c, "c_id").join(broadcast(q), "q_id")
+      .withColumn("dot", round(dotNative(col("q_vec"), col("c_vec")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), col("dot"),
+        col("rn").cast("int").as("rn"))
+  }
+
   /** Grid-blocked exact nearest neighbors in a 2-D projection (the first
     * two embedding dims as a point set) — the spatial-join pattern: every
     * point lands in a square cell of side `cellSize` (`floor(x/w)`,

@@ -560,4 +560,49 @@ object TextOps {
       .filter(col("pick") <= col("quota"))
       .select(col("doc"), col("source"), col("pick").cast("int").as("pick"))
   }
+
+  /** Per-document average surprisal under an interpolated BIGRAM language
+    * model fit on the corpus itself (Jelinek-Mercer smoothing):
+    * `p(wᵢ|wᵢ₋₁) = λ·c(wᵢ₋₁wᵢ)/c(wᵢ₋₁) + (1−λ)·c(wᵢ)/N`. The bigram
+    * upgrade of [[graft.queries.TextQueries]]'s t22 unigram surprisal —
+    * the quality signal that actually catches shuffled/concatenated text
+    * (unigram models score token salad and prose identically). Every
+    * count is an exact grouped aggregate; the interpolation guarantees
+    * p > 0 wherever the bigram exists (it does — the model is fit on the
+    * same corpus), so ln() never sees 0.
+    *
+    * Scale posture: the positioned token table is derived once and
+    * materialized (it feeds the lag window AND the count aggs — without
+    * this the explode runs three times); the lag window partitions BY
+    * DOCUMENT, so state is one token per partition-row, never global; the
+    * count tables are vocab/bigram-vocab sized aggregates and N is one
+    * broadcast scalar. No collects, no all-pairs.
+    */
+  def bigramSurprisal(df: DataFrame, id: Column, text: Column,
+                      lambda: Double = 0.75): DataFrame = {
+    val tok = df.select(id.as("doc_id"), posexplode(words(text)))
+      .select(col("doc_id"), col("pos"), col("col").as("term"))
+      .localCheckpoint()
+    val uni = tok.groupBy("term").agg(count(lit(1)).as("cu"))
+      .localCheckpoint() // consumed by N + two join-backs
+    val nTok = uni.agg(sum(col("cu")).as("n_tok"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val big = tok
+      .withColumn("prev", lag(col("term"), 1).over(byDoc))
+      .filter(col("prev").isNotNull)
+      .select(col("doc_id"), col("prev"), col("term").as("cur"))
+      .localCheckpoint() // feeds the bigram counts AND the final join
+    val bc = big.groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
+    val cp = uni.select(col("term").as("prev"), col("cu").as("cp"))
+    val cc = uni.select(col("term").as("cur"), col("cu").as("cc"))
+    big.join(bc, Seq("prev", "cur"))
+      .join(cp, "prev").join(cc, "cur")
+      .crossJoin(broadcast(nTok))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-avg(log(
+          lit(lambda) * col("cb").cast("double") / col("cp") +
+            lit(1.0 - lambda) * col("cc").cast("double") / col("n_tok"))), 6)
+          .as("avg_surprisal"))
+  }
 }

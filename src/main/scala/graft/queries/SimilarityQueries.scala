@@ -456,5 +456,34 @@ object SimilarityQueries {
           col("vec_id") % 50 === 0, cellSize = 0.1, k = 3)
         .orderBy("q_id", "rn")
     },
+
+    // ---- MIPS (maximum inner product) top-k via the norm-augmentation
+    //      reduction — candidates get sqrt(M²−‖x‖²) appended, queries a
+    //      0, making augmented-cosine order equal inner-product order, so
+    //      the RP-LSH sketch serves MIPS unchanged (the retrieval mode of
+    //      un-normalized two-tower/recommender embeddings, where cosine
+    //      ANN would rank wrongly). Candidate generation is engine-
+    //      trusted (murmur3 hyperplanes, like s03); the exact inner
+    //      product, rank, and tie-break over the staged survivors are
+    //      DuckDB-re-derived from scratch. SimilaritySpec proves the
+    //      reduction analytically (augmented-cos order == dot order) and
+    //      measures recall vs brute-force MIPS. ----
+    QueryDef("s18_mips_topk",
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |staged AS (SELECT q_id, c_id
+         |           FROM read_parquet('${ClimateQueries.OutToken}/s18_mips_topk/*.parquet')),
+         |scored AS (
+         |  SELECT s.q_id, s.c_id, round(list_dot_product(q.e, c.e), 6) AS dot
+         |  FROM staged s
+         |  JOIN v q ON q.vec_id = s.q_id
+         |  JOIN v c ON c.vec_id = s.c_id)
+         |SELECT q_id, c_id, dot,
+         |  CAST(row_number() OVER (PARTITION BY q_id
+         |                          ORDER BY dot DESC, c_id) AS INTEGER) AS rn
+         |FROM scored ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      Similarity.mipsTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+          col("vec_id") % 50 === 0, k = 5, bits = 32, bands = 4)
+        .orderBy("q_id", "rn")
+    },
   )
 }

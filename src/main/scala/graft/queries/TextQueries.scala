@@ -1039,5 +1039,40 @@ object TextQueries {
         .orderBy("source", "pick")
     },
 
+    // ---- interpolated BIGRAM surprisal (Jelinek-Mercer λ=0.75) — the
+    //      sequence-aware upgrade of t22's unigram model: token salad and
+    //      prose have identical unigram scores but very different bigram
+    //      scores, so this is the quality filter that actually catches
+    //      shuffled/machine-mangled text. All counts are exact grouped
+    //      aggregates; p > 0 by construction (model fit on the scored
+    //      corpus itself), so ln() is total. Formula shape and operand
+    //      order are pinned identical in both engines (λ·cb/cp +
+    //      (1−λ)·cc/N, double division only), and avg+round(6) follows
+    //      t22's proven cross-engine precedent. Single-token docs have no
+    //      bigrams and drop out on both sides. ----
+    QueryDef("t38_bigram_surprisal",
+      s"""WITH docs AS (SELECT doc_id, $duckWords AS w FROM documents),
+         |tok AS (SELECT doc_id, unnest(w) AS term,
+         |          unnest(range(1, len(w) + 1)) AS pos FROM docs),
+         |uni AS (SELECT term, count(*) AS cu FROM tok GROUP BY 1),
+         |n AS (SELECT sum(cu) AS n_tok FROM uni),
+         |big AS (SELECT a.doc_id, b.term AS prev, a.term AS cur
+         |        FROM tok a JOIN tok b
+         |          ON b.doc_id = a.doc_id AND b.pos = a.pos - 1),
+         |bc AS (SELECT prev, cur, count(*) AS cb FROM big GROUP BY 1, 2)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(-avg(ln(0.75 * CAST(cb AS DOUBLE) / cp.cu
+         |               + 0.25 * CAST(cc.cu AS DOUBLE) / n_tok)), 6) AS avg_surprisal
+         |FROM big
+         |JOIN bc USING (prev, cur)
+         |JOIN uni cp ON cp.term = big.prev
+         |JOIN uni cc ON cc.term = big.cur
+         |CROSS JOIN n
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextOps.bigramSurprisal(Tables.documents(s, dir),
+          col("doc_id"), col("text"), lambda = 0.75)
+        .orderBy("doc_id")
+    },
+
   )
 }

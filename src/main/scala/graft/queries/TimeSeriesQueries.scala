@@ -148,5 +148,90 @@ object TimeSeriesQueries {
         .select(col("lag_k"), round(col("acf"), 6).as("acf"), col("n_pairs"))
         .orderBy("lag_k")
     },
+
+    // ---- calendar-bucket rollup + epoch round-trip — the parity pin for
+    //      the events `ts` physical type. The testdata has shipped ts as
+    //      TIMESTAMP(NANOS) and as naive TIMESTAMP(µs) across
+    //      generations (the r7 regen broke every events query until
+    //      Tables.events learned to dispatch on the read dtype); this
+    //      query grades the full normalization surface — epoch micros
+    //      (unix_micros vs epoch_us), ISO week numbering, and quarter
+    //      arithmetic — so a future storage-type change flips a
+    //      CORRECTNESS row instead of silently skewing every time bucket.
+    //      Note (yr, iso_week) is intentionally the raw pair: an ISO week
+    //      straddling Jan 1 splits across calendar years IDENTICALLY in
+    //      both engines (both implement ISO-8601 week numbers). ----
+    QueryDef("q90_ts_calendar",
+      """SELECT CAST(year(ts) AS INTEGER) AS yr,
+        |  CAST(quarter(ts) AS INTEGER) AS qtr,
+        |  CAST(weekofyear(ts) AS INTEGER) AS iso_week,
+        |  count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  min(epoch_us(ts)) AS first_us,
+        |  max(epoch_us(ts)) AS last_us
+        |FROM events
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(year(col("ts")).as("yr"), quarter(col("ts")).as("qtr"),
+          weekofyear(col("ts")).as("iso_week"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(unix_micros(col("ts"))).as("first_us"),
+          max(unix_micros(col("ts"))).as("last_us"))
+        .orderBy("yr", "qtr", "iso_week")
+    },
+
+    // ---- classical seasonal decomposition of the daily event-count
+    //      series: trend = centered 7-row moving average (full windows
+    //      only), seasonal = per-weekday mean of the detrended values,
+    //      remainder = what's left — the additive decompose behind every
+    //      "is Monday really different?" question, and the natural next
+    //      step after q81's ACF finds a weekly lag. The trend window is
+    //      GLOBAL like q81's — bounded by the calendar (≤36,525 rows per
+    //      century), not the event count; the distributed work is the
+    //      groupBy(day) in front. Cross-engine determinism: trend =
+    //      (exact integer window sum)/7.0; seasonal means go through a
+    //      DECIMAL(18,8) sum (order-invariant) before the double divide;
+    //      weekday via Spark `weekday` == DuckDB `isodow − 1` (0=Mon). ----
+    QueryDef("q91_seasonal_decompose",
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS c
+        |               FROM events GROUP BY 1),
+        |t AS (SELECT day, c,
+        |        CAST(sum(c) OVER w AS DOUBLE) / 7.0 AS trend,
+        |        count(*) OVER w AS n7
+        |      FROM daily
+        |      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |d AS (SELECT day, c, trend, c - trend AS detr,
+        |        CAST(isodow(day) - 1 AS INTEGER) AS dow
+        |      FROM t WHERE n7 = 7),
+        |s AS (SELECT dow,
+        |        CAST(sum(CAST(detr AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS seas
+        |      FROM d GROUP BY 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, c AS n_events,
+        |  round(trend, 6) AS trend,
+        |  round(seas, 6) AS seasonal,
+        |  round(detr - seas, 6) AS remainder
+        |FROM d JOIN s USING (dow)
+        |ORDER BY day""".stripMargin) { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.orderBy("day").rowsBetween(-3, 3)
+      val d = daily
+        .withColumn("trend", sum(col("c")).over(w).cast("double") / lit(7.0))
+        .withColumn("n7", count(lit(1)).over(w))
+        .filter(col("n7") === 7)
+        .withColumn("detr", col("c") - col("trend"))
+        .withColumn("dow", weekday(col("day")))
+      val seas = d.groupBy("dow")
+        .agg((sum(col("detr").cast("decimal(18,8)")).cast("double") /
+          count(lit(1))).as("seas"))
+      d.join(broadcast(seas), "dow")
+        .select(dayStr(col("day")).as("day"), col("c").as("n_events"),
+          round(col("trend"), 6).as("trend"),
+          round(col("seas"), 6).as("seasonal"),
+          round(col("detr") - col("seas"), 6).as("remainder"))
+        .orderBy("day")
+    },
   )
 }

@@ -176,6 +176,26 @@ class TextOpsSpec extends SparkSpec {
     assert(lifts(2) > lifts(1))
   }
 
+  test("bigramSurprisal: hand-computed interpolated probabilities on a two-doc corpus") {
+    // docs "a b a" + "b a": tokens N=5, unigrams a=3 b=2;
+    // bigrams (a,b)=1 (b,a)=2.
+    // p(b|a) = 0.75·(1/3) + 0.25·(2/5) = 0.35
+    // p(a|b) = 0.75·(2/2) + 0.25·(3/5) = 0.90
+    // doc1 bigrams: (a,b),(b,a) → avg −(ln .35 + ln .9)/2
+    // doc2 bigrams: (b,a)       → −ln .9
+    val df = Seq((1L, "a b a"), (2L, "b a")).toDF("doc_id", "text")
+    val got = graft.ext.TextOps.bigramSurprisal(df, col("doc_id"), col("text"))
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    val exp1 = BigDecimal(-(math.log(0.35) + math.log(0.9)) / 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp2 = BigDecimal(-math.log(0.9))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq((1L, 2L, exp1), (2L, 1L, exp2)))
+    // sequence sensitivity — the property unigram surprisal lacks: a
+    // corpus-frequent bigram scores LESS surprising than a rare one
+    assert(exp2 < exp1)
+  }
+
   test("bm25TopK: rare-term docs outrank common-term docs; tf saturates; dl normalizes") {
     // 'needle' appears in 1 of 4 docs (high idf), 'water' in all (low idf):
     // the needle doc must rank first. Docs 3 vs 4 share tf('water')=1 but

@@ -86,6 +86,52 @@ class SimilaritySpec extends SparkSpec {
     info(f"ANN recall@5 vs brute force on near-random data: $recall%.2f")
   }
 
+  test("mipsTopK: picks the inner-product winner where cosine would rank wrongly") {
+    // Norms differ wildly so cosine order and dot order DISAGREE: vs
+    // query (1,0), (0.9, 0.001) is the cosine winner (near-parallel) but
+    // (10, 0.1) has >10× its inner product — MIPS must rank it first.
+    // bands = bits (single-bit bands) makes a candidate miss require all
+    // 32 deterministic murmur3 projections to disagree — never here.
+    val df = Seq(
+      (0L, Seq(1.0, 0.0)),
+      (1L, Seq(10.0, 0.1)),
+      (2L, Seq(0.9, 0.001)),
+      (3L, Seq(-4.0, 2.0)),
+      (4L, Seq(0.0, 3.0))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mipsTopK(df, "vec_id", "embedding",
+        col("vec_id") === 0, k = 4, bits = 32, bands = 32)
+      .orderBy("rn").as[(Long, Long, Double, Int)].collect().toSeq
+    assert(got.head._2 == 1L,
+      s"MIPS winner must be the big-norm vector, got $got")
+    // reported dots are the exact inner products, ranking follows them
+    val dots = got.map(r => r._2 -> r._3).toMap
+    assert(dots(1L) == 10.0 && dots(2L) == 0.9)
+    assert(got.map(_._3).sliding(2).forall(p => p.head >= p.last))
+  }
+
+  test("mipsTopK: recall vs brute-force MIPS measured; self excluded") {
+    val emb = Tables.embeddings(spark, sf)
+    val pred = col("vec_id") % 50 === 0
+    graft.functions.GraftFunctions.register(spark)
+    val v = emb.select(col("vec_id").as("c_id"),
+      col("embedding").cast("array<double>").as("cv"))
+    val q = emb.filter(pred).select(col("vec_id").as("q_id"),
+      col("embedding").cast("array<double>").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("dot").desc, col("c_id"))
+    val exact = v.crossJoin(broadcast(q)).filter(col("q_id") =!= col("c_id"))
+      .withColumn("dot", round(call_function("graft_dot", col("qv"), col("cv")), 6))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val mips = Similarity.mipsTopK(emb, "vec_id", "embedding", pred, 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    assert(mips.nonEmpty)
+    assert(mips.forall { case (a, b) => a != b })
+    val recall = (exact & mips).size.toDouble / exact.size
+    info(f"MIPS recall@5 vs brute-force inner product: $recall%.2f")
+  }
+
   test("clusterDedup: exact dups always caught; drops are a sound subset of all-pairs") {
     // 60 base vectors in 3 well-separated regions + 6 exact duplicates.
     // Identical vectors share an argmin cell by construction, so exact
