@@ -347,5 +347,31 @@ object MediaStreamQueries {
           tsStr(col("ts")).as("ts"), col("event_type"), col("value"))
         .orderBy("user_id")
     },
+
+    // ---- st09: per-user RECORD-BREAKER detection — the Spark 4
+    //      transformWithState surface (StatefulProcessor + typed
+    //      ValueState, the arbitrary-state API that supersedes
+    //      flatMapGroupsWithState). An event emits iff it strictly
+    //      exceeds the user's best-so-far (first event emits with NULL
+    //      prev_best). Batch twin graded here: the prior running max via
+    //      an UNBOUNDED..1 PRECEDING window in deterministic
+    //      (ts, event_id) order; StreamingSpec drives the
+    //      RecordBreakProcessor through MemoryStream on RocksDB state and
+    //      pins batch==stream plus cross-batch state carry. Raw doubles
+    //      pass through both engines untouched → exact hash parity. ----
+    QueryDef("st09_record_breakers",
+      """WITH o AS (
+        |  SELECT user_id, event_id, value,
+        |    max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_best
+        |  FROM events)
+        |SELECT user_id, event_id, value, prev_best
+        |FROM o WHERE prev_best IS NULL OR value > prev_best
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      StreamOps.recordBreakersBatch(Tables.events(s, dir),
+          "user_id", "ts", "event_id", "value")
+        .select(col("user_id"), col("event_id"), col("value"), col("prev_best"))
+        .orderBy("user_id", "event_id")
+    },
   )
 }

@@ -458,6 +458,59 @@ class StreamingSpec extends SparkSpec {
     assert(last == StreamOps.UserRunning(7L, 3L, 10.0))
   }
 
+  test("transformWithState record-breakers: batch == stream, state carries across batches") {
+    // The Spark 4 StatefulProcessor API needs the RocksDB provider (the
+    // only store implementing the TWS column-family layout) — scope the
+    // conf to this query and restore the default after.
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[StreamOps.RecordEv]
+      val q = StreamOps.recordBreakers(mem.toDS())
+        .writeStream.outputMode("append").format("memory")
+        .queryName("rb_out").start()
+      // batch 1 arrives OUT of event-time order within the batch — the
+      // processor must sort by (ts, event_id) before comparing
+      mem.addData(
+        StreamOps.RecordEv(1L, 2L, ts(10), 5.0),
+        StreamOps.RecordEv(1L, 1L, ts(0), 3.0),
+        StreamOps.RecordEv(2L, 3L, ts(0), 7.0))
+      q.processAllAvailable()
+      // batch 2: user 1's 4.0 is under the carried best (5.0) → silent;
+      // 9.0 breaks the record with prev_best = the CROSS-BATCH state
+      mem.addData(
+        StreamOps.RecordEv(1L, 4L, ts(20), 4.0),
+        StreamOps.RecordEv(1L, 5L, ts(30), 9.0))
+      q.processAllAvailable()
+      val streamed = spark.table("rb_out")
+        .as[StreamOps.RecordBreak].collect().toSet
+      q.stop()
+      assert(streamed == Set(
+        StreamOps.RecordBreak(1L, 1L, 3.0, None),
+        StreamOps.RecordBreak(1L, 2L, 5.0, Some(3.0)),
+        StreamOps.RecordBreak(2L, 3L, 7.0, None),
+        StreamOps.RecordBreak(1L, 5L, 9.0, Some(5.0))))
+      // batch twin over the same rows gives the same set
+      val batchRows = Seq(
+        (1L, 2L, ts(10), 5.0), (1L, 1L, ts(0), 3.0), (2L, 3L, ts(0), 7.0),
+        (1L, 4L, ts(20), 4.0), (1L, 5L, ts(30), 9.0))
+        .toDF("user_id", "event_id", "ts", "value")
+      val batch = StreamOps.recordBreakersBatch(
+          batchRows, "user_id", "ts", "event_id", "value")
+        .select(col("user_id"), col("event_id"), col("value"), col("prev_best"))
+        .as[StreamOps.RecordBreak].collect().toSet
+      assert(batch == streamed)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("st07 chain: dedup -> stream-stream join -> windowed agg == batch (append)") {
     // THREE chained stateful operators — the watermark must propagate
     // THROUGH the dedup state and the join's delayed event-time domain
