@@ -49,6 +49,93 @@ object Layout {
       .map(i => s"((($qx >> $i) & 1) << ${2 * i + 1}) | ((($qy >> $i) & 1) << ${2 * i})")
       .mkString(" | ")
 
+  // ---------- Hilbert curve ----------
+
+  /** Per-level (x, y, d) update formulas of the iterative Hilbert xy→d
+    * transform (the standard quadrant-fold: take the top remaining bit of
+    * each coordinate, accumulate the quadrant's cell count, then
+    * reflect/transpose the frame for the next level). Emitted ONCE as
+    * portable ANSI SQL (`CASE`/`&`/integer arithmetic only) and consumed
+    * VERBATIM by both engines — the Spark side wraps each string in
+    * `expr(...)`, the oracle embeds the same strings in chained CTEs — so
+    * the two implementations cannot drift. The quadrant index
+    * `(3·rx) XOR ry` is spelled `3·rx + ry·(1 − 2·rx)` (same truth table)
+    * to stay inside the dialect intersection (XOR syntax differs).
+    * LayoutSpec proves the defining property exhaustively: consecutive
+    * keys are always grid-adjacent — which Z-order lacks.
+    */
+  private def hilbertLevelSql(i: Int, bits: Int): (String, String, String) = {
+    val s = 1L << (bits - 1 - i)
+    val m = (1L << bits) - 1
+    val rx = s"(CASE WHEN (hx$i & $s) > 0 THEN 1 ELSE 0 END)"
+    val ry = s"(CASE WHEN (hy$i & $s) > 0 THEN 1 ELSE 0 END)"
+    val newX = s"CASE WHEN (hy$i & $s) > 0 THEN hx$i " +
+      s"WHEN (hx$i & $s) > 0 THEN $m - hy$i ELSE hy$i END"
+    val newY = s"CASE WHEN (hy$i & $s) > 0 THEN hy$i " +
+      s"WHEN (hx$i & $s) > 0 THEN $m - hx$i ELSE hx$i END"
+    val newD = s"hd$i + CAST(${s * s} AS BIGINT) * (3 * $rx + $ry * (1 - 2 * $rx))"
+    (newX, newY, newD)
+  }
+
+  /** Append the Hilbert index of two already-quantized `[0, 2^bits)` long
+    * columns as `out`. Unlike [[zorderKey]]'s flat OR-tree, the Hilbert
+    * transform threads state (the rotating frame) through its levels, so
+    * it materializes one named column triple per level — still a single
+    * whole-stage-codegen projection chain, no shuffle.
+    */
+  def withHilbertKey(df: DataFrame, qx: Column, qy: Column,
+                     bits: Int = 8, out: String = "hkey"): DataFrame = {
+    val start = df.withColumn("hx0", qx.cast("long"))
+      .withColumn("hy0", qy.cast("long"))
+      .withColumn("hd0", lit(0L))
+    val done = (0 until bits).foldLeft(start) { (cur, i) =>
+      val (nx, ny, nd) = hilbertLevelSql(i, bits)
+      cur.withColumn(s"hx${i + 1}", expr(nx))
+        .withColumn(s"hy${i + 1}", expr(ny))
+        .withColumn(s"hd${i + 1}", expr(nd))
+    }
+    done.withColumn(out, col(s"hd$bits"))
+      .drop((0 to bits).flatMap(i => Seq(s"hx$i", s"hy$i", s"hd$i")): _*)
+  }
+
+  /** The matching chained-CTE SQL for [[withHilbertKey]], generated from
+    * the SAME per-level formulas. `base` must expose `carry` columns plus
+    * `qx`/`qy` expressions; the last CTE is `h<bits>` with the key in
+    * `hd<bits>`.
+    */
+  def hilbertCtesSql(base: String, carry: Seq[String],
+                     qx: String, qy: String, bits: Int = 8): String = {
+    val cols = carry.mkString(", ")
+    val first = s"h0 AS (SELECT $cols, CAST($qx AS BIGINT) AS hx0, " +
+      s"CAST($qy AS BIGINT) AS hy0, CAST(0 AS BIGINT) AS hd0 FROM $base)"
+    val levels = (0 until bits).map { i =>
+      val (nx, ny, nd) = hilbertLevelSql(i, bits)
+      s"h${i + 1} AS (SELECT $cols, $nx AS hx${i + 1}, $ny AS hy${i + 1}, " +
+        s"$nd AS hd${i + 1} FROM h$i)"
+    }
+    (first +: levels).mkString(",\n")
+  }
+
+  /** Cluster `df` on the Hilbert key of two numeric columns — same
+    * contract as [[clusterByZorder]] but with the strictly better curve:
+    * consecutive key ranges are always spatially contiguous (no Z-shape
+    * seam jumps), so per-file min/max envelopes are tighter at equal file
+    * count. This is the `OPTIMIZE ... HILBERT` layout primitive.
+    */
+  def clusterByHilbert(df: DataFrame, x: String, y: String,
+                       bits: Int = 8, numPartitions: Int = 32): DataFrame = {
+    val mm = df.agg(
+      min(col(x)).as("__xmin"), max(col(x)).as("__xmax"),
+      min(col(y)).as("__ymin"), max(col(y)).as("__ymax"))
+    val keyed = withHilbertKey(
+      df.crossJoin(broadcast(mm)),
+      quantize(col(x), col("__xmin"), col("__xmax"), bits),
+      quantize(col(y), col("__ymin"), col("__ymax"), bits),
+      bits, "__hkey")
+    keyed.repartitionByRange(numPartitions, col("__hkey"))
+      .drop("__xmin", "__xmax", "__ymin", "__ymax")
+  }
+
   /** Cluster `df` on the Z-order key of two numeric columns: quantize each
     * dimension against its global min/max (one tiny agg, broadcast back),
     * compute the interleaved key, and range-repartition on it so each

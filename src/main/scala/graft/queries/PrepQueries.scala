@@ -61,6 +61,41 @@ object PrepQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // ---- Hilbert-curve layout key: q61's strictly-better sibling (the
+    //      curve Delta's OPTIMIZE moved to) — consecutive key ranges are
+    //      always spatially contiguous, so per-file min/max envelopes are
+    //      tighter at equal file count (LayoutSpec measures the locality
+    //      win and proves the adjacency property exhaustively). The
+    //      16-level state-threading transform is emitted ONCE as portable
+    //      SQL (Layout.hilbertLevelSql) and consumed verbatim by BOTH the
+    //      engine (expr per level) and this oracle (chained CTEs) — the
+    //      implementations cannot drift. 8 bits/dim → 256×256 grid,
+    //      hkey ∈ [0, 65536), >>9 → 128 layout buckets. ----
+    QueryDef("q92_hilbert_layout",
+      s"""WITH mm AS (SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+         |              min(l_suppkey) AS smin, max(l_suppkey) AS smax FROM lineitem),
+         |base AS (SELECT l_orderkey, l_linenumber,
+         |        CAST(floor(((l_partkey - pmin) * CAST(255 AS DOUBLE)) / greatest(pmax - pmin, 1)) AS BIGINT) AS qx,
+         |        CAST(floor(((l_suppkey - smin) * CAST(255 AS DOUBLE)) / greatest(smax - smin, 1)) AS BIGINT) AS qy
+         |      FROM lineitem CROSS JOIN mm),
+         |${Layout.hilbertCtesSql("base", Seq("l_orderkey", "l_linenumber"), "qx", "qy", 8)}
+         |SELECT l_orderkey, l_linenumber, hd8 AS hkey,
+         |  CAST(hd8 // 512 AS INTEGER) AS hbucket
+         |FROM h8 ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val mm = li.agg(
+        min(col("l_partkey")).as("pmin"), max(col("l_partkey")).as("pmax"),
+        min(col("l_suppkey")).as("smin"), max(col("l_suppkey")).as("smax"))
+      Layout.withHilbertKey(
+          li.crossJoin(broadcast(mm))
+            .withColumn("qx", Layout.quantize(col("l_partkey"), col("pmin"), col("pmax"), 8))
+            .withColumn("qy", Layout.quantize(col("l_suppkey"), col("smin"), col("smax"), 8)),
+          col("qx"), col("qy"), bits = 8, out = "hkey")
+        .select(col("l_orderkey"), col("l_linenumber"), col("hkey"),
+          shiftright(col("hkey"), 9).cast("int").as("hbucket"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // ---- per-group min-max feature scaling: one O(groups) agg broadcast
     //      back onto the facts. min/max (unlike mean/stddev) are order-
     //      independent, so the scaled doubles hash-match exactly. ----

@@ -49,6 +49,62 @@ class PrepSpec extends SparkSpec {
     }
   }
 
+  test("hilbertKey: exhaustive bijection + the defining adjacency property (8×8 and 16×16)") {
+    for (bits <- Seq(3, 4)) {
+      val n = 1 << bits
+      val pts = for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong)
+      val rows = Layout.withHilbertKey(pts.toDF("qx", "qy"),
+          col("qx"), col("qy"), bits, "h")
+        .select("h", "qx", "qy").as[(Long, Long, Long)].collect()
+      // bijection onto [0, n²)
+      assert(rows.map(_._1).distinct.length == n * n)
+      assert(rows.map(_._1).min == 0L && rows.map(_._1).max == (n * n - 1).toLong)
+      // THE Hilbert property: consecutive keys are always grid-adjacent
+      // (Manhattan distance exactly 1) — no curve seam ever jumps
+      val byKey = rows.sortBy(_._1)
+      byKey.sliding(2).foreach {
+        case Array((_, x1, y1), (_, x2, y2)) =>
+          assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+            s"Hilbert jump between ($x1,$y1) and ($x2,$y2)")
+        case _ =>
+      }
+    }
+  }
+
+  test("hilbert beats z-order on locality: no jumps vs measured Z-seam jumps") {
+    val bits = 4; val n = 1 << bits
+    val pts = for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong)
+    val z = pts.toDF("qx", "qy")
+      .select(Layout.zorderKey(col("qx"), col("qy"), bits).as("k"),
+        col("qx"), col("qy"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val zJumps = z.sliding(2).count {
+      case Array((_, x1, y1), (_, x2, y2)) =>
+        math.abs(x1 - x2) + math.abs(y1 - y2) > 1
+      case _ => false
+    }
+    // the Z curve's seam jumps are structural (one per quadrant splice);
+    // Hilbert's count is zero by the adjacency test above
+    assert(zJumps > 0, "expected Z-order to have seam jumps on a full grid")
+    info(s"16×16 grid: z-order seam jumps = $zJumps, hilbert = 0")
+  }
+
+  test("clusterByHilbert: partitions hold disjoint contiguous key ranges") {
+    val df = TestSpark.spark.read.parquet(s"$sf/lineitem.parquet")
+    val parts = Layout.clusterByHilbert(df, "l_partkey", "l_suppkey",
+        bits = 8, numPartitions = 8)
+      .select(col("__hkey"), spark_partition_id().as("pid"))
+      .groupBy("pid").agg(min("__hkey").as("lo"), max("__hkey").as("hi"))
+      .orderBy("lo")
+      .as[(Int, Long, Long)].collect()
+    assert(parts.nonEmpty)
+    parts.sliding(2).foreach {
+      case Array((_, _, hi1), (_, lo2, _)) => assert(hi1 <= lo2,
+        s"overlapping hilbert ranges across partitions: $hi1 > $lo2")
+      case _ =>
+    }
+  }
+
   test("pageRank: ranks positive and mass ≤ 1 (dangling mass drops)") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
     val r = Graph.pageRank(edges, iterations = 5, damping = 0.875)
