@@ -131,6 +131,86 @@ object Multimodal {
       .withColumn("bits_per_sample", leInt(media, 35, 2).cast("int"))
       .withColumn("data_len", leInt(media, 41, 4))
 
+  // ---------- perceptual hashing (aHash) ----------
+
+  /** One 16-bit chunk of the 64-bit average hash, emitted ONCE as
+    * portable SQL over named sample columns `s0..s63` + `mean` — the
+    * engine wraps the string in `expr(...)`, the m05 oracle embeds the
+    * SAME string over its own sample derivation, so the bit-pack
+    * formula cannot drift (the Layout.hilbertLevelSql pattern).
+    */
+  private[graft] def aHashChunkSql(j: Int): String =
+    (0 until 16).map { i =>
+      val b = 16 * j + i
+      s"(CASE WHEN s$b > mean THEN 1 ELSE 0 END) * ${1L << i}"
+    }.mkString(" + ")
+
+  /** 64-bit average-hash (aHash) perceptual fingerprint: sample 64
+    * pixel bytes at LENGTH-NORMALIZED positions from the media payload
+    * (`pos_i = ⌊i·len/64⌋` past the 54-byte BMP header for real .bmp
+    * streams — the same size-normalized grid a real aHash gets from the
+    * 8×8 resize; a fixed stride would only ever see the payload's head,
+    * which on template-prefixed corpora saturates every fingerprint to
+    * the shared prefix), threshold each against the mean of the 64, pack
+    * the bits into four 16-bit chunks `c0..c3` (the [[graft.ext.Dedup]]
+    * SimHash pigeonhole layout: hamming ≤ 3 ⇒ at least one chunk equal).
+    * This is THE standard image near-dup fingerprint (mean-threshold
+    * aHash); swapping decoded luma for the byte read keeps every
+    * downstream op unchanged. All codegen'd expressions (hex/conv byte
+    * reads, CASE packs): no UDF, no shuffle. An empty payload samples as
+    * all-0 on both engines. `i·len/64` stays exact through the double
+    * divide (dividing by a power of two), so the truncating cast IS
+    * integer division on both engines.
+    */
+  def aHash(df: DataFrame, media: Column, pixelOffset: Int = 54): DataFrame = {
+    val payloadLen = length(media) - lit(pixelOffset)
+    val withSamples = (0 until 64).foldLeft(df) { (cur, i) =>
+      val pos = lit(pixelOffset + 1) +
+        ((lit(i) * payloadLen) / lit(64)).cast("int")
+      cur.withColumn(s"s$i", coalesce(
+        conv(hex(media.substr(pos, lit(1))), 16, 10).cast("int"), lit(0)))
+    }
+    val withMean = withSamples.withColumn("mean",
+      expr((0 until 64).map(i => s"s$i").mkString("(", " + ", ") / 64.0")))
+    val withChunks = (0 until 4).foldLeft(withMean) { (cur, j) =>
+      cur.withColumn(s"c$j", expr(aHashChunkSql(j)).cast("long"))
+    }
+    withChunks.drop((0 until 64).map(i => s"s$i") :+ "mean": _*)
+  }
+
+  /** Perceptual near-dup pairs by aHash hamming distance ≤ `maxHamming`:
+    * candidates = pairs sharing an EQUAL 16-bit chunk (band equi-join —
+    * never all-pairs), verified by the exact 64-bit hamming distance.
+    * The pigeonhole guarantee is complete for maxHamming ≤ 3; the
+    * default 8 (the practical aHash near-dup bar) makes the chunk join
+    * an LSH-style recall/cost trade exactly like t07's banded MinHash —
+    * and the m05 oracle replicates the SAME blocking, so candidate-set
+    * recall never shows up as an oracle mismatch. The image twin of
+    * SimHash text near-dup.
+    */
+  def aHashNearDups(df: DataFrame, id: Column, media: Column,
+                    maxHamming: Int = 8): DataFrame = {
+    val h = aHash(df.select(id.as("doc"), media.as("__m")), col("__m"))
+      .select(col("doc"), col("c0"), col("c1"), col("c2"), col("c3"))
+      .localCheckpoint() // feeds the band table AND both verify sides
+    val bands = h.select(col("doc"), explode(array((0 until 4).map(j =>
+        struct(lit(j).as("j"), col(s"c$j").as("v"))): _*)).as("b"))
+      .select(col("doc"), col("b.j"), col("b.v"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.j") === col("y.j") && col("x.v") === col("y.v") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("id_a"), col("y.doc").as("id_b")).distinct()
+    val ha = h.select(col("doc").as("id_a") +:
+      (0 until 4).map(j => col(s"c$j").as(s"a$j")): _*)
+    val hb = h.select(col("doc").as("id_b") +:
+      (0 until 4).map(j => col(s"c$j").as(s"b$j")): _*)
+    cand.join(ha, "id_a").join(hb, "id_b")
+      .withColumn("hamming", (0 until 4).map(j =>
+        expr(s"bit_count(a$j ^ b$j)")).reduce(_ + _).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   // ---------- partition-batched decode seam ----------
 
   final case class MediaRow(doc_id: Long, media: Array[Byte])

@@ -111,6 +111,55 @@ object MediaStreamQueries {
         .orderBy("frame_md5")
     },
 
+    // ---- m05: perceptual (aHash) near-dup pairs over media bytes — the
+    //      IMAGE twin of t08's SimHash: 64 pixel bytes sampled at
+    //      LENGTH-NORMALIZED positions (⌊i·len/64⌋ — the 8×8-resize grid
+    //      of real aHash) past the real 54-byte BMP header,
+    //      mean-thresholded into a 64-bit fingerprint as four 16-bit
+    //      pigeonhole chunks (band equi-join candidates on an equal
+    //      chunk — never all-pairs; complete ≤ 3 differing bits, an
+    //      LSH-recall trade at the practical ≤ 8 bar used here — the
+    //      oracle replicates the same blocking), verified by exact
+    //      hamming. The engine reads REAL header-offset bytes from the
+    //      binary column (hex/conv — no UDF); the oracle re-derives the
+    //      same samples from the payload construction (m01's pattern)
+    //      and embeds the SAME bit-pack formula strings
+    //      (Multimodal.aHashChunkSql) — the pack cannot drift. ----
+    QueryDef("m05_ahash_neardup", {
+      val sampleArms = (0 until 64).map(i =>
+        s"CASE WHEN len(text) >= 1 THEN ord(substr(text, ($i * len(text)) // 64 + 1, 1)) ELSE 0 END AS s$i")
+        .mkString(", ")
+      val meanExpr = (0 until 64).map(i => s"s$i").mkString("(", " + ", ") / 64.0")
+      val chunkCols = (0 until 4).map(j => s"${Multimodal.aHashChunkSql(j)} AS c$j")
+        .mkString(", ")
+      val ham = (0 until 4).map(j => s"bit_count(xor(a.c$j, bb.c$j))")
+        .mkString(" + ")
+      s"""WITH s AS (SELECT doc_id, $sampleArms FROM documents),
+         |m AS (SELECT *, $meanExpr AS mean FROM s),
+         |h AS (SELECT doc_id, $chunkCols FROM m),
+         |b AS (SELECT doc_id, 0 AS j, c0 AS v FROM h
+         |      UNION ALL SELECT doc_id, 1, c1 FROM h
+         |      UNION ALL SELECT doc_id, 2, c2 FROM h
+         |      UNION ALL SELECT doc_id, 3, c3 FROM h),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |         FROM b x JOIN b y
+         |           ON x.j = y.j AND x.v = y.v AND x.doc_id < y.doc_id)
+         |SELECT id_a, id_b, CAST($ham AS INTEGER) AS hamming
+         |FROM cand JOIN h a ON a.doc_id = cand.id_a
+         |JOIN h bb ON bb.doc_id = cand.id_b
+         |WHERE $ham <= 8
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val payload = col("text").cast("binary")
+      val w = (col("n_chars") % 640 + 32).cast("int")
+      val h = ((col("n_chars").cast("long") * 7) % 480 + 32).cast("int")
+      val withMedia = docs.withColumn("media",
+        concat(Multimodal.bmpHeader(w, h, length(payload)), payload))
+      Multimodal.aHashNearDups(withMedia, col("doc_id"), col("media"))
+        .orderBy("id_a", "id_b")
+    },
+
     QueryDef("st01_session_agg",
       """WITH flagged AS (
         |  SELECT user_id, ts, value,
