@@ -269,6 +269,48 @@ object AnalyticQueries {
            pow(col("v2") / col("n2"), 2) / (col("n2") - 1)), 2).as("df"))
     },
 
+    // ---- two-sample Kolmogorov-Smirnov statistic: click vs error value
+    //      distributions. D = max |F̂₁ − F̂₂| evaluated at every observed
+    //      value: one distributed per-value count agg up front, then
+    //      cumulative sums along the DISTINCT-value axis — the window is
+    //      bounded by value cardinality, the same exact-twin class as
+    //      q44's equi-depth histogram (the at-scale form bins first,
+    //      q27's front). max() is order-independent, so cross-engine
+    //      parity needs no decimal detour. This is the distribution-SHAPE
+    //      drift test next to q52's binned PSI (PSI sees mass moving
+    //      between coarse bins; KS sees any CDF separation). ----
+    QueryDef("q93_ks_test",
+      """WITH c AS (
+        |  SELECT value,
+        |    count(*) FILTER (WHERE event_type = 'click') AS ca,
+        |    count(*) FILTER (WHERE event_type = 'error') AS cb
+        |  FROM events WHERE event_type IN ('click', 'error') GROUP BY value),
+        |n AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c),
+        |f AS (SELECT
+        |    sum(ca) OVER (ORDER BY value) AS cuma,
+        |    sum(cb) OVER (ORDER BY value) AS cumb
+        |  FROM c)
+        |SELECT CAST(na AS BIGINT) AS n_click, CAST(nb AS BIGINT) AS n_error,
+        |  round(max(abs(CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE) / nb)), 6) AS ks_d
+        |FROM f CROSS JOIN n GROUP BY na, nb""".stripMargin) { (s, dir) =>
+      val c = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "error"))
+        .groupBy("value")
+        .agg(count(when(col("event_type") === "click", 1)).as("ca"),
+          count(when(col("event_type") === "error", 1)).as("cb"))
+      val n = c.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      val w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+      c.withColumn("cuma", sum(col("ca")).over(w))
+        .withColumn("cumb", sum(col("cb")).over(w))
+        .crossJoin(broadcast(n))
+        .groupBy("na", "nb")
+        .agg(round(max(abs(
+          col("cuma").cast("double") / col("na") -
+            col("cumb").cast("double") / col("nb"))), 6).as("ks_d"))
+        .select(col("na").cast("long").as("n_click"),
+          col("nb").cast("long").as("n_error"), col("ks_d"))
+    },
+
     // ---- Shannon entropy of the event-type mix per day — the label-
     //      distribution-drift check a training pipeline monitors. Uses
     //      H = ln(T) − Σ c·ln(c) / T over the counts, so one aggregate

@@ -233,5 +233,68 @@ object TimeSeriesQueries {
           round(col("detr") - col("seas"), 6).as("remainder"))
         .orderBy("day")
     },
+
+    // ---- LINEAR interpolation of interior gaps over the per-user daily
+    //      spine (pandas `.interpolate` on a resampled series) — q34's
+    //      forward fill holds the last value flat; this draws the line
+    //      between the surrounding observations:
+    //      `prev + (next − prev) · Δprev / Δspan`. The previous/next
+    //      anchors come from IGNORE NULLS window folds; the anchor DAY
+    //      rides a CASE that is null exactly when the value is, so both
+    //      windows pick the same row by construction. Boundary nulls stay
+    //      null (interpolation, never extrapolation). Per-user window
+    //      partitions, spine bounded by the calendar — q34's scale
+    //      posture unchanged. ----
+    QueryDef("q94_linear_interp",
+      """WITH e AS (SELECT * FROM events WHERE user_id < 10),
+        |bounds AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM e),
+        |keys AS (SELECT DISTINCT user_id FROM e),
+        |spine AS (SELECT user_id, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        |          FROM keys, bounds),
+        |daily AS (SELECT user_id, CAST(ts AS DATE) AS day, round(avg(value), 4) AS day_avg
+        |          FROM e GROUP BY 1, 2),
+        |j AS (SELECT s.user_id, s.day, d.day_avg
+        |      FROM spine s LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day),
+        |w AS (SELECT user_id, day, day_avg,
+        |    last_value(day_avg IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN day_avg IS NOT NULL THEN day END IGNORE NULLS) OVER wp AS pd,
+        |    first_value(day_avg IGNORE NULLS) OVER wf AS nv,
+        |    first_value(CASE WHEN day_avg IS NOT NULL THEN day END IGNORE NULLS) OVER wf AS nd
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY day
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         wf AS (PARTITION BY user_id ORDER BY day
+        |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        |  round(CASE
+        |    WHEN day_avg IS NOT NULL THEN day_avg
+        |    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |      pv + (nv - pv) * datediff('day', pd, day) / datediff('day', pd, nd)
+        |    ELSE NULL END, 6) AS interp
+        |FROM w ORDER BY user_id, day""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir).filter(col("user_id") < 10)
+      val daily = e.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(round(avg(col("value")), 4).as("day_avg"))
+      val j = TimeSeries.dailySpine(e, col("user_id"), to_date(col("ts")))
+        .withColumnRenamed("k", "user_id")
+        .join(daily, Seq("user_id", "day"), "left")
+      val wp = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wf = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(1, Window.unboundedFollowing)
+      j.withColumn("pv", last(col("day_avg"), ignoreNulls = true).over(wp))
+        .withColumn("pd",
+          last(when(col("day_avg").isNotNull, col("day")), true).over(wp))
+        .withColumn("nv", first(col("day_avg"), ignoreNulls = true).over(wf))
+        .withColumn("nd",
+          first(when(col("day_avg").isNotNull, col("day")), true).over(wf))
+        .select(col("user_id"), dayStr(col("day")).as("day"),
+          round(when(col("day_avg").isNotNull, col("day_avg"))
+            .when(col("pv").isNotNull && col("nv").isNotNull,
+              col("pv") + (col("nv") - col("pv")) *
+                datediff(col("day"), col("pd")) /
+                datediff(col("nd"), col("pd"))), 6).as("interp"))
+        .orderBy("user_id", "day")
+    },
   )
 }
