@@ -426,6 +426,54 @@ class PlanSpec extends SparkSpec {
     assert(q.collect().toSeq == inlined.collect().toSeq)
   }
 
+  test("q92 hilbert chain: one whole-stage projection, shuffles only for the output order") {
+    // the 16-level state-threading transform must stay straight-line
+    // codegen arithmetic: no shuffle may appear beyond the tiny min/max
+    // agg (+ its broadcast) and the final orderBy — a refactor that
+    // materializes levels through exchanges would turn a projection into
+    // 16 passes at 100 TB
+    val q = SparkEntry.queries("q92_hilbert_layout")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    val n = "Exchange (hash|range|Single)".r.findAllIn(plan).length
+    assert(n <= 3, s"hilbert layout should shuffle ≤3 times (agg, agg-final, sort), got $n\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the 8-level transform must remain one unbroken Project chain over
+    // the scan — no Exchange (or any other operator) may interleave the
+    // per-level Projects; pure-expression Projects are codegen'd
+    // level 8's hd8 is folded straight into the hkey alias by
+    // CollapseProject, so levels 1-7 appear by name and 8 as hkey
+    val levels = "AS hd(\\d)#".r.findAllMatchIn(plan)
+      .map(_.group(1).toInt).toSet
+    assert((1 to 7).forall(levels.contains) && plan.contains("AS hkey"),
+      s"missing hilbert levels in plan: $levels\n$plan")
+    // between the final key projection and the scalar min/max broadcast
+    // that feeds it sits the whole level chain — no Exchange may
+    // interleave it (pure-expression Projects fuse under codegen)
+    val chain = plan.substring(
+      plan.indexOf("AS hkey"), plan.indexOf("BroadcastNestedLoopJoin"))
+    assert("Exchange".r.findFirstIn(chain).isEmpty,
+      s"an Exchange interrupts the hilbert Project chain:\n$plan")
+  }
+
+  test("s18 MIPS: band-bucket equi-join candidates — no cartesian, query side broadcast") {
+    val q = SparkEntry.queries("s18_mips_topk")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"MIPS candidate generation must stay an equi-join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("m05 aHash: chunk-band join is a hash equi-join; fingerprints computed without shuffle") {
+    // the only exchanges: band self-join hash, distinct, verify joins,
+    // final sort — NEVER a nested loop over doc pairs
+    val q = SparkEntry.queries("m05_ahash_neardup")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"aHash near-dup must never go all-pairs:\n$plan")
+  }
+
   test("q66 DSv2 source: pushed range prunes partitions before execution") {
     // the q66 scan shape without the aggregate: 16 range partitions over
     // 100k ids; [25000, 75000) overlaps exactly 8 — the other 8 are
