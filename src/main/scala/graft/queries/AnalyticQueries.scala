@@ -311,6 +311,50 @@ object AnalyticQueries {
           col("nb").cast("long").as("n_error"), col("ks_d"))
     },
 
+    // ---- chi-square test of independence: event-type mix × weekday —
+    //      "does the label distribution depend on the day?" next to
+    //      q41's two-sample means test and q93's two-sample CDF test.
+    //      One contingency-cell aggregate; margins join back (the column
+    //      margin broadcast, the scalar N broadcast). Each (o−e)²/e term
+    //      goes through DECIMAL(28,10) before the sum — 35 double terms
+    //      summed in engine-specific order would be the classic last-ulp
+    //      parity trap (same fix as q37's frame sums). ----
+    QueryDef("q95_chi_square",
+      """WITH cells AS (
+        |  SELECT event_type, CAST(isodow(ts) - 1 AS INTEGER) AS dow, count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, sum(o) AS r FROM cells GROUP BY 1),
+        |ct AS (SELECT dow, sum(o) AS c FROM cells GROUP BY 1),
+        |m AS (SELECT sum(o) AS n,
+        |        (count(DISTINCT event_type) - 1) * (count(DISTINCT dow) - 1) AS df
+        |      FROM cells),
+        |t AS (SELECT
+        |    CAST((o - CAST(r AS DOUBLE) * c / n) * (o - CAST(r AS DOUBLE) * c / n)
+        |         / (CAST(r AS DOUBLE) * c / n) AS DECIMAL(28,10)) AS term,
+        |    n, df
+        |  FROM cells JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN m)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(df AS INTEGER) AS df,
+        |  round(CAST(sum(term) AS DOUBLE), 4) AS chi2
+        |FROM t GROUP BY n, df""".stripMargin) { (s, dir) =>
+      val cells = Tables.events(s, dir)
+        .groupBy(col("event_type"), weekday(col("ts")).as("dow"))
+        .agg(count(lit(1)).as("o"))
+      val rt = cells.groupBy("event_type").agg(sum(col("o")).as("r"))
+      val ct = cells.groupBy("dow").agg(sum(col("o")).as("c"))
+      val m = cells.agg(sum(col("o")).as("n"),
+        ((countDistinct(col("event_type")) - 1) *
+          (countDistinct(col("dow")) - 1)).as("df"))
+      val e = col("r").cast("double") * col("c") / col("n")
+      cells.join(rt, "event_type").join(broadcast(ct), "dow")
+        .crossJoin(broadcast(m))
+        .withColumn("term",
+          ((col("o") - e) * (col("o") - e) / e).cast("decimal(28,10)"))
+        .groupBy("n", "df")
+        .agg(round(sum(col("term")).cast("double"), 4).as("chi2"))
+        .select(col("n").cast("long").as("n"), col("df").cast("int").as("df"),
+          col("chi2"))
+    },
+
     // ---- Shannon entropy of the event-type mix per day — the label-
     //      distribution-drift check a training pipeline monitors. Uses
     //      H = ln(T) − Σ c·ln(c) / T over the counts, so one aggregate

@@ -184,5 +184,38 @@ object BehaviorQueries {
           col("n_events"))
         .orderBy("user_id", "session_start")
     },
+
+    // ---- first-order Markov transition matrix over per-user event
+    //      sequences: P(next event type | current) — the behavioral
+    //      model funnels (q40/q71) project a single path out of. One lag
+    //      window per user (deterministic (ts, event_id) order), then a
+    //      transition-count aggregate and a row-normalizing join; the
+    //      probability is one int/int division → exact cross-engine
+    //      doubles. At scale this is the per-user window + vocab²-sized
+    //      aggregate shape — no global ordering anywhere. ----
+    QueryDef("q96_markov_transitions",
+      """WITH t AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS prev,
+        |    event_type AS cur
+        |  FROM events),
+        |c AS (SELECT prev, cur, count(*) AS n FROM t
+        |      WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT prev, sum(n) AS tn FROM c GROUP BY 1)
+        |SELECT prev, cur, n, round(CAST(n AS DOUBLE) / tn, 6) AS p
+        |FROM c JOIN tot USING (prev)
+        |ORDER BY prev, cur""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val c = Tables.events(s, dir)
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("cur"))
+        .agg(count(lit(1)).as("n"))
+      val tot = c.groupBy("prev").agg(sum(col("n")).as("tn"))
+      c.join(broadcast(tot), "prev")
+        .select(col("prev"), col("cur"), col("n"),
+          round(col("n").cast("double") / col("tn"), 6).as("p"))
+        .orderBy("prev", "cur")
+    },
   )
 }
