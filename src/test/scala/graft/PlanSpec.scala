@@ -474,6 +474,43 @@ class PlanSpec extends SparkSpec {
       s"aHash near-dup must never go all-pairs:\n$plan")
   }
 
+  test("runtime bloom filter: selective dim filter injects might_contain into the fact scan leg") {
+    // the 100 TB shuffle-volume lever the optimizer owns: a selective
+    // filter on the creation side of a shuffle join makes Catalyst
+    // inject a bloom-filter semi-join onto the fact leg
+    // (InjectRuntimeFilter), so most fact rows drop BEFORE the exchange
+    // instead of after it. Broadcast is disabled to force the
+    // shuffle-join shape the rule targets; thresholds are opened so the
+    // sf0.001 fixture qualifies as "big".
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set(keys(0), "-1")
+    spark.conf.set(keys(1), "true")
+    spark.conf.set(keys(2), "100MB")
+    spark.conf.set(keys(3), "0")
+    try {
+      val li = Tables.lineitem(spark, sf)
+      val ord = Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("bloom_filter"),
+        s"expected an injected runtime bloom filter on the fact leg:\n$plan")
+      // and it must not have changed the answer
+      assert(j.collect().map(_.getLong(1)).sum ==
+        li.join(Tables.orders(spark, sf)
+            .filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey")).count())
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("q66 DSv2 source: pushed range prunes partitions before execution") {
     // the q66 scan shape without the aggregate: 16 range partitions over
     // 100k ids; [25000, 75000) overlaps exactly 8 — the other 8 are
