@@ -482,6 +482,72 @@ object Similarity {
         col("rn").cast("int").as("rn"))
   }
 
+  /** MMR (maximal marginal relevance, Carbonell & Goldstein 1998)
+    * diversified top-k: greedily pick k results maximizing
+    * `0.7·rel(c) − 0.3·max_{p∈picked} sim(c, p)` — the re-ranker that
+    * stops retrieval returning k near-copies of the same document (the
+    * query-time face of dedup). The greedy loop is inherently
+    * sequential, so it UNROLLS into k−1 declarative steps (the Hilbert
+    * trick applied to plan shape): each step is an anti-join (drop
+    * picked), a max-sim aggregate against the picked set, and one
+    * per-query argmax window. Everything stays blocked per query:
+    * candidates are the depth-bounded relevance list, and the pairwise
+    * sim table is depth² rows per query built with equi-joins — never a
+    * corpus-level pair space. λ = 0.7 / penalty 0.3 are written as
+    * LITERALS on both engines (computing 1−λ in Scala would yield
+    * 0.30000000000000004 and break hash parity with the oracle's 0.3),
+    * and scores go through Prep.floorTo — round() diverges at
+    * representability boundaries (sf0.01 hit one at ...1225 exactly as
+    * q65 once did at sf0.1).
+    */
+  def mmrTopK(emb: DataFrame, id: String, vec: String,
+              queryPred: Column, k: Int = 5, depth: Int = 20): DataFrame = {
+    ensureRegistered(emb)
+    val cands = bruteForceTopK(emb, id, vec, queryPred, depth)
+      .select(col("q_id"), col("c_id"), col("cos").as("rel"))
+      .localCheckpoint() // feeds the sim table and every greedy step
+    val vecs = emb.select(col(id).as("vid"), col(vec).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dotNative(col("v"), col("v"))))
+    val sims = cands.select(col("q_id"), col("c_id").as("a_id"))
+      .join(cands.select(col("q_id").as("q2"), col("c_id").as("b_id")),
+        col("q_id") === col("q2") && col("a_id") =!= col("b_id"))
+      .drop("q2")
+      .join(vecs.select(col("vid").as("a_id"), col("v").as("va"),
+        col("nrm").as("na")), "a_id")
+      .join(vecs.select(col("vid").as("b_id"), col("v").as("vb"),
+        col("nrm").as("nb")), "b_id")
+      .select(col("q_id"), col("a_id"), col("b_id"),
+        round(dotNative(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("sim"))
+      .localCheckpoint()
+    val w1 = Window.partitionBy("q_id").orderBy(col("rel").desc, col("c_id"))
+    var picks = cands.withColumn("rn", row_number().over(w1))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("c_id"), lit(1).as("step"),
+        graft.ops.Prep.floorTo(lit(0.7) * col("rel"), 6).as("score"))
+      .localCheckpoint()
+    for (j <- 2 to k) {
+      val remaining = cands.join(picks.select("q_id", "c_id"),
+        Seq("q_id", "c_id"), "left_anti")
+      val pen = sims
+        .join(picks.select(col("q_id"), col("c_id").as("b_id")), Seq("q_id", "b_id"))
+        .groupBy(col("q_id"), col("a_id"))
+        .agg(max(col("sim")).as("ms"))
+        .withColumnRenamed("a_id", "c_id")
+      val wj = Window.partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
+      val pj = remaining.join(pen, Seq("q_id", "c_id"))
+        .withColumn("score",
+          graft.ops.Prep.floorTo(
+            lit(0.7) * col("rel") - lit(0.3) * col("ms"), 6))
+        .withColumn("rn", row_number().over(wj))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("c_id"), lit(j).as("step"), col("score"))
+      picks = picks.union(pj).localCheckpoint()
+    }
+    picks.select(col("q_id"), col("c_id"),
+      col("step").cast("int").as("rn"), col("score"))
+  }
+
   /** Grid-blocked exact nearest neighbors in a 2-D projection (the first
     * two embedding dims as a point set) — the spatial-join pattern: every
     * point lands in a square cell of side `cellSize` (`floor(x/w)`,

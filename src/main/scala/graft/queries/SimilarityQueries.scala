@@ -485,5 +485,65 @@ object SimilarityQueries {
           col("vec_id") % 50 === 0, k = 5, bits = 32, bands = 4)
         .orderBy("q_id", "rn")
     },
+
+    // ---- MMR diversified retrieval: greedy 0.7·rel − 0.3·max-sim-to-
+    //      picked re-ranking over the depth-20 relevance list — the
+    //      query-time face of dedup (plain top-k happily returns k
+    //      near-copies; MMR spends rank budget on coverage). The greedy
+    //      recurrence unrolls into k−1 declarative steps on BOTH sides:
+    //      the engine as anti-join + max-sim agg + argmax window per
+    //      step, the oracle as generated per-step CTEs (NOT EXISTS +
+    //      correlated max) — same loop emits every step, so the
+    //      recurrence cannot drift. FULLY oracled: candidates, pairwise
+    //      sims, every greedy pick and score re-derived by DuckDB from
+    //      raw embeddings. ----
+    QueryDef("s19_mmr_topk", {
+      val k = 5
+      val steps = (2 to k).map { j =>
+        val jm = j - 1
+        s"""scored$j AS (
+           |  SELECT c.q_id, c.c_id,
+           |    floor((0.7 * c.rel - 0.3 * (
+           |      SELECT max(s.sim) FROM sims s JOIN picked$jm p
+           |        ON p.q_id = s.q_id AND p.c_id = s.b_id
+           |      WHERE s.q_id = c.q_id AND s.a_id = c.c_id)) * CAST(1000000 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS score
+           |  FROM cands c
+           |  WHERE NOT EXISTS (SELECT 1 FROM picked$jm p
+           |                    WHERE p.q_id = c.q_id AND p.c_id = c.c_id)),
+           |p$j AS (SELECT q_id, c_id, $j AS step, score FROM (
+           |  SELECT q_id, c_id, score,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rn
+           |  FROM scored$j) WHERE rn = 1),
+           |picked$j AS (SELECT * FROM picked$jm UNION ALL SELECT * FROM p$j)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |cands AS (
+         |  SELECT q_id, c_id, cos AS rel FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS c_id, round($duckCos, 6) AS cos,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round($duckCos, 6) DESC, c.vec_id) AS rn
+         |    FROM v q CROSS JOIN v c
+         |    WHERE q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id)
+         |  WHERE rn <= 20),
+         |sims AS (
+         |  SELECT x.q_id, x.c_id AS a_id, y.c_id AS b_id,
+         |    round(list_dot_product(a.e, b.e) /
+         |      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS sim
+         |  FROM cands x JOIN cands y ON x.q_id = y.q_id AND x.c_id <> y.c_id
+         |  JOIN v a ON a.vec_id = x.c_id JOIN v b ON b.vec_id = y.c_id),
+         |p1 AS (SELECT q_id, c_id, 1 AS step,
+         |  floor((0.7 * rel) * CAST(1000000 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS score FROM (
+         |  SELECT q_id, c_id, rel,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, c_id) AS rn
+         |  FROM cands) WHERE rn = 1),
+         |picked1 AS (SELECT q_id, c_id, step, score FROM p1),
+         |$steps
+         |SELECT q_id, c_id, CAST(step AS INTEGER) AS rn, score
+         |FROM picked$k ORDER BY q_id, rn""".stripMargin
+    }) { (s, dir) =>
+      Similarity.mmrTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+          col("vec_id") % 50 === 0, k = 5, depth = 20)
+        .orderBy("q_id", "rn")
+    },
   )
 }

@@ -132,6 +132,28 @@ class SimilaritySpec extends SparkSpec {
     info(f"MIPS recall@5 vs brute-force inner product: $recall%.2f")
   }
 
+  test("mmrTopK: a perfect near-copy of pick-1 loses rank 2 to the diverse mirror") {
+    // q=(1,0); c1=(0.98, 0.199); c2 = 2·c1 (cosine-identical to c1 —
+    // rel ties bit-for-bit since doubling is exact — and sim(c1,c2)=1);
+    // c3 = mirror of c1 (same relevance, sim(c1,c3)≈0.92).
+    // Greedy: pick1 = c1 (rel tie → lowest id). Step 2: the exact copy
+    // scores 0.7·rel − 0.3·1.0, the mirror 0.7·rel − 0.3·0.92 — the
+    // mirror wins. Plain top-k would have returned the copy at rank 2.
+    val df = Seq(
+      (0L, Seq(1.0, 0.0)),
+      (1L, Seq(0.98, 0.199)),
+      (2L, Seq(1.96, 0.398)),
+      (3L, Seq(0.98, -0.199))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mmrTopK(df, "vec_id", "embedding",
+        col("vec_id") === 0, k = 3, depth = 10)
+      .orderBy("rn").as[(Long, Long, Int, Double)].collect().toSeq
+    assert(got.map(_._2) == Seq(1L, 3L, 2L),
+      s"expected picks (c1, mirror, copy), got $got")
+    // scores strictly decrease down the picked list
+    assert(got.map(_._4).sliding(2).forall(p => p.head >= p.last), got.toString)
+  }
+
   test("clusterDedup: exact dups always caught; drops are a sound subset of all-pairs") {
     // 60 base vectors in 3 well-separated regions + 6 exact duplicates.
     // Identical vectors share an argmin cell by construction, so exact
