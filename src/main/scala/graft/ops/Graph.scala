@@ -158,4 +158,69 @@ object Graph {
     tris.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }
+
+  /** k-core decomposition via synchronous peeling: repeatedly drop nodes
+    * whose degree within the surviving subgraph is < k; what remains after
+    * convergence is the k-core. Input is a directed edge list carrying
+    * BOTH directions per undirected edge (what [[coOccurrenceEdges]]
+    * emits), so a node's degree is its out-edge count into the active set.
+    *
+    * The active set only ever SHRINKS (peeling is monotone), so a fixed
+    * `rounds` budget is exact whenever the peel converges within it and
+    * extra rounds are no-ops — which is precisely what lets the unrolled
+    * fixed-round oracle ([[kCoreRoundsSql]]) equal the fixed-point answer.
+    * Each round is two equi-joins (both edge endpoints against the active
+    * set) + one count aggregate over O(E) rows, with lineage truncated per
+    * round via localCheckpoint — the same iteration discipline as
+    * [[pageRank]] and Dedup.connectedComponents; at 100 TB each round
+    * shuffles on node keys only, never a pair space.
+    *
+    * Returns (node, core_deg) for k-core members with their within-core
+    * degree.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    // both-directions edge list ⇒ the src set IS the node set
+    var active = e.select(col("src").as("node")).distinct().localCheckpoint(true)
+    def induced(a: DataFrame): DataFrame =
+      e.join(a.select(col("node").as("src")), "src")
+        .join(a.select(col("node").as("dst")), "dst")
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    for (_ <- 1 to rounds) {
+      active = induced(active)
+        .filter(col("deg") >= k)
+        .select(col("src").as("node"))
+        .localCheckpoint(true)
+    }
+    induced(active)
+      .select(col("src").as("node"), col("deg").cast("int").as("core_deg"))
+  }
+
+  /** The DuckDB-oracle twin of [[kCore]]: the peel unrolled into one CTE
+    * per round (same single-source-of-truth pattern as Layout's Hilbert
+    * SQL — the oracle can't drift from the engine because both run the
+    * identical round recurrence). Expects an `edges(src, dst)` CTE in
+    * scope; emits `r0..r$rounds` plus a `kcore_final(node, core_deg)` CTE.
+    */
+  def kCoreRoundsSql(k: Int, rounds: Int): String = {
+    // AS MATERIALIZED: each round is referenced TWICE by the next (both
+    // join legs); inlined CTEs would recompute the whole prefix per
+    // reference — 2^rounds expansions of the edge build (measured: DuckDB
+    // spilled >80 GB at sf0.1 before the hint; instant with it). The
+    // engine side has no such trap — each round is localCheckpointed.
+    val r0 = "r0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges)"
+    val rs = (1 to rounds).map { i =>
+      s"""r$i AS MATERIALIZED (SELECT e.src AS node FROM edges e
+         |  JOIN r${i - 1} sa ON e.src = sa.node
+         |  JOIN r${i - 1} sb ON e.dst = sb.node
+         |  GROUP BY 1 HAVING count(*) >= $k)""".stripMargin
+    }
+    val fin =
+      s"""kcore_final AS (SELECT e.src AS node, CAST(count(*) AS INTEGER) AS core_deg
+         |  FROM edges e
+         |  JOIN r$rounds sa ON e.src = sa.node
+         |  JOIN r$rounds sb ON e.dst = sb.node
+         |  GROUP BY 1)""".stripMargin
+    (r0 +: rs :+ fin).mkString(",\n")
+  }
 }

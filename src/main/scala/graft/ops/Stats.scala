@@ -118,4 +118,72 @@ object Stats {
     // "user.name" would otherwise parse as struct-field access and throw
     df.select(df.columns.toSeq.map(c =>
       sum(df(c).isNull.cast("long")).as(c)): _*)
+
+  /** Per-group closed-form simple linear regression (least squares of
+    * `y` on `x`): one aggregate computes the four moments — Σx and Σx²
+    * stay integral (callers pass a small integer-valued x like a day
+    * offset), Σy and Σxy go through DECIMAL(28,10) so they're exact and
+    * accumulation-order-independent — then slope/intercept are a fixed
+    * chain of IEEE doubles any engine evaluates identically from
+    * identical inputs. One shuffle on the group keys, map-side combined;
+    * no window, no second pass over the fact.
+    *
+    * Returns the group keys + (n, slope, intercept) with slope/intercept
+    * raw doubles (callers round/floor for display).
+    */
+  def olsFit(df: DataFrame, keys: Seq[String], x: Column, y: Column): DataFrame = {
+    val m = df.select(keys.map(col) :+ x.as("__x") :+ y.as("__y"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y").cast("decimal(28,10)")).cast("double").as("__sy"),
+        sum((col("__x").cast("double") * col("__y")).cast("decimal(28,10)"))
+          .cast("double").as("__sxy"))
+    val nD = col("n").cast("double")
+    val sxD = col("__sx").cast("double")
+    val slope = (nD * col("__sxy") - sxD * col("__sy")) /
+      (nD * col("__sxx").cast("double") - sxD * sxD)
+    m.withColumn("slope", slope)
+      .withColumn("intercept", (col("__sy") - col("slope") * sxD) / nD)
+      .drop("__sx", "__sxx", "__sy", "__sxy")
+  }
+
+  /** Mann-Whitney U (Wilcoxon rank-sum): the nonparametric two-sample
+    * location test. Rows where `isA` hold are sample A, `isB` sample B
+    * (others ignored). The fact reduces to per-value counts FIRST, so the
+    * ranking window runs over distinct values, not rows; tied values get
+    * the textbook average rank derived exactly from the prior cumulative
+    * count. Every rank is a multiple of ½ and every sum below stays well
+    * under 2⁵³, so the arithmetic is exact in doubles — order-independent
+    * with no decimal detour. Returns one row: (n_a, n_b, u1, u2, z) with
+    * z the normal approximation WITHOUT tie correction (raw double;
+    * callers round for display).
+    *
+    * The distinct-value window is a single partition by design at fixture
+    * scale; the at-scale form ranges the window over value buckets and
+    * prefix-sums bucket totals (the q44→q45 / zscore→zscoreViaAgg twin
+    * discipline).
+    */
+  def mannWhitneyU(df: DataFrame, isA: Column, isB: Column,
+                   value: Column): DataFrame = {
+    val c = df.filter(isA || isB)
+      .groupBy(value.as("__v"))
+      .agg(count(when(isA, 1)).as("__ca"), count(when(isB, 1)).as("__cb"))
+    val n = c.agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"))
+    val wPrior = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r = c.withColumn("__prior",
+        coalesce(sum(col("__ca") + col("__cb")).over(wPrior), lit(0)))
+      .agg(sum(col("__ca") *
+        (col("__prior") + (col("__ca") + col("__cb") + 1) / lit(2.0))).as("__r1"))
+    val naD = col("n_a").cast("double")
+    r.crossJoin(broadcast(n))
+      .withColumn("u1", col("__r1") - col("n_a") * (col("n_a") + 1) / lit(2.0))
+      .withColumn("u2", naD * col("n_b") - col("u1"))
+      .withColumn("z", (col("u1") - naD * col("n_b") / lit(2.0)) /
+        sqrt(naD * col("n_b") * (col("n_a") + col("n_b") + 1) / lit(12.0)))
+      .select(col("n_a"), col("n_b"), col("u1"), col("u2"), col("z"))
+  }
 }

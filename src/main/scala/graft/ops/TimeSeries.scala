@@ -80,6 +80,48 @@ object TimeSeries {
         coalesce(graft.core.Exact.decimalSumExpr(col("b_val")), lit(0.0))
           .as("sum_value"))
 
+  /** Truncated exponential smoothing over a keyed daily series: for each
+    * (key, day) the weighted mean of the trailing `lookback` days' values
+    * with weights decay^(day − day'), renormalized over the days actually
+    * present (gaps simply drop out of both numerator and denominator).
+    * Truncation bounds the error at decay^lookback (< 1e-4 at 0.7^21) and
+    * — decisively — turns the sequential EWMA recurrence into a BANDED
+    * SELF-JOIN: each row pairs with ≤ lookback+1 partners via the same
+    * two-bin explode trick as [[countInWindow]] (a build row's bin equals
+    * exactly one of the probe row's two candidate bins, so the join is
+    * pure equi on (key, bin) — never a range-predicate nested loop, and
+    * never a per-key sequential scan). At 100 TB this shuffles on
+    * (key, bin) with constant fan-out per row.
+    *
+    * Weighted terms go through DECIMAL(28,10) before summing so the
+    * per-day sums are order-independent (exact decimal addition — the
+    * same cross-engine parity discipline as Exact.decimalSum).
+    *
+    * Input: (key, ed, x) with `ed` an epoch-day-like integer and `x` the
+    * day's value. Returns (key, ed, x, ewma).
+    */
+  def ewmaSmooth(daily: DataFrame, key: String, ed: String, x: String,
+                 decay: Double, lookback: Int): DataFrame = {
+    val span = lookback + 1 // bin width covers the full window
+    val p = daily.select(col(key).as("k"), col(ed).as("p_ed"), col(x).as("p_x"))
+      .withColumn("bin0", expr(s"p_ed div $span"))
+      .withColumn("bin", explode(array(col("bin0") - 1, col("bin0"))))
+      .drop("bin0")
+    val b = daily.select(col(key).as("k"), col(ed).as("b_ed"), col(x).as("b_x"))
+      .withColumn("bin", expr(s"b_ed div $span"))
+    val w = pow(lit(decay), col("p_ed") - col("b_ed"))
+    p.join(b, Seq("k", "bin"))
+      .filter(col("b_ed") >= col("p_ed") - lit(lookback) &&
+        col("b_ed") <= col("p_ed"))
+      .groupBy(col("k").as(key), col("p_ed").as(ed), col("p_x").as(x))
+      .agg(
+        sum((col("b_x") * w).cast("decimal(28,10)")).as("__num"),
+        sum(w.cast("decimal(28,10)")).as("__den"))
+      .withColumn("ewma",
+        col("__num").cast("double") / col("__den").cast("double"))
+      .drop("__num", "__den")
+  }
+
   /** The shared banding core: one row per (probe, matching build row),
     * left semantics (zero-match probes keep one row with NULL b_ts).
     * Probe rows are exploded to the two `window`-sized bins their

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.Stats
+import graft.ops.{Prep, Stats}
 import Parity._
 
 /** Notebook-surface analytics (SURVEY.md §2.6 A3-A6, §2.7 W2, §2.8 L2-L4)
@@ -737,6 +737,135 @@ object AnalyticQueries {
           |PIVOT (count(*) FOR o_orderpriority IN
           |       ('1-URGENT' AS urgent, '2-HIGH' AS high, '5-LOW' AS low))
           |ORDER BY c_mktsegment""".stripMargin)
+    },
+
+    // ---- per-group OLS regression: the closed-form least-squares trend
+    //      of `value` on time, one line per event type — the grouped twin
+    //      of t19's single-series Zipf fit, and the "°C per decade" query
+    //      every climate/drift dashboard runs. All four moments are exact
+    //      (x is a small day offset so Σx/Σx² stay integral; the y-moments
+    //      go through DECIMAL like every money sum), and the closed-form
+    //      slope/intercept is then a fixed chain of IEEE doubles both
+    //      engines evaluate identically from identical inputs. One
+    //      aggregate over the fact — no window, no second pass. ----
+    QueryDef("q97_ols_trend",
+      s"""WITH p AS (SELECT event_type,
+         |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+         |    value AS y
+         |  FROM events),
+         |m AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx,
+         |    CAST(sum(CAST(y AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+         |    CAST(sum(CAST(CAST(x AS DOUBLE) * y AS DECIMAL(28,10))) AS DOUBLE) AS sxy
+         |  FROM p GROUP BY 1),
+         |r AS (SELECT event_type, n, sx, sy,
+         |    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+         |  FROM m)
+         |SELECT event_type, CAST(n AS BIGINT) AS n,
+         |  ${Prep.floorToSql("slope", 6)} AS slope,
+         |  ${Prep.floorToSql("(sy - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)", 4)} AS intercept
+         |FROM r ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Stats.olsFit(Tables.events(s, dir), Seq("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01")).cast("long"),
+          col("value"))
+        .select(col("event_type"), col("n").cast("long").as("n"),
+          Prep.floorTo(col("slope"), 6).as("slope"),
+          Prep.floorTo(col("intercept"), 4).as("intercept"))
+        .orderBy("event_type")
+    },
+
+    // ---- Mann-Whitney U: the RANK-based two-sample location test —
+    //      completes the drift-test family (q41 compares means, q93
+    //      compares CDF shapes, q95 categorical mixes; this one is the
+    //      robust nonparametric member). Reduces the fact to per-value
+    //      counts FIRST (like q93), so the ranking window runs over
+    //      distinct values, not rows; tied values get the textbook
+    //      average rank, computed exactly from the prior cumulative count
+    //      (all ranks are multiples of ½, so every sum below is exact in
+    //      doubles — order-independent with no decimal detour). ----
+    QueryDef("q99_mann_whitney",
+      s"""WITH c AS (SELECT value,
+         |    count(*) FILTER (WHERE event_type = 'view') AS ca,
+         |    count(*) FILTER (WHERE event_type = 'purchase') AS cb
+         |  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY value),
+         |n AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c),
+         |w AS (SELECT ca, cb,
+         |    coalesce(sum(ca + cb) OVER (ORDER BY value
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+         |  FROM c),
+         |r AS (SELECT sum(ca * (prior + (ca + cb + 1) / 2.0)) AS r1 FROM w),
+         |u AS (SELECT na, nb, r1 - na * (na + 1) / 2.0 AS u1 FROM r CROSS JOIN n)
+         |SELECT CAST(na AS BIGINT) AS n_view, CAST(nb AS BIGINT) AS n_purchase,
+         |  u1, CAST(na AS DOUBLE) * nb - u1 AS u2,
+         |  ${Prep.floorToSql(
+             "(u1 - CAST(na AS DOUBLE) * nb / 2.0) / sqrt(CAST(na AS DOUBLE) * nb * (na + nb + 1) / 12.0)", 4)} AS z
+         |FROM u""".stripMargin) { (s, dir) =>
+      Stats.mannWhitneyU(Tables.events(s, dir),
+          isA = col("event_type") === "view",
+          isB = col("event_type") === "purchase",
+          value = col("value"))
+        .select(col("n_a").cast("long").as("n_view"),
+          col("n_b").cast("long").as("n_purchase"),
+          col("u1"), col("u2"), Prep.floorTo(col("z"), 4).as("z"))
+    },
+
+    // ---- Benford first-digit audit: the classic fabricated-numbers /
+    //      corrupted-feed detector. The leading significant digit comes
+    //      from the DECIMAL(18,2) string form — fixed-scale decimal
+    //      rendering is identical across engines, where double→string and
+    //      log10-of-magnitude tricks both have representability edges.
+    //      One narrow aggregate over the fact + a broadcast scalar total.
+    QueryDef("q101_benford",
+      s"""WITH d AS (SELECT CAST(regexp_extract(
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), '[1-9]', 0)
+         |    AS INTEGER) AS digit
+         |  FROM orders),
+         |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+         |t AS (SELECT sum(n) AS total FROM c)
+         |SELECT digit, CAST(n AS BIGINT) AS n,
+         |  ${Prep.floorToSql("CAST(n AS DOUBLE) / total", 6)} AS p_obs,
+         |  ${Prep.floorToSql("log10(1.0 + 1.0 / CAST(digit AS DOUBLE))", 6)} AS p_benford,
+         |  ${Prep.floorToSql(
+             "abs(CAST(n AS DOUBLE) / total - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))", 6)} AS abs_dev
+         |FROM c CROSS JOIN t ORDER BY digit""".stripMargin) { (s, dir) =>
+      val d = Tables.orders(s, dir).select(
+        regexp_extract(col("o_totalprice").cast("decimal(18,2)").cast("string"),
+          "[1-9]", 0).cast("int").as("digit"))
+      val c = d.groupBy("digit").agg(count(lit(1)).as("n"))
+      val t = c.agg(sum(col("n")).as("total"))
+      val pBen = log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+      c.crossJoin(broadcast(t))
+        .select(col("digit"), col("n").cast("long").as("n"),
+          Prep.floorTo(col("n").cast("double") / col("total"), 6).as("p_obs"),
+          Prep.floorTo(pBen, 6).as("p_benford"),
+          Prep.floorTo(abs(col("n").cast("double") / col("total") - pBen), 6)
+            .as("abs_dev"))
+        .orderBy("digit")
+    },
+
+    // ---- rank-based feature normalization: percent_rank / cume_dist /
+    //      ntile quartile per segment — the distribution-free scaling a
+    //      feature pipeline applies when min-max (q62) is outlier-fragile.
+    //      Both rank ratios are exact integer quotients evaluated
+    //      identically by any engine given a deterministic total order
+    //      (the custkey tie-break). Windows partition by segment — keyed
+    //      exchanges, no global sort. ----
+    QueryDef("q105_rank_normalize",
+      s"""SELECT c_mktsegment, c_custkey, c_acctbal,
+         |  ${Prep.floorToSql("percent_rank() OVER w", 6)} AS pct_rank,
+         |  ${Prep.floorToSql("cume_dist() OVER w", 6)} AS cum_dist,
+         |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+         |FROM customer
+         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+         |ORDER BY c_mktsegment, c_acctbal, c_custkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, dir)
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          Prep.floorTo(percent_rank().over(w), 6).as("pct_rank"),
+          Prep.floorTo(cume_dist().over(w), 6).as("cum_dist"),
+          ntile(4).over(w).cast("int").as("quartile"))
+        .orderBy("c_mktsegment", "c_acctbal", "c_custkey")
     },
   )
 }

@@ -119,8 +119,8 @@ object PrepQueries {
     //      3 declarative join-agg rounds; decimal contribution sums make
     //      the ranks bit-stable across engines and partitionings. ----
     QueryDef("q63_pagerank_parts",
-      s"""WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem),
-         |edges AS (SELECT a.item AS src, b.item AS dst
+      s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem),
+         |edges AS MATERIALIZED (SELECT a.item AS src, b.item AS dst
          |          FROM li a JOIN li b ON a.g = b.g AND a.item <> b.item
          |          GROUP BY 1, 2 HAVING count(*) >= 2),
          |nodes AS (SELECT DISTINCT src AS node FROM edges
@@ -179,6 +179,35 @@ object PrepQueries {
         .select(col("node").as("part"), col("n_tri"))
         .orderBy(col("n_tri").desc, col("part"))
         .limit(50)
+    },
+
+    // ---- k-core decomposition: the "dense-cohesion" graph operator next
+    //      to q63's centrality and q84's closure — which parts survive
+    //      when every member must co-occur with ≥3 other survivors. The
+    //      engine peels iteratively (monotone shrinking active set, one
+    //      equi-join pair + count per round, lineage truncated per round);
+    //      the oracle is the SAME recurrence unrolled into per-round CTEs
+    //      by Graph.kCoreRoundsSql, so engine and oracle cannot drift.
+    //      6 rounds covers convergence at every fixture SF (extra rounds
+    //      are no-ops past the fixed point — peeling is monotone).
+    //      k=2 because co-recurring pairs get RARER as the catalog grows
+    //      (same basket sizes over more parts): the 3-core that has 954
+    //      members at sf0.01 is empty at sf0.1, while the 2-core is
+    //      non-degenerate at every fixture SF. ----
+    QueryDef("q102_kcore",
+      s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem),
+         |edges AS MATERIALIZED (SELECT a.item AS src, b.item AS dst
+         |          FROM li a JOIN li b ON a.g = b.g AND a.item <> b.item
+         |          GROUP BY 1, 2 HAVING count(*) >= 2),
+         |${Graph.kCoreRoundsSql(k = 2, rounds = 6)}
+         |SELECT node AS part, core_deg FROM kcore_final
+         |ORDER BY part""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("g"), col("l_partkey").as("item"))
+      val edges = Graph.coOccurrenceEdges(li, "g", "item", minSupport = 2)
+      Graph.kCore(edges, k = 2, rounds = 6)
+        .select(col("node").as("part"), col("core_deg"))
+        .orderBy("part")
     },
 
     // ---- deterministic "reservoir" sample: fixed k per group, ranked by

@@ -296,5 +296,47 @@ object TimeSeriesQueries {
                 datediff(col("nd"), col("pd"))), 6).as("interp"))
         .orderBy("user_id", "day")
     },
+
+    // ---- truncated exponential smoothing (EWMA) per event type: the
+    //      recency-weighted sibling of q37's flat 7-day window and q91's
+    //      centered trend. The sequential EWMA recurrence is truncated at
+    //      a 13-day lookback (error < 0.7¹⁴ ≈ 7e-3 of one term) which
+    //      turns it into TimeSeries.ewmaSmooth's BANDED SELF-JOIN — pure
+    //      (key, bin) equi-join with constant fan-out, never a per-key
+    //      sequential scan — with weights renormalized over the days
+    //      actually present. Daily means and weighted sums both run
+    //      through DECIMAL so every aggregate is order-independent;
+    //      0.7^(Δ∈[0,13]) is the same libm double in both engines and the
+    //      DECIMAL(28,10) term rounding absorbs any last-ulp skew. ----
+    QueryDef("q103_ewma_smooth",
+      s"""WITH daily AS (SELECT event_type,
+         |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS ed,
+         |    strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS x
+         |  FROM events GROUP BY 1, 2, 3),
+         |j AS (SELECT a.event_type, a.day, a.x,
+         |    sum(CAST(b.x * power(0.7, a.ed - b.ed) AS DECIMAL(28,10))) AS num,
+         |    sum(CAST(power(0.7, a.ed - b.ed) AS DECIMAL(28,10))) AS den
+         |  FROM daily a JOIN daily b ON a.event_type = b.event_type
+         |    AND b.ed BETWEEN a.ed - 13 AND a.ed
+         |  GROUP BY 1, 2, 3)
+         |SELECT event_type, day, ${graft.ops.Prep.floorToSql("x", 6)} AS x,
+         |  ${graft.ops.Prep.floorToSql("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)", 6)} AS ewma
+         |FROM j ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("ed"))
+        .agg((sum(col("value").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("x"))
+      TimeSeries.ewmaSmooth(daily,
+          key = "event_type", ed = "ed", x = "x", decay = 0.7, lookback = 13)
+        // `day` is a pure function of `ed` - reconstructed, not carried
+        .withColumn("day",
+          dayStr(date_add(lit("2024-01-01").cast("date"), col("ed").cast("int"))))
+        .select(col("event_type"), col("day"),
+          graft.ops.Prep.floorTo(col("x"), 6).as("x"),
+          graft.ops.Prep.floorTo(col("ewma"), 6).as("ewma"))
+        .orderBy("event_type", "day")
+    },
   )
 }

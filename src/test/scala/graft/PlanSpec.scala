@@ -521,4 +521,23 @@ class PlanSpec extends SparkSpec {
     assert(scan.rdd.getNumPartitions == 8,
       s"expected 8 surviving DSv2 partitions, got ${scan.rdd.getNumPartitions}")
   }
+  test("q103 EWMA banded self-join stays an equi-join on (key, bin) — no range nested loop") {
+    val q = SparkEntry.queries("q103_ewma_smooth")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"banded EWMA must never plan a nested-loop/cartesian:\n$plan")
+  }
+
+  test("q102 k-core: every peel round is equi-join-only and rounds stay lineage-truncated") {
+    val q = SparkEntry.queries("q102_kcore")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the executed plan sees only the FINAL degree count over the
+    // checkpointed active set — the 6 peel rounds were truncated away
+    // (an un-truncated plan would nest 6 join pairs here)
+    assert(plan.contains("Scan ExistingRDD"),
+      s"expected checkpointed round inputs, got:\n$plan")
+  }
 }

@@ -200,4 +200,27 @@ class PrepSpec extends SparkSpec {
     assert(got == Seq((1L, "a", 4), (2L, "a", 2), (4L, "a", 3), (5L, "a", 1),
       (7L, "b", 1), (8L, "b", 2)), s"got $got")
   }
+  test("kCore: K4 survives a 3-core peel, the pendant chain peels away") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} plus chain 4-5-6 (both directions per edge)
+    val und = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),(4L,5L),(5L,6L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = graft.ops.Graph.kCore(edges, k = 3, rounds = 4)
+      .orderBy("node").as[(Long, Int)].collect().toSeq
+    // node 4's edge to the peeled 5 is gone: every survivor has deg 3
+    assert(got == Seq((1L,3),(2L,3),(3L,3),(4L,3)), s"got $got")
+    // k above max coreness: everything peels
+    assert(graft.ops.Graph.kCore(edges, k = 4, rounds = 4).count() == 0)
+  }
+
+  test("kCore: extra rounds past the fixed point are no-ops (monotone peel)") {
+    import spark.implicits._
+    val und = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),(4L,5L),(5L,6L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val at2 = graft.ops.Graph.kCore(edges, 3, 2).orderBy("node")
+      .as[(Long, Int)].collect().toSeq
+    val at8 = graft.ops.Graph.kCore(edges, 3, 8).orderBy("node")
+      .as[(Long, Int)].collect().toSeq
+    assert(at2 == at8, s"$at2 vs $at8")
+  }
 }

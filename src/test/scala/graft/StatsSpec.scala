@@ -83,4 +83,31 @@ class StatsSpec extends SparkSpec {
       assert(est == oneShot(t), s"$t: merged $est != one-shot ${oneShot(t)}")
     }
   }
+  test("olsFit: exact line y = 2x + 1 recovered exactly, per group") {
+    import spark.implicits._
+    import graft.ops.Stats
+    val df = Seq(("g", 0L, 1.0), ("g", 1L, 3.0), ("g", 2L, 5.0),
+      ("h", 0L, 10.0), ("h", 2L, 10.0)).toDF("k", "x", "y")
+    val got = Stats.olsFit(df, Seq("k"), col("x"), col("y"))
+      .orderBy("k").select("k", "slope", "intercept")
+      .as[(String, Double, Double)].collect().toSeq
+    // moments are exact (integral x, decimal-summed y), so the closed
+    // form hits the true coefficients with zero error
+    assert(got == Seq(("g", 2.0, 1.0), ("h", 0.0, 10.0)), s"got $got")
+  }
+
+  test("mannWhitneyU: textbook tie case — average ranks, U1+U2 = na*nb") {
+    import spark.implicits._
+    import graft.ops.Stats
+    // A = {1,3,3}, B = {2,3,5}: the three 3s share rank (3+4+5)/3 = 4
+    // R1 = 1 + 4 + 4 = 9, U1 = 9 - 6 = 3, U2 = 9 - 3 = 6
+    val df = Seq(("a", 1.0), ("a", 3.0), ("a", 3.0),
+      ("b", 2.0), ("b", 3.0), ("b", 5.0), ("c", 99.0)).toDF("g", "v")
+    val r = Stats.mannWhitneyU(df, col("g") === "a", col("g") === "b", col("v"))
+      .select("n_a", "n_b", "u1", "u2", "z")
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(r._1 == 3 && r._2 == 3, s"counts $r")
+    assert(r._3 == 3.0 && r._4 == 6.0, s"U $r")
+    assert(math.abs(r._5 - (-1.5 / math.sqrt(3.0 * 3 * 7 / 12))) < 1e-12, s"z $r")
+  }
 }

@@ -143,4 +143,21 @@ class TimeSeriesSpec extends SparkSpec {
     assert(back.orderBy("id").as[(Long, String, Double)].collect().toSeq ==
       Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)))
   }
+  test("ewmaSmooth: hand-computed decay weights, gap renormalization, key isolation") {
+    import spark.implicits._
+    val daily = Seq(("a", 0L, 1.0), ("a", 1L, 2.0), ("a", 3L, 4.0),
+      ("b", 1L, 100.0)).toDF("k", "ed", "x")
+    val got = graft.ops.TimeSeries.ewmaSmooth(daily, "k", "ed", "x",
+        decay = 0.5, lookback = 2)
+      .orderBy("k", "ed").select("k", "ed", "ewma")
+      .as[(String, Long, Double)].collect().toSeq
+    // day 0: 1/1 = 1 ; day 1: (2 + 0.5*1)/1.5 ; day 3 (gap at 2, day 1
+    // still in the 2-day lookback): (4 + 0.25*2)/1.25 = 3.6 — day 3's
+    // bin differs from day 1's, so this also exercises the cross-bin
+    // explode path. Key b never mixes in.
+    assert(got.map(_._1) == Seq("a", "a", "a", "b"))
+    val vs = got.map(_._3)
+    assert(math.abs(vs(0) - 1.0) < 1e-9 && math.abs(vs(1) - 2.5 / 1.5) < 1e-9 &&
+      math.abs(vs(2) - 3.6) < 1e-9 && math.abs(vs(3) - 100.0) < 1e-9, s"got $vs")
+  }
 }
