@@ -131,6 +131,48 @@ object Multimodal {
       .withColumn("bits_per_sample", leInt(media, 35, 2).cast("int"))
       .withColumn("data_len", leInt(media, 41, 4))
 
+  /** Per-frame RMS energy over a canonical 16-bit PCM WAV byte stream:
+    * the audio feature-extraction primitive (silence trimming, VAD
+    * windows, loudness normalization all start from exactly this table).
+    * The data-section length is read from the header ('data' size at
+    * offset 41), each little-endian int16 is decoded with the same
+    * hex/conv codegen'd byte reads as [[wavMeta]] (sign via the two's-
+    * complement fold u − 65536·[u ≥ 2¹⁵] — a branch any engine evaluates
+    * identically), and frames of `frameSamples` samples aggregate
+    * Σs² / n — INTEGER arithmetic, exact and order-independent with no
+    * decimal detour — before the one final sqrt.
+    *
+    * Shape: one row per sample via a distributed sequence-explode, then a
+    * (id, frame) aggregate — the pure-expression twin of the
+    * [[decodeBatched]] mapPartitions codec seam (which is where a real
+    * codec would amortize per-file setup at 100 TB; this path needs no
+    * codec at all for PCM). A trailing odd byte is ignored (not a full
+    * sample); docs with an empty data section produce no rows.
+    *
+    * Returns (id, frame, n_samples, rms) with `rms` raw (callers round).
+    */
+  def wavFrameRms(df: DataFrame, id: Column, media: Column,
+                  frameSamples: Int = 64): DataFrame = {
+    val ns = (leInt(media, 41, 4) / lit(2)).cast("long") // full int16 samples
+    // byte reads go against the RENAMED __m column — the caller's `media`
+    // expression is unresolvable after the first select
+    val byteAt = (pos: Column) =>
+      conv(hex(col("__m").substr(pos, lit(1))), 16, 10).cast("long")
+    df.select(id.as("id"), media.as("__m"), ns.as("__ns"))
+      .filter(col("__ns") > 0)
+      .select(col("id"), col("__m"),
+        explode(sequence(lit(0L), col("__ns") - 1)).as("__i"))
+      .withColumn("__u",
+        byteAt(lit(46) + col("__i") * 2) * 256 +
+          byteAt(lit(45) + col("__i") * 2))
+      .withColumn("__s",
+        col("__u") - when(col("__u") >= 32768, 65536L).otherwise(0L))
+      .groupBy(col("id"), (col("__i") / frameSamples).cast("int").as("frame"))
+      .agg(count(lit(1)).as("n_samples"),
+        sqrt(sum(col("__s") * col("__s")).cast("double") / count(lit(1)))
+          .as("rms"))
+  }
+
   // ---------- perceptual hashing (aHash) ----------
 
   /** One 16-bit chunk of the 64-bit average hash, emitted ONCE as

@@ -592,4 +592,80 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("dist2"),
         col("rn").cast("int").as("rn"))
   }
+
+  /** Top principal component of an embedding column via the classic
+    * two-phase factorization every distributed PCA uses (the Spark MLlib
+    * / probabilistic-PCA playbook): (1) ONE pass over the vectors reduces
+    * 100 TB of data to a d×d second-moment matrix — each row expands to
+    * its d² (j, k, xⱼ·xₖ) products through array HOFs (no join, no
+    * shuffle of raw vectors; partial aggregation collapses to d² groups
+    * map-side, the coOccurrenceEdges discipline), the covariance then
+    * assembles as Σxⱼxₖ − n·μⱼ·μₖ from the same pass's per-dim sums;
+    * (2) `iters` unrolled power-iteration rounds run on the d²-row
+    * matrix — each a join + aggregate over O(d²) rows, lineage truncated
+    * per round (the pageRank/kCore discipline). Data size only enters
+    * phase 1; iteration cost is independent of n.
+    *
+    * Cross-engine parity: every aggregate (moments, mat-vec, norms,
+    * Rayleigh quotient) runs through DECIMAL(38,18) — exact, order-
+    * independent — and everything between aggregates is a fixed chain of
+    * IEEE doubles. A fixed `iters` needs no convergence test: both
+    * engines run the identical recurrence. The sign is canonicalized so
+    * the largest-|loading| entry is positive (eigenvectors are only
+    * defined up to sign; the tie-break is lowest dim).
+    *
+    * Returns (dim 1-based, loading, evr) with `evr` the Rayleigh-quotient
+    * eigenvalue over the covariance trace — the explained-variance
+    * fraction. Raw doubles; callers round for display.
+    */
+  def topComponent(df: DataFrame, vec: Column, iters: Int = 8): DataFrame = {
+    val vecD = transform(vec, x => x.cast("double"))
+    val nDf = df.agg(count(lit(1)).as("n"))
+    // phase 1: one pass → d² second moments + d first moments
+    val xx = df.select(explode(flatten(transform(vecD, (xj, j) =>
+        transform(vecD, (xk, k) => struct((j + 1).as("j"), (k + 1).as("k"),
+          (xj * xk).as("p")))))).as("e"))
+      .select(col("e.j").as("j"), col("e.k").as("k"), col("e.p").as("p"))
+      .groupBy("j", "k")
+      .agg(sum(col("p").cast("decimal(38,18)")).cast("double").as("sxx"))
+    val mu = df.select(posexplode(vecD).as(Seq("p0", "xv")))
+      .select((col("p0") + 1).as("j"), col("xv").as("v"))
+      .groupBy("j")
+      .agg(sum(col("v").cast("decimal(38,18)")).cast("double").as("s"))
+      .crossJoin(broadcast(nDf))
+      .select(col("j"), (col("s") / col("n")).as("mu"))
+    val cMat = xx
+      .join(broadcast(mu.select(col("j"), col("mu").as("mj"))), "j")
+      .join(broadcast(mu.select(col("j").as("k"), col("mu").as("mk"))), "k")
+      .crossJoin(broadcast(nDf))
+      .select(col("j"), col("k"),
+        (col("sxx") - col("n") * col("mj") * col("mk")).as("cv"))
+      .localCheckpoint(true)
+    // phase 2: power iteration on the d²-row matrix
+    var v = mu.select(col("j"), lit(1.0).as("vv"))
+    for (_ <- 1 to iters) {
+      val w = cMat.join(v.select(col("j").as("k"), col("vv")), "k")
+        .groupBy(col("j"))
+        .agg(sum((col("cv") * col("vv")).cast("decimal(38,18)"))
+          .cast("double").as("wv"))
+      val nrm = w.agg(sqrt(sum((col("wv") * col("wv")).cast("decimal(38,18)"))
+        .cast("double")).as("nr"))
+      v = w.crossJoin(broadcast(nrm))
+        .select(col("j"), (col("wv") / col("nr")).as("vv"))
+        .localCheckpoint(true)
+    }
+    val sgn = v.orderBy(abs(col("vv")).desc, col("j")).limit(1)
+      .select(when(col("vv") < 0, lit(-1.0)).otherwise(lit(1.0)).as("s"))
+    val lam = cMat.join(v.select(col("j"), col("vv").as("va")), "j")
+      .join(v.select(col("j").as("k"), col("vv").as("vb")), "k")
+      .agg(sum((col("va") * col("cv") * col("vb")).cast("decimal(38,18)"))
+        .cast("double").as("l"))
+    val tr = cMat.filter(col("j") === col("k"))
+      .agg(sum(col("cv").cast("decimal(38,18)")).cast("double").as("t"))
+    v.crossJoin(broadcast(sgn)).crossJoin(broadcast(lam))
+      .crossJoin(broadcast(tr))
+      .select(col("j").cast("int").as("dim"),
+        (col("vv") * col("s")).as("loading"),
+        (col("l") / col("t")).as("evr"))
+  }
 }

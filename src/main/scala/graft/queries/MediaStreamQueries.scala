@@ -160,6 +160,41 @@ object MediaStreamQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // ---- m06: per-frame RMS energy over REAL 16-bit PCM WAV streams —
+    //      the audio twin of m02/m04's frame pipeline and the table
+    //      silence-trim / VAD / loudness stages start from. The engine
+    //      reads the data-section length out of the 44-byte header it
+    //      built and decodes every little-endian int16 with codegen'd
+    //      byte reads (sign via the two's-complement fold); the oracle
+    //      re-derives the same samples from the ASCII payload directly
+    //      (byte == char, the m01/m05 pattern), so one wrong byte offset
+    //      anywhere in build or parse breaks the hash. Σs² stays integer
+    //      → exact, order-independent; sqrt is one final double. ----
+    QueryDef("m06_wav_frame_rms",
+      s"""WITH f AS (SELECT doc_id, text, len(text) // 2 AS ns FROM documents),
+         |i AS (SELECT doc_id, text, unnest(range(0, ns)) AS i FROM f WHERE ns > 0),
+         |sm AS (SELECT doc_id, CAST(i // 64 AS INTEGER) AS frame,
+         |    ord(substr(text, CAST(2 * i + 1 AS INTEGER), 1))
+         |      + 256 * ord(substr(text, CAST(2 * i + 2 AS INTEGER), 1)) AS u
+         |  FROM i),
+         |sg AS (SELECT doc_id, frame,
+         |    u - CASE WHEN u >= 32768 THEN 65536 ELSE 0 END AS s FROM sm)
+         |SELECT doc_id, frame, count(*) AS n_samples,
+         |  ${graft.ops.Prep.floorToSql("sqrt(CAST(sum(s * s) AS DOUBLE) / count(*))", 6)} AS rms
+         |FROM sg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val ch = (col("doc_id") % 3 + 1).cast("int")
+      val sr = when(col("doc_id") % 3 === 0, 8000)
+        .when(col("doc_id") % 3 === 1, 16000).otherwise(44100)
+      val payload = col("text").cast("binary")
+      val withMedia = docs.withColumn("media",
+        concat(Multimodal.wavHeader(sr, ch, lit(16), length(payload)), payload))
+      Multimodal.wavFrameRms(withMedia, col("doc_id"), col("media"))
+        .select(col("id").as("doc_id"), col("frame"), col("n_samples"),
+          graft.ops.Prep.floorTo(col("rms"), 6).as("rms"))
+        .orderBy("doc_id", "frame")
+    },
+
     QueryDef("st01_session_agg",
       """WITH flagged AS (
         |  SELECT user_id, ts, value,

@@ -545,5 +545,57 @@ object SimilarityQueries {
           col("vec_id") % 50 === 0, k = 5, depth = 20)
         .orderBy("q_id", "rn")
     },
+
+    // ---- s20: top principal component by DISTRIBUTED power iteration —
+    //      the dimensionality-reduction / drift-direction primitive. One
+    //      pass reduces the corpus to a d×d covariance (per-row d² HOF
+    //      products, no shuffle of raw vectors), then 8 unrolled
+    //      power-iteration rounds run on the tiny matrix. The oracle
+    //      re-derives EVERY step — moments, covariance assembly, all 8
+    //      mat-vec/normalize rounds, sign canonicalization, Rayleigh
+    //      eigenvalue — from raw embeddings via generated CTEs (the MMR
+    //      playbook); DECIMAL(38,18) aggregates keep both engines
+    //      bit-identical through 8 rounds of feedback. ----
+    QueryDef("s20_pca_power", {
+      val iterCtes = (1 to 8).map { i =>
+        s"""w$i AS MATERIALIZED (SELECT c.j,
+           |    CAST(sum(CAST(c.cv * v.vv AS DECIMAL(38,18))) AS DOUBLE) AS wv
+           |  FROM c JOIN v${i - 1} v ON v.j = c.k GROUP BY 1),
+           |nrm$i AS (SELECT sqrt(CAST(sum(CAST(wv * wv AS DECIMAL(38,18))) AS DOUBLE)) AS nr FROM w$i),
+           |v$i AS MATERIALIZED (SELECT j, wv / (SELECT nr FROM nrm$i) AS vv FROM w$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH x AS MATERIALIZED (SELECT vec_id,
+         |    unnest(range(1, len(embedding) + 1)) AS j,
+         |    unnest(CAST(embedding AS DOUBLE[])) AS v
+         |  FROM embeddings),
+         |nn AS (SELECT count(*) AS n FROM embeddings),
+         |mu AS MATERIALIZED (SELECT j,
+         |    CAST(sum(CAST(v AS DECIMAL(38,18))) AS DOUBLE) / (SELECT n FROM nn) AS mu
+         |  FROM x GROUP BY 1),
+         |xx AS MATERIALIZED (SELECT a.j AS j, b.j AS k,
+         |    CAST(sum(CAST(a.v * b.v AS DECIMAL(38,18))) AS DOUBLE) AS sxx
+         |  FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         |c AS MATERIALIZED (SELECT xx.j, xx.k,
+         |    sxx - (SELECT n FROM nn) * ma.mu * mb.mu AS cv
+         |  FROM xx JOIN mu ma ON ma.j = xx.j JOIN mu mb ON mb.j = xx.k),
+         |v0 AS (SELECT j, CAST(1 AS DOUBLE) AS vv FROM mu),
+         |$iterCtes,
+         |sgn AS (SELECT CASE WHEN (SELECT vv FROM v8 ORDER BY abs(vv) DESC, j LIMIT 1) < 0
+         |          THEN CAST(-1 AS DOUBLE) ELSE CAST(1 AS DOUBLE) END AS s),
+         |lam AS (SELECT CAST(sum(CAST(a.vv * c.cv * b.vv AS DECIMAL(38,18))) AS DOUBLE) AS l
+         |        FROM c JOIN v8 a ON a.j = c.j JOIN v8 b ON b.j = c.k),
+         |tr AS (SELECT CAST(sum(CAST(cv AS DECIMAL(38,18))) AS DOUBLE) AS t FROM c WHERE j = k)
+         |SELECT CAST(v8.j AS INTEGER) AS dim,
+         |  ${graft.ops.Prep.floorToSql("vv * (SELECT s FROM sgn)", 6)} AS loading,
+         |  ${graft.ops.Prep.floorToSql("(SELECT l FROM lam) / (SELECT t FROM tr)", 6)} AS evr
+         |FROM v8 ORDER BY dim""".stripMargin
+    }) { (s, dir) =>
+      Similarity.topComponent(Tables.embeddings(s, dir), col("embedding"),
+          iters = 8)
+        .select(col("dim"),
+          graft.ops.Prep.floorTo(col("loading"), 6).as("loading"),
+          graft.ops.Prep.floorTo(col("evr"), 6).as("evr"))
+        .orderBy("dim")
+    },
   )
 }

@@ -313,4 +313,30 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
       s"grid join degenerated to a nested loop:\n$plan")
   }
+  test("topComponent: rank-1 data recovers the exact axis in one step; sign canonicalized") {
+    import spark.implicits._
+    // points t*(1,2), t in {-1,0,1}: covariance [[2,4],[4,8]] is RANK-1,
+    // so C*v is exactly proportional to the eigenvector (1,2)/sqrt(5)
+    // after a single mat-vec; all 8 iterations are then fixed points.
+    val df = Seq(Tuple1(Array(-1f, -2f)), Tuple1(Array(0f, 0f)),
+      Tuple1(Array(1f, 2f))).toDF("embedding")
+    val got = graft.ext.Similarity.topComponent(df, col("embedding"))
+      .orderBy("dim").select("dim", "loading", "evr")
+      .as[(Int, Double, Double)].collect().toSeq
+    val s5 = math.sqrt(5.0)
+    assert(got.map(_._1) == Seq(1, 2))
+    assert(math.abs(got(0)._2 - 1 / s5) < 1e-12 &&
+      math.abs(got(1)._2 - 2 / s5) < 1e-12, s"loading $got")
+    // rank-1: the top component explains ALL the variance
+    assert(got.forall(t => math.abs(t._3 - 1.0) < 1e-12), s"evr $got")
+
+    // axis (1,-2): the largest-|loading| entry (dim 2) must come out
+    // POSITIVE, flipping the whole vector's sign
+    val df2 = Seq(Tuple1(Array(-1f, 2f)), Tuple1(Array(0f, 0f)),
+      Tuple1(Array(1f, -2f))).toDF("embedding")
+    val got2 = graft.ext.Similarity.topComponent(df2, col("embedding"))
+      .orderBy("dim").select("loading").as[Double].collect().toSeq
+    assert(math.abs(got2(0) + 1 / s5) < 1e-12 &&
+      math.abs(got2(1) - 2 / s5) < 1e-12, s"sign-fixed $got2")
+  }
 }

@@ -717,4 +717,23 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0).checksum != out(2).checksum)
     assert(out.forall(r => r.n_pixels == r.width.toLong * r.height))
   }
+  test("wavFrameRms: negative int16 fold, frame split, odd trailing byte ignored") {
+    def le(v: Int, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xFF).toByte).toArray
+    // data: samples [1, -1, -32768] (LE int16) + one trailing odd byte
+    val data: Array[Byte] = le(1, 2) ++ le(0xFFFF, 2) ++ le(0x8000, 2) ++ le(0x7A, 1)
+    val wav: Array[Byte] =
+      "RIFF".getBytes("ASCII") ++ le(36 + data.length, 4) ++ "WAVE".getBytes("ASCII") ++
+        "fmt ".getBytes("ASCII") ++ le(16, 4) ++ le(1, 2) ++ le(1, 2) ++
+        le(8000, 4) ++ le(16000, 4) ++ le(2, 2) ++ le(16, 2) ++
+        "data".getBytes("ASCII") ++ le(data.length, 4) ++ data
+    val df = Seq(Tuple1(wav)).toDF("media").withColumn("doc", lit(1L))
+    // frameSamples = 2: frame 0 = {1, -1} -> rms 1; frame 1 = {-32768}
+    val got = Multimodal.wavFrameRms(df, col("doc"), col("media"), frameSamples = 2)
+      .orderBy("frame").select("frame", "n_samples", "rms")
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(got.map(t => (t._1, t._2)) == Seq((0, 2L), (1, 1L)), s"got $got")
+    assert(math.abs(got(0)._3 - 1.0) < 1e-12 && math.abs(got(1)._3 - 32768.0) < 1e-12,
+      s"rms $got")
+  }
 }
