@@ -255,6 +255,36 @@ object ScaleCheck {
       s"[scale] triangle stage skipped: mult=$mult exceeds the id pack range")
     val tTri = (System.nanoTime() - t3b) / 1e9
 
+    // ---------- q102-shape: k-core peeling at scale ----------
+    // same mult-disjoint-copy graph (reuses the checkpointed edges):
+    // peeling is per-component, so the 2-core of the disjoint union is
+    // exactly the union of per-copy 2-cores — membership count scales
+    // EXACTLY ×mult and each copy's (node, core_deg) table reproduces
+    // copy 0 bit-for-bit (integer degrees: equality, not tolerance).
+    val t3c = System.nanoTime()
+    val core = graft.ops.Graph.kCore(edges, k = 2, rounds = 6)
+      .localCheckpoint()
+    val coreTotal = core.count()
+    val core0 = core.filter(col("node") < 10_000_000L)
+      .select(col("node").as("n0"), col("core_deg").as("d0"))
+      .localCheckpoint()
+    val core0N = core0.count()
+    check(core0N > 0, s"copy-0 2-core non-empty: $core0N")
+    check(coreTotal == mult.toLong * core0N,
+      s"k-core membership scales exactly: $coreTotal vs $mult × $core0N")
+    val coreMismatch = (1 until mult).map { i =>
+      core.filter(col("node") >= i * 10_000_000L &&
+          col("node") < (i + 1) * 10_000_000L)
+        .select((col("node") - lit(i * 10_000_000L)).as("n0"), col("core_deg"))
+        .join(core0, Seq("n0"), "full_outer")
+        .filter(col("core_deg").isNull || col("d0").isNull ||
+          col("core_deg") =!= col("d0"))
+        .count()
+    }.maxOption.getOrElse(0L)
+    check(coreMismatch == 0L,
+      s"disjoint-copy k-core degrees identical: $coreMismatch mismatches")
+    val tKcore = (System.nanoTime() - t3c) / 1e9
+
     // ---------- s14/s15-shape: stored-index IVF-PQ at scale ----------
     // the deployment geometry: IVF assignment persisted PARTITIONED BY
     // cell + PQ codebooks/codes persisted once; the probe scan must read
@@ -433,6 +463,24 @@ object ScaleCheck {
       s"MIPS at 10×: $nMips rows for $mipsQs queries (≤5 each)")
     val tMips = (System.nanoTime() - t7) / 1e9
 
+    // ---------- s20-shape: PCA power iteration at scale ----------
+    // mult identical-vector copies: the covariance of the 10× corpus is
+    // exactly mult× the base covariance, and each round's normalization
+    // cancels the scalar — the top component must match the base corpus'
+    // to fp noise. Data size only enters the one-pass d²-moment
+    // reduction (multi-task by the stage assertions below); the 8
+    // iteration rounds run on the d²-row matrix regardless of n.
+    val t8 = System.nanoTime()
+    val pcBig = graft.ext.Similarity.topComponent(embBig, col("embedding"))
+      .select(col("dim"), col("loading").as("lb")).localCheckpoint()
+    val pcBase = graft.ext.Similarity.topComponent(
+        graft.core.Tables.embeddings(spark, sfDir), col("embedding"))
+      .select(col("dim"), col("loading").as("l0"))
+    val pcaDiff = pcBig.join(pcBase, "dim")
+      .agg(max(abs(col("lb") - col("l0")))).first().getDouble(0)
+    check(pcaDiff < 1e-9, s"10× PCA component matches base: max diff $pcaDiff")
+    val tPca = (System.nanoTime() - t8) / 1e9
+
     // ---------- partition-story assertions ----------
     // every stage reading >=100k records must be multi-task; the only
     // single-task stages allowed at ANY volume are the documented
@@ -450,6 +498,8 @@ object ScaleCheck {
     out ++= f""""t_cluster_sec":$tCluster%.1f,"t_semdedup_sec":$tDedup%.1f,"t_knn_sec":$tKnn%.1f,"""
     out ++= f""""t_pagerank_sec":$tPr%.1f,"t_triangles_sec":$tTri%.1f,"t_ivfpq_sec":$tIvfPq%.1f,"t_bfs_sec":$tBfs%.1f,"""
     out ++= f""""t_hilbert_sec":$tHilbert%.1f,"hilbert_parts":${hParts.length},"t_mips_sec":$tMips%.1f,"mips_rows":$nMips,"""
+    out ++= f""""t_kcore_sec":$tKcore%.1f,"kcore_total":$coreTotal,"kcore_copy_mismatch":$coreMismatch,"""
+    out ++= f""""t_pca_sec":$tPca%.1f,"pca_copy_diff":$pcaDiff%.2e,"""
     out ++= s""""bfs_levels":{${lvlScaled.toSeq.sorted.map { case (d, n) => s""""$d":$n""" }.mkString(",")}},"""
     out ++= s""""pr_edges":$nEdgesPr,"pr_mass_err":${massErrs.max},"pr_copy_diff":$rankDiff,"""
     out ++= s""""tri_total":$triTotal,"tri_copy_mismatch":$triCopyMismatch,"""

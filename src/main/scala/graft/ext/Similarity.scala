@@ -668,4 +668,44 @@ object Similarity {
         (col("vv") * col("s")).as("loading"),
         (col("l") / col("t")).as("evr"))
   }
+
+  /** Nearest-centroid classification self-audit: assign every vector to
+    * the closest per-label centroid (squared L2, ties to the lowest
+    * label) and cross-tabulate against its own label — the label-quality
+    * / cluster-separability check a training pipeline runs before
+    * trusting an annotated corpus (a label whose members scatter to
+    * other centroids is noisy or not linearly separable). Returns the
+    * confusion matrix (label, pred, n) plus the overall accuracy
+    * (diagonal mass / total — an exact integer ratio) on every row.
+    *
+    * Shapes that hold at 100 TB: centroids are one (label, dim)
+    * aggregate with DECIMAL sums (exact means — unlike a plain avg(),
+    * bit-stable across partitionings); distances come from the long-form
+    * (vec, dim) explode equi-joined to the TINY broadcast centroid table
+    * — n·L·d product rows but map-side combined straight back to n·L
+    * distance rows, never a collect, never a cross join on vectors.
+    */
+  def nearestCentroidEval(emb: DataFrame, id: Column, label: Column,
+                          vec: Column): DataFrame = {
+    val x = emb.select(id.as("rid"),
+        label.as("label"), posexplode(transform(vec, v => v.cast("double"))))
+      .select(col("rid"), col("label"), (col("pos") + 1).as("dim"),
+        col("col").as("v"))
+    val cent = x.groupBy(col("label").as("clabel"), col("dim"))
+      .agg((sum(col("v").cast("decimal(38,18)")).cast("double") /
+        count(lit(1))).as("cv"))
+    val d2 = x.join(broadcast(cent), "dim")
+      .groupBy(col("rid"), col("label"), col("clabel"))
+      .agg(sum(((col("v") - col("cv")) * (col("v") - col("cv")))
+        .cast("decimal(38,18)")).cast("double").as("d2"))
+    val w = Window.partitionBy("rid").orderBy(col("d2"), col("clabel"))
+    val cm = d2.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("label"), col("clabel").as("pred"))
+      .agg(count(lit(1)).as("n"))
+    val acc = cm.agg(
+      (sum(when(col("label") === col("pred"), col("n")).otherwise(0L))
+        .cast("double") / sum(col("n"))).as("accuracy"))
+    cm.crossJoin(broadcast(acc))
+  }
 }

@@ -116,4 +116,36 @@ object Maintenance {
       cols.map(c => sum(col(c).isNull.cast("long")).as(s"nulls_$c"))
     (df.observe(obs, metrics.head, metrics.tail: _*), obs)
   }
+
+  /** Snapshot diff (the "data diff" a pipeline runs before promoting a
+    * rebuilt table): row-level classification of snapshot `b` against
+    * snapshot `a` by key — `added` / `removed` / `changed` / `unchanged`
+    * — plus one `chg_<col>` flag per non-key column (null-safe compare,
+    * so a NULL→value transition counts as a change; flags are only
+    * meaningful on `changed` rows — an added/removed row trivially
+    * differs everywhere). Schemas must match.
+    *
+    * One co-partitioned full-outer join on the keys — the only shape that
+    * survives two 100 TB snapshots (bucket both snapshots by the key and
+    * the join is shuffle-free); every flag is a codegen'd comparison.
+    * Returns keys + status + the flags; callers aggregate for the
+    * summary, or filter `status <> 'unchanged'` for the change feed.
+    */
+  def snapshotDiff(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
+    require(a.columns.toSeq == b.columns.toSeq,
+      s"snapshotDiff: schemas differ: ${a.columns.toSeq} vs ${b.columns.toSeq}")
+    val cmp = a.columns.toSeq.filterNot(keys.contains)
+    val aT = a.withColumn("__in_a", lit(true))
+    val bT = b.select(keys.map(col) ++
+        cmp.map(c => col(c).as(s"__b_$c")) :+ lit(true).as("__in_b"): _*)
+    val j = aT.join(bT, keys, "full_outer")
+    val anyChg = cmp.map(c => !(col(c) <=> col(s"__b_$c")))
+      .reduce(_ || _)
+    val status = when(col("__in_a").isNull, "added")
+      .when(col("__in_b").isNull, "removed")
+      .when(anyChg, "changed")
+      .otherwise("unchanged")
+    j.select(keys.map(col) ++ Seq(status.as("status")) ++
+      cmp.map(c => (!(col(c) <=> col(s"__b_$c"))).as(s"chg_$c")): _*)
+  }
 }

@@ -379,5 +379,99 @@ object PipelineQueries {
           round(stddev_samp(w), 6).as("sd_winsorized"))
         .orderBy("event_type")
     },
+
+    // ---- snapshot data-diff (the pre-promotion audit): classify a
+    //      rebuilt snapshot against the current one — added / removed /
+    //      changed / unchanged + per-column change counts — via
+    //      Maintenance.snapshotDiff's single co-partitioned full-outer
+    //      join. The B snapshot is DERIVED deterministically (key%97
+    //      price+priority mutation, key%101 deletion, key%103 insertion
+    //      at offset ids) so both engines diff the same pair. ----
+    QueryDef("q104_snapshot_diff",
+      """WITH a AS (SELECT * FROM orders),
+        |b AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |        CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 100.0
+        |             ELSE o_totalprice END AS o_totalprice,
+        |        o_orderdate,
+        |        CASE WHEN o_orderkey % 97 = 0 THEN '3-MEDIUM'
+        |             ELSE o_orderpriority END AS o_orderpriority
+        |      FROM orders WHERE o_orderkey % 101 <> 0
+        |      UNION ALL
+        |      SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+        |        o_totalprice, o_orderdate, o_orderpriority
+        |      FROM orders WHERE o_orderkey % 103 = 0),
+        |j AS (SELECT
+        |    a.o_orderkey IS NOT NULL AS in_a, b.o_orderkey IS NOT NULL AS in_b,
+        |    NOT (a.o_custkey IS NOT DISTINCT FROM b.o_custkey) AS c_cust,
+        |    NOT (a.o_orderstatus IS NOT DISTINCT FROM b.o_orderstatus) AS c_status,
+        |    NOT (a.o_totalprice IS NOT DISTINCT FROM b.o_totalprice) AS c_price,
+        |    NOT (a.o_orderdate IS NOT DISTINCT FROM b.o_orderdate) AS c_date,
+        |    NOT (a.o_orderpriority IS NOT DISTINCT FROM b.o_orderpriority) AS c_prio
+        |  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey),
+        |s AS (SELECT CASE WHEN NOT in_a THEN 'added'
+        |        WHEN NOT in_b THEN 'removed'
+        |        WHEN c_cust OR c_status OR c_price OR c_date OR c_prio
+        |          THEN 'changed' ELSE 'unchanged' END AS status,
+        |        c_price, c_prio
+        |      FROM j)
+        |SELECT status, count(*) AS n,
+        |  count(CASE WHEN status = 'changed' AND c_price THEN 1 END) AS n_price_chg,
+        |  count(CASE WHEN status = 'changed' AND c_prio THEN 1 END) AS n_priority_chg
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val a = Tables.orders(s, dir)
+      val mut = col("o_orderkey") % 97 === 0
+      val b = a.filter(col("o_orderkey") % 101 =!= 0)
+        .withColumn("o_totalprice",
+          when(mut, col("o_totalprice") + 100.0).otherwise(col("o_totalprice")))
+        .withColumn("o_orderpriority",
+          when(mut, lit("3-MEDIUM")).otherwise(col("o_orderpriority")))
+        .unionByName(a.filter(col("o_orderkey") % 103 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      Maintenance.snapshotDiff(a, b, Seq("o_orderkey"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("status") === "changed" && col("chg_o_totalprice"), 1))
+            .as("n_price_chg"),
+          count(when(col("status") === "changed" && col("chg_o_orderpriority"), 1))
+            .as("n_priority_chg"))
+        .orderBy("status")
+    },
+
+    // ---- weighted median (the prep twin of q50's plain median): the
+    //      smallest value whose cumulative weight reaches half the total
+    //      — revenue-weighted "typical quantity" per return flag. Weights
+    //      collapse to per-value DECIMAL sums first, so the running
+    //      cumulative and the total are exact and the >= threshold test
+    //      compares identical doubles in both engines. One keyed window
+    //      over distinct values — never a per-row global sort. ----
+    QueryDef("q108_weighted_median",
+      """WITH w AS (SELECT l_returnflag AS flag, l_quantity AS v,
+        |             CAST(l_extendedprice AS DECIMAL(18,6)) AS wt
+        |           FROM lineitem),
+        |g AS (SELECT flag, v, sum(wt) AS wv FROM w GROUP BY 1, 2),
+        |cum AS (SELECT flag, v,
+        |    sum(wv) OVER (PARTITION BY flag ORDER BY v) AS cw,
+        |    sum(wv) OVER (PARTITION BY flag) AS tw
+        |  FROM g),
+        |pick AS (SELECT flag, v,
+        |    row_number() OVER (PARTITION BY flag ORDER BY v) AS rn
+        |  FROM cum WHERE CAST(cw AS DOUBLE) >= CAST(tw AS DOUBLE) / 2.0)
+        |SELECT flag AS l_returnflag, v AS weighted_median
+        |FROM pick WHERE rn = 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val g = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("flag"), col("l_quantity").as("v"),
+          col("l_extendedprice").cast("decimal(18,6)").as("wt"))
+        .groupBy("flag", "v").agg(sum(col("wt")).as("wv"))
+      val wCum = Window.partitionBy("flag").orderBy("v")
+      val wTot = Window.partitionBy("flag")
+      val wPick = Window.partitionBy("flag").orderBy("v")
+      g.withColumn("cw", sum(col("wv")).over(wCum))
+        .withColumn("tw", sum(col("wv")).over(wTot))
+        .filter(col("cw").cast("double") >= col("tw").cast("double") / 2.0)
+        .withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("flag").as("l_returnflag"), col("v").as("weighted_median"))
+        .orderBy("l_returnflag")
+    },
   )
 }

@@ -597,5 +597,39 @@ object SimilarityQueries {
           graft.ops.Prep.floorTo(col("evr"), 6).as("evr"))
         .orderBy("dim")
     },
+
+    // ---- s21: nearest-centroid label audit — assign every vector to
+    //      its closest per-label centroid and cross-tabulate against its
+    //      own label (the annotated-corpus separability check). DECIMAL
+    //      centroid means + DECIMAL distance sums keep the ranking
+    //      inputs bit-identical cross-engine; ties break to the lowest
+    //      label. Accuracy is the diagonal-mass integer ratio. ----
+    QueryDef("s21_centroid_labels",
+      s"""WITH x AS MATERIALIZED (SELECT vec_id, label,
+         |    unnest(range(1, len(embedding) + 1)) AS dim,
+         |    unnest(CAST(embedding AS DOUBLE[])) AS v
+         |  FROM embeddings),
+         |c AS MATERIALIZED (SELECT label AS clabel, dim,
+         |    CAST(sum(CAST(v AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS cv
+         |  FROM x GROUP BY 1, 2),
+         |d AS (SELECT x.vec_id, x.label, c.clabel,
+         |    CAST(sum(CAST((v - cv) * (v - cv) AS DECIMAL(38,18))) AS DOUBLE) AS d2
+         |  FROM x JOIN c ON c.dim = x.dim GROUP BY 1, 2, 3),
+         |p AS (SELECT vec_id, label, clabel,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+         |  FROM d),
+         |cm AS (SELECT label, clabel AS pred, count(*) AS n
+         |       FROM p WHERE rn = 1 GROUP BY 1, 2),
+         |acc AS (SELECT CAST(sum(CASE WHEN label = pred THEN n ELSE 0 END) AS DOUBLE)
+         |          / sum(n) AS a FROM cm)
+         |SELECT label, pred, n,
+         |  ${graft.ops.Prep.floorToSql("(SELECT a FROM acc)", 6)} AS accuracy
+         |FROM cm ORDER BY label, pred""".stripMargin) { (s, dir) =>
+      Similarity.nearestCentroidEval(Tables.embeddings(s, dir),
+          col("vec_id"), col("label"), col("embedding"))
+        .select(col("label"), col("pred"), col("n"),
+          graft.ops.Prep.floorTo(col("accuracy"), 6).as("accuracy"))
+        .orderBy("label", "pred")
+    },
   )
 }

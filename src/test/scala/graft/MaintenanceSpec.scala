@@ -151,4 +151,34 @@ class MaintenanceSpec extends SparkSpec {
     assert(m("nulls_v") == 2L)
     assert(m("nulls_id") == 0L)
   }
+  test("snapshotDiff: added/removed/changed/unchanged + per-column flags, null-safe") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val a = Seq((1L, "x", Some(1.0)), (2L, "y", Some(2.0)),
+      (3L, "z", None: Option[Double]), (4L, "w", Some(4.0)))
+      .toDF("k", "s", "v")
+    val b = Seq((1L, "x", Some(1.0)),            // unchanged
+      (2L, "y2", Some(2.0)),                     // changed: s only
+      (3L, "z", Some(3.0)),                      // changed: NULL -> value (null-safe)
+      (5L, "new", Some(5.0)))                    // added; 4 removed
+      .toDF("k", "s", "v")
+    val got = graft.ops.Maintenance.snapshotDiff(a, b, Seq("k"))
+      .orderBy("k").select("k", "status", "chg_s", "chg_v")
+      .as[(Long, String, Boolean, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, "unchanged", false, false),
+      (2L, "changed", true, false),
+      (3L, "changed", false, true),
+      (4L, "removed", true, true),    // vs-NULL compares: all flags true on removed
+      (5L, "added", true, true)), s"got $got")
+  }
+
+  test("snapshotDiff rejects mismatched schemas") {
+    import spark.implicits._
+    val a = Seq((1L, "x")).toDF("k", "s")
+    val b = Seq((1L, 2.0)).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      graft.ops.Maintenance.snapshotDiff(a, b, Seq("k"))
+    }
+  }
 }

@@ -339,4 +339,21 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got2(0) + 1 / s5) < 1e-12 &&
       math.abs(got2(1) - 2 / s5) < 1e-12, s"sign-fixed $got2")
   }
+  test("nearestCentroidEval: separable clusters score 1.0; a mislabeled point lands off-diagonal") {
+    import spark.implicits._
+    // label 0 near (0,0), label 1 near (10,10); id 5 sits at (10,10)
+    // but carries label 0 -> predicted 1, the single off-diagonal cell
+    val df = Seq(
+      (1L, 0, Array(0f, 0.1f)), (2L, 0, Array(0.1f, 0f)),
+      (3L, 1, Array(10f, 10.1f)), (4L, 1, Array(10.1f, 10f)),
+      (5L, 0, Array(10f, 10f))).toDF("id", "label", "vec")
+    val got = graft.ext.Similarity.nearestCentroidEval(df, col("id"),
+        col("label"), col("vec"))
+      .orderBy("label", "pred")
+      .select("label", "pred", "n", "accuracy")
+      .as[(Int, Int, Long, Double)].collect().toSeq
+    assert(got.map(t => (t._1, t._2, t._3)) ==
+      Seq((0, 0, 2L), (0, 1, 1L), (1, 1, 2L)), s"got $got")
+    assert(math.abs(got.head._4 - 0.8) < 1e-12, s"accuracy ${got.head._4}")
+  }
 }
