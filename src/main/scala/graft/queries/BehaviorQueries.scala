@@ -41,6 +41,46 @@ object BehaviorQueries {
 
   val all: Seq[QueryDef] = Seq(
 
+    // ---- sweep-line interval concurrency: peak simultaneous sessions
+    //      per (event_type, day) — the capacity-planning query. Each
+    //      event becomes a [ts, ts + value·1s) interval; the sweep is
+    //      ±1 deltas ordered by (instant, delta) — ends sort BEFORE
+    //      starts at the same instant, so touching intervals never
+    //      double-count — under a keyed running sum (the window
+    //      partitions by event_type: no global sort; RANGE-frame peer
+    //      semantics make same-instant batches atomic in both engines).
+    //      floor() before the INTEGER cast is parity-critical: a bare
+    //      CAST(DOUBLE AS INTEGER) truncates in Spark but ROUNDS in
+    //      DuckDB, shifting interval ends by a second (caught at sf0.1).
+    //      O(2n) points, one keyed window, one aggregate — the shape
+    //      that survives 100 TB of session logs. ----
+    QueryDef("q106_max_concurrency",
+      """WITH iv AS (SELECT event_type, ts AS s_ts,
+        |             ts + to_seconds(CAST(floor(value) AS INTEGER)) AS e_ts
+        |           FROM events),
+        |pts AS (SELECT event_type, s_ts AS pt, 1 AS delta FROM iv
+        |        UNION ALL SELECT event_type, e_ts, -1 FROM iv),
+        |run AS (SELECT event_type, pt,
+        |    sum(delta) OVER (PARTITION BY event_type ORDER BY pt, delta) AS conc
+        |  FROM pts)
+        |SELECT event_type, strftime(pt, '%Y-%m-%d') AS day,
+        |  CAST(max(conc) AS BIGINT) AS max_concurrent
+        |FROM run GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val iv = Tables.events(s, dir).select(col("event_type"),
+        col("ts").as("s_ts"),
+        (col("ts") + expr("make_interval(0,0,0,0,0,0, CAST(floor(value) AS INT))"))
+          .as("e_ts"))
+      val pts = iv.select(col("event_type"), col("s_ts").as("pt"),
+          lit(1).as("delta"))
+        .unionByName(iv.select(col("event_type"), col("e_ts").as("pt"),
+          lit(-1).as("delta")))
+      val w = Window.partitionBy("event_type").orderBy(col("pt"), col("delta"))
+      pts.withColumn("conc", sum(col("delta")).over(w))
+        .groupBy(col("event_type"), dayStr(col("pt")).as("day"))
+        .agg(max(col("conc")).cast("long").as("max_concurrent"))
+        .orderBy("event_type", "day")
+    },
+
     // ---- cumulative distinct users by day, via first-seen reduction ----
     QueryDef("q38_cumulative_users",
       """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),

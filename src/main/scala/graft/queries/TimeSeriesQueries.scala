@@ -338,5 +338,58 @@ object TimeSeriesQueries {
           graft.ops.Prep.floorTo(col("ewma"), 6).as("ewma"))
         .orderBy("event_type", "day")
     },
+
+    // ---- rolling 7-day Pearson correlation between the click and
+    //      purchase daily-count series — the co-movement monitor (q37's
+    //      window frame + q97's moment algebra composed). Daily counts
+    //      are INTEGERS, so every windowed moment (n, Σx, Σy, Σxy, Σx²,
+    //      Σy²) is exact with no decimal detour and the closed-form r is
+    //      one fixed IEEE chain. Windows with zero variance on either
+    //      leg (incl. the n=1 leading edge) yield NULL, not a 0/0 NaN.
+    QueryDef("q107_rolling_corr",
+      s"""WITH daily AS (SELECT
+         |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS ed,
+         |    strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         |    count(*) FILTER (WHERE event_type = 'click') AS x,
+         |    count(*) FILTER (WHERE event_type = 'purchase') AS y
+         |  FROM events GROUP BY 1, 2),
+         |m AS (SELECT day,
+         |    count(*) OVER w AS n,
+         |    sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+         |    sum(x * y) OVER w AS sxy,
+         |    sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy
+         |  FROM daily
+         |  WINDOW w AS (ORDER BY ed RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+         |SELECT day,
+         |  CAST(n AS BIGINT) AS n_days,
+         |  ${graft.ops.Prep.floorToSql(
+             """CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+               |    THEN CAST(n * sxy - sx * sy AS DOUBLE)
+               |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+               |             * CAST(n * syy - sy * sy AS DOUBLE))
+               |    ELSE NULL END""".stripMargin, 4)} AS r
+         |FROM m ORDER BY day""".stripMargin) { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(
+          datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("ed"),
+          dayStr(col("ts")).as("day"))
+        .agg(count(when(col("event_type") === "click", 1)).as("x"),
+          count(when(col("event_type") === "purchase", 1)).as("y"))
+      val w = Window.orderBy("ed").rangeBetween(-6, 0)
+      val m = daily.select(col("day"),
+        count(lit(1)).over(w).as("n"),
+        sum(col("x")).over(w).as("sx"), sum(col("y")).over(w).as("sy"),
+        sum(col("x") * col("y")).over(w).as("sxy"),
+        sum(col("x") * col("x")).over(w).as("sxx"),
+        sum(col("y") * col("y")).over(w).as("syy"))
+      val vx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vy = col("n") * col("syy") - col("sy") * col("sy")
+      m.select(col("day"), col("n").cast("long").as("n_days"),
+          graft.ops.Prep.floorTo(
+            when(vx > 0 && vy > 0,
+              (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+                sqrt(vx.cast("double") * vy.cast("double"))), 4).as("r"))
+        .orderBy("day")
+    },
   )
 }
