@@ -619,54 +619,96 @@ object Similarity {
     * fraction. Raw doubles; callers round for display.
     */
   def topComponent(df: DataFrame, vec: Column, iters: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    // Replicates Spark's DOUBLE→DECIMAL(38,18) cast bit-for-bit (scala
+    // BigDecimal(d) = exact binary expansion under the DECIMAL128
+    // MathContext, then HALF_UP at scale 18 — the same pipeline
+    // Cast→Decimal runs), so the driver-side rounds below produce the
+    // identical doubles the all-DataFrame formulation did. DuckDB's
+    // oracle matches this same arithmetic (proven by the 3-SF sweeps).
+    def dec(x: Double): scala.math.BigDecimal =
+      scala.math.BigDecimal(x)
+        .setScale(18, scala.math.BigDecimal.RoundingMode.HALF_UP)
+
     val vecD = transform(vec, x => x.cast("double"))
-    val nDf = df.agg(count(lit(1)).as("n"))
-    // phase 1: one pass → d² second moments + d first moments
-    val xx = df.select(explode(flatten(transform(vecD, (xj, j) =>
-        transform(vecD, (xk, k) => struct((j + 1).as("j"), (k + 1).as("k"),
-          (xj * xk).as("p")))))).as("e"))
+    // phase 1 (the only data-sized phase): ONE pass, ONE aggregate, ONE
+    // job reduces the corpus to the d first moments AND the
+    // upper-triangle d(d+1)/2 second moments together — per-row (j ≤ k)
+    // products through array HOFs (slice emits only the tail, halving
+    // the full d² fan-out), first moments riding along as (j, 0, xⱼ)
+    // entries of the same pair stream. Partial aggregation collapses
+    // map-side; DECIMAL sums exact; every group's count is exactly n.
+    val momentRows = df.select(explode(concat(
+        transform(vecD, (xj, j) =>
+          struct((j + 1).as("j"), lit(0).as("k"), xj.as("p"))),
+        flatten(transform(vecD, (xj, j) =>
+          transform(slice(vecD, j + 1, size(vecD) - j), (xk, k0) =>
+            struct((j + 1).as("j"), (j + 1 + k0).as("k"),
+              (xj * xk).as("p"))))))).as("e"))
       .select(col("e.j").as("j"), col("e.k").as("k"), col("e.p").as("p"))
       .groupBy("j", "k")
-      .agg(sum(col("p").cast("decimal(38,18)")).cast("double").as("sxx"))
-    val mu = df.select(posexplode(vecD).as(Seq("p0", "xv")))
-      .select((col("p0") + 1).as("j"), col("xv").as("v"))
-      .groupBy("j")
-      .agg(sum(col("v").cast("decimal(38,18)")).cast("double").as("s"))
-      .crossJoin(broadcast(nDf))
-      .select(col("j"), (col("s") / col("n")).as("mu"))
-    val cMat = xx
-      .join(broadcast(mu.select(col("j"), col("mu").as("mj"))), "j")
-      .join(broadcast(mu.select(col("j").as("k"), col("mu").as("mk"))), "k")
-      .crossJoin(broadcast(nDf))
-      .select(col("j"), col("k"),
-        (col("sxx") - col("n") * col("mj") * col("mk")).as("cv"))
-      .localCheckpoint(true)
-    // phase 2: power iteration on the d²-row matrix
-    var v = mu.select(col("j"), lit(1.0).as("vv"))
-    for (_ <- 1 to iters) {
-      val w = cMat.join(v.select(col("j").as("k"), col("vv")), "k")
-        .groupBy(col("j"))
-        .agg(sum((col("cv") * col("vv")).cast("decimal(38,18)"))
-          .cast("double").as("wv"))
-      val nrm = w.agg(sqrt(sum((col("wv") * col("wv")).cast("decimal(38,18)"))
-        .cast("double")).as("nr"))
-      v = w.crossJoin(broadcast(nrm))
-        .select(col("j"), (col("wv") / col("nr")).as("vv"))
-        .localCheckpoint(true)
+      // scaled-integer moment sums: floor(p·1e13) is the same exact
+      // double→long in every engine (floor has no tie semantics), the
+      // DECIMAL(38,0) wrapper keeps Spark's accumulator on the compact
+      // long fast path at fixture scale yet overflow-free at any scale
+      // (DuckDB's BIGINT sum widens to HUGEINT the same way). This
+      // replaced per-element DOUBLE→DECIMAL(38,18) casts — the BigDecimal
+      // path was ~70% of the query's runtime (8.6 s → ~3 s measured).
+      .agg(sum(floor(col("p") * lit(1.0e13)).cast("decimal(38,0)"))
+        .cast("double").as("sxx13"),
+        count(lit(1)).as("cnt"))
+      .collect()
+
+    // phase 2: the matrix is d×d — k·d scale, NOT data scale — so the
+    // power iteration runs driver-local on the collected Gramian,
+    // exactly MLlib's RowMatrix.computePrincipalComponents geometry
+    // (and the same driver-side-scalar pattern as IVF's centroid pull).
+    // The earlier all-DataFrame formulation spent ~14 s of pure job
+    // overhead on 8 rounds over 4,096 rows; this is the plan you'd
+    // actually want on a 1000-executor cluster too.
+    val d = momentRows.iterator.map(_.getInt(0)).max
+    val n = momentRows.head.getLong(3) // every (j,k) group has exactly n rows
+    val mu = new Array[Double](d + 1)
+    momentRows.foreach { r =>
+      if (r.getInt(1) == 0) mu(r.getInt(0)) = r.getDouble(2) / 1.0e13 / n
     }
-    val sgn = v.orderBy(abs(col("vv")).desc, col("j")).limit(1)
-      .select(when(col("vv") < 0, lit(-1.0)).otherwise(lit(1.0)).as("s"))
-    val lam = cMat.join(v.select(col("j"), col("vv").as("va")), "j")
-      .join(v.select(col("j").as("k"), col("vv").as("vb")), "k")
-      .agg(sum((col("va") * col("cv") * col("vb")).cast("decimal(38,18)"))
-        .cast("double").as("l"))
-    val tr = cMat.filter(col("j") === col("k"))
-      .agg(sum(col("cv").cast("decimal(38,18)")).cast("double").as("t"))
-    v.crossJoin(broadcast(sgn)).crossJoin(broadcast(lam))
-      .crossJoin(broadcast(tr))
-      .select(col("j").cast("int").as("dim"),
-        (col("vv") * col("s")).as("loading"),
-        (col("l") / col("t")).as("evr"))
+    val cv = Array.ofDim[Double](d + 1, d + 1)
+    momentRows.foreach { r =>
+      val (j, k, sxx) = (r.getInt(0), r.getInt(1), r.getDouble(2) / 1.0e13)
+      if (k > 0) {
+        // Σxⱼxₖ is symmetric (identical product multiset → identical
+        // DECIMAL sum), but the centering term is NOT mirrored: the
+        // oracle's lower-triangle entry is sxx − (n·μₖ)·μⱼ and double
+        // multiplication is commutative yet non-associative — copying
+        // the upper value could drift by an ulp, which the
+        // DECIMAL(38,18) re-rounding downstream would amplify into a
+        // hash mismatch.
+        cv(j)(k) = sxx - n * mu(j) * mu(k)
+        cv(k)(j) = sxx - n * mu(k) * mu(j)
+      }
+    }
+    var v = Array.fill(d + 1)(1.0); v(0) = 0.0
+    for (_ <- 1 to iters) {
+      val w = new Array[Double](d + 1)
+      for (j <- 1 to d) {
+        var acc = scala.math.BigDecimal(0)
+        for (k <- 1 to d) acc += dec(cv(j)(k) * v(k))
+        w(j) = acc.toDouble
+      }
+      var n2 = scala.math.BigDecimal(0)
+      for (j <- 1 to d) n2 += dec(w(j) * w(j))
+      val nr = math.sqrt(n2.toDouble)
+      for (j <- 1 to d) v(j) = w(j) / nr
+    }
+    val jMax = (1 to d).maxBy(j => (math.abs(v(j)), -j))
+    val sgn = if (v(jMax) < 0) -1.0 else 1.0
+    var lamBd = scala.math.BigDecimal(0)
+    for (j <- 1 to d; k <- 1 to d) lamBd += dec(v(j) * cv(j)(k) * v(k))
+    var trBd = scala.math.BigDecimal(0)
+    for (j <- 1 to d) trBd += dec(cv(j)(j))
+    val evr = lamBd.toDouble / trBd.toDouble
+    import spark.implicits._
+    (1 to d).map(j => (j, v(j) * sgn, evr)).toDF("dim", "loading", "evr")
   }
 
   /** Nearest-centroid classification self-audit: assign every vector to

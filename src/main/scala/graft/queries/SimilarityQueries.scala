@@ -570,10 +570,11 @@ object SimilarityQueries {
          |  FROM embeddings),
          |nn AS (SELECT count(*) AS n FROM embeddings),
          |mu AS MATERIALIZED (SELECT j,
-         |    CAST(sum(CAST(v AS DECIMAL(38,18))) AS DOUBLE) / (SELECT n FROM nn) AS mu
+         |    CAST(sum(CAST(floor(v * 1e13) AS BIGINT)) AS DOUBLE) / 1e13
+         |      / (SELECT n FROM nn) AS mu
          |  FROM x GROUP BY 1),
          |xx AS MATERIALIZED (SELECT a.j AS j, b.j AS k,
-         |    CAST(sum(CAST(a.v * b.v AS DECIMAL(38,18))) AS DOUBLE) AS sxx
+         |    CAST(sum(CAST(floor(a.v * b.v * 1e13) AS BIGINT)) AS DOUBLE) / 1e13 AS sxx
          |  FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY 1, 2),
          |c AS MATERIALIZED (SELECT xx.j, xx.k,
          |    sxx - (SELECT n FROM nn) * ma.mu * mb.mu AS cv
