@@ -605,4 +605,39 @@ object TextOps {
             lit(1.0 - lambda) * col("cc").cast("double") / col("n_tok"))), 6)
           .as("avg_surprisal"))
   }
+
+  /** Flesch reading-ease score per document — the classic readability
+    * quality signal (alongside [[qualityScore]]'s ratio features):
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words).
+    * Deterministic proxies replace dictionary lookups: a word's
+    * syllable count is its number of VOWEL-GROUP runs ([aeiouy]+,
+    * floored at 1), a sentence is a [.!?]+ run (floored at 1) — both
+    * pure regexp counts every engine evaluates identically. PARITY
+    * NOTE mirrored in the oracle: Spark's regexp_replace replaces ALL
+    * matches by default, DuckDB needs the explicit 'g' flag — a missed
+    * flag would count only the first vowel group. The word explode is
+    * one narrow pass; everything aggregates per doc (no corpus joins).
+    *
+    * Returns (doc_id, n_words, n_syllables, n_sentences, flesch-raw);
+    * docs with zero words yield NULL flesch. Callers round for display.
+    */
+  def readability(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val tok = df.select(id.as("doc_id"), explode(words(text)).as("w"))
+      .filter(length(col("w")) > 0)
+    val collapsed = regexp_replace(col("w"), "[aeiouy]+", "V")
+    val syl = tok
+      .withColumn("syl", greatest(lit(1),
+        length(collapsed) - length(regexp_replace(collapsed, "V", ""))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("syl")).as("n_syllables"))
+    val collapsedSent = regexp_replace(text, "[.!?]+", ".")
+    val sen = df.select(id.as("doc_id"),
+      greatest(lit(1), length(collapsedSent) -
+        length(regexp_replace(collapsedSent, "\\.", ""))).as("n_sentences"))
+    syl.join(sen, "doc_id")
+      .withColumn("flesch",
+        lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") / col("n_sentences")) -
+          lit(84.6) * (col("n_syllables").cast("double") / col("n_words")))
+  }
 }

@@ -1074,5 +1074,34 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- Flesch reading-ease per doc (TextOps.readability): vowel-group
+    //      syllable proxy + [.!?]+ sentence runs, both floored at 1.
+    //      PARITY: DuckDB's regexp_replace needs the explicit 'g' flag
+    //      where Spark replaces all matches by default. ----
+    QueryDef("t39_readability",
+      s"""WITH tok AS (SELECT doc_id, unnest($duckWords) AS w FROM documents),
+         |tw AS (SELECT doc_id, regexp_replace(w, '[aeiouy]+', 'V', 'g') AS c
+         |       FROM tok WHERE len(w) > 0),
+         |syl AS (SELECT doc_id, count(*) AS n_words,
+         |    sum(greatest(1, len(c) - len(regexp_replace(c, 'V', '', 'g')))) AS n_syllables
+         |  FROM tw GROUP BY 1),
+         |sen AS (SELECT doc_id,
+         |    greatest(1, len(r) - len(regexp_replace(r, '\\.', '', 'g'))) AS n_sentences
+         |  FROM (SELECT doc_id, regexp_replace(text, '[.!?]+', '.', 'g') AS r
+         |        FROM documents))
+         |SELECT syl.doc_id, n_words, CAST(n_syllables AS BIGINT) AS n_syllables,
+         |  CAST(n_sentences AS BIGINT) AS n_sentences,
+         |  ${graft.ops.Prep.floorToSql(
+             "206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences) - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)", 3)} AS flesch
+         |FROM syl JOIN sen ON sen.doc_id = syl.doc_id
+         |ORDER BY syl.doc_id""".stripMargin) { (s, dir) =>
+      TextOps.readability(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .select(col("doc_id"), col("n_words"),
+          col("n_syllables").cast("long").as("n_syllables"),
+          col("n_sentences").cast("long").as("n_sentences"),
+          graft.ops.Prep.floorTo(col("flesch"), 3).as("flesch"))
+        .orderBy("doc_id")
+    },
+
   )
 }

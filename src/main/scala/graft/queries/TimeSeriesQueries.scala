@@ -391,5 +391,50 @@ object TimeSeriesQueries {
                 sqrt(vx.cast("double") * vy.cast("double"))), 4).as("r"))
         .orderBy("day")
     },
+
+    // ---- time-weighted average (TWAP): each observation weighted by how
+    //      long it HELD — the duration to the next event in its
+    //      (type, day) series — not by its row count; the standard
+    //      sensor/market aggregate where sampling is irregular. Durations
+    //      are exact epoch-microsecond longs from one lead() window
+    //      (event_id tie-break). The weighted term is EXACT decimal x
+    //      integer (value is a 2-decimal double, so its DECIMAL(18,2)
+    //      form is unambiguous in both engines; dt is an integral long)
+    //      - rounding the double PRODUCT to a decimal instead hit a
+    //      cast-boundary divergence at sf0.001, the q65 class. The
+    //      weight total stays integral. A day's last observation has no
+    //      successor and drops out (open interval); single-event groups
+    //      drop entirely — both engines agree by construction. ----
+    QueryDef("q109_twap",
+      s"""WITH e AS (SELECT event_type, CAST(ts AS DATE) AS d, ts, event_id, value
+         |           FROM events),
+         |l AS (SELECT event_type, strftime(d, '%Y-%m-%d') AS day, value,
+         |        epoch_us(lead(ts) OVER (PARTITION BY event_type, d
+         |                                ORDER BY ts, event_id))
+         |          - epoch_us(ts) AS dt
+         |      FROM e),
+         |g AS (SELECT event_type, day,
+         |        CAST(sum(CAST(value AS DECIMAL(18,2)) * dt) AS DOUBLE) AS num,
+         |        sum(dt) AS den, count(*) AS n_spans
+         |      FROM l WHERE dt IS NOT NULL GROUP BY 1, 2)
+         |SELECT event_type, day, CAST(n_spans AS BIGINT) AS n_spans,
+         |  ${graft.ops.Prep.floorToSql("num / CAST(den AS DOUBLE)", 6)} AS twap
+         |FROM g ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("event_type"), to_date(col("ts")))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("dt",
+          unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+        .filter(col("dt").isNotNull)
+        .groupBy(col("event_type"), dayStr(col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,2)") * col("dt"))
+            .cast("double").as("num"),
+          sum(col("dt")).as("den"), count(lit(1)).as("n_spans"))
+        .select(col("event_type"), col("day"),
+          col("n_spans"),
+          graft.ops.Prep.floorTo(col("num") / col("den").cast("double"), 6)
+            .as("twap"))
+        .orderBy("event_type", "day")
+    },
   )
 }

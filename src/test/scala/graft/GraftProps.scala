@@ -343,4 +343,62 @@ object GraftProps extends Properties("graft") {
         graft.ops.Graph.triangleCounts(df).collect()).isFailure) :|
         s"id $bad must raise"
     }
+  private val graphGen: Gen[List[(Long, Long)]] =
+    Gen.choose(1, 20).flatMap(n => Gen.listOfN(n, for {
+      a <- Gen.choose(0L, 8L); b <- Gen.choose(0L, 8L) if a != b
+    } yield (a, b)))
+
+  property("kCore: nested cores — (k+1)-core ⊆ k-core; 1-core = all non-isolated nodes") =
+    forAll(graphGen) { es =>
+      val und = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+      def core(k: Int): Set[Long] = graft.ops.Graph.kCore(edges, k, rounds = 9)
+        .select("node").as[Long].collect().toSet
+      val (c1, c2, c3) = (core(1), core(2), core(3))
+      val nodes = und.flatMap(e => Seq(e._1, e._2)).toSet
+      Prop(c3.subsetOf(c2) && c2.subsetOf(c1) && c1 == nodes) :|
+        s"c1=$c1 c2=$c2 c3=$c3 nodes=$nodes"
+    }
+
+  property("snapshotDiff: diff(a, a) is all-unchanged; statuses partition the key space") =
+    forAll(kvGen, kvGen) { (t, u) =>
+      val a = t.distinctBy(_._1).toDF("k", "v")
+      val b = u.distinctBy(_._1).toDF("k", "v")
+      val self = graft.ops.Maintenance.snapshotDiff(a, a, Seq("k"))
+        .select("status").as[String].collect()
+      val d = graft.ops.Maintenance.snapshotDiff(a, b, Seq("k"))
+        .select("status").as[String].collect()
+      val na = t.distinctBy(_._1).size
+      val nb = u.distinctBy(_._1).size
+      val counts = d.groupBy(identity).view.mapValues(_.length).toMap
+        .withDefaultValue(0)
+      // every A key is removed/changed/unchanged; every B key is
+      // added/changed/unchanged — so the totals reconstruct both sides
+      val aSide = counts("removed") + counts("changed") + counts("unchanged")
+      val bSide = counts("added") + counts("changed") + counts("unchanged")
+      Prop(self.forall(_ == "unchanged") && aSide == na && bSide == nb) :|
+        s"self=${self.toSet} counts=$counts na=$na nb=$nb"
+    }
+
+  property("mannWhitneyU: U1 + U2 = n_a·n_b and swapping samples negates z") =
+    forAll(kvGen) { kvs =>
+      if (kvs.size < 2) Prop.passed
+      else {
+        // split alternately into two labeled samples; values may tie
+        val df = kvs.zipWithIndex
+          .map { case ((_, v), i) => (if (i % 2 == 0) "a" else "b", v) }
+          .toDF("g", "v")
+        val hasB = kvs.size >= 2
+        val r = graft.ops.Stats.mannWhitneyU(df,
+            col("g") === "a", col("g") === "b", col("v"))
+          .select("n_a", "n_b", "u1", "u2", "z")
+          .as[(Long, Long, Double, Double, Double)].collect().head
+        val sw = graft.ops.Stats.mannWhitneyU(df,
+            col("g") === "b", col("g") === "a", col("v"))
+          .select("z").as[Double].collect().head
+        Prop(hasB && r._3 + r._4 == r._1.toDouble * r._2 &&
+          (r._5.isNaN && sw.isNaN || math.abs(r._5 + sw) < 1e-12)) :|
+          s"r=$r swapped z=$sw"
+      }
+    }
 }

@@ -540,4 +540,29 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Scan ExistingRDD"),
       s"expected checkpointed round inputs, got:\n$plan")
   }
+  test("q110 quantile normalization: bracketing lookups are broadcast hash joins") {
+    val plan = SparkEntry.queries("q110_quantile_norm")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the 1-row scalar count reinjection legitimately plans as a
+    // BroadcastNestedLoopJoin-Cross on a single-row build side (the q93/
+    // q95 shape); what must NEVER appear is an unbroadcast cartesian
+    assert(!plan.contains("CartesianProduct"),
+      s"pooled-value lookups must stay equi/broadcast joins:\n$plan")
+  }
+
+  test("s21 centroid audit: distance join is equi on dim, never a vector cross join") {
+    val plan = SparkEntry.queries("s21_centroid_labels")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // scalar accuracy reinjection is a 1-row BNLJ-Cross (legitimate);
+    // the vector-scale joins must stay hash equi-joins
+    assert(plan.contains("BroadcastHashJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("m06 WAV frame RMS: pure expression pipeline — no join anywhere in the plan") {
+    val plan = SparkEntry.queries("m06_wav_frame_rms")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"frame RMS needs no join:\n$plan")
+  }
 }
