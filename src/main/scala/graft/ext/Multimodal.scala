@@ -204,6 +204,35 @@ object Multimodal {
     * divide (dividing by a power of two), so the truncating cast IS
     * integer division on both engines.
     */
+  /** ViT-style patch pooling: mean byte intensity per cell of a 4×4
+    * patch grid, each patch pooling a 2×2 block of the SAME
+    * length-normalized 8×8 sample grid [[aHash]] thresholds — the
+    * patch-embedding front half of every vision transformer, with the
+    * byte read standing in for decoded luma exactly as in aHash. Sums
+    * of ≤4 small ints are exact, the /4.0 is an exact quarter — no
+    * decimal detour anywhere. Long-form output (doc, patch_row,
+    * patch_col, mean_byte): 16 rows per doc, pure codegen'd
+    * expressions, no shuffle before whatever aggregates downstream.
+    */
+  def patchPool(df: DataFrame, id: Column, media: Column,
+                pixelOffset: Int = 54): DataFrame = {
+    val payloadLen = length(media) - lit(pixelOffset)
+    def sample(i: Int): Column = coalesce(
+      conv(hex(media.substr(lit(pixelOffset + 1) +
+        ((lit(i) * payloadLen) / lit(64)).cast("int"), lit(1))), 16, 10)
+        .cast("int"), lit(0))
+    val patches = (0 until 16).map { p =>
+      val (r, c) = (p / 4, p % 4)
+      val idxs = for { dr <- 0 to 1; dc <- 0 to 1 }
+        yield (2 * r + dr) * 8 + (2 * c + dc)
+      struct(lit(r).as("pr"), lit(c).as("pc"),
+        (idxs.map(sample).reduce(_ + _) / lit(4.0)).as("mean_byte"))
+    }
+    df.select(id.as("doc_id"), explode(array(patches: _*)).as("e"))
+      .select(col("doc_id"), col("e.pr").as("pr"), col("e.pc").as("pc"),
+        col("e.mean_byte").as("mean_byte"))
+  }
+
   def aHash(df: DataFrame, media: Column, pixelOffset: Int = 54): DataFrame = {
     val payloadLen = length(media) - lit(pixelOffset)
     val withSamples = (0 until 64).foldLeft(df) { (cur, i) =>

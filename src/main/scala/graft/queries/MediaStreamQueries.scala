@@ -160,6 +160,37 @@ object MediaStreamQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // ---- m07: ViT-style patch pooling — 4×4 patch grid means over the
+    //      same length-normalized 8×8 sample grid m05's aHash thresholds
+    //      (the patch-embedding front half of a vision transformer; byte
+    //      reads stand in for decoded luma). Each mean is an exact
+    //      quarter of a small int sum. Oracle re-derives every sample
+    //      from the ASCII payload (the m01/m05 pattern). ----
+    QueryDef("m07_patch_pool", {
+      val sampleArms = (0 until 64).map(i =>
+        s"CASE WHEN len(text) >= 1 THEN ord(substr(text, ($i * len(text)) // 64 + 1, 1)) ELSE 0 END AS s$i")
+        .mkString(", ")
+      val patchArms = (0 until 16).map { p =>
+        val (r, c) = (p / 4, p % 4)
+        val is = for { dr <- 0 to 1; dc <- 0 to 1 }
+          yield (2 * r + dr) * 8 + (2 * c + dc)
+        s"""SELECT doc_id, CAST($r AS INTEGER) AS pr, CAST($c AS INTEGER) AS pc,
+           |  (${is.map(i => s"s$i").mkString(" + ")}) / 4.0 AS mean_byte FROM s""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH s AS (SELECT doc_id, $sampleArms FROM documents)
+         |$patchArms
+         |ORDER BY doc_id, pr, pc""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val w = (col("n_chars") % 640 + 32).cast("int")
+      val h = ((col("n_chars").cast("long") * 7) % 480 + 32).cast("int")
+      val payload = col("text").cast("binary")
+      val withMedia = docs.withColumn("media",
+        concat(Multimodal.bmpHeader(w, h, length(payload)), payload))
+      Multimodal.patchPool(withMedia, col("doc_id"), col("media"))
+        .orderBy("doc_id", "pr", "pc")
+    },
+
     // ---- m06: per-frame RMS energy over REAL 16-bit PCM WAV streams —
     //      the audio twin of m02/m04's frame pipeline and the table
     //      silence-trim / VAD / loudness stages start from. The engine

@@ -632,5 +632,59 @@ object SimilarityQueries {
           graft.ops.Prep.floorTo(col("accuracy"), 6).as("accuracy"))
         .orderBy("label", "pred")
     },
+
+    // ---- s22: embedding-space health stats — per-dim mean/variance
+    //      (dead-dimension detection: var ≈ 0) plus the corpus
+    //      ANISOTROPY ratio ‖μ‖² / (Σ‖x‖²/n) (Ethayarajh-style: a mean
+    //      vector carrying a large share of the energy degrades cosine
+    //      retrieval — the "all vectors point the same way" pathology).
+    //      One explode + one (dim) aggregate with DECIMAL sums; the
+    //      64-row second rollup is decimal-summed too, so every number
+    //      is order-independent cross-engine. ----
+    QueryDef("s22_embedding_stats",
+      s"""WITH x AS (SELECT vec_id,
+         |    unnest(range(1, len(embedding) + 1)) AS dim,
+         |    unnest(CAST(embedding AS DOUBLE[])) AS v
+         |  FROM embeddings),
+         |m AS (SELECT dim,
+         |    CAST(sum(CAST(v AS DECIMAL(38,18))) AS DOUBLE) AS s,
+         |    CAST(sum(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE) AS q,
+         |    count(*) AS n
+         |  FROM x GROUP BY 1),
+         |d AS (SELECT dim, n, s / n AS mu,
+         |    (q - n * (s / n) * (s / n)) / (n - 1) AS var, q
+         |  FROM m),
+         |g AS (SELECT
+         |    CAST(sum(CAST(mu * mu AS DECIMAL(38,18))) AS DOUBLE) AS mu2,
+         |    CAST(sum(CAST(q AS DECIMAL(38,18))) AS DOUBLE) AS qt,
+         |    max(n) AS n
+         |  FROM d)
+         |SELECT CAST(dim AS INTEGER) AS dim,
+         |  ${graft.ops.Prep.floorToSql("mu", 6)} AS mu,
+         |  ${graft.ops.Prep.floorToSql("var", 6)} AS var,
+         |  ${graft.ops.Prep.floorToSql("g.mu2 / (g.qt / g.n)", 6)} AS anisotropy
+         |FROM d CROSS JOIN g ORDER BY dim""".stripMargin) { (s, dir) =>
+      val x = Tables.embeddings(s, dir)
+        .select(posexplode(transform(col("embedding"), v => v.cast("double"))))
+        .select((col("pos") + 1).as("dim"), col("col").as("v"))
+      val m = x.groupBy("dim").agg(
+        sum(col("v").cast("decimal(38,18)")).cast("double").as("s"),
+        sum((col("v") * col("v")).cast("decimal(38,18)")).cast("double").as("q"),
+        count(lit(1)).as("n"))
+      val d = m.select(col("dim"), col("n"), (col("s") / col("n")).as("mu"),
+        ((col("q") - col("n") * (col("s") / col("n")) * (col("s") / col("n")))
+          / (col("n") - 1)).as("var"), col("q"))
+      val g = d.agg(
+        sum((col("mu") * col("mu")).cast("decimal(38,18)")).cast("double").as("mu2"),
+        sum(col("q").cast("decimal(38,18)")).cast("double").as("qt"),
+        max(col("n")).as("gn"))
+      d.crossJoin(broadcast(g))
+        .select(col("dim").cast("int").as("dim"),
+          graft.ops.Prep.floorTo(col("mu"), 6).as("mu"),
+          graft.ops.Prep.floorTo(col("var"), 6).as("var"),
+          graft.ops.Prep.floorTo(col("mu2") / (col("qt") / col("gn")), 6)
+            .as("anisotropy"))
+        .orderBy("dim")
+    },
   )
 }

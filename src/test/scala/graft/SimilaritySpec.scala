@@ -356,4 +356,14 @@ class SimilaritySpec extends SparkSpec {
       Seq((0, 0, 2L), (0, 1, 1L), (1, 1, 2L)), s"got $got")
     assert(math.abs(got.head._4 - 0.8) < 1e-12, s"accuracy ${got.head._4}")
   }
+  test("s22 embedding stats: per-dim rows, non-negative variance, anisotropy in (0,1]") {
+    import spark.implicits._
+    val got = SparkEntry.queries("s22_embedding_stats")(spark, sf)
+    val rows = got.select("dim", "mu", "var", "anisotropy")
+      .as[(Int, Double, Double, Double)].collect()
+    assert(rows.map(_._1).toSeq == (1 to 64), "one row per dim, ordered")
+    assert(rows.forall(_._3 >= 0.0), "variances non-negative")
+    val a = rows.head._4
+    assert(rows.forall(_._4 == a) && a > 0.0 && a <= 1.0, s"anisotropy $a")
+  }
 }

@@ -736,4 +736,22 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(got(0)._3 - 1.0) < 1e-12 && math.abs(got(1)._3 - 32768.0) < 1e-12,
       s"rms $got")
   }
+  test("patchPool: cycling payload gives exact column-dependent patch means") {
+    // payload = "ABCD" x 16 -> sample(i) = byte i; every patch pools
+    // indices {a, a+1, a+8, a+9} with a = 16r + 2c, and (byte % 4)
+    // depends only on the column parity: mean 65.5 (c even) / 67.5 (c odd)
+    val payload = ("ABCD" * 16).getBytes("ASCII")
+    val df = Seq(Tuple1(payload)).toDF("p")
+      .withColumn("doc", lit(7L))
+      .withColumn("media",
+        concat(Multimodal.bmpHeader(lit(8), lit(8), length(col("p"))), col("p")))
+    val got = Multimodal.patchPool(df, col("doc"), col("media"))
+      .orderBy("pr", "pc").select("pr", "pc", "mean_byte")
+      .as[(Int, Int, Double)].collect().toSeq
+    assert(got.size == 16)
+    got.foreach { case (_, pc, m) =>
+      val want = if (pc % 2 == 0) 65.5 else 67.5
+      assert(m == want, s"patch col $pc: $m != $want")
+    }
+  }
 }
