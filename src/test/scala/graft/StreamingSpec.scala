@@ -643,6 +643,43 @@ class StreamingSpec extends SparkSpec {
     assert(all.contains((1L, 9.0)), s"beyond-horizon key must re-emit: $all")
     assert(!all.contains((1L, 2.0)), s"within-horizon dup must stay dropped: $all")
   }
+
+  test("streamNearDupScreen: stream == batch against a static band index; clean docs pass") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "pack my box with five dozen liquor jugs for the long winter"),
+      (3L, "sphinx of black quartz judge my vow said the old keeper"))
+      .toDF("doc_id", "text")
+    val staticBands = graft.ext.Dedup.lshBandTable(corpus, col("doc_id"), col("text"))
+      .localCheckpoint(true)
+    // arrivals: 101 = near-copy of doc 1 (one word changed), 102 = unique
+    // text sharing no shingles, 103 = too short to shingle (no bands)
+    val arrivals = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog again and AGAIN extra"),
+      (102L, "completely different words that never appeared in anything before now"),
+      (103L, "too short"))
+    val batch = StreamOps.streamNearDupScreen(
+        arrivals.toDF("doc_id", "text"), col("doc_id"), col("text"), staticBands)
+      .orderBy("doc", "partner").as[(Long, Long, Long)].collect().toSeq
+
+    val mem = MemoryStream[(Long, String)]
+    val sdf = mem.toDF().toDF("doc_id", "text")
+    val q = StreamOps.streamNearDupScreen(sdf, col("doc_id"), col("text"), staticBands)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("neardup_out").start()
+    mem.addData(arrivals: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("neardup_out")
+      .orderBy("doc", "partner").as[(Long, Long, Long)].collect().toSeq
+    q.stop()
+
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    // the near-copy collides with static doc 1 on >=1 band; the clean and
+    // the too-short arrivals produce no candidate pairs at all
+    assert(batch.map(_._1) == Seq(101L), s"got $batch")
+    assert(batch.head._2 == 1L && batch.head._3 >= 1L, s"got $batch")
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
