@@ -481,6 +481,66 @@ object ScaleCheck {
     check(pcaDiff < 1e-9, s"10× PCA component matches base: max diff $pcaDiff")
     val tPca = (System.nanoTime() - t8) / 1e9
 
+    // ---------- t40-shape: prefix-filter similarity join at scale ----------
+    // the scaled docs fixture (mult near-copies + 400-doc hot cluster) is
+    // exactly the workload prefix filtering exists for: the hot doc's 399
+    // near-copies share almost every shingle, so candidate generation must
+    // find all of them at τ=0.4 while staying blocked on RARE prefix
+    // tokens (never all-pairs — the global single-task assertions below
+    // catch any funnel). Completeness under skew is the claim: every hot
+    // copy must pair with the original.
+    val t9 = System.nanoTime()
+    val pfPairs = graft.ext.Dedup
+      .prefixFilterPairs(docs, col("doc_id"), col("text"))
+      .localCheckpoint()
+    val nPf = pfPairs.count()
+    val hotPf = pfPairs.filter(col("id_a") === hotId).count()
+    check(hotPf >= 399,
+      s"prefix filter finds the whole hot cluster: $hotPf pairs with doc $hotId (want >=399)")
+    val tPrefix = (System.nanoTime() - t9) / 1e9
+
+    // ---------- s23-shape: mutual NN at scale ----------
+    // mult identical copies (disjoint ids): every point has a 0-distance
+    // duplicate, so every NN sits at ROUNDED dist2 0 and ties break to
+    // the lowest other id. Distinct locations closer than the 6-dp
+    // rounding radius merge into one effective tie group (the fixture
+    // has such near-coincident locations), so the EXACT invariant is:
+    // one mutual pair per connected component of the rounded-zero-
+    // distance graph — NN(lowest) = second-lowest and vice versa, every
+    // other member's reciprocity fails. Computed with the same 3×3 grid
+    // candidate relation + the engine's own connectedComponents.
+    val t10 = System.nanoTime()
+    val mnn = graft.ext.Similarity.mutualNN2d(embBig, "vec_id", "embedding",
+        cellSize = 0.1)
+      .localCheckpoint()
+    val nMnn = mnn.count()
+    val mnnNonzero = mnn.filter(col("dist2") =!= 0.0).count()
+    val zpts = embBig.select(col("vec_id").as("pid"),
+        element_at(col("embedding"), 1).cast("double").as("x"),
+        element_at(col("embedding"), 2).cast("double").as("y"))
+      .withColumn("gx", floor(col("x") / 0.1).cast("long"))
+      .withColumn("gy", floor(col("y") / 0.1).cast("long"))
+    val zprobe = zpts
+      .withColumn("dx", explode(lit(Array(-1L, 0L, 1L))))
+      .withColumn("dy", explode(lit(Array(-1L, 0L, 1L))))
+      .select(col("pid").as("qid"), col("x").as("qx"), col("y").as("qy"),
+        (col("gx") + col("dx")).as("jgx"), (col("gy") + col("dy")).as("jgy"))
+    val zeroEdges = zpts.join(zprobe,
+        col("gx") === col("jgx") && col("gy") === col("jgy") &&
+          col("pid") < col("qid"))
+      .filter(round((col("x") - col("qx")) * (col("x") - col("qx")) +
+        (col("y") - col("qy")) * (col("y") - col("qy")), 6) === 0.0)
+      .select(col("pid").as("id_a"), col("qid").as("id_b"))
+    val zcomp = graft.ext.Dedup.connectedComponents(
+      zeroEdges.union(zpts.select(col("pid"), col("pid"))),
+      col("id_a"), col("id_b"))
+    val nZeroGroups = zcomp.groupBy("component").count()
+      .filter(col("count") >= 2).count()
+    check(nMnn == nZeroGroups && mnnNonzero == 0,
+      s"mutual pairs = one per rounded-zero-distance component: " +
+        s"$nMnn pairs vs $nZeroGroups components, $mnnNonzero nonzero-dist")
+    val tMutual = (System.nanoTime() - t10) / 1e9
+
     // ---------- partition-story assertions ----------
     // every stage reading >=100k records must be multi-task; the only
     // single-task stages allowed at ANY volume are the documented
@@ -500,6 +560,8 @@ object ScaleCheck {
     out ++= f""""t_hilbert_sec":$tHilbert%.1f,"hilbert_parts":${hParts.length},"t_mips_sec":$tMips%.1f,"mips_rows":$nMips,"""
     out ++= f""""t_kcore_sec":$tKcore%.1f,"kcore_total":$coreTotal,"kcore_copy_mismatch":$coreMismatch,"""
     out ++= f""""t_pca_sec":$tPca%.1f,"pca_copy_diff":$pcaDiff%.2e,"""
+    out ++= f""""t_prefix_sec":$tPrefix%.1f,"prefix_pairs":$nPf,"prefix_hot":$hotPf,"""
+    out ++= f""""t_mutual_sec":$tMutual%.1f,"mutual_pairs":$nMnn,"mutual_groups":$nZeroGroups,"""
     out ++= s""""bfs_levels":{${lvlScaled.toSeq.sorted.map { case (d, n) => s""""$d":$n""" }.mkString(",")}},"""
     out ++= s""""pr_edges":$nEdgesPr,"pr_mass_err":${massErrs.max},"pr_copy_diff":$rankDiff,"""
     out ++= s""""tri_total":$triTotal,"tri_copy_mismatch":$triCopyMismatch,"""

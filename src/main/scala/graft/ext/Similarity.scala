@@ -593,6 +593,54 @@ object Similarity {
         col("rn").cast("int").as("rn"))
   }
 
+  /** Mutual nearest-neighbor pairs over the first two embedding dims —
+    * the reciprocal-best-match criterion bitext mining (Artetxe & Schwenk
+    * 2019) and self-supervised pair mining use: (a,b) is emitted iff b is
+    * a's nearest neighbor AND a is b's, under the same 3×3 grid-blocked
+    * candidate relation as [[gridNN2d]] (symmetric by construction, so
+    * mutuality is well-defined).
+    *
+    * Unlike gridNN2d (which broadcasts a SMALL query set), every point is
+    * a query here, so the probe side is built by exploding each point into
+    * its 3×3 cell neighborhood and EQUI-joining on the cell id — a plain
+    * shuffle join both sides of which partition by cell; nothing is
+    * broadcast and nothing is quadratic (candidates per point are bounded
+    * by its neighborhood's occupancy). Ties broken by candidate id; the
+    * rounded dist2 (6dp) is the ranking key, matching the oracle exactly.
+    *
+    * Returns (id_a, id_b, dist2) with id_a < id_b, one row per mutual pair.
+    */
+  def mutualNN2d(emb: DataFrame, id: String, vec: String,
+                 cellSize: Double): DataFrame = {
+    val pts = emb.select(col(id).as("pid"),
+        element_at(col(vec), 1).cast("double").as("x"),
+        element_at(col(vec), 2).cast("double").as("y"))
+      .withColumn("gx", floor(col("x") / cellSize).cast("long"))
+      .withColumn("gy", floor(col("y") / cellSize).cast("long"))
+    val corpus = pts.select(col("pid").as("c_id"), col("x").as("cx"),
+      col("y").as("cy"), col("gx").as("cgx"), col("gy").as("cgy"))
+    val probes = pts
+      .withColumn("dx", explode(lit(Array(-1L, 0L, 1L))))
+      .withColumn("dy", explode(lit(Array(-1L, 0L, 1L))))
+      .select(col("pid").as("q_id"), col("x").as("qx"), col("y").as("qy"),
+        (col("gx") + col("dx")).as("jgx"), (col("gy") + col("dy")).as("jgy"))
+    val w = Window.partitionBy("q_id").orderBy(col("dist2"), col("c_id"))
+    val nn = corpus.join(probes,
+        col("cgx") === col("jgx") && col("cgy") === col("jgy") &&
+          col("c_id") =!= col("q_id"))
+      .withColumn("dist2", round(
+        (col("cx") - col("qx")) * (col("cx") - col("qx")) +
+          (col("cy") - col("qy")) * (col("cy") - col("qy")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("c_id"), col("dist2"))
+    nn.as("l").join(nn.as("r"),
+        col("l.q_id") === col("r.c_id") && col("l.c_id") === col("r.q_id") &&
+          col("l.q_id") < col("l.c_id"))
+      .select(col("l.q_id").as("id_a"), col("l.c_id").as("id_b"),
+        col("l.dist2").as("dist2"))
+  }
+
   /** Top principal component of an embedding column via the classic
     * two-phase factorization every distributed PCA uses (the Spark MLlib
     * / probabilistic-PCA playbook): (1) ONE pass over the vectors reduces
@@ -727,6 +775,54 @@ object Similarity {
     * — n·L·d product rows but map-side combined straight back to n·L
     * distance rows, never a collect, never a cross join on vectors.
     */
+  /** Simplified silhouette per label (squared-distance centroid variant —
+    * the O(n·k·d) clustering-quality audit used when true silhouette's
+    * O(n²) pair scan is off the table, e.g. scikit-learn's
+    * "silhouette via centroids" guidance): per point, a² = squared
+    * distance to its own label centroid, b² = min squared distance to any
+    * OTHER centroid, s = (b²−a²)/max(a²,b²) ∈ [−1,1] (0 when both are 0);
+    * report each label's point count and mean s — labels whose members sit
+    * closer to a foreign prototype than their own surface as negative.
+    *
+    * Parity discipline: centroids and per-centroid distance sums run
+    * through DECIMAL(38,18) (order-independent, the s21 pattern); each
+    * point's s is one fixed IEEE chain; the per-label MEAN quantizes s to
+    * an integer floor(s·10⁹) LONG before summing — every partial sum is
+    * exact in any order with no decimal detour (n·10⁹ ≪ 2⁶³).
+    *
+    * Scale posture: one explode pass, the k·d centroid table broadcast,
+    * one (point, centroid) aggregate keyed by point — never a pair join
+    * over points.
+    */
+  def silhouetteByLabel(emb: DataFrame, id: Column, label: Column,
+                        vec: Column): DataFrame = {
+    val x = emb.select(id.as("rid"),
+        label.as("slabel"), posexplode(transform(vec, v => v.cast("double"))))
+      .select(col("rid"), col("slabel"), (col("pos") + 1).as("dim"),
+        col("col").as("v"))
+    val cent = x.groupBy(col("slabel").as("clabel"), col("dim"))
+      .agg((sum(col("v").cast("decimal(38,18)")).cast("double") /
+        count(lit(1))).as("cv"))
+    val d2 = x.join(broadcast(cent), "dim")
+      .groupBy(col("rid"), col("slabel"), col("clabel"))
+      .agg(sum(((col("v") - col("cv")) * (col("v") - col("cv")))
+        .cast("decimal(38,18)")).cast("double").as("d2"))
+    val a2 = d2.filter(col("clabel") === col("slabel"))
+      .select(col("rid"), col("slabel"), col("d2").as("a2"))
+    val b2 = d2.filter(col("clabel") =!= col("slabel"))
+      .groupBy(col("rid")).agg(min(col("d2")).as("b2"))
+    a2.join(b2, "rid")
+      .withColumn("sil",
+        when(greatest(col("a2"), col("b2")) === 0.0, 0.0)
+          .otherwise((col("b2") - col("a2")) / greatest(col("a2"), col("b2"))))
+      .groupBy(col("slabel").as("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("sil") * lit(1e9)).cast("long")).as("sil_q"))
+      .withColumn("mean_sil",
+        col("sil_q").cast("double") / (col("n").cast("double") * lit(1e9)))
+      .drop("sil_q")
+  }
+
   def nearestCentroidEval(emb: DataFrame, id: Column, label: Column,
                           vec: Column): DataFrame = {
     val x = emb.select(id.as("rid"),

@@ -122,6 +122,46 @@ object TimeSeries {
       .drop("__num", "__den")
   }
 
+  /** Single change-point detection per series (the binary-segmentation
+    * step; equivalent to the CUSUM-statistic argmax for a mean shift):
+    * for each candidate split after ordered index k, the between-segment
+    * sum of squares Δ(k) = (n·Sₖ − k·S)² / (k·(n−k)·n) — maximizing it
+    * picks the split that best explains the series as two level segments.
+    *
+    * The prefix-sum identity makes every Δ(k) O(1) from one ordered
+    * running-sum window — O(n) total instead of the O(n²) "recompute
+    * both segment means per split" form. All algebra up to the final
+    * division is exact integer (counts → prefix sums), so the argmax
+    * compares identical correctly-rounded doubles in any engine; ties
+    * break to the earliest split.
+    *
+    * Input: one row per (key, day, cnt) — a pre-aggregated series.
+    * Returns (key, change_day, score, mean_before, mean_after), one row
+    * per key (raw doubles; callers round for display/oracle parity).
+    */
+  def changepoint(daily: DataFrame, key: String, day: String,
+                  cnt: String): DataFrame = {
+    val wOrd = Window.partitionBy(key).orderBy(day)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(key)
+    val p = daily
+      .withColumn("__k", row_number().over(wOrd))
+      .withColumn("__sk", sum(col(cnt)).over(wRun))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__st", sum(col(cnt)).over(wAll))
+      .filter(col("__k") < col("__n"))
+    val num = col("__n") * col("__sk") - col("__k") * col("__st")
+    val wArg = Window.partitionBy(key).orderBy(col("__score").desc, col(day))
+    p.withColumn("__score", (num * num).cast("double") /
+        (col("__k") * (col("__n") - col("__k")) * col("__n")).cast("double"))
+      .withColumn("__rn", row_number().over(wArg))
+      .filter(col("__rn") === 1)
+      .select(col(key), col(day).as("change_day"), col("__score").as("score"),
+        (col("__sk").cast("double") / col("__k")).as("mean_before"),
+        ((col("__st") - col("__sk")).cast("double") /
+          (col("__n") - col("__k"))).as("mean_after"))
+  }
+
   /** The shared banding core: one row per (probe, matching build row),
     * left semantics (zero-match probes keep one row with NULL b_ts).
     * Probe rows are exploded to the two `window`-sized bins their

@@ -867,5 +867,44 @@ object AnalyticQueries {
           ntile(4).over(w).cast("int").as("quartile"))
         .orderBy("c_mktsegment", "c_acctbal", "c_custkey")
     },
+
+    // ---- Pareto frontier (2-D skyline, Börzsönyi et al. 2001): parts no
+    //      other part strictly dominates on (price ↓, size ↑) — "cheapest
+    //      for its capability". The O(n·log n) sort-based form, NOT the
+    //      O(n²) dominance anti-join: collapse to price grain (max size
+    //      per price), then one running max over STRICTLY cheaper prices
+    //      (ROWS … 1 PRECEDING on the price-grain table, where peers
+    //      can't exist) marks the frontier; ties on (price, size) all
+    //      survive — strict dominance only. At 100 TB the price-grain
+    //      collapse is a map-side-combinable agg and the window runs over
+    //      the DISTINCT-PRICE table (bounded domain: 2-decimal prices),
+    //      not the row count; the frontier join back is broadcast. ----
+    QueryDef("q111_pareto_frontier",
+      """WITH pb AS (SELECT p_partkey, p_retailprice AS price, p_size AS size
+        |            FROM part),
+        |best AS (SELECT price, max(size) AS best_size FROM pb GROUP BY 1),
+        |r AS (SELECT price, best_size,
+        |        max(best_size) OVER (ORDER BY price
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_best
+        |      FROM best),
+        |f AS (SELECT price, best_size FROM r
+        |      WHERE prev_best IS NULL OR prev_best < best_size)
+        |SELECT p.p_partkey, p.price, CAST(p.size AS INTEGER) AS size
+        |FROM pb p JOIN f ON p.price = f.price AND p.size = f.best_size
+        |ORDER BY p.price, p.p_partkey""".stripMargin) { (s, dir) =>
+      val pb = Tables.part(s, dir).select(col("p_partkey"),
+        col("p_retailprice").as("price"), col("p_size").as("size"))
+      val best = pb.groupBy("price").agg(max(col("size")).as("best_size"))
+      val wPrev = Window.orderBy(col("price"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val frontier = best
+        .withColumn("prev_best", max(col("best_size")).over(wPrev))
+        .filter(col("prev_best").isNull || col("prev_best") < col("best_size"))
+        .select(col("price").as("f_price"), col("best_size"))
+      pb.join(broadcast(frontier),
+          col("price") === col("f_price") && col("size") === col("best_size"))
+        .select(col("p_partkey"), col("price"), col("size").cast("int").as("size"))
+        .orderBy("price", "p_partkey")
+    },
   )
 }

@@ -257,5 +257,218 @@ object BehaviorQueries {
           round(col("n").cast("double") / col("tn"), 6).as("p"))
         .orderBy("prev", "cur")
     },
+
+    // ---- rolling 7-day distinct active users per day (the DAU/WAU
+    //      family's WAU-by-day) — WITHOUT the two shapes that die at
+    //      scale: a COUNT(DISTINCT) over a RANGE window (unsupported in
+    //      both engines) or a day×event theta join (nested-loop). Instead
+    //      each user-activity DAY covers days d..d+6, so: dedup events to
+    //      (user, day) grain FIRST, explode the constant 7-day coverage,
+    //      dedup again, and one hash aggregate counts the users covering
+    //      each day. Constant 7× fan-out on the (user, day) grain — both
+    //      distincts are map-side-combinable hash aggs; the calendar
+    //      clamp is a broadcast scalar join. ----
+    QueryDef("q112_rolling_active_users",
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |cov AS (SELECT DISTINCT user_id, d + CAST(i AS INTEGER) AS day
+        |        FROM ud CROSS JOIN range(0, 7) AS t(i)),
+        |b AS (SELECT min(d) AS lo, max(d) AS hi FROM ud)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, count(*) AS active_7d
+        |FROM cov, b WHERE day BETWEEN b.lo AND b.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val cov = ud
+        .select(col("user_id"), col("d"),
+          explode(sequence(lit(0), lit(6))).as("i"))
+        .select(col("user_id"), date_add(col("d"), col("i")).as("day"))
+        .distinct()
+      val b = ud.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      cov.crossJoin(broadcast(b))
+        .filter(col("day").between(col("lo"), col("hi")))
+        .groupBy(dayStr(col("day")).as("day"))
+        .agg(count(lit(1)).as("active_7d"))
+        .orderBy("day")
+    },
+
+    // ---- last-touch attribution: each purchase is credited to the
+    //      user's most recent view/click in the preceding 7 days, or
+    //      'direct' if none — the marketing-analytics join every event
+    //      warehouse runs. Equi-join on user_id carries the bounded
+    //      lookback as a band predicate (sort-merge on user, never a
+    //      theta join); one per-conversion row_number picks the latest
+    //      touch ((ts, event_id) desc — deterministic under same-ts
+    //      touches); conversion value flows through DECIMAL(18,2) so the
+    //      channel sums are order-independent cross-engine. At scale:
+    //      keyed by user, state bounded by the 7-day window, and the
+    //      final rollup is 3 groups. ----
+    QueryDef("q114_attribution",
+      """WITH conv AS (SELECT event_id, user_id, ts,
+        |                CAST(value AS DECIMAL(18,2)) AS v
+        |              FROM events WHERE event_type = 'purchase'),
+        |tch AS (SELECT event_id, user_id, ts, event_type FROM events
+        |        WHERE event_type IN ('view', 'click')),
+        |j AS (SELECT c.event_id AS conv_id, t.event_type AS channel,
+        |        row_number() OVER (PARTITION BY c.event_id
+        |          ORDER BY t.ts DESC, t.event_id DESC) AS rn
+        |      FROM conv c JOIN tch t ON t.user_id = c.user_id
+        |        AND t.ts <= c.ts AND t.ts > c.ts - INTERVAL 7 DAY),
+        |att AS (SELECT conv_id, channel FROM j WHERE rn = 1)
+        |SELECT coalesce(a.channel, 'direct') AS channel,
+        |  count(*) AS n_conversions,
+        |  CAST(sum(c.v) AS DOUBLE) AS attributed_value
+        |FROM conv c LEFT JOIN att a ON a.conv_id = c.event_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir)
+      val conv = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("value").cast("decimal(18,2)").as("v"))
+      val tch = e.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("ts").as("t_ts"),
+          col("event_type").as("channel"), col("event_id").as("t_id"))
+      val w = Window.partitionBy("event_id")
+        .orderBy(col("t_ts").desc, col("t_id").desc)
+      val att = conv.join(tch, Seq("user_id"))
+        .filter(col("t_ts") <= col("ts") &&
+          col("t_ts") > col("ts") - expr("interval 7 days"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("channel"))
+      conv.join(att, Seq("event_id"), "left")
+        .select(coalesce(col("channel"), lit("direct")).as("channel"), col("v"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_conversions"),
+          sum(col("v")).cast("double").as("attributed_value"))
+        .orderBy("channel")
+    },
+
+    // ---- interval union (merge overlapping intervals): per user, the
+    //      gaps-and-islands MERGE twin of q58's gap sessionize and q106's
+    //      sweep-line — total covered time and merged-island count when
+    //      each event holds [ts, ts + value·1s). One running max of
+    //      interval ends over STRICTLY preceding rows marks island
+    //      starts (s_ts > prev_max ⇒ disconnected), a running sum names
+    //      islands, one aggregate per island, one per user. Durations
+    //      stay exact epoch-microsecond longs end to end. All windows
+    //      partition by user — keyed exchanges only, the no-global-sort
+    //      discipline every interval-accounting pipeline needs. ----
+    QueryDef("q115_interval_union",
+      """WITH iv AS (SELECT user_id, event_id, ts AS s_ts,
+        |             ts + to_seconds(CAST(floor(value) AS INTEGER)) AS e_ts
+        |           FROM events),
+        |m AS (SELECT user_id, s_ts, e_ts,
+        |    max(e_ts) OVER (PARTITION BY user_id ORDER BY s_ts, e_ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max,
+        |    event_id
+        |  FROM iv),
+        |fl AS (SELECT user_id, s_ts, e_ts, event_id,
+        |    CASE WHEN prev_max IS NULL OR s_ts > prev_max THEN 1 ELSE 0 END
+        |      AS is_new
+        |  FROM m),
+        |g AS (SELECT user_id, s_ts, e_ts,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY s_ts, e_ts, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM fl),
+        |i AS (SELECT user_id, island, min(s_ts) AS st, max(e_ts) AS en
+        |      FROM g GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_islands,
+        |  CAST(sum(epoch_us(en) - epoch_us(st)) AS BIGINT) AS covered_us
+        |FROM i GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val iv = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+        col("ts").as("s_ts"),
+        (col("ts") + expr("make_interval(0,0,0,0,0,0, CAST(floor(value) AS INT))"))
+          .as("e_ts"))
+      val ord = Seq(col("s_ts"), col("e_ts"), col("event_id"))
+      val wPrev = Window.partitionBy("user_id").orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy("user_id").orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      iv.withColumn("prev_max", max(col("e_ts")).over(wPrev))
+        .withColumn("is_new",
+          when(col("prev_max").isNull || col("s_ts") > col("prev_max"), 1L)
+            .otherwise(0L))
+        .withColumn("island", sum(col("is_new")).over(wRun))
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("s_ts")).as("st"), max(col("e_ts")).as("en"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_islands"),
+          sum(unix_micros(col("en")) - unix_micros(col("st"))).as("covered_us"))
+        .orderBy("user_id")
+    },
+
+    // ---- top event paths (behavioral 3-gram mining — the "what do
+    //      users actually do" query behind sankey/path-analysis UIs):
+    //      per-user ordered event-type trigrams via two lead() calls on
+    //      ONE window, then a global count and deterministic top-10
+    //      ((n desc, path asc) — ties can't reorder across engines).
+    //      Vocabulary-bounded output (|types|³ candidate paths), one
+    //      keyed window + one agg at any volume. ----
+    QueryDef("q116_event_paths",
+      """WITH t AS (SELECT event_type,
+        |    lead(event_type, 1) OVER w AS n1,
+        |    lead(event_type, 2) OVER w AS n2
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |p AS (SELECT event_type || '>' || n1 || '>' || n2 AS path
+        |      FROM t WHERE n2 IS NOT NULL)
+        |SELECT path, count(*) AS n FROM p
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("n1", lead(col("event_type"), 1).over(w))
+        .withColumn("n2", lead(col("event_type"), 2).over(w))
+        .filter(col("n2").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("n1"), col("n2"))
+          .as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path")).limit(10)
+    },
+
+    // ---- time-to-convert distribution: view→purchase latency over the
+    //      q40 funnel chain, reported as EXACT type-1 quantiles (value at
+    //      rank ⌈q·n⌉ under a deterministic (duration, user) order — the
+    //      ranks are integer arithmetic, so no interpolation float can
+    //      disagree). Durations are exact epoch-micros longs. The rank
+    //      window runs on the CONVERTED-USERS table (already collapsed
+    //      to one row per user by the funnel's min-ts aggregates) — tiny
+    //      relative to raw events at any volume; the q44→q45 discipline
+    //      (approx_percentile twin) applies if conversions themselves
+    //      are huge. ----
+    QueryDef("q118_time_to_convert",
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts
+        |      FROM events e JOIN v ON v.user_id = e.user_id
+        |      WHERE e.event_type = 'click' AND e.ts >= v.v_ts GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts
+        |      FROM events e JOIN c ON c.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts GROUP BY 1),
+        |d AS (SELECT p.user_id, epoch_us(p.p_ts) - epoch_us(v.v_ts) AS dur_us
+        |      FROM p JOIN v ON v.user_id = p.user_id),
+        |r AS (SELECT user_id, dur_us,
+        |        row_number() OVER (ORDER BY dur_us, user_id) AS rn,
+        |        count(*) OVER () AS n
+        |      FROM d)
+        |SELECT CAST(max(n) AS BIGINT) AS n_converted,
+        |  min(dur_us) AS min_us,
+        |  max(CASE WHEN rn = (n + 1) // 2 THEN dur_us END) AS p50_us,
+        |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN dur_us END) AS p90_us,
+        |  max(dur_us) AS max_us
+        |FROM r""".stripMargin) { (s, dir) =>
+      val (v, _, p) = funnelStages(Tables.events(s, dir))
+      val d = p.join(v, "user_id")
+        .select(col("user_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("dur_us"))
+      val wRank = Window.orderBy(col("dur_us"), col("user_id"))
+      d.withColumn("rn", row_number().over(wRank))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(lit(1))))
+        .agg(max(col("n")).cast("long").as("n_converted"),
+          min(col("dur_us")).as("min_us"),
+          max(when(col("rn") === expr("(n + 1) div 2"), col("dur_us")))
+            .as("p50_us"),
+          max(when(col("rn") === expr("(9 * n + 9) div 10"), col("dur_us")))
+            .as("p90_us"),
+          max(col("dur_us")).as("max_us"))
+    },
   )
 }

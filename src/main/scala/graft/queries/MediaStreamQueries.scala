@@ -226,6 +226,68 @@ object MediaStreamQueries {
         .orderBy("doc_id", "frame")
     },
 
+    // ---- m08: silence-run detection (VAD / silence-trim front end) —
+    //      gaps-and-islands over m06's frame energies: frames under the
+    //      threshold group into runs via the classic frame − row_number
+    //      island key (consecutive silent frames share it); per clip:
+    //      total frames, silent frames, run count, longest run. The rms
+    //      doubles are bit-identical cross-engine (m06's parity), so the
+    //      threshold comparison can't straddle engines. Everything after
+    //      the frame decode is per-doc keyed windows + aggregates. ----
+    QueryDef("m08_silence_runs",
+      """WITH f AS (SELECT doc_id, text, len(text) // 2 AS ns FROM documents),
+        |i AS (SELECT doc_id, text, unnest(range(0, ns)) AS i FROM f WHERE ns > 0),
+        |sm AS (SELECT doc_id, CAST(i // 64 AS INTEGER) AS frame,
+        |    ord(substr(text, CAST(2 * i + 1 AS INTEGER), 1))
+        |      + 256 * ord(substr(text, CAST(2 * i + 2 AS INTEGER), 1)) AS u
+        |  FROM i),
+        |sg AS (SELECT doc_id, frame,
+        |    u - CASE WHEN u >= 32768 THEN 65536 ELSE 0 END AS s FROM sm),
+        |fr AS (SELECT doc_id, frame,
+        |    sqrt(CAST(sum(s * s) AS DOUBLE) / count(*)) AS rms
+        |  FROM sg GROUP BY 1, 2),
+        |sil AS (SELECT doc_id, frame,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY frame) AS rn
+        |  FROM fr WHERE rms < 25500.0),
+        |isl AS (SELECT doc_id, frame - rn AS grp, count(*) AS run_len
+        |        FROM sil GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, count(*) AS n_runs, sum(run_len) AS n_silent,
+        |          max(run_len) AS max_run
+        |        FROM isl GROUP BY 1),
+        |tot AS (SELECT doc_id, count(*) AS n_frames FROM fr GROUP BY 1)
+        |SELECT t.doc_id, t.n_frames,
+        |  CAST(coalesce(a.n_silent, 0) AS BIGINT) AS n_silent,
+        |  CAST(coalesce(a.n_runs, 0) AS BIGINT) AS n_runs,
+        |  CAST(coalesce(a.max_run, 0) AS BIGINT) AS max_run
+        |FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val ch = (col("doc_id") % 3 + 1).cast("int")
+      val sr = when(col("doc_id") % 3 === 0, 8000)
+        .when(col("doc_id") % 3 === 1, 16000).otherwise(44100)
+      val payload = col("text").cast("binary")
+      val withMedia = docs.withColumn("media",
+        concat(Multimodal.wavHeader(sr, ch, lit(16), length(payload)), payload))
+      val frames = Multimodal.wavFrameRms(withMedia, col("doc_id"), col("media"))
+        .select(col("id").as("doc_id"), col("frame"), col("rms"))
+      val wRun = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("frame")
+      val isl = frames.filter(col("rms") < 25500.0)
+        .withColumn("grp", col("frame") - row_number().over(wRun))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(count(lit(1)).as("run_len"))
+      val agg = isl.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_runs"), sum(col("run_len")).as("n_silent"),
+          max(col("run_len")).as("max_run"))
+      frames.groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_frames"),
+          coalesce(col("n_silent"), lit(0L)).as("n_silent"),
+          coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+          coalesce(col("max_run"), lit(0L)).as("max_run"))
+        .orderBy("doc_id")
+    },
+
     QueryDef("st01_session_agg",
       """WITH flagged AS (
         |  SELECT user_id, ts, value,

@@ -473,5 +473,46 @@ object PipelineQueries {
         .select(col("flag").as("l_returnflag"), col("v").as("weighted_median"))
         .orderBy("l_returnflag")
     },
+
+    // ---- functional-dependency audit (the Tane/Metanome profiling
+    //      primitive, run as a check): for each CANDIDATE dependency
+    //      X → Y, how many X-groups see more than one Y? q56 audits
+    //      single-ROW rules; this is the cross-row class — schema drift
+    //      (a "should-be-determined" attribute going multivalued) shows
+    //      up here first. Each FD is one count-distinct aggregate on the
+    //      LHS grain + a one-row rollup; legs union at the summary
+    //      level, so adding a candidate FD adds one aggregate, never a
+    //      join. ----
+    QueryDef("q119_fd_audit",
+      s"""WITH f1 AS (SELECT l_orderkey AS k, count(DISTINCT l_returnflag) AS ndv
+         |            FROM lineitem GROUP BY 1),
+         |f2 AS (SELECT l_partkey AS k, count(DISTINCT l_suppkey) AS ndv
+         |       FROM lineitem GROUP BY 1),
+         |s1 AS (SELECT 'l_orderkey->l_returnflag' AS fd,
+         |         count(*) AS n_groups,
+         |         CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_violating
+         |       FROM f1),
+         |s2 AS (SELECT 'l_partkey->l_suppkey', count(*),
+         |         CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |       FROM f2),
+         |u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+         |SELECT fd, n_groups, n_violating,
+         |  ${graft.ops.Prep.floorToSql(
+               "CAST(n_violating AS DOUBLE) / n_groups", 6)} AS violation_ratio
+         |FROM u ORDER BY fd""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      def leg(name: String, lhs: String, rhs: String) =
+        li.groupBy(col(lhs).as("k"))
+          .agg(countDistinct(col(rhs)).as("ndv"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(when(col("ndv") > 1, 1L).otherwise(0L)).as("n_violating"))
+          .select(lit(name).as("fd"), col("n_groups"), col("n_violating"))
+      leg("l_orderkey->l_returnflag", "l_orderkey", "l_returnflag")
+        .unionByName(leg("l_partkey->l_suppkey", "l_partkey", "l_suppkey"))
+        .withColumn("violation_ratio", graft.ops.Prep.floorTo(
+          col("n_violating").cast("double") / col("n_groups"), 6))
+        .orderBy("fd")
+    },
   )
 }

@@ -400,5 +400,54 @@ object PrepQueries {
             (col("__vhi") - col("__vlo")) * (col("idx") - lo), 4).as("qnorm"))
         .orderBy("c_mktsegment", "c_custkey")
     },
+
+    // ---- key-skew Gini audit (Lorenz concentration of per-key volume):
+    //      the diagnostic behind every salting/AQE-skew decision — how
+    //      unevenly do rows distribute over a join/groupBy key? For each
+    //      distribution, rank keys by volume ascending and compute
+    //      G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n. Everything to the left of the
+    //      final divisions is exact integer (rank × count products), so
+    //      the result is one fixed IEEE chain — identical cross-engine.
+    //      The windows run on the KEY-GRAIN table (cardinality-bounded,
+    //      partitioned per distribution); raw rows are touched once by
+    //      the map-side-combinable counts. ----
+    QueryDef("q117_gini_skew",
+      s"""WITH d AS (
+         |  SELECT 'lineitem_partkey' AS dist, l_partkey AS k, count(*) AS x
+         |  FROM lineitem GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'orders_custkey', o_custkey, count(*) FROM orders GROUP BY 2),
+         |r AS (SELECT dist, x,
+         |        row_number() OVER (PARTITION BY dist ORDER BY x, k) AS i,
+         |        count(*) OVER (PARTITION BY dist) AS n,
+         |        sum(x) OVER (PARTITION BY dist) AS tot
+         |      FROM d)
+         |SELECT dist, CAST(max(n) AS BIGINT) AS n_keys,
+         |  CAST(max(tot) AS BIGINT) AS total,
+         |  ${graft.ops.Prep.floorToSql(
+               "2.0 * sum(i * x) / (max(n) * max(tot)) - (max(n) + 1.0) / max(n)",
+               6)} AS gini
+         |FROM r GROUP BY dist ORDER BY dist""".stripMargin) { (s, dir) =>
+      val d = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("x"))
+        .select(lit("lineitem_partkey").as("dist"), col("k"), col("x"))
+        .unionByName(Tables.orders(s, dir)
+          .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("x"))
+          .select(lit("orders_custkey").as("dist"), col("k"), col("x")))
+      val wRank = Window.partitionBy("dist").orderBy(col("x"), col("k"))
+      val wAll = Window.partitionBy("dist")
+      d.withColumn("i", row_number().over(wRank))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("tot", sum(col("x")).over(wAll))
+        .groupBy("dist")
+        .agg(max(col("n")).cast("long").as("n_keys"),
+          max(col("tot")).cast("long").as("total"),
+          graft.ops.Prep.floorTo(
+            lit(2.0) * sum(col("i") * col("x")) /
+              (max(col("n")) * max(col("tot"))).cast("double") -
+              (max(col("n")) + lit(1.0)) / max(col("n")).cast("double"), 6)
+            .as("gini"))
+        .orderBy("dist")
+    },
   )
 }

@@ -686,5 +686,82 @@ object SimilarityQueries {
             .as("anisotropy"))
         .orderBy("dim")
     },
+
+    // ---- mutual nearest neighbors (reciprocal best match) — the pair-
+    //      mining criterion of bitext mining / SemDeDup-style "keep one
+    //      of each reciprocal pair": (a,b) survives iff each is the
+    //      other's top-1 under the SAME symmetric 3×3 grid-blocked
+    //      candidate relation as s17. Every point is a query, so the
+    //      probe side explodes into its neighborhood and EQUI-joins on
+    //      cell — a shuffle join keyed by cell, nothing broadcast,
+    //      nothing quadratic. FULLY oracled: grid assignment, rounded
+    //      distance, rank-1 pick and the reciprocity self-join are all
+    //      plain relational algebra DuckDB re-derives from raw
+    //      embeddings (the BETWEEN join is set-equivalent to the
+    //      exploded equi-join). ----
+    QueryDef("s23_mutual_nn",
+      """WITH g AS (
+        |  SELECT vec_id,
+        |    CAST(embedding[1] AS DOUBLE) AS x, CAST(embedding[2] AS DOUBLE) AS y,
+        |    CAST(floor(CAST(embedding[1] AS DOUBLE) / CAST(0.1 AS DOUBLE)) AS BIGINT) AS gx,
+        |    CAST(floor(CAST(embedding[2] AS DOUBLE) / CAST(0.1 AS DOUBLE)) AS BIGINT) AS gy
+        |  FROM embeddings),
+        |nn AS (
+        |  SELECT q_id, c_id, dist2 FROM (
+        |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |      round((c.x - q.x) * (c.x - q.x) + (c.y - q.y) * (c.y - q.y), 6) AS dist2,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round((c.x - q.x) * (c.x - q.x) + (c.y - q.y) * (c.y - q.y), 6),
+        |                 c.vec_id) AS rn
+        |    FROM g q JOIN g c
+        |      ON c.gx BETWEEN q.gx - 1 AND q.gx + 1
+        |     AND c.gy BETWEEN q.gy - 1 AND q.gy + 1
+        |     AND c.vec_id <> q.vec_id)
+        |  WHERE rn = 1)
+        |SELECT l.q_id AS id_a, l.c_id AS id_b, l.dist2
+        |FROM nn l JOIN nn r ON l.q_id = r.c_id AND l.c_id = r.q_id
+        |WHERE l.q_id < l.c_id
+        |ORDER BY id_a""".stripMargin) { (s, dir) =>
+      Similarity.mutualNN2d(Tables.embeddings(s, dir), "vec_id", "embedding",
+          cellSize = 0.1)
+        .orderBy("id_a")
+    },
+
+    // ---- s24: simplified silhouette per label (centroid variant) — the
+    //      clustering-quality audit next to s21's confusion matrix:
+    //      s = (b²−a²)/max(a²,b²) per point against own vs nearest-other
+    //      centroid, label-mean via integer-quantized floor(s·10⁹) sums
+    //      (exact in any order, no decimal detour). FULLY oracled:
+    //      centroids, distances, the argmin and the quantized mean are
+    //      all DuckDB-re-derivable arithmetic. ----
+    QueryDef("s24_silhouette",
+      s"""WITH x AS MATERIALIZED (SELECT vec_id, label,
+         |    unnest(range(1, len(embedding) + 1)) AS dim,
+         |    unnest(CAST(embedding AS DOUBLE[])) AS v
+         |  FROM embeddings),
+         |c AS MATERIALIZED (SELECT label AS clabel, dim,
+         |    CAST(sum(CAST(v AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS cv
+         |  FROM x GROUP BY 1, 2),
+         |d AS (SELECT x.vec_id, x.label, c.clabel,
+         |    CAST(sum(CAST((v - cv) * (v - cv) AS DECIMAL(38,18))) AS DOUBLE) AS d2
+         |  FROM x JOIN c ON c.dim = x.dim GROUP BY 1, 2, 3),
+         |a AS (SELECT vec_id, label, d2 AS a2 FROM d WHERE clabel = label),
+         |b AS (SELECT vec_id, min(d2) AS b2 FROM d WHERE clabel <> label
+         |      GROUP BY 1),
+         |sil AS (SELECT a.label,
+         |    CASE WHEN greatest(a2, b2) = 0 THEN 0.0
+         |         ELSE (b2 - a2) / greatest(a2, b2) END AS s
+         |  FROM a JOIN b USING (vec_id))
+         |SELECT label, count(*) AS n,
+         |  ${graft.ops.Prep.floorToSql(
+               "CAST(sum(CAST(floor(s * CAST(1000000000 AS DOUBLE)) AS BIGINT)) AS DOUBLE)" +
+                 " / (CAST(count(*) AS DOUBLE) * CAST(1000000000 AS DOUBLE))", 6)} AS mean_sil
+         |FROM sil GROUP BY 1 ORDER BY label""".stripMargin) { (s, dir) =>
+      Similarity.silhouetteByLabel(Tables.embeddings(s, dir),
+          col("vec_id"), col("label"), col("embedding"))
+        .select(col("label"), col("n"),
+          graft.ops.Prep.floorTo(col("mean_sil"), 6).as("mean_sil"))
+        .orderBy("label")
+    },
   )
 }

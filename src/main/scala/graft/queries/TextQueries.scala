@@ -1103,5 +1103,97 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- prefix-filtering set-similarity join (PPJoin/AllPairs family):
+    //      exact Jaccard ≥ 0.4 pairs with a completeness GUARANTEE — the
+    //      third point of the dedup design space next to t06 (maxDf
+    //      stop-list: fast, can miss boilerplate-heavy pairs) and t07
+    //      (MinHash-LSH: probabilistic recall). Candidates must share a
+    //      shingle lying in BOTH docs' rarest-(df, shingle) prefixes
+    //      (prefix⋈prefix is complete — the globally-smallest common
+    //      token is in both) and pass the τ·max ≤ min length filter;
+    //      τ = 2/5 is rational, so prefix lengths, length filter and the
+    //      threshold test are pure integer arithmetic — no float
+    //      boundary anywhere.
+    //      FULLY oracled: df ranks, prefix cut, candidate join and the
+    //      intersection verify are plain relational algebra. DedupSpec
+    //      proves candidate completeness against brute force. ----
+    QueryDef("t40_prefix_filter_pairs",
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id AS doc, unnest(list_distinct(
+        |    list_transform(range(1, len(w) - 1),
+        |                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+        |  FROM docs),
+        |dfq AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+        |sz AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY 1),
+        |pref AS (
+        |  SELECT doc, s, n_sh FROM (
+        |    SELECT h.doc, h.s, z.n_sh,
+        |      row_number() OVER (PARTITION BY h.doc ORDER BY d.df, h.s) AS pos
+        |    FROM sh h JOIN dfq d USING (s) JOIN sz z USING (doc))
+        |  WHERE pos <= n_sh - ((2 * n_sh + 4) // 5) + 1),
+        |cand AS (
+        |  SELECT DISTINCT p.doc AS id_a, f.doc AS id_b
+        |  FROM pref p JOIN pref f ON f.s = p.s AND p.doc < f.doc
+        |  WHERE p.n_sh * 5 >= f.n_sh * 2 AND f.n_sh * 5 >= p.n_sh * 2),
+        |inter AS (
+        |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+        |  FROM cand c
+        |  JOIN sh a ON a.doc = c.id_a
+        |  JOIN sh b ON b.doc = c.id_b AND b.s = a.s
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_inter, za.n_sh AS n_a, zb.n_sh AS n_b,
+        |  round(CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter), 6)
+        |    AS jaccard
+        |FROM inter
+        |JOIN sz za ON za.doc = id_a
+        |JOIN sz zb ON zb.doc = id_b
+        |WHERE 7 * n_inter >= 2 * (za.n_sh + zb.n_sh)
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Dedup.prefixFilterPairs(Tables.documents(s, dir),
+          col("doc_id"), col("text"), n = 3, tauNum = 2, tauDen = 5)
+        .orderBy("id_a", "id_b")
+    },
+
+    // ---- n-gram novelty (the curation "novelty decay" signal — Lee et
+    //      al.'s dedup work measures corpora by how much of each new doc
+    //      is text never seen before): per doc, the fraction of its
+    //      distinct trigram shingles whose FIRST occurrence (min doc_id
+    //      over the corpus) is this doc. One shingle aggregate + one
+    //      count join; the ratio is an exact int/int division. At scale:
+    //      first-occurrence is a map-side-combinable min, the join keys
+    //      on the shingle (hot shingles fan into counts, never pairs). ----
+    QueryDef("t41_ngram_novelty",
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id AS doc, unnest(list_distinct(
+        |    list_transform(range(1, len(w) - 1),
+        |                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+        |  FROM docs),
+        |fo AS (SELECT s, min(doc) AS first_doc FROM sh GROUP BY 1)
+        |SELECT doc, count(*) AS n_sh,
+        |  CAST(sum(CASE WHEN first_doc = doc THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  round(CAST(sum(CASE WHEN first_doc = doc THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS novelty
+        |FROM sh JOIN fo USING (s)
+        |GROUP BY doc ORDER BY doc""".stripMargin) { (s, dir) =>
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id").as("doc"), TextOps.words(col("text")).as("w"))
+        .select(col("doc"), explode(Dedup.shinglesOfWords(col("w"), 3)).as("s"))
+      val fo = sh.groupBy("s").agg(min(col("doc")).as("first_doc"))
+      sh.join(fo, "s")
+        .groupBy("doc")
+        .agg(count(lit(1)).as("n_sh"),
+          sum(when(col("first_doc") === col("doc"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty",
+          round(col("n_novel").cast("double") / col("n_sh"), 6))
+        .orderBy("doc")
+    },
   )
 }

@@ -436,5 +436,56 @@ object TimeSeriesQueries {
             .as("twap"))
         .orderBy("event_type", "day")
     },
+
+    // ---- single change-point detection (binary-segmentation step,
+    //      Scott & Knott / CUSUM-equivalent for a mean shift): per
+    //      event_type daily-count series, find the split maximizing the
+    //      between-segment sum of squares
+    //      Δ(k) = (n·Sₖ − k·S)² / (k·(n−k)·n) — the k that best explains
+    //      the series as two level segments. Everything up to the final
+    //      division is INTEGER prefix-sum algebra (counts → Sₖ via one
+    //      ordered window), so the argmax compares identical doubles in
+    //      both engines (one correctly-rounded division of exact
+    //      integers); ties break to the earliest day. At 100 TB the
+    //      shape is: day-grain pre-agg (map-side combinable), keyed
+    //      windows over the TINY day-grain table, no self-join, no
+    //      quadratic split scan — the prefix-sum identity is what makes
+    //      Δ(k) O(n) total instead of O(n²). ----
+    QueryDef("q113_changepoint",
+      s"""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |             count(*) AS cnt
+         |           FROM events GROUP BY 1, 2),
+         |p AS (SELECT event_type, day,
+         |        row_number() OVER w AS k,
+         |        sum(cnt) OVER (PARTITION BY event_type ORDER BY day
+         |                       ROWS UNBOUNDED PRECEDING) AS sk,
+         |        count(*) OVER (PARTITION BY event_type) AS n,
+         |        sum(cnt) OVER (PARTITION BY event_type) AS st
+         |      FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         |sc AS (SELECT event_type, day, k, n, sk, st,
+         |         CAST((n * sk - k * st) * (n * sk - k * st) AS DOUBLE)
+         |           / CAST(k * (n - k) * n AS DOUBLE) AS score
+         |       FROM p WHERE k < n),
+         |r AS (SELECT event_type, day, score,
+         |        CAST(sk AS DOUBLE) / k AS mean_before,
+         |        CAST(st - sk AS DOUBLE) / (n - k) AS mean_after,
+         |        row_number() OVER (PARTITION BY event_type
+         |                           ORDER BY score DESC, day) AS rn
+         |      FROM sc)
+         |SELECT event_type, strftime(day, '%Y-%m-%d') AS change_day,
+         |  ${graft.ops.Prep.floorToSql("score", 6)} AS score,
+         |  ${graft.ops.Prep.floorToSql("mean_before", 6)} AS mean_before,
+         |  ${graft.ops.Prep.floorToSql("mean_after", 6)} AS mean_after
+         |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.ops.TimeSeries.changepoint(daily, "event_type", "day", "cnt")
+        .select(col("event_type"), dayStr(col("change_day")).as("change_day"),
+          graft.ops.Prep.floorTo(col("score"), 6).as("score"),
+          graft.ops.Prep.floorTo(col("mean_before"), 6).as("mean_before"),
+          graft.ops.Prep.floorTo(col("mean_after"), 6).as("mean_after"))
+        .orderBy("event_type")
+    },
   )
 }

@@ -389,4 +389,35 @@ class TextOpsSpec extends SparkSpec {
       (3L, 2L, 0L, 0.0),
       (4L, 4L, 2L, 0.5)), s"got $got")
   }
+
+  test("prefixFilterPairs: COMPLETE vs brute force at τ=0.4 (crafted + real corpus)") {
+    // the guarantee the scaladoc derives: prefix(x) ⋈ full(y) candidate
+    // generation loses NO pair with J ≥ τ — verify pair-set EQUALITY
+    // against unfiltered brute force (jaccardPairs keeps every colliding
+    // pair, so filtering it at τ is exhaustive ground truth)
+    def pairsOf(df: org.apache.spark.sql.DataFrame): (Set[(Long, Long)], Set[(Long, Long)]) = {
+      val brute = Dedup.jaccardPairs(df, col("doc_id"), col("text"))
+        .filter(col("jaccard") >= 0.4)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val pf = Dedup.prefixFilterPairs(df, col("doc_id"), col("text"))
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      (brute, pf)
+    }
+    val crafted = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (3L, "completely different content about spark catalyst optimizer rules and physical plans"),
+      (4L, "The Quick Brown Fox jumps over the lazy dog near the river bank today!!!"),
+      (5L, "the quick brown fox jumps over the lazy dog near the river bank today")
+    ).toDF("doc_id", "text")
+    val (bCraft, pCraft) = pairsOf(crafted)
+    assert(pCraft == bCraft, s"crafted: brute=$bCraft pf=$pCraft")
+    assert(pCraft.contains((1L, 5L)) && pCraft.contains((1L, 2L)) &&
+      !pCraft.exists(p => p._1 == 3L || p._2 == 3L))
+    val real = graft.core.Tables.documents(spark, sf)
+    val (bReal, pReal) = pairsOf(real)
+    assert(pReal == bReal,
+      s"real corpus: missing=${bReal -- pReal} extra=${pReal -- bReal}")
+    assert(bReal.nonEmpty, "fixture should contain at least one τ≥0.4 pair")
+  }
 }

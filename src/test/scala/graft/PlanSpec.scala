@@ -565,4 +565,45 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"frame RMS needs no join:\n$plan")
   }
+
+  test("t40 prefix filter: candidate + verify joins are all hash equi-joins") {
+    val plan = SparkEntry.queries("t40_prefix_filter_pairs")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"prefix filtering must never pair all docs:\n$plan")
+  }
+
+  test("s23 mutual NN: cell-keyed shuffle equi-joins, nothing quadratic") {
+    val plan = SparkEntry.queries("s23_mutual_nn")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"grid-blocked NN must stay equi-join-only:\n$plan")
+  }
+
+  test("q112 rolling actives: explode + hash aggs — only join is the 1-row calendar clamp") {
+    val plan = SparkEntry.queries("q112_rolling_active_users")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the scalar (lo, hi) clamp legitimately plans as a 1-row broadcast
+    // cross (the q93/q95 shape); no data-sized join may appear
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"coverage-explode form needs no data-sized join:\n$plan")
+  }
+
+  test("q111 pareto frontier: price-grain window + broadcast frontier join-back") {
+    val plan = SparkEntry.queries("q111_pareto_frontier")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"the frontier is tiny — its join back must broadcast:\n$plan")
+  }
+
+  test("q115/q116/q117: pure keyed-window pipelines — no join anywhere") {
+    for (name <- Seq("q115_interval_union", "q116_event_paths",
+        "q117_gini_skew")) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"$name needs no join:\n$plan")
+    }
+  }
 }

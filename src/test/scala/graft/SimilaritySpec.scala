@@ -366,4 +366,39 @@ class SimilaritySpec extends SparkSpec {
     val a = rows.head._4
     assert(rows.forall(_._4 == a) && a > 0.0 && a <= 1.0, s"anisotropy $a")
   }
+
+  test("mutualNN2d: reciprocal pairs only — an NN chain emits just its mutual link") {
+    import spark.implicits._
+    // p1—p2 are each other's NN (mutual). p3's NN is p2, but p2's NN is
+    // p1 → p3 joins no pair. p4 sits in a far cell with an EMPTY 3×3
+    // neighborhood → contributes nothing (no NN row at all).
+    val pts = Seq(
+      (1L, Array(0.010f, 0.010f)), (2L, Array(0.020f, 0.010f)),
+      (3L, Array(0.050f, 0.010f)), (4L, Array(0.900f, 0.900f))
+    ).toDF("vec_id", "embedding")
+    val got = graft.ext.Similarity.mutualNN2d(pts, "vec_id", "embedding",
+        cellSize = 0.1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)), s"got $got")
+  }
+
+  test("silhouetteByLabel: hand-computed rationals on two symmetric clusters") {
+    import spark.implicits._
+    // label 0: (0,0),(2,0) → centroid (1,0); label 1: (10,0),(12,0) →
+    // centroid (11,0). Outer points: a²=1, b²=121 → s=120/121; inner
+    // points: a²=1, b²=81 → s=80/81. Mean per label =
+    // (⌊120/121·10⁹⌋ + ⌊80/81·10⁹⌋) / 2·10⁹ exactly (the quantized form).
+    val pts = Seq(
+      (1L, 0, Array(0f, 0f)), (2L, 0, Array(2f, 0f)),
+      (3L, 1, Array(10f, 0f)), (4L, 1, Array(12f, 0f))
+    ).toDF("vec_id", "label", "embedding")
+    val got = graft.ext.Similarity.silhouetteByLabel(pts, col("vec_id"),
+        col("label"), col("embedding"))
+      .orderBy("label").select("label", "n", "mean_sil")
+      .as[(Int, Long, Double)].collect().toSeq
+    val exp = (math.floor(120.0 / 121.0 * 1e9) +
+      math.floor(80.0 / 81.0 * 1e9)) / 2e9
+    assert(got.map(t => (t._1, t._2)) == Seq((0, 2L), (1, 2L)), s"got $got")
+    assert(got.forall(_._3 == exp), s"expected $exp, got ${got.map(_._3)}")
+  }
 }

@@ -160,4 +160,23 @@ class TimeSeriesSpec extends SparkSpec {
     assert(math.abs(vs(0) - 1.0) < 1e-9 && math.abs(vs(1) - 2.5 / 1.5) < 1e-9 &&
       math.abs(vs(2) - 3.6) < 1e-9 && math.abs(vs(3) - 100.0) < 1e-9, s"got $vs")
   }
+
+  test("changepoint: recovers a crafted level shift, exact segment means, key isolation") {
+    import spark.implicits._
+    // key a: 10,10,10,10,10 then 50,50,50,50,50 — the best split is after
+    // day 5 (k=5), means 10 and 50 exactly. key b: flat series, every
+    // split scores 0 → tie-break picks the EARLIEST day (k=1).
+    val daily = ((1 to 10).map(d => ("a", d, if (d <= 5) 10L else 50L)) ++
+      (1 to 4).map(d => ("b", d, 7L))).toDF("k", "day", "cnt")
+    val got = graft.ops.TimeSeries.changepoint(daily, "k", "day", "cnt")
+      .orderBy("k")
+      .select("k", "change_day", "score", "mean_before", "mean_after")
+      .as[(String, Int, Double, Double, Double)].collect().toSeq
+    assert(got.map(t => (t._1, t._2)) == Seq(("a", 5), ("b", 1)), s"got $got")
+    val a = got.head
+    assert(a._4 == 10.0 && a._5 == 50.0, s"means ${(a._4, a._5)}")
+    // Δ(5) = (10·50 − 5·300)²/(5·5·10) = 1000000/250 = 4000 exactly
+    assert(a._3 == 4000.0, s"score ${a._3}")
+    assert(got(1)._3 == 0.0, "flat series scores zero")
+  }
 }
