@@ -233,6 +233,41 @@ object Multimodal {
         col("e.mean_byte").as("mean_byte"))
   }
 
+  /** Shot-boundary (scene-change) detection over a byte stream — the
+    * video-curation front end that splits a clip into shots before
+    * frame-sampling one per shot: the payload divides into `frames`
+    * equal spans, each span's brightness proxy is the mean of
+    * `samplesPerFrame` evenly-spaced byte reads, and a boundary fires
+    * where consecutive means jump by more than `threshold`.
+    *
+    * One pure expression projection (the aHash byte-grid idiom): all
+    * frames·samples reads, the means, diffs and the shot count compute
+    * in a single codegen'd map — no explode, no window, no shuffle.
+    * Parity: integer byte sums divided by a power of two are exact
+    * doubles, so diffs and threshold compares are bit-identical
+    * cross-engine. Returns (doc_id, n_shots, max_jump).
+    */
+  def sceneChanges(df: DataFrame, id: Column, media: Column,
+                   frames: Int = 8, samplesPerFrame: Int = 16,
+                   threshold: Double = 8.0): DataFrame = {
+    val n = frames * samplesPerFrame
+    val payloadLen = length(media)
+    def sample(i: Int): Column = coalesce(
+      conv(hex(media.substr(lit(1) + ((lit(i) * payloadLen) / lit(n)).cast("int"),
+        lit(1))), 16, 10).cast("int"), lit(0))
+    val frameMeans = (0 until frames).map { f =>
+      val s = (0 until samplesPerFrame)
+        .map(k => sample(f * samplesPerFrame + k)).reduce(_ + _)
+      (s.cast("double") / lit(samplesPerFrame.toDouble)).as(s"m$f")
+    }
+    val withM = df.select(id.as("doc_id") +: frameMeans: _*)
+    val diffs = (1 until frames).map(f => abs(col(s"m$f") - col(s"m${f - 1}")))
+    withM.select(col("doc_id"),
+      (lit(1) + diffs.map(d => when(d > threshold, 1).otherwise(0))
+        .reduce(_ + _)).cast("long").as("n_shots"),
+      greatest(diffs: _*).as("max_jump"))
+  }
+
   def aHash(df: DataFrame, media: Column, pixelOffset: Int = 54): DataFrame = {
     val payloadLen = length(media) - lit(pixelOffset)
     val withSamples = (0 until 64).foldLeft(df) { (cur, i) =>

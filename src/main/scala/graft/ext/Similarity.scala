@@ -81,6 +81,40 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cos"), col("rn").cast("int").as("rn"))
   }
 
+  /** Embedding-space decontamination audit — the semantic member of the
+    * decontamination family (t17 exact shingles, t26 map-side Bloom):
+    * for each EVAL document, how hard does the TRAIN corpus press on it?
+    * One row per eval vector: the count of train vectors with cosine ≥
+    * `tau`, the maximum cosine, and the closest train id (ties to the
+    * lowest id).
+    *
+    * Scale posture: the eval set is the SMALL side by nature (a
+    * benchmark, not a corpus), so it broadcasts and the train corpus
+    * streams through one map-side cross — N·|eval| fused dot products,
+    * no shuffle of vectors; the per-eval rollup is |eval| groups. This
+    * is the shape that stays flat when train grows 1000×.
+    */
+  def contaminationAudit(emb: DataFrame, id: String, vec: String,
+                         evalPred: Column, tau: Double): DataFrame = {
+    ensureRegistered(emb)
+    val t = emb.filter(!evalPred)
+      .select(col(id).as("t_id"), col(vec).cast("array<double>").as("t_vec"))
+      .withColumn("t_norm", sqrt(dotNative(col("t_vec"), col("t_vec"))))
+    val q = emb.filter(evalPred)
+      .select(col(id).as("q_id"), col(vec).cast("array<double>").as("q_vec"))
+      .withColumn("q_norm", sqrt(dotNative(col("q_vec"), col("q_vec"))))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("t_id"))
+    t.crossJoin(broadcast(q))
+      .withColumn("cos",
+        round(dotNative(col("q_vec"), col("t_vec")) /
+          (col("q_norm") * col("t_norm")), 6))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("q_id"))
+      .agg(sum(when(col("cos") >= tau, 1L).otherwise(0L)).as("n_above"),
+        max(col("cos")).as("max_cos"),
+        max(when(col("rn") === 1, col("t_id"))).as("closest_train"))
+  }
+
   /** Exact top-k closest PAIRS (embedding near-dup surface) within the
     * rows matching `pred` — bounded all-pairs, for dedup-style use.
     */

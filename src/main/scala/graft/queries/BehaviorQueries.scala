@@ -470,5 +470,46 @@ object BehaviorQueries {
             .as("p90_us"),
           max(col("dur_us")).as("max_us"))
     },
+
+    // ---- linear multi-touch attribution (q114's split-credit sibling):
+    //      every view/click in the 7-day lookback shares the conversion
+    //      equally — credit 1/n per touch. Parity: 1/n is NOT exactly
+    //      summable as doubles, so each conversion's per-touch credit is
+    //      quantized to the INTEGER 10⁹ div n (identical integer
+    //      division in both engines) and channel totals sum those longs
+    //      — exact in any order, the s24 quantized-mean discipline. Same
+    //      user-keyed bounded-lookback join shape as q114; the credit
+    //      rollup is 2 groups wide. ----
+    QueryDef("q120_linear_attribution",
+      """WITH conv AS (SELECT event_id, user_id, ts FROM events
+        |              WHERE event_type = 'purchase'),
+        |tch AS (SELECT event_id, user_id, ts, event_type FROM events
+        |        WHERE event_type IN ('view', 'click')),
+        |j AS (SELECT c.event_id AS conv_id, t.event_type AS channel,
+        |        count(*) OVER (PARTITION BY c.event_id) AS n_touches
+        |      FROM conv c JOIN tch t ON t.user_id = c.user_id
+        |        AND t.ts <= c.ts AND t.ts > c.ts - INTERVAL 7 DAY)
+        |SELECT channel,
+        |  CAST(count(*) AS BIGINT) AS n_touchpoints,
+        |  CAST(sum(1000000000 // n_touches) AS DOUBLE) / 1000000000.0
+        |    AS attributed_conversions
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir)
+      val conv = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val tch = e.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("ts").as("t_ts"),
+          col("event_type").as("channel"))
+      val wConv = Window.partitionBy("event_id")
+      conv.join(tch, Seq("user_id"))
+        .filter(col("t_ts") <= col("ts") &&
+          col("t_ts") > col("ts") - expr("interval 7 days"))
+        .withColumn("n_touches", count(lit(1)).over(wConv))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_touchpoints"),
+          (sum(expr("1000000000 div n_touches")).cast("double") /
+            lit(1000000000.0)).as("attributed_conversions"))
+        .orderBy("channel")
+    },
   )
 }

@@ -288,6 +288,39 @@ object MediaStreamQueries {
         .orderBy("doc_id")
     },
 
+    // ---- m09: shot-boundary (scene-change) detection — the video twin
+    //      of m08's audio silence runs: 8 equal payload spans, each
+    //      span's brightness proxy = mean of 16 evenly-spaced byte
+    //      reads, a shot boundary where consecutive means jump > 8.
+    //      Everything is one codegen'd projection (the aHash grid
+    //      idiom): integer byte sums / 2⁴ are exact doubles, so the
+    //      oracle's ord()-rebuilt means match bit-for-bit. ----
+    QueryDef("m09_scene_changes", {
+      val sampleArms = (0 until 128).map(i =>
+        s"""CASE WHEN len(text) >= 1
+           | THEN ord(substr(text, ($i * len(text)) // 128 + 1, 1)) ELSE 0
+           | END""".stripMargin.replace("\n", ""))
+      val meanArms = (0 until 8).map { f =>
+        val terms = (0 until 16).map(k => s"s${f * 16 + k}").mkString(" + ")
+        s"(($terms) / 16.0) AS m$f"
+      }.mkString(", ")
+      val diffs = (1 to 7).map(f => s"abs(m$f - m${f - 1})")
+      val shots = diffs.map(d => s"CASE WHEN $d > 8.0 THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH s AS (SELECT doc_id,
+         |    ${(0 until 128).map(i => s"${sampleArms(i)} AS s$i").mkString(", ")}
+         |  FROM documents),
+         |m AS (SELECT doc_id, $meanArms FROM s)
+         |SELECT doc_id, CAST(1 + $shots AS BIGINT) AS n_shots,
+         |  greatest(${diffs.mkString(", ")}) AS max_jump
+         |FROM m ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      Multimodal.sceneChanges(
+          Multimodal.withMediaBytes(Tables.documents(s, dir), col("text")),
+          col("doc_id"), col("media"))
+        .orderBy("doc_id")
+    },
+
     QueryDef("st01_session_agg",
       """WITH flagged AS (
         |  SELECT user_id, ts, value,

@@ -151,5 +151,111 @@ object RelationalQueries {
           round(col("z_score"), 4).as("z_score"), col("event_type"))
         .orderBy("event_id")
     },
+
+    // ---- TPC-H Q7-shape volume shipping: revenue flowing between two
+    //      trading nations (supplier side vs customer side, BOTH
+    //      directions) by ship year — the deepest join tree in the
+    //      relational family: lineitem ⋈ orders co-keyed on the fact
+    //      keys, supplier/customer/nation×2 all broadcast (dims), one
+    //      aggregate exchange at the (nation, nation, year) grain. The
+    //      nation-pair predicate rides the joined row, so Catalyst
+    //      pushes each nation filter into its own broadcast build side. ----
+    QueryDef("q121_volume_shipping",
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE (sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_19')
+        |   OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_3')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val sn = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val cn = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.customer(s, dir)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(cn), col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_3" &&
+            col("cust_nation") === "NATION_19") ||
+          (col("supp_nation") === "NATION_19" &&
+            col("cust_nation") === "NATION_3"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("int").as("l_year"))
+        .agg(decimalSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+          "revenue"), count(lit(1)).as("n_lines"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // ---- TPC-H Q8-shape market share: one supplier nation's share of a
+    //      region's market for one part type, by order year. The share
+    //      is a conditional DECIMAL sum over the total DECIMAL sum —
+    //      both order-independent — divided once (one IEEE op, floored
+    //      to 6 for display). Same join posture as Q7: facts co-keyed,
+    //      every dimension broadcast. ----
+    QueryDef("q122_market_share",
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |  CAST(sum(CAST(CASE WHEN sn.n_name = 'NATION_3'
+         |        THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+         |        AS DECIMAL(18,6))) AS DOUBLE) AS nation_volume,
+         |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+         |        AS DECIMAL(18,6))) AS DOUBLE) AS total_volume,
+         |  ${graft.ops.Prep.floorToSql(
+             """CAST(sum(CAST(CASE WHEN sn.n_name = 'NATION_3'
+               | THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+               | AS DECIMAL(18,6))) AS DOUBLE) /
+               | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+               | AS DECIMAL(18,6))) AS DOUBLE)""".stripMargin.replace("\n", ""),
+             6)} AS mkt_share
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN part     ON l_partkey = p_partkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |JOIN region   ON cn.n_regionkey = r_regionkey
+         |WHERE r_name = 'EUROPE' AND p_type = (
+         |  SELECT min(p_type) FROM part)
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val part = Tables.part(s, dir)
+      val minType = part.agg(min(col("p_type")).as("min_type"))
+      val sn = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val cn = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("c_nk"),
+          col("n_regionkey").as("c_rk"))
+      val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val natVol = graft.core.Exact.decimalSumExpr(
+        when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0.0)))
+      val totVol = graft.core.Exact.decimalSumExpr(vol)
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.customer(s, dir)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(part.join(broadcast(minType),
+            col("p_type") === col("min_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(cn), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(Tables.region(s, dir)), col("c_rk") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+        .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+        .agg(natVol.as("nation_volume"), totVol.as("total_volume"),
+          graft.ops.Prep.floorTo(natVol / totVol, 6).as("mkt_share"))
+        .orderBy("o_year")
+    },
   )
 }

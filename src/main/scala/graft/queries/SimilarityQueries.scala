@@ -763,5 +763,32 @@ object SimilarityQueries {
           graft.ops.Prep.floorTo(col("mean_sil"), 6).as("mean_sil"))
         .orderBy("label")
     },
+
+    // ---- s25: embedding-space decontamination audit — the SEMANTIC
+    //      member of the decontamination family (t17 exact shingles,
+    //      t26 map-side Bloom): per eval doc (vec_id % 50 = 0), the
+    //      count of train vectors pressing above cos τ=0.3, the max
+    //      cosine, and the closest train id. The eval side broadcasts
+    //      (a benchmark is small by nature); the train corpus streams
+    //      map-side — the shape that stays flat when train grows
+    //      1000×. FULLY oracled (same cosine formula, rounded 6). ----
+    QueryDef("s25_embed_decontam",
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |p AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS t_id, round($duckCos, 6) AS cos
+         |  FROM v q JOIN v c ON q.vec_id % 50 = 0 AND c.vec_id % 50 <> 0),
+         |r AS (SELECT q_id, t_id, cos,
+         |        row_number() OVER (PARTITION BY q_id
+         |                           ORDER BY cos DESC, t_id) AS rn
+         |      FROM p)
+         |SELECT q_id,
+         |  CAST(sum(CASE WHEN cos >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+         |  max(cos) AS max_cos,
+         |  max(CASE WHEN rn = 1 THEN t_id END) AS closest_train
+         |FROM r GROUP BY 1 ORDER BY q_id""".stripMargin) { (s, dir) =>
+      Similarity.contaminationAudit(Tables.embeddings(s, dir),
+          "vec_id", "embedding", col("vec_id") % 50 === 0, tau = 0.3)
+        .orderBy("q_id")
+    },
   )
 }

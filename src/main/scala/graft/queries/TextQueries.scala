@@ -1195,5 +1195,71 @@ object TextQueries {
           round(col("n_novel").cast("double") / col("n_sh"), 6))
         .orderBy("doc")
     },
+
+    // ---- C4/Gopher-style quality gate, reported per source: the rule
+    //      battery every pretraining filter ships (min length, mean
+    //      word length band, symbol ratio, stopword floor, duplicate-
+    //      word ceiling) as ONE conditional-aggregation pass — the q56
+    //      expectation-suite shape applied to text. Every rule is a
+    //      pure INTEGER comparison (ratios cross-multiplied: nsym/nchar
+    //      > 0.1 ⟺ 10·nsym > nchar), so no float boundary exists
+    //      anywhere. Adding a rule adds a column to the same scan. ----
+    QueryDef("t42_quality_gate",
+      """WITH d AS (
+        |  SELECT source,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w,
+        |    len(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS nsym,
+        |    len(text) AS nchar
+        |  FROM documents),
+        |f AS (SELECT source,
+        |    CASE WHEN len(w) < 10 THEN 1 ELSE 0 END AS r_short,
+        |    CASE WHEN list_sum(list_transform(w, x -> len(x))) < 3 * len(w)
+        |           OR list_sum(list_transform(w, x -> len(x))) > 10 * len(w)
+        |         THEN 1 ELSE 0 END AS r_wordlen,
+        |    CASE WHEN 10 * nsym > nchar THEN 1 ELSE 0 END AS r_symbol,
+        |    CASE WHEN len(list_filter(w,
+        |           x -> x IN ('the','a','of','and','to','in'))) < 2
+        |         THEN 1 ELSE 0 END AS r_stop,
+        |    CASE WHEN 10 * (len(w) - len(list_distinct(w))) > 3 * len(w)
+        |         THEN 1 ELSE 0 END AS r_dup
+        |  FROM d)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(r_short) AS BIGINT) AS n_short,
+        |  CAST(sum(r_wordlen) AS BIGINT) AS n_wordlen,
+        |  CAST(sum(r_symbol) AS BIGINT) AS n_symbol,
+        |  CAST(sum(r_stop) AS BIGINT) AS n_stop,
+        |  CAST(sum(r_dup) AS BIGINT) AS n_dup,
+        |  CAST(sum(CASE WHEN r_short + r_wordlen + r_symbol + r_stop + r_dup = 0
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        |FROM f GROUP BY 1 ORDER BY source""".stripMargin) { (s, dir) =>
+      val stops = Seq("the", "a", "of", "and", "to", "in")
+      val d = Tables.documents(s, dir)
+        .withColumn("w", TextOps.words(col("text")))
+        .withColumn("nsym",
+          length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", "")))
+        .withColumn("nchar", length(col("text")))
+      val nW = size(col("w"))
+      val sumLen = aggregate(transform(col("w"), x => length(x)),
+        lit(0), (a, b) => a + b)
+      val nStop = size(filter(col("w"), x => x.isin(stops: _*)))
+      val nDist = size(array_distinct(col("w")))
+      def flag(c: org.apache.spark.sql.Column) = when(c, 1L).otherwise(0L)
+      val f = d.select(col("source"),
+        flag(nW < 10).as("r_short"),
+        flag(sumLen < lit(3) * nW || sumLen > lit(10) * nW).as("r_wordlen"),
+        flag(lit(10) * col("nsym") > col("nchar")).as("r_symbol"),
+        flag(nStop < 2).as("r_stop"),
+        flag(lit(10) * (nW - nDist) > lit(3) * nW).as("r_dup"))
+      f.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("r_short")).as("n_short"),
+          sum(col("r_wordlen")).as("n_wordlen"),
+          sum(col("r_symbol")).as("n_symbol"),
+          sum(col("r_stop")).as("n_stop"),
+          sum(col("r_dup")).as("n_dup"),
+          sum(when(col("r_short") + col("r_wordlen") + col("r_symbol") +
+            col("r_stop") + col("r_dup") === 0, 1L).otherwise(0L)).as("n_pass"))
+        .orderBy("source")
+    },
   )
 }

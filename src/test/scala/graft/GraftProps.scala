@@ -401,4 +401,62 @@ object GraftProps extends Properties("graft") {
           s"r=$r swapped z=$sw"
       }
     }
+
+  private val seriesGen: Gen[List[Long]] =
+    Gen.choose(3, 12).flatMap(n => Gen.listOfN(n, Gen.choose(0L, 50L)))
+
+  property("changepoint: scaling counts by c scales score c^2, split day invariant") =
+    forAll(seriesGen, Gen.choose(2, 5)) { (cnts, c) =>
+      val base = cnts.zipWithIndex.map { case (v, i) => ("k", i, v) }
+        .toDF("k", "day", "cnt")
+      val scaled = cnts.zipWithIndex.map { case (v, i) => ("k", i, v * c) }
+        .toDF("k", "day", "cnt")
+      def run(df: org.apache.spark.sql.DataFrame) =
+        graft.ops.TimeSeries.changepoint(df, "k", "day", "cnt")
+          .select("change_day", "score").as[(Int, Double)].collect().head
+      val (d0, s0) = run(base)
+      val (d1, s1) = run(scaled)
+      // Δ(k) is a ratio of exact integer products: scaling every count
+      // by c multiplies both Sₖ and S by c, so the RATIONAL score scales
+      // by exactly c² and the argmax cannot move (fl rounding is
+      // monotone). The rounded DOUBLES differ by one ulp though —
+      // fl(c²·num/den) ≠ c²·fl(num/den) — hence the relative tolerance.
+      val rel = if (s0 == 0.0) math.abs(s1)
+        else math.abs(s1 - s0 * c * c) / (s0 * c * c)
+      Prop(d0 == d1 && rel < 1e-12) :|
+        s"base=($d0,$s0) scaled=($d1,$s1) c=$c rel=$rel"
+    }
+
+  private val ptsGen: Gen[List[(Double, Double)]] =
+    Gen.choose(2, 10).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(0, 99), Gen.choose(0, 99))
+        .map { case (a, b) => (a / 1000.0, b / 1000.0) }))
+
+  property("mutualNN2d: equals brute-force reciprocal pairs when one cell covers all") =
+    forAll(ptsGen) { pts =>
+      // points confined to [0, 0.1)² with cellSize 1.0 → every pair is a
+      // candidate, so the grid op must equal plain brute force under the
+      // same (rounded dist², id) tie order
+      val df = pts.zipWithIndex.map { case ((x, y), i) =>
+        (i.toLong, Array(x.toFloat, y.toFloat)) }.toDF("vec_id", "embedding")
+      val got = graft.ext.Similarity.mutualNN2d(df, "vec_id", "embedding",
+          cellSize = 1.0)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val xs = pts.map { case (x, y) => (x.toFloat.toDouble, y.toFloat.toDouble) }
+      def d2(i: Int, j: Int): Double = {
+        val (xi, yi) = xs(i); val (xj, yj) = xs(j)
+        // Spark's round(x, 6) semantics (BigDecimal HALF_UP), not rint —
+        // the two differ off the obvious .5 boundary via x*1e6 FP error
+        BigDecimal((xi - xj) * (xi - xj) + (yi - yj) * (yi - yj))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      def nn(i: Int): Option[Int] =
+        xs.indices.filter(_ != i)
+          .sortBy(j => (d2(i, j), j.toLong)).headOption
+      val exp = (for {
+        i <- xs.indices; j <- nn(i)
+        if i < j && nn(j).contains(i)
+      } yield (i.toLong, j.toLong)).toSet
+      Prop(got == exp) :| s"got=$got exp=$exp"
+    }
 }

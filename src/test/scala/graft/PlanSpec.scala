@@ -582,6 +582,33 @@ class PlanSpec extends SparkSpec {
       s"grid-blocked NN must stay equi-join-only:\n$plan")
   }
 
+  test("q121/q122 deep join trees: dims all broadcast, never a cartesian") {
+    for (name <- Seq("q121_volume_shipping", "q122_market_share")) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      val nBhj = "BroadcastHashJoin".r.findAllIn(plan).length
+      assert(nBhj >= 4 && !plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name: want >=4 broadcast dim joins, got $nBhj:\n$plan")
+    }
+  }
+
+  test("s25 decontamination audit: eval side broadcast, train streams map-side") {
+    val plan = SparkEntry.queries("s25_embed_decontam")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the deliberate broadcast cross (tiny eval set) is the plan; what
+    // must never appear is a shuffle join carrying the train vectors
+    assert(plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"train corpus must stream against a broadcast eval set:\n$plan")
+  }
+
+  test("t42 quality gate: one conditional-aggregation pass — no join") {
+    val plan = SparkEntry.queries("t42_quality_gate")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"rule battery needs no join:\n$plan")
+  }
+
   test("q112 rolling actives: explode + hash aggs — only join is the 1-row calendar clamp") {
     val plan = SparkEntry.queries("q112_rolling_active_users")(spark, sf)
       .queryExecution.executedPlan.toString
