@@ -15,7 +15,8 @@ object SparkEntry {
     RelationalQueries.all ++ JoinQueries.all ++ SubqueryQueries.all ++
       AnalyticQueries.all ++ TimeSeriesQueries.all ++ BehaviorQueries.all ++
       ClimateQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
-      MediaStreamQueries.all ++ PipelineQueries.all ++ PrepQueries.all
+      MediaStreamQueries.all ++ PipelineQueries.all ++ PrepQueries.all ++
+      MiningQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

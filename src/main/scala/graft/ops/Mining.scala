@@ -1,0 +1,185 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pattern-mining and model-evaluation operators: market-basket
+  * association rules, bitmap activity calendars, decile lift/gains
+  * analysis, decision-tree split scoring (information gain), and
+  * deterministic hash-guided graph walks.
+  *
+  * Scale discipline shared by every member: pair/candidate spaces are
+  * bounded by group size (baskets, out-neighbour lists) — never all-pairs;
+  * per-key statistics aggregate map-side-combinably and broadcast back;
+  * every "random" choice comes from [[Prep.portableHash]] so results are
+  * reproducible across engines, runs, and task retries.
+  */
+object Mining {
+
+  /** 2-itemset association rules over (group, item) baskets: for each
+    * co-occurring pair a<b, the support count, confidence P(b|a), and
+    * lift P(a,b)/(P(a)P(b)).
+    *
+    * The pair space is Σ_g C(|g|, 2) — bounded by basket size, not corpus
+    * size (TPC-H baskets are ≤7 lines), and the self-join is an equi-join
+    * on the basket key, so it shuffles each basket once. Item supports are
+    * an O(items) dimension broadcast onto the pair rows. Ratios are single
+    * divisions of exact integer products (pair·N ≲ 10^10, support
+    * products ≲ 10^10), so the doubles are bit-identical cross-engine.
+    */
+  def basketRules(baskets: DataFrame, groupCol: String, itemCol: String,
+                  minPairSupport: Long = 2): DataFrame = {
+    val b = baskets.select(col(groupCol).as("g"), col(itemCol).as("item")).distinct()
+    val nBaskets = b.agg(count_distinct(col("g")).as("n_baskets"))
+    val itemCnt = b.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+    val pairs = b.as("a")
+      .join(b.as("b"),
+        col("a.g") === col("b.g") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= minPairSupport)
+    pairs
+      .join(broadcast(itemCnt.select(col("item").as("item_a"), col("cnt").as("cnt_a"))), "item_a")
+      .join(broadcast(itemCnt.select(col("item").as("item_b"), col("cnt").as("cnt_b"))), "item_b")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("pair_n"),
+        col("cnt_a"), col("cnt_b"),
+        (col("pair_n").cast("double") / col("cnt_a")).as("conf_a_b"),
+        (col("pair_n").cast("double") / col("cnt_b")).as("conf_b_a"),
+        ((col("pair_n") * col("n_baskets")).cast("double") /
+          (col("cnt_a") * col("cnt_b"))).as("lift"))
+  }
+
+  /** Per-(user, month) activity calendar packed into a 31-bit day bitmap
+    * (`bit_or(1 << day-1)`), with `bit_count` active days and the longest
+    * consecutive-day streak via gaps-and-islands (day − dense rank is
+    * constant within a run). One distinct-reduce to (user, month, day)
+    * grain, then everything is keyed windows/aggs on that bounded grain —
+    * the raw event rows are touched exactly once.
+    */
+  def activityBitmap(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val days = events
+      .select(col(userCol).as("user_id"),
+        (year(col(tsCol)) * 100 + month(col(tsCol))).as("ym"),
+        dayofmonth(col(tsCol)).as("d"))
+      .distinct()
+    val bm = days.groupBy(col("user_id"), col("ym"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(d AS INT) - 1))").as("bitmap"),
+        count(lit(1)).as("active_days"))
+    val wRun = Window.partitionBy(col("user_id"), col("ym")).orderBy(col("d"))
+    val streak = days
+      .withColumn("isl", col("d") - row_number().over(wRun))
+      .groupBy(col("user_id"), col("ym"), col("isl"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("user_id"), col("ym"))
+      .agg(max(col("run")).as("longest_streak"))
+    bm.join(streak, Seq("user_id", "ym"))
+      .select(col("user_id"), col("ym"), col("bitmap"),
+        col("active_days"), col("longest_streak"))
+  }
+
+  /** Decile lift/gains table for a ranked scoring: rank units by
+    * (score desc, id), cut into 10 equal-frequency bins (`ntile`), and per
+    * bin report size, responders, response rate, cumulative capture of all
+    * responders, and lift vs the base rate. The scored-unit table is the
+    * only windowed surface (O(units), one global rank — the same shape as
+    * every top-k/ntile op here); at 100 TB the units table is the customer
+    * dimension, orders having been pre-aggregated map-side. Rates are
+    * single divisions of exact integers.
+    *
+    * `scored` must have columns (id, score, responder∈{0,1}); `score`
+    * must be exactly reproducible (integer or decimal-summed).
+    */
+  def decileLift(scored: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("score").desc, col("id"))
+    val d = scored.withColumn("decile", ntile(10).over(w))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("responder")).as("responders"))
+    val wc = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    d.withColumn("cum_resp", sum(col("responders")).over(wc))
+      .withColumn("tot_resp", sum(col("responders")).over(wAll))
+      .withColumn("tot_n", sum(col("n_cust")).over(wAll))
+      .select(col("decile"), col("n_cust"), col("responders"),
+        (col("responders").cast("double") / col("n_cust")).as("resp_rate"),
+        (col("cum_resp").cast("double") / col("tot_resp")).as("capture"),
+        ((col("responders") * col("tot_n")).cast("double") /
+          (col("n_cust") * col("tot_resp"))).as("lift"))
+  }
+
+  /** Gini information gain of a categorical split vs a binary target —
+    * the decision-tree / feature-ranking primitive. Input is the
+    * per-(feature, value) contingency rows (n_v, pos_v); output one row
+    * per feature with the impurity reduction.
+    *
+    * Exactness: the per-value term (pos²+neg²)/n_v is quantized to an
+    * integer `(pos²+neg²)·10⁹ div n_v` IN DECIMAL (the numerator can pass
+    * 2⁶³ but the quotient is ≤ 10⁹·n_v, long-safe), so the cross-value sum
+    * is exact integer arithmetic — merge-order-independent — and only the
+    * two final single divisions are IEEE, pinned to one shape both
+    * engines share. Contingency rows are one map-side-combinable count
+    * agg over the facts; everything after is O(distinct values).
+    */
+  def giniGain(contingency: DataFrame): DataFrame = {
+    val q = expr(
+      "CAST((pos_v * pos_v + (n_v - pos_v) * (n_v - pos_v)) AS DECIMAL(38,0)) " +
+        "* 1000000000 DIV n_v")
+    contingency
+      .withColumn("q", q)
+      .groupBy(col("feature"))
+      .agg(count(lit(1)).as("n_values"),
+        sum(col("n_v")).as("n"), sum(col("pos_v")).as("pos"),
+        sum(col("q")).as("sum_q"))
+      .select(col("feature"), col("n_values"),
+        ((lit(1.0) - (col("pos") * col("pos") +
+          (col("n") - col("pos")) * (col("n") - col("pos"))).cast("double") /
+          (col("n") * col("n"))) -
+          (lit(1.0) - col("sum_q").cast("double") /
+            (col("n") * lit(1000000000L)))).as("gain"))
+  }
+
+  /** The DuckDB twin of [[giniGain]]'s quantized term, for oracle reuse:
+    * emits the `q` expression over (n_v, pos_v) columns. HUGEINT `//`
+    * is the same exact integral division as Spark's DECIMAL `DIV`. */
+  def giniTermSql: String =
+    "((pos_v * pos_v + (n_v - pos_v) * (n_v - pos_v))::HUGEINT * 1000000000) // n_v"
+
+  /** Deterministic "random" walks over an edge list: from each start node,
+    * `steps` hops where the next node is the out-neighbour minimizing
+    * [[Prep.portableHash]](walk·31 + step, dst) — node2vec-style sampling
+    * with zero RNG state, so walks are identical across engines, runs, and
+    * retries. Each hop is one equi-join frontier→edges plus a per-walk
+    * argmin (tiny keyed window: frontier is O(walks)); the edge table is
+    * checkpoint-materialized once for all hops.
+    * Returns (walk_id, step, node) for steps 0..steps.
+    */
+  def hashWalks(edges: DataFrame, starts: DataFrame, steps: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var cur = starts.select(col("node").as("walk_id"), lit(0).as("step"), col("node"))
+    var out = cur
+    for (i <- 1 to steps) {
+      val w = Window.partitionBy(col("walk_id"))
+        .orderBy(col("__score"), col("dst"))
+      cur = cur.join(e, cur("node") === e("src"))
+        .withColumn("__score",
+          Prep.portableHash(col("walk_id") * lit(31) + lit(i), col("dst")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("walk_id"), lit(i).as("step"), col("dst").as("node"))
+      out = out.unionByName(cur)
+    }
+    out
+  }
+
+  /** One [[hashWalks]] hop as DuckDB CTEs (mirrors the loop body term for
+    * term), against `w{i-1}` and an `edges(src, dst)` CTE. */
+  def walkStepSql(i: Int): String =
+    s"""w$i AS (SELECT walk_id, $i AS step, dst AS node FROM (
+       |  SELECT c.walk_id, e.dst,
+       |    row_number() OVER (PARTITION BY c.walk_id ORDER BY
+       |      ${Prep.portableHashSql(s"(c.walk_id * 31 + $i)", "e.dst")}, e.dst) AS rn
+       |  FROM w${i - 1} c JOIN edges e ON e.src = c.node)
+       |WHERE rn = 1)""".stripMargin
+}

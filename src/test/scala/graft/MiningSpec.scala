@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Graph, Mining}
+
+/** Unit coverage for the pattern-mining/model-eval operators (q123-q127
+  * pin cross-engine parity; these pin the hand-computable algebra and the
+  * structural invariants the oracles can't see).
+  */
+class MiningSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("basketRules: hand-computed support/confidence/lift on 4 baskets") {
+    // baskets: {10,20,30}, {10,20}, {10,30}, {20,30} → every pair count 2,
+    // every item count 3, N=4 → conf 2/3, lift 8/9.
+    val b = Seq((1, 10), (1, 20), (1, 30), (2, 10), (2, 20),
+      (3, 10), (3, 30), (4, 20), (4, 30)).toDF("g", "item")
+    val got = Mining.basketRules(b, "g", "item").orderBy("item_a", "item_b")
+      .select("item_a", "item_b", "pair_n", "conf_a_b", "lift")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == Seq(
+      (10, 20, 2L, 2.0 / 3, 8.0 / 9),
+      (10, 30, 2L, 2.0 / 3, 8.0 / 9),
+      (20, 30, 2L, 2.0 / 3, 8.0 / 9)))
+  }
+
+  test("basketRules: duplicate lines collapse; minPairSupport filters") {
+    val b = Seq((1, 10), (1, 10), (1, 20), (2, 10), (2, 30)).toDF("g", "item")
+    // (10,20) and (10,30) each co-occur once → dropped at support 2
+    assert(Mining.basketRules(b, "g", "item", minPairSupport = 2).count() == 0)
+    val one = Mining.basketRules(b, "g", "item", minPairSupport = 1)
+      .orderBy("item_a", "item_b")
+      .select("item_a", "item_b", "pair_n").as[(Int, Int, Long)].collect().toSeq
+    assert(one == Seq((10, 20, 1L), (10, 30, 1L)))
+  }
+
+  test("basketRules plan: equi-joins only, supports broadcast") {
+    val b = Seq((1, 10), (1, 20)).toDF("g", "item")
+    val plan = Mining.basketRules(b, "g", "item")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("activityBitmap: bitmap/popcount/streak on a hand calendar") {
+    // user 1, Jan 2024: days 1,2,3,5 (day 2 twice) → bitmap 0b10111 = 23,
+    // 4 active days, longest streak 3; Feb: day 28 alone.
+    val e = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-02 01:00:00"),
+      (1L, "2024-01-02 23:59:59"), (1L, "2024-01-03 12:00:00"),
+      (1L, "2024-01-05 00:00:00"), (1L, "2024-02-28 08:00:00"))
+      .toDF("user_id", "s").select(col("user_id"), col("s").cast("timestamp").as("ts"))
+    val got = Mining.activityBitmap(e, "user_id", "ts").orderBy("ym")
+      .select("ym", "bitmap", "active_days", "longest_streak")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((202401, 23L, 4L, 3L), (202402, 1L << 27, 1L, 1L)))
+  }
+
+  test("activityBitmap: popcount(bitmap) == active_days on real events") {
+    val bad = Mining.activityBitmap(
+        graft.core.Tables.events(spark, sf), "user_id", "ts")
+      .filter(bit_count(col("bitmap")) =!= col("active_days"))
+    assert(bad.count() == 0)
+  }
+
+  test("decileLift: 20 hand units — sizes, rates, capture, lift identity") {
+    // scores 20..1, responders exactly the top 4 scores → deciles of 2;
+    // base rate 4/20; decile 1 rate 1.0, lift 5; decile 2 rate 1.0 then 0.
+    val sc = (1 to 20).map(i => (i.toLong, i.toDouble, if (i > 16) 1 else 0))
+      .toDF("id", "score", "responder")
+    val got = Mining.decileLift(sc).orderBy("decile")
+      .select("decile", "n_cust", "responders", "resp_rate", "capture", "lift")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got.map(_._2).sum == 20L)
+    assert(got.take(2).map(g => (g._1, g._2, g._3, g._4, g._6)) ==
+      Seq((1, 2L, 2L, 1.0, 5.0), (2, 2L, 2L, 1.0, 5.0)))
+    assert(got(1)._5 == 1.0 && got.drop(2).forall(_._3 == 0L))
+    // capture is non-decreasing and ends at 1.0
+    assert(got.map(_._5).sliding(2).forall(p => p(0) <= p(1)) &&
+      got.last._5 == 1.0)
+  }
+
+  test("giniGain: perfect split gains parent impurity; constant split gains 0") {
+    val cont = Seq(
+      ("perfect", "a", 4L, 4L), ("perfect", "b", 4L, 0L),
+      ("useless", "x", 8L, 4L)).toDF("feature", "value", "n_v", "pos_v")
+    val got = Mining.giniGain(cont).orderBy("feature")
+      .select("feature", "gain").as[(String, Double)].collect().toMap
+    assert(got("perfect") == 0.5)
+    assert(got("useless") == 0.0)
+  }
+
+  test("giniGain quantization: skewed thirds stay exact enough (1e-9)") {
+    // parent n=9,pos=3 → gini 4/9; split (6,3)/(3,0): weighted gini =
+    // 6/9·0.5 + 3/9·0 = 1/3 → gain 4/9-1/3 = 1/9.
+    val cont = Seq(("f", "a", 6L, 3L), ("f", "b", 3L, 0L))
+      .toDF("feature", "value", "n_v", "pos_v")
+    val g = Mining.giniGain(cont).select("gain").as[Double].head()
+    assert(math.abs(g - 1.0 / 9) < 1e-9, g.toString)
+  }
+
+  test("hashWalks: every hop follows an edge, walks are complete and deterministic") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val starts = Seq(1L, 2L).toDF("node")
+    def run() = Mining.hashWalks(edges, starts, steps = 3)
+      .orderBy("walk_id", "step")
+      .as[(Long, Int, Long)].collect().toSeq
+    val w = run()
+    assert(w == run()) // deterministic across runs
+    assert(w.size == 2 * 4) // steps+1 positions per walk, no dead ends
+    val edgeSet = Set((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L))
+    w.groupBy(_._1).values.foreach { walk =>
+      walk.sliding(2).foreach { case Seq(a, b) =>
+        assert(edgeSet.contains((a._3, b._3)), s"hop $a -> $b not an edge")
+      case _ => ()
+      }
+    }
+    // partitioning-invariant: same walks from a repartitioned edge list
+    val w2 = Mining.hashWalks(edges.repartition(7), starts, steps = 3)
+      .orderBy("walk_id", "step").as[(Long, Int, Long)].collect().toSeq
+    assert(w2 == w)
+  }
+
+  test("hashWalks on the co-purchase graph: 20 walks, all 5 positions") {
+    val li = graft.core.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("g"), col("l_partkey").as("item"))
+    val edges = Graph.coOccurrenceEdges(li, "g", "item", minSupport = 2)
+    val starts = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("src")).limit(20)
+      .select(col("src").as("node"))
+    val byWalk = Mining.hashWalks(edges, starts, steps = 4)
+      .groupBy("walk_id").agg(count(lit(1)).as("n"))
+      .select("n").as[Long].collect()
+    assert(byWalk.length == 20 && byWalk.forall(_ == 5L))
+  }
+}
