@@ -151,23 +151,33 @@ object Mining {
     * [[Prep.portableHash]](walk·31 + step, dst) — node2vec-style sampling
     * with zero RNG state, so walks are identical across engines, runs, and
     * retries. Each hop is one equi-join frontier→edges plus a per-walk
-    * argmin (tiny keyed window: frontier is O(walks)); the edge table is
-    * checkpoint-materialized once for all hops.
+    * argmin; pass an already-materialized (checkpointed/cached) edge
+    * table — every hop and the caller's start-node selection re-scan it,
+    * so an unmaterialized join plan would re-execute per consumer.
     * Returns (walk_id, step, node) for steps 0..steps.
     */
   def hashWalks(edges: DataFrame, starts: DataFrame, steps: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
-    var cur = starts.select(col("node").as("walk_id"), lit(0).as("step"), col("node"))
+    val e = edges.select(col("src"), col("dst"))
+    // Each hop materializes its O(walks)-row frontier eagerly: the chained
+    // per-hop plans would otherwise re-execute level k once per union
+    // branch that contains it (quadratic recompute), and the frontier is
+    // tiny by construction. The frontier BROADCASTS into the edge join —
+    // the edge table itself never shuffles — and the argmin is a
+    // map-side-combinable min(struct(score, dst)) rather than a window.
+    var cur = starts
+      .select(col("node").as("walk_id"), lit(0).as("step"), col("node"))
+      .localCheckpoint(true)
     var out = cur
     for (i <- 1 to steps) {
-      val w = Window.partitionBy(col("walk_id"))
-        .orderBy(col("__score"), col("dst"))
-      cur = cur.join(e, cur("node") === e("src"))
+      cur = e.join(broadcast(cur.select(col("walk_id"), col("node"))),
+          col("node") === col("src"))
         .withColumn("__score",
           Prep.portableHash(col("walk_id") * lit(31) + lit(i), col("dst")))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("walk_id"), lit(i).as("step"), col("dst").as("node"))
+        .groupBy(col("walk_id"))
+        .agg(min(struct(col("__score"), col("dst"))).as("__m"))
+        .select(col("walk_id"), lit(i).as("step"),
+          col("__m.dst").as("node"))
+        .localCheckpoint(true)
       out = out.unionByName(cur)
     }
     out

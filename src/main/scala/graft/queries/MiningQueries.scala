@@ -171,7 +171,10 @@ object MiningQueries {
          |ORDER BY walk_id, step""".stripMargin) { (s, dir) =>
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("g"), col("l_partkey").as("item"))
+      // materialize the co-occurrence build ONCE: the start-node selection
+      // and all 4 hops re-scan the edge table (hashWalks scaladoc)
       val edges = Graph.coOccurrenceEdges(li, "g", "item", minSupport = 2)
+        .localCheckpoint(true)
       val starts = edges.groupBy(col("src"))
         .agg(count(lit(1)).as("deg"))
         .orderBy(col("deg").desc, col("src"))
