@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM-data pipelines: exact (hash-groupBy),
@@ -355,6 +356,42 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+  }
+
+  /** Sorted-neighborhood blocking dedup — the classic entity-resolution
+    * alternative to hash blocking (LSH/SimHash): sort records by a
+    * content-derived key and compare each record only to its `windowSize`
+    * successors in the sort order. The key here is the first two SORTED
+    * DISTINCT words (near-dups share vocabulary, so they sort adjacent
+    * even when word ORDER was perturbed); the first sorted word is the
+    * block, so the rank window partitions by block — no global sort, and
+    * the candidate count is ≤ windowSize·n by construction. Candidates
+    * verify with exact shingle Jaccard via array_intersect on the
+    * re-assembled sets (the [[minhashNearDups]] verify — candidate pairs
+    * only, never all-pairs). Returns (id_a, id_b, jaccard) ≥ minJaccard.
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, id: Column, text: Column,
+                              windowSize: Int = 3, n: Int = 3,
+                              minJaccard: Double = 0.5): DataFrame = {
+    val keyed = df.select(id.as("doc"), TextOps.words(text).as("w"))
+      .filter(size(col("w")) >= n)
+      .withColumn("sw", array_sort(array_distinct(col("w"))))
+      .select(col("doc"), element_at(col("sw"), 1).as("blk"),
+        concat_ws(" ", slice(col("sw"), 1, 2)).as("key"))
+    val wOrd = Window.partitionBy(col("blk")).orderBy(col("key"), col("doc"))
+    val ranked = keyed.withColumn("rn", row_number().over(wOrd))
+    val cands = (1 to windowSize).map { k =>
+      ranked.select(col("doc").as("id_a"),
+        lead(col("doc"), k).over(wOrd).as("id_b"))
+    }.reduce(_ unionByName _).filter(col("id_b").isNotNull)
+    val sets = shingleSets(df, id, text, n)
+    cands
+      .join(sets.select(col("doc").as("id_a"), col("sh_arr").as("sh_a")), "id_a")
+      .join(sets.select(col("doc").as("id_b"), col("sh_arr").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
   }
 
   // ---------- decontamination (train/eval overlap) ----------

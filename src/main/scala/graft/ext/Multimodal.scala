@@ -173,6 +173,47 @@ object Multimodal {
           .as("rms"))
   }
 
+  /** Per-clip zero-crossing count/rate over a 16-bit PCM WAV byte stream
+    * AFTER DC-offset removal — the classic voiced/unvoiced + noisiness
+    * audio feature next to [[wavFrameRms]]'s energy. Raw PCM routinely
+    * carries a DC bias (here structurally: the fixture payloads are
+    * ASCII, so the raw sign bit never flips), so the standard practice is
+    * to count crossings of the clip MEAN. The mean test is the integer
+    * cross-multiplication `n·uᵢ > Σu` — no float boundary anywhere, so
+    * the counts are bit-exact in any engine. Σu is computed per clip by
+    * an `aggregate` HOF over the byte positions (one expression, no
+    * second explode pass and no join-back); each exploded row then reads
+    * BOTH sample i and i−1 so the comparison is a pure projection — no
+    * lag window, no per-clip sort. Ties (`== mean`) count as the
+    * non-high side. Returns (id, n_samples, crossings, zcr).
+    */
+  def wavZeroCrossings(df: DataFrame, id: Column, media: Column): DataFrame = {
+    val ns = (leInt(media, 41, 4) / lit(2)).cast("long")
+    val byteAt = (pos: Column) =>
+      conv(hex(col("__m").substr(pos, lit(1))), 16, 10).cast("long")
+    df.select(id.as("id"), media.as("__m"), ns.as("__ns"))
+      .filter(col("__ns") > 1)
+      .withColumn("__tot", aggregate(
+        sequence(lit(0L), col("__ns") - 1), lit(0L),
+        (acc, i) => acc + byteAt(lit(46) + i * 2) * 256 +
+          byteAt(lit(45) + i * 2)))
+      .select(col("id"), col("__m"), col("__ns"), col("__tot"),
+        explode(sequence(lit(1L), col("__ns") - 1)).as("__i"))
+      .withColumn("__u",
+        byteAt(lit(46) + col("__i") * 2) * 256 +
+          byteAt(lit(45) + col("__i") * 2))
+      .withColumn("__v",
+        byteAt(lit(44) + col("__i") * 2) * 256 +
+          byteAt(lit(43) + col("__i") * 2))
+      .withColumn("__c",
+        ((col("__u") * col("__ns") > col("__tot")) =!=
+          (col("__v") * col("__ns") > col("__tot"))).cast("long"))
+      .groupBy(col("id"))
+      .agg((count(lit(1)) + 1).as("n_samples"),
+        sum(col("__c")).as("crossings"),
+        (sum(col("__c")).cast("double") / count(lit(1))).as("zcr"))
+  }
+
   // ---------- perceptual hashing (aHash) ----------
 
   /** One 16-bit chunk of the 64-bit average hash, emitted ONCE as

@@ -611,5 +611,46 @@ object MediaStreamQueries {
         .select(col("user_id"), col("event_id"), col("value"), col("prev_best"))
         .orderBy("user_id", "event_id")
     },
+
+    // ---- m10: per-clip zero-crossing rate after DC-offset removal —
+    //      the voiced/unvoiced + noisiness feature next to m06's frame
+    //      energy. Crossings are counted about the clip MEAN (raw PCM
+    //      carries DC bias — structurally so here, where ASCII payloads
+    //      never flip the raw sign bit) via the exact integer test
+    //      n·uᵢ > Σu; each exploded row reads sample i AND i−1 directly,
+    //      so the comparison is a pure codegen'd projection — no lag
+    //      window, no per-clip sort. The oracle re-derives the identical
+    //      sample sequence from the ASCII payload (byte == char). ----
+    QueryDef("m10_zero_crossings",
+      """WITH f AS (SELECT doc_id, text, len(text) // 2 AS ns FROM documents),
+        |i AS (SELECT doc_id, text, ns, unnest(range(0, ns)) AS i FROM f WHERE ns > 1),
+        |sm AS (SELECT doc_id, ns, i,
+        |    ord(substr(text, CAST(2 * i + 1 AS INTEGER), 1))
+        |      + 256 * ord(substr(text, CAST(2 * i + 2 AS INTEGER), 1)) AS u
+        |  FROM i),
+        |tot AS (SELECT doc_id, CAST(sum(u) AS BIGINT) AS s_tot FROM sm GROUP BY 1),
+        |p AS (SELECT doc_id, ns, i, u,
+        |    lag(u) OVER (PARTITION BY doc_id ORDER BY i) AS v
+        |  FROM sm),
+        |c AS (SELECT p.doc_id,
+        |    CASE WHEN (p.u * p.ns > t.s_tot) <> (p.v * p.ns > t.s_tot)
+        |         THEN 1 ELSE 0 END AS c
+        |  FROM p JOIN tot t ON t.doc_id = p.doc_id WHERE p.i >= 1)
+        |SELECT doc_id, count(*) + 1 AS n_samples,
+        |  CAST(sum(c) AS BIGINT) AS crossings,
+        |  CAST(sum(c) AS DOUBLE) / count(*) AS zcr
+        |FROM c GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val ch = (col("doc_id") % 3 + 1).cast("int")
+      val sr = when(col("doc_id") % 3 === 0, 8000)
+        .when(col("doc_id") % 3 === 1, 16000).otherwise(44100)
+      val payload = col("text").cast("binary")
+      val withMedia = docs.withColumn("media",
+        concat(Multimodal.wavHeader(sr, ch, lit(16), length(payload)), payload))
+      Multimodal.wavZeroCrossings(withMedia, col("doc_id"), col("media"))
+        .select(col("id").as("doc_id"), col("n_samples"),
+          col("crossings"), col("zcr"))
+        .orderBy("doc_id")
+    },
   )
 }

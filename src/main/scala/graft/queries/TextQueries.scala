@@ -1261,5 +1261,76 @@ object TextQueries {
             col("r_stop") + col("r_dup") === 0, 1L).otherwise(0L)).as("n_pass"))
         .orderBy("source")
     },
+
+    // ---- sorted-neighborhood blocking dedup: the classic entity-
+    //      resolution alternative to hash blocking (t07 LSH / t08
+    //      SimHash) — sort by the first two SORTED DISTINCT words (word-
+    //      order perturbations can't move a doc in this order) and
+    //      compare each doc only to its 3 successors within the first-
+    //      word block. Candidates verify with exact trigram Jaccard —
+    //      candidate pairs only, never all-pairs; the rank window
+    //      partitions by block, so there is no global sort. ----
+    QueryDef("t43_sorted_neighborhood",
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |keyed AS (
+        |  SELECT doc_id, sw[1] AS blk, array_to_string(sw[1:2], ' ') AS key
+        |  FROM (SELECT doc_id, list_sort(list_distinct(w)) AS sw
+        |        FROM docs WHERE len(w) >= 3)),
+        |ranked AS (SELECT doc_id, blk,
+        |    row_number() OVER (PARTITION BY blk ORDER BY key, doc_id) AS rn
+        |  FROM keyed),
+        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM ranked a JOIN ranked b
+        |    ON a.blk = b.blk AND b.rn BETWEEN a.rn + 1 AND a.rn + 3),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(w) - 1),
+        |                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+        |  FROM docs),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+        |  FROM cand c JOIN sh a ON a.doc_id = c.id_a
+        |              JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Dedup.sortedNeighborhoodPairs(Tables.documents(s, dir),
+          col("doc_id"), col("text"), windowSize = 3, minJaccard = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
+    // ---- BPE first-merge-round pair table: within-word adjacent char-
+    //      pair counts over the normalized corpus — the statistic a BPE
+    //      tokenizer trainer computes per merge round (top pair becomes
+    //      the next merge rule). One explode→explode→count pipeline,
+    //      map-side combinable; the 26² pair space keeps the final
+    //      aggregate O(1) regardless of corpus size. ----
+    QueryDef("t44_bpe_merges",
+      """WITH wd AS (
+        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS wd
+        |  FROM documents),
+        |fw AS (SELECT wd FROM wd WHERE len(wd) >= 2 AND regexp_full_match(wd, '[a-z]+')),
+        |p AS (SELECT unnest(list_transform(range(1, len(wd)),
+        |        i -> substr(wd, CAST(i AS INTEGER), 2))) AS pair FROM fw)
+        |SELECT pair, count(*) AS cnt FROM p GROUP BY 1
+        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(TextOps.words(col("text"))).as("wd"))
+        .filter(length(col("wd")) >= 2 && col("wd").rlike("^[a-z]+$"))
+        .select(explode(expr(
+          "transform(sequence(1, length(wd) - 1), i -> substring(wd, i, 2))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(20)
+    },
   )
 }

@@ -420,4 +420,37 @@ class TextOpsSpec extends SparkSpec {
       s"real corpus: missing=${bReal -- pReal} extra=${pReal -- bReal}")
     assert(bReal.nonEmpty, "fixture should contain at least one τ≥0.4 pair")
   }
+
+  test("sortedNeighborhoodPairs: near-dups sort adjacent, unrelated never pair") {
+    // A/B differ in one trailing word: shingles ∩=4 ∪=6 → J=2/3; C disjoint.
+    val docs = Seq(
+      (1L, "x a b c d e f"),
+      (2L, "x a b c d e g"),
+      (3L, "z q r s t u v")).toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhoodPairs(docs, col("doc_id"), col("text"))
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 4.0 / 6)))
+  }
+
+  test("sortedNeighborhoodPairs: word-order perturbation cannot break the blocking") {
+    // doc 2 is doc 1 rotated — the sorted-distinct key is identical, so
+    // they stay adjacent even though a prefix-of-raw-text key would split
+    val docs = Seq(
+      (1L, "x a b c d e f"),
+      (2L, "a b c d e f x")).toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhoodPairs(docs, col("doc_id"), col("text"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L)))
+  }
+
+  test("sortedNeighborhoodPairs: candidate count bounded by windowSize per doc") {
+    // 10 identical docs in one block: window w=3 caps candidates at
+    // Σ min(w, n-rank) = 3n - 6, never the all-pairs n(n-1)/2
+    val docs = (1L to 10L).map(i => (i, "same words in every doc here"))
+      .toDF("doc_id", "text")
+    val n = Dedup.sortedNeighborhoodPairs(docs, col("doc_id"), col("text"),
+      windowSize = 3, minJaccard = 0.0).count()
+    assert(n == 3 * 10 - 6, s"expected 24 candidate pairs, got $n")
+  }
 }

@@ -125,6 +125,17 @@ class MiningSpec extends SparkSpec {
     assert(w2 == w)
   }
 
+  test("t44's char-pair expression: hand-counted pairs (overlaps kept, 1-char words dropped)") {
+    val pairs = Seq("aba", "ab", "x").toDF("wd")
+      .filter(length(col("wd")) >= 2 && col("wd").rlike("^[a-z]+$"))
+      .select(explode(expr(
+        "transform(sequence(1, length(wd) - 1), i -> substring(wd, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].collect().toMap
+    assert(pairs == Map("ab" -> 2L, "ba" -> 1L))
+  }
+
   test("hashWalks on the co-purchase graph: 20 walks, all 5 positions") {
     val li = graft.core.Tables.lineitem(spark, sf)
       .select(col("l_orderkey").as("g"), col("l_partkey").as("item"))

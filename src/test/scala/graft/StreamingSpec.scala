@@ -791,4 +791,61 @@ class MultimodalSpec extends SparkSpec {
       assert(m == want, s"patch col $pc: $m != $want")
     }
   }
+
+  private def wavOf(payload: String) =
+    Seq((1L, payload)).toDF("id", "p")
+      .withColumn("media", concat(
+        Multimodal.wavHeader(lit(8000), lit(1), lit(16),
+          length(col("p").cast("binary"))),
+        col("p").cast("binary")))
+
+  test("wavZeroCrossings: hand-decoded 2-sample payload crosses the mean once") {
+    // "aazz" → u0 = 97+256·97 = 24929, u1 = 122+256·122 = 31354;
+    // mean test: 2·u0 < Σu < 2·u1 → exactly one crossing, zcr = 1.
+    val got = Multimodal.wavZeroCrossings(wavOf("aazz"), col("id"), col("media"))
+      .select("n_samples", "crossings", "zcr")
+      .as[(Long, Long, Double)].head()
+    assert(got == ((2L, 1L, 1.0)))
+  }
+
+  test("wavZeroCrossings: constant signal never crosses; alternating crosses every step") {
+    val const = Multimodal.wavZeroCrossings(wavOf("abababab"), col("id"), col("media"))
+      .select("n_samples", "crossings").as[(Long, Long)].head()
+    assert(const == ((4L, 0L))) // all samples equal → u·n == Σu, no side flips
+    // "aa" (24929) vs "zz" (31354) alternating: every adjacent pair flips
+    val alt = Multimodal.wavZeroCrossings(wavOf("aazzaazz"), col("id"), col("media"))
+      .select("n_samples", "crossings", "zcr").as[(Long, Long, Double)].head()
+    assert(alt == ((4L, 3L, 1.0)))
+  }
+
+  test("wavZeroCrossings: single-sample and empty clips drop out") {
+    assert(Multimodal.wavZeroCrossings(wavOf("ab"), col("id"), col("media"))
+      .count() == 0)
+    assert(Multimodal.wavZeroCrossings(wavOf(""), col("id"), col("media"))
+      .count() == 0)
+  }
+
+  test("wavZeroCrossings agrees with a driver-side decode on real docs") {
+    val docs = graft.core.Tables.documents(spark, sf).limit(50)
+    val ch = (col("doc_id") % 3 + 1).cast("int")
+    val media = docs.withColumn("media", concat(
+      Multimodal.wavHeader(lit(8000), ch, lit(16),
+        length(col("text").cast("binary"))),
+      col("text").cast("binary")))
+    val got = Multimodal.wavZeroCrossings(media, col("doc_id"), col("media"))
+      .select("id", "crossings").as[(Long, Long)].collect().toMap
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect()
+    texts.foreach { case (id, t) =>
+      val bytes = t.getBytes("UTF-8").map(_ & 0xff)
+      val us = bytes.grouped(2).collect { case Array(lo, hi) => lo + 256 * hi }.toArray
+      if (us.length > 1) {
+        val tot = us.map(_.toLong).sum
+        val n = us.length.toLong
+        val expect = us.sliding(2).count { case Array(v, u) =>
+          (u * n > tot) != (v * n > tot)
+        }
+        assert(got(id) == expect.toLong, s"doc $id")
+      } else assert(!got.contains(id))
+    }
+  }
 }
