@@ -122,6 +122,46 @@ object ScaleCheck {
     check(nComponents <= nBase + mult.toLong * 50,
       s"copies collapsed into base components: $nComponents components for $nDocs docs (base=$nBase)")
 
+    // ---------- t43-shape: sorted-neighborhood blocking at scale ----------
+    // The structural claim vs LSH bucket joins: SN candidates are LINEAR
+    // in block size (≤ windowSize per doc — a hard integer bound, however
+    // skewed the blocks), so the 800-doc hot block contributes ≤3·|block|
+    // pairs where a bucket self-join would pay |block|²; and the sort
+    // order still CHAINS the hot near-copies — every hot doc appears in a
+    // verified ≥0.5-Jaccard pair with a neighbor, so a downstream closure
+    // recovers the cluster from O(|block|) links. (The chain topology is
+    // exactly why SN pairs feed large-star-style CC at production scale:
+    // an 800-link path is the worst case for per-hop label propagation,
+    // measured here — minLabelProp wants hub graphs like LSH's.)
+    val tSn0 = System.nanoTime()
+    val snPairs = graft.ext.Dedup
+      .sortedNeighborhoodPairs(docs, col("doc_id"), col("text"),
+        windowSize = 3, minJaccard = 0.5)
+      .localCheckpoint()
+    val nSnPairs = snPairs.count()
+    // the 399 hot COPIES all share a sort key and chain among themselves.
+    // The ORIGINAL doc 42 does NOT link here — its copies' injected
+    // marker words ("hotcopyK"/"scalecopyI") land at the head of the
+    // sorted vocabulary and shift their keys away from the original's:
+    // the textbook SN limitation (blocking-key sensitivity — the reason
+    // production ER runs SN as ONE pass of a multi-pass blocker next to
+    // LSH, which catches exactly this case: t16's hot cluster is 409
+    // strong INCLUDING the original). Recorded as sn_orig_linked, not
+    // asserted.
+    val isHotCopy = (c: org.apache.spark.sql.Column) =>
+      c >= 900_000_000L && c < 900_000_000L + 400L
+    val snHotLinked = snPairs
+      .filter(isHotCopy(col("id_a")) && isHotCopy(col("id_b")))
+      .select(explode(array(col("id_a"), col("id_b"))).as("n"))
+      .distinct().count()
+    val snOrigLinked = snPairs
+      .filter(col("id_a") === hotId || col("id_b") === hotId).count()
+    val tSn = (System.nanoTime() - tSn0) / 1e9
+    check(nSnPairs <= 3L * nDocs,
+      s"SN candidate linearity: $nSnPairs pairs > 3·$nDocs")
+    check(snHotLinked >= 399,
+      s"SN chained the hot copies: $snHotLinked of 399 linked")
+
     // ---------- s08-shape: semantic dedup at scale ----------
     // mult copies of every vector (identical → cos 1 with the original →
     // every non-first copy must drop). cells scale with n (~n/600) — the
@@ -562,6 +602,7 @@ object ScaleCheck {
     out ++= f""""t_pca_sec":$tPca%.1f,"pca_copy_diff":$pcaDiff%.2e,"""
     out ++= f""""t_prefix_sec":$tPrefix%.1f,"prefix_pairs":$nPf,"prefix_hot":$hotPf,"""
     out ++= f""""t_mutual_sec":$tMutual%.1f,"mutual_pairs":$nMnn,"mutual_groups":$nZeroGroups,"""
+    out ++= f""""t_sn_sec":$tSn%.1f,"sn_pairs":$nSnPairs,"sn_hot_linked":$snHotLinked,"sn_orig_linked":$snOrigLinked,"""
     out ++= s""""bfs_levels":{${lvlScaled.toSeq.sorted.map { case (d, n) => s""""$d":$n""" }.mkString(",")}},"""
     out ++= s""""pr_edges":$nEdgesPr,"pr_mass_err":${massErrs.max},"pr_copy_diff":$rankDiff,"""
     out ++= s""""tri_total":$triTotal,"tri_copy_mismatch":$triCopyMismatch,"""

@@ -640,4 +640,50 @@ object TextOps {
           lit(1.015) * (col("n_words").cast("double") / col("n_sentences")) -
           lit(84.6) * (col("n_syllables").cast("double") / col("n_words")))
   }
+
+  /** Byte-pair-encoding trainer rounds — the REAL BPE loop, not just the
+    * pair statistic (t44): each round counts adjacent token-pair
+    * occurrences across the corpus, picks the most frequent pair
+    * (ties → lexicographic), merges it everywhere, and repeats on the
+    * merged corpus. Returns one row per round: (round, merged_pair,
+    * pair_count) — the merge table a tokenizer ships.
+    *
+    * Corpus representation is the space-sentinel form `" h e l l o "`;
+    * a merge is `replace(" a b ", " ab ")` — plain left-to-right
+    * non-overlapping string replace, which BOTH engines implement
+    * identically (a back-to-back `a b a b` merges once per pass; the
+    * straggler merges next round — deterministic, and the same in the
+    * DuckDB oracle by construction). Only `[a-z]+` words train, so the
+    * merged symbols never collide with the sentinel.
+    *
+    * The per-round top pair is a driver-side scalar pull (one row), the
+    * same train-loop shape as the k-means centroid pulls (IVF.scala) —
+    * each round's corpus transform stays fully distributed, and pair
+    * counting combines map-side (positional bigrams → hash agg).
+    */
+  def bpeTrainRounds(df: DataFrame, text: Column, rounds: Int): DataFrame = {
+    val spark = df.sparkSession
+    var cur = df.select(explode(words(text)).as("wd"))
+      .filter(col("wd").rlike("^[a-z]+$") && length(col("wd")) >= 2)
+      .select(concat(lit(" "),
+        trim(regexp_replace(col("wd"), "(.)", "$1 ")), lit(" ")).as("s"))
+      .localCheckpoint()
+    val out = Seq.newBuilder[(Int, String, Long)]
+    for (r <- 1 to rounds) {
+      val top = cur.select(split(trim(col("s")), " ").as("t"))
+        .select(explode(Dedup.gramsOfWords(col("t"), 2)).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1).collect()(0)
+      val pair = top.getString(0)
+      out += ((r, pair, top.getLong(1)))
+      if (r < rounds)
+        cur = cur.select(call_function("replace", col("s"),
+          lit(" " + pair + " "),
+          lit(" " + pair.replace(" ", "") + " ")).as("s"))
+          .localCheckpoint()
+    }
+    import spark.implicits._
+    out.result().toDF("round", "merged_pair", "pair_count")
+  }
 }

@@ -109,6 +109,30 @@ object Mining {
           (col("n_cust") * col("tot_resp"))).as("lift"))
   }
 
+  /** Calibration-bin (reliability-diagram) table over (id, score,
+    * responder) units: predicted probability = score percentile
+    * rank/(N+1) — an exact rational — so bin assignment is the integer
+    * `(bins·rank) DIV (N+1)`, the per-bin average prediction is
+    * Σrank/(n·(N+1)) with an exact integer numerator, and the
+    * calibration gap is a difference of two exactly-reproducible
+    * doubles. No float accumulates anywhere. The one rank window runs on
+    * the pre-aggregated unit grain.
+    */
+  def calibrationBins(scored: DataFrame, bins: Int = 10): DataFrame = {
+    val w = Window.orderBy(col("score"), col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .crossJoin(broadcast(scored.agg(count(lit(1)).as("n"))))
+      .withColumn("bin", expr(s"CAST(($bins * rank) DIV (n + 1) AS INT)"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("responder")).as("responders"),
+        (sum(col("rank")).cast("double") /
+          (count(lit(1)) * (max(col("n")) + 1))).as("pred_avg"),
+        (sum(col("responder")).cast("double") / count(lit(1)))
+          .as("actual_rate"))
+      .withColumn("gap", col("pred_avg") - col("actual_rate"))
+  }
+
   /** Gini information gain of a categorical split vs a binary target —
     * the decision-tree / feature-ranking primitive. Input is the
     * per-(feature, value) contingency rows (n_v, pos_v); output one row

@@ -183,5 +183,40 @@ object MiningQueries {
       Mining.hashWalks(edges, starts, steps = 4)
         .orderBy("walk_id", "step")
     },
+
+    // ---- calibration-bin (reliability-diagram) table: q125's sibling on
+    //      the model-eval shelf. Predicted score = spend percentile
+    //      rank/(N+1) — an exact rational, so the whole table is integer
+    //      arithmetic until three final single divisions: bin assignment
+    //      is the integer (10·rank) DIV (N+1), per-bin avg prediction is
+    //      Σrank / (n·(N+1)) (no float accumulation anywhere), and the
+    //      gap column is the difference of two exactly-reproducible
+    //      doubles. Facts pre-aggregate to customer grain before the one
+    //      O(customers) rank window. ----
+    QueryDef("q128_calibration_bins",
+      """WITH sc AS (
+        |  SELECT o_custkey AS id,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS score,
+        |    max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS responder
+        |  FROM orders GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM sc),
+        |r AS (SELECT id, responder,
+        |        row_number() OVER (ORDER BY score, id) AS rank FROM sc),
+        |b AS (SELECT CAST((10 * rank) // (n + 1) AS INTEGER) AS bin,
+        |        rank, responder, n FROM r CROSS JOIN nn)
+        |SELECT bin, count(*) AS n_cust,
+        |  CAST(sum(responder) AS BIGINT) AS responders,
+        |  CAST(sum(rank) AS DOUBLE) / (count(*) * (max(n) + 1)) AS pred_avg,
+        |  CAST(sum(responder) AS DOUBLE) / count(*) AS actual_rate,
+        |  CAST(sum(rank) AS DOUBLE) / (count(*) * (max(n) + 1)) -
+        |    CAST(sum(responder) AS DOUBLE) / count(*) AS gap
+        |FROM b GROUP BY 1 ORDER BY bin""".stripMargin) { (s, dir) =>
+      val scored = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("id"))
+        .agg(Exact.decimalSum(col("o_totalprice"), "score"),
+          max(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0))
+            .as("responder"))
+      Mining.calibrationBins(scored).orderBy("bin")
+    },
   )
 }

@@ -514,5 +514,39 @@ object PipelineQueries {
           col("n_violating").cast("double") / col("n_groups"), 6))
         .orderBy("fd")
     },
+
+    // ---- one-pass table profiler ("DESCRIBE at scale"): per column, row
+    //      count / nulls / EXACT distinct count / min-max — the first
+    //      query anyone runs against an unknown 100 TB table. ONE scan:
+    //      the per-column stats are schema-generated into a single agg
+    //      row and unpivoted with stack (map-side Generate). The multiple
+    //      exact COUNT(DISTINCT)s cost one Expand row-copy per column —
+    //      the documented price of exactness; the approx twin is the
+    //      q30/HLL surface. ----
+    QueryDef("q129_table_profile", {
+      val nums = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val strs = Seq("l_returnflag", "l_linestatus")
+      val arms = nums.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num,
+           |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+           |FROM lineitem""".stripMargin
+      } ++ strs.map { c =>
+        s"""SELECT '$c', count(*), count(*) - count($c), count(DISTINCT $c),
+           |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min($c), max($c)
+           |FROM lineitem""".stripMargin
+      }
+      arms.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    }) { (s, dir) =>
+      Maintenance.tableProfile(Tables.lineitem(s, dir),
+          numericCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+            "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+            "l_tax"),
+          stringCols = Seq("l_returnflag", "l_linestatus"))
+        .orderBy("col_name")
+    },
   )
 }

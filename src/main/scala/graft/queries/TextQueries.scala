@@ -1332,5 +1332,48 @@ object TextQueries {
         .orderBy(col("cnt").desc, col("pair"))
         .limit(20)
     },
+
+    // ---- the REAL BPE training loop (t44 is the one-round statistic):
+    //      3 rounds of count-pairs → pick top → merge everywhere →
+    //      recount on the MERGED corpus. The oracle replays the identical
+    //      loop from generated per-round CTEs (scalar-subquery top pick +
+    //      the same left-to-right non-overlapping replace), so round 2+
+    //      grades the engine's round-1 merge application, not just its
+    //      counting. Per-round top pair is a 1-row driver pull — the
+    //      k-means train-loop shape (IVF.scala). ----
+    QueryDef("t45_bpe_train",
+      s"""WITH w0 AS (
+         |  SELECT ' ' || trim(regexp_replace(wd, '(.)', '\\1 ', 'g')) || ' ' AS s
+         |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS wd
+         |        FROM documents)
+         |  WHERE len(wd) >= 2 AND regexp_full_match(wd, '[a-z]+')),
+         |${(1 to 3).map(bpeRoundSql).mkString(",\n")}
+         |SELECT * FROM (
+         |  SELECT 1 AS round, pair AS merged_pair, cnt AS pair_count FROM t1
+         |  UNION ALL SELECT 2, pair, cnt FROM t2
+         |  UNION ALL SELECT 3, pair, cnt FROM t3)
+         |ORDER BY round""".stripMargin) { (s, dir) =>
+      TextOps.bpeTrainRounds(Tables.documents(s, dir), col("text"), rounds = 3)
+        .orderBy("round")
+    },
   )
+
+  /** One BPE round as DuckDB CTEs (mirrors [[graft.ext.TextOps
+    * .bpeTrainRounds]]'s loop body term for term): count positional
+    * adjacent token pairs over w{i-1}, pick the (count desc, pair) top,
+    * merge it with the sentinel-delimited replace.
+    */
+  private def bpeRoundSql(r: Int): String = {
+    val prev = s"w${r - 1}"
+    s"""p$r AS (SELECT pair, count(*) AS cnt FROM (
+       |  SELECT unnest(list_transform(range(1, len(t)),
+       |    i -> t[i] || ' ' || t[i+1])) AS pair
+       |  FROM (SELECT regexp_split_to_array(trim(s), ' ') AS t FROM $prev))
+       |  GROUP BY 1),
+       |t$r AS (SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM p$r
+       |        ORDER BY cnt DESC, pair LIMIT 1),
+       |w$r AS (SELECT replace(s, ' ' || (SELECT pair FROM t$r) || ' ',
+       |          ' ' || replace((SELECT pair FROM t$r), ' ', '') || ' ') AS s
+       |        FROM $prev)""".stripMargin
+  }
 }

@@ -181,4 +181,32 @@ class MaintenanceSpec extends SparkSpec {
       graft.ops.Maintenance.snapshotDiff(a, b, Seq("k"))
     }
   }
+
+  test("tableProfile: nulls, exact distincts, typed min/max on a hand fixture") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("x")), (None, Some("y")),
+      (Some(3L), None), (Some(3L), Some("y"))).toDF("a", "s")
+    val got = graft.ops.Maintenance
+      .tableProfile(df, numericCols = Seq("a"), stringCols = Seq("s"))
+      .orderBy("col_name")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), Option(r.get(4)), Option(r.get(5)),
+        Option(r.get(6)), Option(r.get(7)))).toSeq
+    assert(got == Seq(
+      ("a", 4L, 1L, 2L, Some(1.0), Some(3.0), None, None),
+      ("s", 4L, 1L, 2L, None, None, Some("x"), Some("y"))))
+  }
+
+  test("tableProfile is ONE scan: a single agg feeds the stack generator") {
+    import spark.implicits._
+    val df = graft.core.Tables.lineitem(spark, sf)
+    val plan = graft.ops.Maintenance.tableProfile(df,
+        numericCols = Seq("l_orderkey", "l_quantity"),
+        stringCols = Seq("l_returnflag"))
+      .queryExecution.executedPlan.toString
+    // one parquet scan, no union of per-column jobs
+    assert("FileScan parquet".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Union"), plan)
+  }
 }

@@ -125,6 +125,33 @@ class MiningSpec extends SparkSpec {
     assert(w2 == w)
   }
 
+  test("calibrationBins: 20 hand units — exact rational bins, perfect-score calibration") {
+    // ranks 1..20, N=20: bin = (10·r) div 21 → every bin holds 2 ranks;
+    // pred_avg(bin 0) = (1+2)/(2·21) = 1/14; responders = top-4 scores
+    val sc = (1 to 20).map(i => (i.toLong, i.toDouble, if (i > 16) 1 else 0))
+      .toDF("id", "score", "responder")
+    val got = Mining.calibrationBins(sc).orderBy("bin")
+      .select("bin", "n_cust", "responders", "pred_avg", "actual_rate")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got.map(_._1) == (0 to 9) && got.forall(_._2 == 2L))
+    assert(got.head._4 == 3.0 / 42 && got.last._4 == 39.0 / 42)
+    // responders concentrate in the top bins: actual rate 1.0 there, 0 below
+    assert(got.takeRight(2).forall(_._5 == 1.0) &&
+      got.dropRight(2).forall(_._5 == 0.0))
+  }
+
+  test("bpeTrainRounds: hand-traced 3 rounds incl. the straggler re-merge") {
+    // corpus words: "abab", "ab" → round 1 merges "a b" (count 3); the
+    // left-to-right non-overlapping pass leaves " ab a b " (straggler),
+    // round 2 re-merges "a b" (count 1, lexicographic tie-win over
+    // "ab a"), round 3 merges "ab ab".
+    val docs = Seq((1L, "abab ab")).toDF("doc_id", "text")
+    val got = graft.ext.TextOps.bpeTrainRounds(docs, col("text"), rounds = 3)
+      .orderBy("round").as[(Int, String, Long)].collect().toSeq
+    assert(got == Seq((1, "a b", 3L), (2, "a b", 1L), (3, "ab ab", 1L)))
+  }
+
   test("t44's char-pair expression: hand-counted pairs (overlaps kept, 1-char words dropped)") {
     val pairs = Seq("aba", "ab", "x").toDF("wd")
       .filter(length(col("wd")) >= 2 && col("wd").rlike("^[a-z]+$"))
