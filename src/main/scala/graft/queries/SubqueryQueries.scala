@@ -215,5 +215,54 @@ object SubqueryQueries {
         |WHERE nullif(o_custkey, 7) NOT IN
         |  (SELECT c_custkey FROM customer WHERE c_acctbal < -900.0)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    // ---- SQL-defined UDF (Spark 4 `CREATE FUNCTION ... RETURN expr`) —
+    //      the surface a SQL-first user extends the engine through
+    //      without touching Scala. The body is a pure expression, so
+    //      Catalyst INLINES it into the calling plan (no black-box UDF
+    //      penalty — the plan is identical to writing the CASE by hand,
+    //      which is exactly what the oracle does). ----
+    QueryDef("q130_sql_udf",
+      """SELECT CASE WHEN l_discount < 0.03 THEN 'low'
+        |            WHEN l_discount < 0.07 THEN 'mid'
+        |            ELSE 'high' END AS band,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem GROUP BY 1 ORDER BY band""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION disc_band(d DOUBLE)
+          |RETURNS STRING
+          |RETURN CASE WHEN d < 0.03 THEN 'low'
+          |            WHEN d < 0.07 THEN 'mid'
+          |            ELSE 'high' END""".stripMargin)
+      s.sql(
+        """SELECT disc_band(l_discount) AS band, count(*) AS n,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM lineitem GROUP BY 1 ORDER BY band""".stripMargin)
+    },
+
+    // ---- session variables (Spark 4 DECLARE / SET VAR) — the scripting
+    //      surface for staged computations: derive a threshold once,
+    //      reference it by name downstream. The variable holds a computed
+    //      SCALAR (0.5·max price — exact double ops), so the consuming
+    //      query's plan sees a folded literal; the oracle re-derives the
+    //      same scalar with a subquery. ----
+    QueryDef("q131_session_variable",
+      """SELECT o_orderpriority, count(*) AS n_big,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_totalprice > (SELECT 0.5 * max(o_totalprice) FROM orders)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("DECLARE OR REPLACE VARIABLE big_thr DOUBLE")
+      s.sql("SET VAR big_thr = (SELECT 0.5 * max(o_totalprice) FROM orders)")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n_big,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM orders
+          |WHERE o_totalprice > big_thr
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    },
   )
 }

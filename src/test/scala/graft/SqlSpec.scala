@@ -95,4 +95,36 @@ class SqlSpec extends SparkSpec {
     assert(!rows.exists(_.isNullAt(1)), "COUNT bug: empty group produced NULL")
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L), (2L, 0L)))
   }
+
+  test("SQL UDF (CREATE FUNCTION ... RETURN expr) inlines — no black-box UDF node") {
+    val sess = spark.newSession()
+    graft.core.Tables.registerAll(sess, sf)
+    sess.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION tri(x DOUBLE) RETURNS STRING
+        |RETURN CASE WHEN x < 0.03 THEN 'lo' ELSE 'hi' END""".stripMargin)
+    val df = sess.sql(
+      "SELECT tri(l_discount) AS b, count(*) AS n FROM lineitem GROUP BY 1")
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("CASE WHEN"), plan) // body inlined as expressions
+    assert(!plan.toLowerCase.contains("scalaudf"), plan)
+    // inlined == hand-written: identical results
+    val hand = sess.sql(
+      """SELECT CASE WHEN l_discount < 0.03 THEN 'lo' ELSE 'hi' END AS b,
+        |count(*) AS n FROM lineitem GROUP BY 1""".stripMargin)
+    assert(df.orderBy("b").collect().toSeq == hand.orderBy("b").collect().toSeq)
+  }
+
+  test("session variable (DECLARE/SET VAR) folds to the computed scalar") {
+    val sess = spark.newSession()
+    graft.core.Tables.registerAll(sess, sf)
+    sess.sql("DECLARE OR REPLACE VARIABLE thr DOUBLE")
+    sess.sql("SET VAR thr = (SELECT max(o_totalprice) FROM orders)")
+    val mx = sess.sql("SELECT max(o_totalprice) FROM orders").head().getDouble(0)
+    val n = sess.sql("SELECT count(*) AS n FROM orders WHERE o_totalprice >= thr")
+      .head().getLong(0)
+    val nHand = sess.sql(
+      s"SELECT count(*) AS n FROM orders WHERE o_totalprice >= $mx")
+      .head().getLong(0)
+    assert(n == nHand && n >= 1)
+  }
 }
