@@ -367,6 +367,63 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cos"), col("rn").cast("int").as("rn"))
   }
 
+  /** Sign bits of components [lo, hi) of a double-array column, packed
+    * into one BIGINT (bit i-lo set iff v[i] > 0; 0 and negatives clear —
+    * the float comparison is exact in any engine). Missing components
+    * (dim < hi) contribute clear bits.
+    */
+  private def signBits(v: Column, lo: Int, hi: Int): Column =
+    expr(s"""aggregate(sequence(${lo}, ${hi - 1}), CAST(0 AS BIGINT),
+            |  (acc, i) -> acc + IF(i < size(${v.toString}) AND
+            |      element_at(${v.toString}, i + 1) > 0,
+            |    shiftleft(CAST(1 AS BIGINT), i - $lo), CAST(0 AS BIGINT)))"""
+      .stripMargin)
+
+  /** Binary-quantized ANN — the 1-bit compression point of the
+    * quantization family (s13 int8 = 8 bits/dim, s07 PQ = sub-byte/dim,
+    * this = 1 bit/dim, a 32× storage cut vs float): each vector reduces
+    * to its per-dimension SIGN BITS packed in two longs; the shortlist
+    * ranks by Hamming distance (`bit_count(xor)` — two codegen'd
+    * instructions per candidate), and the k·overfetch survivors re-rank
+    * by exact cosine. Sign bits, Hamming counts, and the rounded-cosine
+    * re-rank are all exactly reproducible, so — like s13 and unlike the
+    * trained-index paths — this compressed search has a COMPLETE oracle.
+    * At 100 TB the 16-byte sketches are the only thing the shortlist
+    * scan touches; the float vectors page in for candidates only.
+    */
+  def binaryTopK(emb: DataFrame, id: String, vec: String,
+                 queryPred: Column, k: Int = 5, overfetch: Int = 8): DataFrame = {
+    ensureRegistered(emb)
+    val base = emb
+      .select(col(id).as("c_id"), col(vec).cast("array<double>").as("v"))
+      .withColumn("b1", signBits(col("v"), 0, 32))
+      .withColumn("b2", signBits(col("v"), 32, 64))
+    val cand = base
+      .select(col("c_id"), col("v").as("c_vec"), col("b1"), col("b2"))
+      .withColumn("c_norm", sqrt(dotNative(col("c_vec"), col("c_vec"))))
+    // queryPred references the original column names → select query ids
+    // from the raw frame, then reuse base's packed bits via a join
+    val qq = emb.filter(queryPred).select(col(id).as("q_id"))
+      .join(base.withColumnRenamed("c_id", "q_id"), "q_id")
+      .select(col("q_id"), col("v").as("q_vec"),
+        col("b1").as("qb1"), col("b2").as("qb2"))
+      .withColumn("q_norm", sqrt(dotNative(col("q_vec"), col("q_vec"))))
+    val wShort = Window.partitionBy("q_id").orderBy(col("ham"), col("c_id"))
+    val wFinal = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    cand.crossJoin(broadcast(qq))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("ham",
+        bit_count(col("qb1").bitwiseXOR(col("b1"))) +
+          bit_count(col("qb2").bitwiseXOR(col("b2"))))
+      .withColumn("sl", row_number().over(wShort))
+      .filter(col("sl") <= k * overfetch)
+      .withColumn("cos",
+        round(dotNative(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6))
+      .withColumn("rn", row_number().over(wFinal))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"), col("rn").cast("int").as("rn"))
+  }
+
   /** k-nearest-neighbor GRAPH over the whole corpus — every vector gets
     * its top-k within-cell neighbors (IVF coarse cells bound the pair
     * space, the same blocking [[clusterDedup]] uses). The kNN graph is

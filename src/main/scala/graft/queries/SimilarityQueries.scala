@@ -790,5 +790,47 @@ object SimilarityQueries {
           "vec_id", "embedding", col("vec_id") % 50 === 0, tau = 0.3)
         .orderBy("q_id")
     },
+
+    // ---- binary (1-bit) quantized ANN: the extreme compression point of
+    //      the quantization family (s13 int8, s07 PQ) — per-dim sign bits
+    //      in two longs, Hamming shortlist via bit_count(xor), exact
+    //      cosine re-rank of the k·8 survivors. Sign bits and Hamming
+    //      counts are exact integers, so this compressed path has a
+    //      COMPLETE oracle (shortlist, re-rank, tie-breaks re-derived by
+    //      DuckDB from scratch — the s13 discipline at 1 bit/dim). ----
+    QueryDef("s26_ann_binary",
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |bits AS (SELECT vec_id, e,
+         |    CAST(list_sum(list_transform(range(1, 33),
+         |      i -> CASE WHEN i <= len(e) AND e[i] > 0
+         |           THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)) AS BIGINT) AS b1,
+         |    CAST(list_sum(list_transform(range(33, 65),
+         |      i -> CASE WHEN i <= len(e) AND e[i] > 0
+         |           THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE 0 END)) AS BIGINT) AS b2
+         |  FROM v),
+         |q AS (SELECT vec_id AS q_id, e AS qe, b1 AS qb1, b2 AS qb2
+         |      FROM bits WHERE vec_id % 50 = 0),
+         |short AS (
+         |  SELECT * FROM (
+         |    SELECT q.q_id, q.qe, d.vec_id AS c_id, d.e AS ce,
+         |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |        bit_count(xor(q.qb1, d.b1)) + bit_count(xor(q.qb2, d.b2)),
+         |        d.vec_id) AS sl
+         |    FROM q CROSS JOIN bits d WHERE d.vec_id <> q.q_id)
+         |  WHERE sl <= 40),
+         |fin AS (
+         |  SELECT q_id, c_id,
+         |    round(list_dot_product(qe, ce) /
+         |      (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))), 6) AS cos
+         |  FROM short)
+         |SELECT q_id, c_id, cos, CAST(rn AS INTEGER) AS rn FROM (
+         |  SELECT q_id, c_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+         |  FROM fin)
+         |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      Similarity.binaryTopK(Tables.embeddings(s, dir),
+          "vec_id", "embedding", col("vec_id") % 50 === 0, k = 5, overfetch = 8)
+        .orderBy("q_id", "rn")
+    },
   )
 }

@@ -401,4 +401,33 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(t => (t._1, t._2)) == Seq((0, 2L), (1, 2L)), s"got $got")
     assert(got.forall(_._3 == exp), s"expected $exp, got ${got.map(_._3)}")
   }
+
+  test("binaryTopK: identical vectors share sign bits and rank first; opposite signs repel") {
+    // 4-dim toys: v1 == v2 (Hamming 0 → rank 1 at cos 1.0); v3 = −v1
+    // (Hamming = #nonzero dims → last shortlist choice)
+    val pts = Seq(
+      (1L, Array(1f, -1f, 2f, -2f)), (2L, Array(1f, -1f, 2f, -2f)),
+      (3L, Array(-1f, 1f, -2f, 2f)), (4L, Array(1f, 1f, 2f, 2f))
+    ).toDF("vec_id", "embedding")
+    val got = graft.ext.Similarity.binaryTopK(pts, "vec_id", "embedding",
+        col("vec_id") === 1, k = 3)
+      .orderBy("rn").select("c_id", "cos", "rn")
+      .as[(Long, Double, Int)].collect().toSeq
+    assert(got.map(_._1) == Seq(2L, 4L, 3L), s"got $got")
+    assert(got.head._2 == 1.0 && got.last._2 == -1.0)
+  }
+
+  test("binaryTopK recall vs brute force on the real corpus (1 bit/dim, overfetch 8)") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val pred = col("vec_id") % 50 === 0
+    val exact = graft.ext.Similarity.bruteForceTopK(emb, "vec_id", "embedding", pred, k = 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val bin = graft.ext.Similarity.binaryTopK(emb, "vec_id", "embedding", pred, k = 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & bin).size.toDouble / exact.size
+    // 1-bit sketches are the coarsest member of the family — measured
+    // ~0.8+ here; the floor guards against a packing/Hamming bug, which
+    // craters recall to ~chance, not against honest quantization loss
+    assert(recall >= 0.6, s"binary ANN recall $recall < 0.6")
+  }
 }
