@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics as declarative join/agg rounds.
@@ -222,5 +223,58 @@ object Graph {
          |  JOIN r$rounds sb ON e.dst = sb.node
          |  GROUP BY 1)""".stripMargin
     (r0 +: rs :+ fin).mkString(",\n")
+  }
+
+  /** Synchronous label propagation — community detection, the density
+    * structure next to [[pageRank]]'s centrality, [[triangleCounts]]'
+    * cohesion, and [[kCore]]'s resilience (and distinct from connected
+    * COMPONENTS: a bridge edge joins components but rarely survives
+    * majority voting). Each round every node adopts its neighbours'
+    * MAJORITY label, ties to the smallest label; updates are synchronous
+    * (round r reads only round r−1) and the tie-break is total, so a
+    * fixed round count is fully deterministic — which is what makes the
+    * oracle possible (per-round CTEs, [[lpaRoundsSql]]) where classic
+    * async LPA is run-order-dependent.
+    *
+    * Per round: one equi-join edges⋈labels + a (node, label) count + a
+    * per-node argmax window on the count table — all keyed exchanges,
+    * lineage truncated per round. Expects both-directions edges.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var lbl = e.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint(true)
+    val w = Window.partitionBy(col("node"))
+      .orderBy(col("c").desc, col("lbl"))
+    for (_ <- 1 to rounds) {
+      lbl = e.join(lbl.select(col("node").as("dst"), col("lbl")), "dst")
+        .groupBy(col("src").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("node"), col("lbl"))
+        .localCheckpoint(true)
+    }
+    lbl.select(col("node"), col("lbl").as("community"))
+  }
+
+  /** The DuckDB-oracle twin of [[labelPropagation]] (the kCoreRoundsSql
+    * pattern): per-round CTEs over an `edges(src, dst)` CTE, emitting
+    * `lpa_final(node, community)`. QUALIFY keeps the per-node majority
+    * row — same (count desc, label asc) total order as the engine.
+    */
+  def lpaRoundsSql(rounds: Int): String = {
+    val l0 = "l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM edges)"
+    val ls = (1 to rounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |    SELECT e.src AS node, l.lbl AS lbl, count(*) AS c
+         |    FROM edges e JOIN l${i - 1} l ON l.node = e.dst
+         |    GROUP BY 1, 2)
+         |  QUALIFY row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) = 1)"""
+        .stripMargin
+    }
+    val fin = s"lpa_final AS (SELECT node, lbl AS community FROM l$rounds)"
+    (l0 +: ls :+ fin).mkString(",\n")
   }
 }

@@ -210,6 +210,30 @@ object PrepQueries {
         .orderBy("part")
     },
 
+    // ---- synchronous label-propagation communities: the DENSITY
+    //      structure next to q63's centrality, q84's cohesion, q102's
+    //      resilience — and distinct from connected components (a bridge
+    //      edge joins components but loses majority votes). Synchronous
+    //      rounds + total (count desc, label) tie-break make a fixed
+    //      round count fully deterministic, so the oracle replays the
+    //      recurrence from per-round CTEs (the q102 pattern) where
+    //      classic async LPA would be run-order-dependent. ----
+    QueryDef("q132_label_prop",
+      s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem),
+         |edges AS MATERIALIZED (SELECT a.item AS src, b.item AS dst
+         |          FROM li a JOIN li b ON a.g = b.g AND a.item <> b.item
+         |          GROUP BY 1, 2 HAVING count(*) >= 2),
+         |${Graph.lpaRoundsSql(3)}
+         |SELECT node AS part, community FROM lpa_final
+         |ORDER BY part""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("g"), col("l_partkey").as("item"))
+      val edges = Graph.coOccurrenceEdges(li, "g", "item", minSupport = 2)
+      Graph.labelPropagation(edges, rounds = 3)
+        .select(col("node").as("part"), col("community"))
+        .orderBy("part")
+    },
+
     // ---- deterministic "reservoir" sample: fixed k per group, ranked by
     //      a portable multiplicative hash (rand() is engine-specific; this
     //      is reproducible everywhere). Scale path: pre-filter on a hash

@@ -459,4 +459,60 @@ object GraftProps extends Properties("graft") {
       } yield (i.toLong, j.toLong)).toSet
       Prop(got == exp) :| s"got=$got exp=$exp"
     }
+
+  private val basketsGen: Gen[List[(Int, Int)]] =
+    Gen.choose(2, 8).flatMap(nb =>
+      Gen.listOfN(nb * 3, Gen.zip(Gen.choose(1, nb), Gen.choose(10, 16))))
+
+  property("basketRules: pair support bounded by item supports; lift identity holds") =
+    forAll(basketsGen) { rows =>
+      val df = rows.toDF("g", "item")
+      val nb = rows.map(_._1).distinct.size.toLong
+      val got = graft.ops.Mining.basketRules(df, "g", "item", minPairSupport = 1)
+        .select("pair_n", "cnt_a", "cnt_b", "conf_a_b", "lift")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4)))
+      Prop(got.forall { case (p, ca, cb, conf, lift) =>
+        p <= math.min(ca, cb) && ca <= nb && cb <= nb &&
+          conf == p.toDouble / ca &&
+          lift == (p * nb).toDouble / (ca * cb)
+      }) :| s"rows=$got nb=$nb"
+    }
+
+  private val calendarGen: Gen[List[Int]] =
+    Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, Gen.choose(1, 28)))
+
+  property("activityBitmap: popcount == active days; streak <= active <= span") =
+    forAll(calendarGen) { days =>
+      val df = days.map(d => (7L, f"2024-03-$d%02d 12:00:00"))
+        .toDF("user_id", "s")
+        .select(col("user_id"), col("s").cast("timestamp").as("ts"))
+      val r = graft.ops.Mining.activityBitmap(df, "user_id", "ts")
+        .select("bitmap", "active_days", "longest_streak")
+        .collect().head
+      val (bm, act, st) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val distinct = days.distinct.sorted
+      Prop(java.lang.Long.bitCount(bm) == act && act == distinct.size &&
+        st <= act && st >= 1 &&
+        st <= distinct.max - distinct.min + 1) :| s"bm=$bm act=$act st=$st days=$distinct"
+    }
+
+  private val lpaEdgesGen: Gen[List[(Long, Long)]] =
+    Gen.choose(2, 10).flatMap(n => Gen.listOfN(n * 2,
+      Gen.zip(Gen.choose(0L, 6L), Gen.choose(0L, 6L)).suchThat(p => p._1 != p._2)))
+
+  property("labelPropagation: labels are member node ids; uniform edge duplication is a no-op") =
+    forAll(lpaEdgesGen) { es =>
+      // symmetrize (the op's contract) and run 2 rounds
+      val sym = (es ++ es.map(_.swap)).distinct
+      val df = sym.toDF("src", "dst")
+      val got = graft.ops.Graph.labelPropagation(df, rounds = 2)
+        .as[(Long, Long)].collect().toMap
+      val nodes = sym.map(_._1).toSet
+      val doubled = graft.ops.Graph
+        .labelPropagation(df.union(df), rounds = 2)
+        .as[(Long, Long)].collect().toMap
+      Prop(got.keySet == nodes && got.values.toSet.subsetOf(nodes) &&
+        doubled == got) :| s"got=$got doubled=$doubled"
+    }
 }

@@ -223,4 +223,25 @@ class PrepSpec extends SparkSpec {
       .as[(Long, Int)].collect().toSeq
     assert(at2 == at8, s"$at2 vs $at8")
   }
+
+  test("labelPropagation: two triangles bridged by one edge keep distinct communities") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6} + bridge 3-4: majority voting inside
+    // each triangle beats the single bridge vote — communities stay
+    // separate where connected components would merge them
+    val und = Seq((1L,2L),(1L,3L),(2L,3L),(4L,5L),(4L,6L),(5L,6L),(3L,4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = graft.ops.Graph.labelPropagation(edges, rounds = 3)
+      .orderBy("node").as[(Long, Long)].collect().toMap
+    val left = Set(1L, 2L, 3L).map(got)
+    val right = Set(4L, 5L, 6L).map(got)
+    assert(left.size == 1 && right.size == 1, s"got $got")
+    assert(left != right, s"bridge merged the communities: $got")
+    // while connectedComponents DOES merge them — the structural contrast
+    val comp = graft.ext.Dedup.connectedComponents(
+        edges.select(col("src").as("id_a"), col("dst").as("id_b")),
+        col("id_a"), col("id_b"))
+      .select("component").distinct().count()
+    assert(comp == 1L)
+  }
 }
