@@ -325,6 +325,32 @@ object ScaleCheck {
       s"disjoint-copy k-core degrees identical: $coreMismatch mismatches")
     val tKcore = (System.nanoTime() - t3c) / 1e9
 
+    // ---------- q132-shape: label propagation at scale ----------
+    // same mult-disjoint-copy graph: LPA is purely neighbourhood-local,
+    // so each copy's (node, community) table must reproduce copy 0 with
+    // the community label offset by the copy's id shift — an integer
+    // equality (the q84/q102 discipline), bit-exact or broken.
+    val tLp0 = System.nanoTime()
+    val lpa = graft.ops.Graph.labelPropagation(edges, rounds = 3)
+      .localCheckpoint()
+    val lpa0 = lpa.filter(col("node") < 10_000_000L)
+      .select(col("node").as("n0"), col("community").as("c0"))
+      .localCheckpoint()
+    val lpa0N = lpa0.count()
+    check(lpa0N > 0, s"copy-0 LPA non-empty: $lpa0N")
+    val lpaMismatch = (1 until mult).map { i =>
+      lpa.filter(col("node") >= i * 10_000_000L &&
+          col("node") < (i + 1) * 10_000_000L)
+        .select((col("node") - lit(i * 10_000_000L)).as("n0"),
+          (col("community") - lit(i * 10_000_000L)).as("ci"))
+        .join(lpa0, Seq("n0"), "full_outer")
+        .filter(col("ci").isNull || col("c0").isNull || col("ci") =!= col("c0"))
+        .count()
+    }.maxOption.getOrElse(0L)
+    check(lpaMismatch == 0L,
+      s"disjoint-copy LPA communities identical (mod offset): $lpaMismatch mismatches")
+    val tLpa = (System.nanoTime() - tLp0) / 1e9
+
     // ---------- s14/s15-shape: stored-index IVF-PQ at scale ----------
     // the deployment geometry: IVF assignment persisted PARTITIONED BY
     // cell + PQ codebooks/codes persisted once; the probe scan must read
@@ -599,6 +625,7 @@ object ScaleCheck {
     out ++= f""""t_pagerank_sec":$tPr%.1f,"t_triangles_sec":$tTri%.1f,"t_ivfpq_sec":$tIvfPq%.1f,"t_bfs_sec":$tBfs%.1f,"""
     out ++= f""""t_hilbert_sec":$tHilbert%.1f,"hilbert_parts":${hParts.length},"t_mips_sec":$tMips%.1f,"mips_rows":$nMips,"""
     out ++= f""""t_kcore_sec":$tKcore%.1f,"kcore_total":$coreTotal,"kcore_copy_mismatch":$coreMismatch,"""
+    out ++= f""""t_lpa_sec":$tLpa%.1f,"lpa_nodes":${lpa0N * mult},"lpa_copy_mismatch":$lpaMismatch,"""
     out ++= f""""t_pca_sec":$tPca%.1f,"pca_copy_diff":$pcaDiff%.2e,"""
     out ++= f""""t_prefix_sec":$tPrefix%.1f,"prefix_pairs":$nPf,"prefix_hot":$hotPf,"""
     out ++= f""""t_mutual_sec":$tMutual%.1f,"mutual_pairs":$nMnn,"mutual_groups":$nZeroGroups,"""

@@ -515,6 +515,40 @@ object PipelineQueries {
         .orderBy("fd")
     },
 
+    // ---- incremental materialized-view maintenance (the delta rule for
+    //      an aggregated join view): V = Σ(lineitem ⋈ orders) by
+    //      priority, maintained as base-partition aggregate + delta-
+    //      partition aggregate + exact decimal re-combine — the engine
+    //      NEVER recomputes the base from scratch. The ORACLE computes
+    //      the view directly from the full join, so the hash match IS the
+    //      proof that the incremental path reproduces the full rebuild
+    //      (decimal partials combine exactly in any order — the same
+    //      property that makes the merge correct on a real stream of
+    //      deltas). q54 is the agg-only sibling; this adds the join leg:
+    //      ΔV = agg(A ⋈ ΔB), merged = combine(V_base, ΔV). ----
+    QueryDef("q134_incremental_join_view",
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val cutoff = "1997-01-01"
+      def leg(ordersSlice: org.apache.spark.sql.DataFrame) =
+        li.join(ordersSlice.select(col("o_orderkey"), col("o_orderpriority")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).as("__rev"))
+      val base = leg(o.filter(col("o_orderdate") < cutoff))
+      val delta = leg(o.filter(col("o_orderdate") >= cutoff))
+      base.unionByName(delta)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("n_lines")).as("n_lines"),
+          sum(col("__rev")).cast("double").as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+
     // ---- one-pass table profiler ("DESCRIBE at scale"): per column, row
     //      count / nulls / EXACT distinct count / min-max — the first
     //      query anyone runs against an unknown 100 TB table. ONE scan:

@@ -264,5 +264,29 @@ object SubqueryQueries {
           |WHERE o_totalprice > big_thr
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     },
+
+    // ---- EXECUTE IMMEDIATE (dynamic SQL) — the third leg of the
+    //      scripting family (q88 typed parameter binding, q131 session
+    //      variables): SQL text assembled at runtime, parameters passed
+    //      via USING so values reach Catalyst as TYPED literals, never
+    //      string splices (the injection-safe dynamic-SQL discipline).
+    //      Here the query text itself comes from a variable — the
+    //      metadata-driven-report shape. ----
+    QueryDef("q133_execute_immediate",
+      """SELECT c_mktsegment, count(*) AS n_cust,
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS bal
+        |FROM customer
+        |WHERE c_acctbal > 1000.0
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("DECLARE OR REPLACE VARIABLE report_sql STRING")
+      s.sql(
+        """SET VAR report_sql =
+          |  'SELECT c_mktsegment, count(*) AS n_cust,
+          |     round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS bal
+          |   FROM customer WHERE c_acctbal > ?
+          |   GROUP BY c_mktsegment ORDER BY c_mktsegment'""".stripMargin)
+      s.sql("EXECUTE IMMEDIATE report_sql USING 1000.0")
+    },
   )
 }
