@@ -139,11 +139,19 @@ object IVF {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val centroids = kmeansCentroids(emb, id, vec, cells, iters)
     val v = emb.select(col(id).as("vid"), col(vec).cast("array<double>").as("v"))
-    val assigned = assignCells(v, centroids)
+    ivfTopKWith(centroids, assignCells(v, centroids),
+      emb.filter(queryPred)
+        .select(col(id).as("q_id"), col(vec).cast("array<double>").as("q_vec")),
+      k, nprobe)
+  }
 
-    // nprobe nearest cells per query vector
-    val q = emb.filter(queryPred)
-      .select(col(id).as("q_id"), col(vec).cast("array<double>").as("q_vec"))
+  /** [[ivfTopK]] against a PRE-TRAINED quantizer: caller supplies the
+    * centroid table, the assigned corpus, and the query vectors — the
+    * shape a parameter sweep (s27) or a stored-index deployment uses, so
+    * k-means trains once however many probe configurations run.
+    */
+  def ivfTopKWith(centroids: DataFrame, assigned: DataFrame, q: DataFrame,
+                  k: Int, nprobe: Int): DataFrame = {
     val dq = dotNative(col("q_vec"), col("q_vec")) - lit(2.0) * dotNative(col("q_vec"), col("c")) +
       dotNative(col("c"), col("c"))
     val wp = Window.partitionBy("q_id").orderBy(col("d2"), col("cell"))

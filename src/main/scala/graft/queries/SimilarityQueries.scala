@@ -832,5 +832,97 @@ object SimilarityQueries {
           "vec_id", "embedding", col("vec_id") % 50 === 0, k = 5, overfetch = 8)
         .orderBy("q_id", "rn")
     },
+
+    // ---- IVF recall-vs-nprobe sweep — the ANN EVALUATION harness as a
+    //      first-class query (t46 is the text-side twin): recall@5 of the
+    //      IVF probe at nprobe ∈ {1, 2, 4} against the exact brute-force
+    //      truth, as exact hit counts + one final division. FULLY
+    //      oracled: DuckDB re-derives the cell assignment AND the probe
+    //      ranking from the staged centroid table (the s09 argmin), the
+    //      per-nprobe IVF top-k, the brute-force truth, and the hit
+    //      counts — the entire accuracy/cost tradeoff curve is
+    //      re-computed from scratch; only the centroid VALUES are
+    //      engine-trusted. ----
+    QueryDef("s27_ivf_recall", {
+      def nprobeSql(p: Int): String =
+        s"""qc$p AS (SELECT q_id, cell FROM qcellrank WHERE rn <= $p),
+           |ivf$p AS (SELECT q_id, c_id FROM (
+           |  SELECT q.q_id, a.vid AS c_id,
+           |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+           |      round(list_dot_product(q.qe, c.e) /
+           |        (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.e, c.e))), 6)
+           |        DESC, a.vid) AS rn
+           |  FROM qv q JOIN qc$p ON qc$p.q_id = q.q_id
+           |       JOIN assign a ON a.cell = qc$p.cell
+           |       JOIN v c ON c.vec_id = a.vid
+           |  WHERE a.vid <> q.q_id) WHERE rn <= 5),
+           |hit$p AS (SELECT count(*) AS h FROM ivf$p i
+           |          JOIN brute b ON b.q_id = i.q_id AND b.c_id = i.c_id)"""
+          .stripMargin
+      s"""WITH cents AS (SELECT cell, list(value ORDER BY pos) AS c
+         |  FROM read_parquet('${ClimateQueries.OutToken}/_staged_ivf_centroids/*.parquet')
+         |  GROUP BY cell),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |assign AS (SELECT vec_id AS vid, cell FROM (
+         |  SELECT v.vec_id, cents.cell,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      list_dot_product(v.e, v.e) - 2.0 * list_dot_product(v.e, cents.c)
+         |        + list_dot_product(cents.c, cents.c), cents.cell) AS rn
+         |  FROM v CROSS JOIN cents) WHERE rn = 1),
+         |qv AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id % 50 = 0),
+         |qcellrank AS (
+         |  SELECT q.q_id, cents.cell,
+         |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |      list_dot_product(q.qe, q.qe) - 2.0 * list_dot_product(q.qe, cents.c)
+         |        + list_dot_product(cents.c, cents.c), cents.cell) AS rn
+         |  FROM qv q CROSS JOIN cents),
+         |brute AS (SELECT q_id, c_id FROM (
+         |  SELECT q.q_id, c.vec_id AS c_id,
+         |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |      round(list_dot_product(q.qe, c.e) /
+         |        (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.e, c.e))), 6)
+         |        DESC, c.vec_id) AS rn
+         |  FROM qv q CROSS JOIN v c WHERE c.vec_id <> q.q_id) WHERE rn <= 5),
+         |nq AS (SELECT count(*) AS n FROM qv),
+         |${nprobeSql(1)},
+         |${nprobeSql(2)},
+         |${nprobeSql(4)}
+         |SELECT * FROM (
+         |  SELECT 1 AS nprobe, nq.n AS n_queries, hit1.h AS n_hits,
+         |    CAST(hit1.h AS DOUBLE) / (5 * nq.n) AS recall
+         |  FROM nq CROSS JOIN hit1
+         |  UNION ALL SELECT 2, nq.n, hit2.h, CAST(hit2.h AS DOUBLE) / (5 * nq.n)
+         |  FROM nq CROSS JOIN hit2
+         |  UNION ALL SELECT 4, nq.n, hit4.h, CAST(hit4.h AS DOUBLE) / (5 * nq.n)
+         |  FROM nq CROSS JOIN hit4)
+         |ORDER BY nprobe""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val pred = col("vec_id") % 50 === 0
+      val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", pred, k = 5)
+        .select(col("q_id"), col("c_id")).localCheckpoint()
+      val nq = emb.filter(pred).agg(count(lit(1)).as("n_queries"))
+      // train ONCE for the whole sweep (ivfTopKWith): the quantizer and
+      // corpus assignment are nprobe-independent — only the probe set and
+      // rank rerun per configuration
+      val cents = graft.ext.IVF.kmeansCentroids(emb, "vec_id", "embedding",
+        k = 8, iters = 3)
+      val assigned = graft.ext.IVF.assignCells(
+          emb.select(col("vec_id").as("vid"),
+            col("embedding").cast("array<double>").as("v")), cents)
+        .localCheckpoint()
+      val q = emb.filter(pred).select(col("vec_id").as("q_id"),
+        col("embedding").cast("array<double>").as("q_vec"))
+      Seq(1, 2, 4).map { p =>
+        val hits = graft.ext.IVF.ivfTopKWith(cents, assigned, q, k = 5, nprobe = p)
+          .select(col("q_id"), col("c_id"))
+          .join(brute, Seq("q_id", "c_id"))
+          .agg(count(lit(1)).as("n_hits"))
+        nq.crossJoin(hits)
+          .select(lit(p).as("nprobe"), col("n_queries"), col("n_hits"),
+            (col("n_hits").cast("double") / (lit(5) * col("n_queries")))
+              .as("recall"))
+      }.reduce(_ unionByName _).orderBy("nprobe")
+    },
   )
 }

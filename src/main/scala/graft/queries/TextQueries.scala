@@ -1356,6 +1356,69 @@ object TextQueries {
       TextOps.bpeTrainRounds(Tables.documents(s, dir), col("text"), rounds = 3)
         .orderBy("round")
     },
+
+    // ---- LSH blocking quality report — the dedup EVALUATION harness as
+    //      a first-class query: candidate-stage precision (how much
+    //      verify work the bands waste) and recall (what the bands miss)
+    //      against the exact all-pairs τ≥0.5 truth. Fully oracled: the
+    //      candidate set re-derives from the staged band table (the t30
+    //      path) and the truth set from the t06 exact-Jaccard derivation,
+    //      so BOTH sides of the confusion are DuckDB-recomputed — only
+    //      the murmur3 band values stay engine-trusted. Ratios are single
+    //      divisions of exact counts. ----
+    QueryDef("t46_lsh_eval",
+      s"""WITH bands AS (SELECT doc, band, bucket
+         |  FROM read_parquet('${ClimateQueries.OutToken}/_staged_lsh_bands/*.parquet')),
+         |capped AS (SELECT doc, band, bucket FROM (
+         |    SELECT doc, band, bucket,
+         |      count(*) OVER (PARTITION BY band, bucket) AS bsz
+         |    FROM bands) WHERE bsz <= 1000),
+         |cand AS (SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+         |  FROM capped a JOIN capped b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc),
+         |docs AS (SELECT doc_id,
+         |           regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+         |         FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, len(w) - 1),
+         |                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+         |  FROM docs),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |tpairs AS (
+         |  SELECT i.id_a, i.id_b FROM inter i
+         |  JOIN sizes sa ON sa.doc_id = i.id_a
+         |  JOIN sizes sb ON sb.doc_id = i.id_b
+         |  WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.5),
+         |nums AS (SELECT
+         |  (SELECT count(*) FROM cand) AS n_cand,
+         |  (SELECT count(*) FROM tpairs) AS n_truth,
+         |  (SELECT count(*) FROM cand c JOIN tpairs t
+         |     ON t.id_a = c.id_a AND t.id_b = c.id_b) AS n_hit)
+         |SELECT n_cand, n_truth, n_hit,
+         |  CAST(n_hit AS DOUBLE) / n_cand AS precision,
+         |  CAST(n_hit AS DOUBLE) / n_truth AS recall
+         |FROM nums""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val cands = Dedup.lshCandidates(docs, col("doc_id"), col("text"))
+        .localCheckpoint()
+      val truth = Dedup.jaccardPairs(docs, col("doc_id"), col("text"))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint()
+      val nCand = cands.agg(count(lit(1)).as("n_cand"))
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      val nHit = cands.join(truth, Seq("id_a", "id_b"))
+        .agg(count(lit(1)).as("n_hit"))
+      nCand.crossJoin(nTruth).crossJoin(nHit)
+        .select(col("n_cand"), col("n_truth"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_cand")).as("precision"),
+          (col("n_hit").cast("double") / col("n_truth")).as("recall"))
+    },
   )
 
   /** One BPE round as DuckDB CTEs (mirrors [[graft.ext.TextOps
