@@ -116,7 +116,10 @@ object Bench {
       "q67_weighted_mean_udaf", "s14_ann_ivfpq", "m04_frame_chunk_dedup",
       "q74_scalar_subquery", "q77_recursive_reach", "s15_ann_pq_stored",
       "s16_hybrid_rrf", "t32_bm25_topk", "st05_stream_stream_join",
-      "q88_param_binding", "st07_funnel_chain", "t34_pmi_collocations")
+      "q88_param_binding", "st07_funnel_chain", "t34_pmi_collocations",
+      "q123_market_basket", "q127_hash_walks", "q129_table_profile",
+      "q132_label_prop", "t43_sorted_neighborhood", "t45_bpe_train",
+      "s26_ann_binary", "s27_ivf_recall")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"),
       jsonLine(results.toSeq.sortBy(_._1)))

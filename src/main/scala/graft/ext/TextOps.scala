@@ -686,4 +686,41 @@ object TextOps {
     import spark.implicits._
     out.result().toDF("round", "merged_pair", "pair_count")
   }
+
+  /** BPE ENCODE — [[bpeTrainRounds]]'s apply step: learn `rounds` merges
+    * on the corpus, apply them to every document, and report per-doc
+    * token counts before/after. The merge loop is identical to training
+    * (same corpus-wide statistics — the learned rules, not per-doc ones)
+    * but carries doc_id through, so the final count groups back to
+    * documents. Returns (doc_id, n_tokens_raw, n_tokens_bpe):
+    * n_tokens_raw = character count of the trainable words, n_tokens_bpe
+    * = tokens after the merges — the compression a tokenizer buys.
+    */
+  def bpeEncode(df: DataFrame, id: Column, text: Column,
+                rounds: Int): DataFrame = {
+    var cur = df.select(id.as("doc_id"), explode(words(text)).as("wd"))
+      .filter(col("wd").rlike("^[a-z]+$") && length(col("wd")) >= 2)
+      .select(col("doc_id"), concat(lit(" "),
+        trim(regexp_replace(col("wd"), "(.)", "$1 ")), lit(" ")).as("s"))
+      .localCheckpoint()
+    for (r <- 1 to rounds) {
+      val top = cur.select(split(trim(col("s")), " ").as("t"))
+        .select(explode(Dedup.gramsOfWords(col("t"), 2)).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1).collect()(0)
+      val pair = top.getString(0)
+      cur = cur.select(col("doc_id"), call_function("replace", col("s"),
+        lit(" " + pair + " "),
+        lit(" " + pair.replace(" ", "") + " ")).as("s"))
+        .localCheckpoint()
+    }
+    cur.select(col("doc_id"),
+        size(split(trim(col("s")), " ")).cast("long").as("n_bpe"),
+        (length(call_function("replace", col("s"), lit(" "), lit(""))))
+          .cast("long").as("n_chars"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_chars")).as("n_tokens_raw"),
+        sum(col("n_bpe")).as("n_tokens_bpe"))
+  }
 }

@@ -1347,7 +1347,7 @@ object TextQueries {
          |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS wd
          |        FROM documents)
          |  WHERE len(wd) >= 2 AND regexp_full_match(wd, '[a-z]+')),
-         |${(1 to 3).map(bpeRoundSql).mkString(",\n")}
+         |${(1 to 3).map(r => bpeRoundSql(r)).mkString(",\n")}
          |SELECT * FROM (
          |  SELECT 1 AS round, pair AS merged_pair, cnt AS pair_count FROM t1
          |  UNION ALL SELECT 2, pair, cnt FROM t2
@@ -1355,6 +1355,30 @@ object TextQueries {
          |ORDER BY round""".stripMargin) { (s, dir) =>
       TextOps.bpeTrainRounds(Tables.documents(s, dir), col("text"), rounds = 3)
         .orderBy("round")
+    },
+
+    // ---- BPE ENCODE — t45's apply step: learn the 3 merges on the
+    //      corpus, apply them to every document, report per-doc token
+    //      counts before/after (the compression a tokenizer buys). The
+    //      oracle replays train AND apply from the same per-round CTEs
+    //      carrying doc_id, so a wrong merge application on any single
+    //      document flips its row. ----
+    QueryDef("t47_bpe_encode",
+      s"""WITH w0 AS (
+         |  SELECT doc_id,
+         |    ' ' || trim(regexp_replace(wd, '(.)', '\\1 ', 'g')) || ' ' AS s
+         |  FROM (SELECT doc_id,
+         |          unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS wd
+         |        FROM documents)
+         |  WHERE len(wd) >= 2 AND regexp_full_match(wd, '[a-z]+')),
+         |${(1 to 3).map(r => bpeRoundSql(r, carryDoc = true)).mkString(",\n")}
+         |SELECT doc_id,
+         |  CAST(sum(len(replace(s, ' ', ''))) AS BIGINT) AS n_tokens_raw,
+         |  CAST(sum(len(regexp_split_to_array(trim(s), ' '))) AS BIGINT) AS n_tokens_bpe
+         |FROM w3 GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextOps.bpeEncode(Tables.documents(s, dir), col("doc_id"), col("text"),
+          rounds = 3)
+        .orderBy("doc_id")
     },
 
     // ---- LSH blocking quality report — the dedup EVALUATION harness as
@@ -1424,10 +1448,13 @@ object TextQueries {
   /** One BPE round as DuckDB CTEs (mirrors [[graft.ext.TextOps
     * .bpeTrainRounds]]'s loop body term for term): count positional
     * adjacent token pairs over w{i-1}, pick the (count desc, pair) top,
-    * merge it with the sentinel-delimited replace.
+    * merge it with the sentinel-delimited replace. `carryDoc` keeps the
+    * doc_id column through the merge chain (t47's encode needs it; t45's
+    * train table doesn't).
     */
-  private def bpeRoundSql(r: Int): String = {
+  private def bpeRoundSql(r: Int, carryDoc: Boolean = false): String = {
     val prev = s"w${r - 1}"
+    val docCol = if (carryDoc) "doc_id, " else ""
     s"""p$r AS (SELECT pair, count(*) AS cnt FROM (
        |  SELECT unnest(list_transform(range(1, len(t)),
        |    i -> t[i] || ' ' || t[i+1])) AS pair
@@ -1435,7 +1462,7 @@ object TextQueries {
        |  GROUP BY 1),
        |t$r AS (SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM p$r
        |        ORDER BY cnt DESC, pair LIMIT 1),
-       |w$r AS (SELECT replace(s, ' ' || (SELECT pair FROM t$r) || ' ',
+       |w$r AS (SELECT ${docCol}replace(s, ' ' || (SELECT pair FROM t$r) || ' ',
        |          ' ' || replace((SELECT pair FROM t$r), ' ', '') || ' ') AS s
        |        FROM $prev)""".stripMargin
   }
