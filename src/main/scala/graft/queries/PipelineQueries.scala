@@ -515,6 +515,59 @@ object PipelineQueries {
         .orderBy("fd")
     },
 
+    // ---- dimension coverage / referential-integrity audit: for each
+    //      dimension←fact FK, how many dim rows are actually referenced,
+    //      how many fact keys are orphans (missing from the dim), and the
+    //      coverage ratio — the data-ops report next to q119's FDs and
+    //      q56's row rules. Each leg is one distinct-reduce of the fact
+    //      key + two semi/anti joins against the dim key (broadcast-sized
+    //      key sets); adding an FK adds a leg, never a rescan of another
+    //      fact. ----
+    QueryDef("q135_dim_coverage", {
+      def leg(name: String, dim: String, dk: String, fact: String,
+              fk: String): String =
+        s"""SELECT '$name' AS fk, (SELECT count(*) FROM $dim) AS n_dim,
+           |  (SELECT count(*) FROM (SELECT DISTINCT $dk FROM $dim
+           |     WHERE $dk IN (SELECT $fk FROM $fact))) AS n_referenced,
+           |  (SELECT count(*) FROM (SELECT DISTINCT $fk FROM $fact
+           |     WHERE $fk NOT IN (SELECT $dk FROM $dim))) AS n_orphan_keys,
+           |  CAST((SELECT count(*) FROM (SELECT DISTINCT $dk FROM $dim
+           |     WHERE $dk IN (SELECT $fk FROM $fact))) AS DOUBLE)
+           |    / (SELECT count(*) FROM $dim) AS coverage
+           |FROM (VALUES (1)) t(x)""".stripMargin
+      Seq(
+        leg("orders.o_custkey->customer", "customer", "c_custkey", "orders", "o_custkey"),
+        leg("lineitem.l_orderkey->orders", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+        leg("lineitem.l_partkey->part", "part", "p_partkey", "lineitem", "l_partkey"),
+        leg("lineitem.l_suppkey->supplier", "supplier", "s_suppkey", "lineitem", "l_suppkey"),
+      ).mkString("", "\nUNION ALL\n", "\nORDER BY fk")
+    }) { (s, dir) =>
+      def leg(name: String, dim: org.apache.spark.sql.DataFrame, dk: String,
+              fact: org.apache.spark.sql.DataFrame, fk: String) = {
+        val keys = fact.select(col(fk).as("__k")).distinct().localCheckpoint()
+        val nDim = dim.agg(count(lit(1)).as("n_dim"))
+        val nRef = dim.join(keys, dim(dk) === col("__k"), "left_semi")
+          .agg(count(lit(1)).as("n_referenced"))
+        val nOrphan = keys.join(dim, dim(dk) === col("__k"), "left_anti")
+          .agg(count(lit(1)).as("n_orphan_keys"))
+        nDim.crossJoin(nRef).crossJoin(nOrphan)
+          .select(lit(name).as("fk"), col("n_dim"), col("n_referenced"),
+            col("n_orphan_keys"),
+            (col("n_referenced").cast("double") / col("n_dim")).as("coverage"))
+      }
+      val li = Tables.lineitem(s, dir)
+      Seq(
+        leg("orders.o_custkey->customer", Tables.customer(s, dir), "c_custkey",
+          Tables.orders(s, dir), "o_custkey"),
+        leg("lineitem.l_orderkey->orders", Tables.orders(s, dir), "o_orderkey",
+          li, "l_orderkey"),
+        leg("lineitem.l_partkey->part", Tables.part(s, dir), "p_partkey",
+          li, "l_partkey"),
+        leg("lineitem.l_suppkey->supplier", Tables.supplier(s, dir), "s_suppkey",
+          li, "l_suppkey"),
+      ).reduce(_ unionByName _).orderBy("fk")
+    },
+
     // ---- incremental materialized-view maintenance (the delta rule for
     //      an aggregated join view): V = Σ(lineitem ⋈ orders) by
     //      priority, maintained as base-partition aggregate + delta-

@@ -1357,6 +1357,41 @@ object TextQueries {
         .orderBy("round")
     },
 
+    // ---- language-ID classifier evaluation — the eval-harness family
+    //      (t46 LSH, s27 IVF) applied to t03's classifier against the
+    //      labeled lang column: the full confusion matrix plus per-true-
+    //      class row fractions (recall on the diagonal). Exact counts +
+    //      single divisions; the oracle re-derives prediction AND
+    //      confusion from scratch. ----
+    QueryDef("t48_langid_eval",
+      s"""WITH pred AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(list_filter($duckWords, w -> w IN ('the','a','of','and','is'))) AS INTEGER) AS score_en,
+         |    CAST(len(list_filter($duckWords, w -> w IN ('der','die','das','und','ist'))) AS INTEGER) AS score_de,
+         |    CAST(len(list_filter($duckWords, w -> w IN ('el','los','las','es','y'))) AS INTEGER) AS score_es,
+         |    CAST(len(list_filter($duckWords, w -> w IN ('le','les','des','est','et'))) AS INTEGER) AS score_fr,
+         |    CAST(len(list_filter($duckWords, w -> w IN ('的','是','了','在','和'))) AS INTEGER) AS score_zh,
+         |    CASE
+         |      WHEN score_en + score_de + score_es + score_fr + score_zh = 0 THEN 'und'
+         |      WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+         |      WHEN score_de >= score_es AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+         |      WHEN score_es >= score_fr AND score_es >= score_zh THEN 'es'
+         |      WHEN score_fr >= score_zh THEN 'fr'
+         |      ELSE 'zh' END AS predicted
+         |  FROM documents),
+         |cm AS (SELECT lang, predicted, count(*) AS n FROM pred GROUP BY 1, 2)
+         |SELECT lang, predicted, n,
+         |  CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang) AS frac
+         |FROM cm ORDER BY lang, predicted""".stripMargin) { (s, dir) =>
+      val cm = Tables.documents(s, dir)
+        .select(col("lang"), TextOps.langPredict(col("text")).as("predicted"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+      val wl = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      cm.withColumn("frac", col("n").cast("double") / sum(col("n")).over(wl))
+        .orderBy("lang", "predicted")
+    },
+
     // ---- BPE ENCODE — t45's apply step: learn the 3 merges on the
     //      corpus, apply them to every document, report per-doc token
     //      counts before/after (the compression a tokenizer buys). The
