@@ -497,6 +497,29 @@ object GraftProps extends Properties("graft") {
         st <= distinct.max - distinct.min + 1) :| s"bm=$bm act=$act st=$st days=$distinct"
     }
 
+  private val profGen: Gen[List[(Option[Long], Option[String])]] =
+    Gen.choose(1, 20).flatMap(n => Gen.listOfN(n, Gen.zip(
+      Gen.option(Gen.choose(-5L, 5L)),
+      Gen.option(Gen.oneOf("x", "y", "z")))))
+
+  property("tableProfile matches a driver-side profile on random null-ridden frames") =
+    forAll(profGen) { rows =>
+      val df = rows.toDF("a", "s")
+      val got = graft.ops.Maintenance
+        .tableProfile(df, numericCols = Seq("a"), stringCols = Seq("s"))
+        .orderBy("col_name")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      val as = rows.map(_._1)
+      val ss = rows.map(_._2)
+      val exp = Seq(
+        ("a", rows.size.toLong, as.count(_.isEmpty).toLong,
+          as.flatten.distinct.size.toLong),
+        ("s", rows.size.toLong, ss.count(_.isEmpty).toLong,
+          ss.flatten.distinct.size.toLong))
+      Prop(got == exp) :| s"got=$got exp=$exp"
+    }
+
   private val lpaEdgesGen: Gen[List[(Long, Long)]] =
     Gen.choose(2, 10).flatMap(n => Gen.listOfN(n * 2,
       Gen.zip(Gen.choose(0L, 6L), Gen.choose(0L, 6L)).suchThat(p => p._1 != p._2)))

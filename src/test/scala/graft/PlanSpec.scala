@@ -633,4 +633,29 @@ class PlanSpec extends SparkSpec {
       assert(!plan.contains("Join"), s"$name needs no join:\n$plan")
     }
   }
+
+  test("s26 binary ANN: query side broadcasts, corpus never sort-merge-shuffles") {
+    val plan = SparkEntry.queries("s26_ann_binary")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q135 FK audit: every leg is a semi or anti join — never an inner materialization") {
+    val plan = SparkEntry.queries("q135_dim_coverage")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("SortMergeJoin Inner") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("t43 sorted-neighborhood: the rank window partitions per block — no global sort window") {
+    // candidates come from a Window partitioned by the block key;
+    // an unpartitioned window would read "Window [...] Sort [... ASC NULLS
+    // FIRST], false" with an Exchange SinglePartition under it
+    val plan = SparkEntry.queries("t43_sorted_neighborhood")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
