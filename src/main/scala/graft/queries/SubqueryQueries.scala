@@ -288,5 +288,21 @@ object SubqueryQueries {
           |   GROUP BY c_mktsegment ORDER BY c_mktsegment'""".stripMargin)
       s.sql("EXECUTE IMMEDIATE report_sql USING 1000.0")
     },
+
+    // ---- INTERVAL-typed RANGE frame — the time-based sliding window a
+    //      SQL user writes directly (q37 is the epoch-day arithmetic
+    //      twin; q112's explode form is the COUNT(DISTINCT) workaround):
+    //      a true event-time frame over the raw timestamp column, peers
+    //      grouped by RANGE semantics. The window sum runs in DECIMAL so
+    //      the frame arithmetic is order-independent; identical SQL text
+    //      runs on both engines. ----
+    sqlQuery("q136_interval_frame",
+      """SELECT user_id, event_id,
+        |  count(*) OVER w AS n_7d,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_7d
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin),
   )
 }
