@@ -214,6 +214,40 @@ object Multimodal {
         (sum(col("__c")).cast("double") / count(lit(1))).as("zcr"))
   }
 
+  /** Delta-encoding feasibility audit over 16-bit PCM samples — the
+    * compression primitive every audio/timeseries codec starts from:
+    * per clip, the max/mean absolute successive difference and the bit
+    * width the deltas actually need (`length(bin(max))` — an exact
+    * string-length computation, no log2 float boundary). A clip whose
+    * `delta_bits` ≪ 16 delta-encodes profitably; the mean is an exact
+    * integer ratio. Same 4-byte-read projection shape as
+    * [[wavZeroCrossings]] — no lag window, no per-clip sort.
+    * Returns (id, n_deltas, max_abs_delta, mean_abs_delta, delta_bits).
+    */
+  def wavDeltaAudit(df: DataFrame, id: Column, media: Column): DataFrame = {
+    val ns = (leInt(media, 41, 4) / lit(2)).cast("long")
+    val byteAt = (pos: Column) =>
+      conv(hex(col("__m").substr(pos, lit(1))), 16, 10).cast("long")
+    def signed(u: Column): Column =
+      u - when(u >= 32768, 65536L).otherwise(0L)
+    df.select(id.as("id"), media.as("__m"), ns.as("__ns"))
+      .filter(col("__ns") > 1)
+      .select(col("id"), col("__m"),
+        explode(sequence(lit(1L), col("__ns") - 1)).as("__i"))
+      .withColumn("__u", signed(
+        byteAt(lit(46) + col("__i") * 2) * 256 +
+          byteAt(lit(45) + col("__i") * 2)))
+      .withColumn("__v", signed(
+        byteAt(lit(44) + col("__i") * 2) * 256 +
+          byteAt(lit(43) + col("__i") * 2)))
+      .withColumn("__d", abs(col("__u") - col("__v")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_deltas"),
+        max(col("__d")).as("max_abs_delta"),
+        (sum(col("__d")).cast("double") / count(lit(1))).as("mean_abs_delta"),
+        length(bin(max(col("__d")))).cast("int").as("delta_bits"))
+  }
+
   // ---------- perceptual hashing (aHash) ----------
 
   /** One 16-bit chunk of the 64-bit average hash, emitted ONCE as

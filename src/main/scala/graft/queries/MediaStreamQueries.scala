@@ -652,5 +652,42 @@ object MediaStreamQueries {
           col("crossings"), col("zcr"))
         .orderBy("doc_id")
     },
+
+    // ---- m11: delta-encoding feasibility audit — per clip, max/mean
+    //      absolute successive sample difference and the bit width the
+    //      deltas need (length(bin(max)): exact string arithmetic, no
+    //      log2 float boundary). The compression-planning report next to
+    //      m06 energy / m10 noisiness; same 4-byte-read projection, no
+    //      lag window. ----
+    QueryDef("m11_delta_audit",
+      """WITH f AS (SELECT doc_id, text, len(text) // 2 AS ns FROM documents),
+        |i AS (SELECT doc_id, text, unnest(range(1, ns)) AS i FROM f WHERE ns > 1),
+        |sm AS (SELECT doc_id,
+        |    ord(substr(text, CAST(2 * i + 1 AS INTEGER), 1))
+        |      + 256 * ord(substr(text, CAST(2 * i + 2 AS INTEGER), 1)) AS u,
+        |    ord(substr(text, CAST(2 * i - 1 AS INTEGER), 1))
+        |      + 256 * ord(substr(text, CAST(2 * i AS INTEGER), 1)) AS v
+        |  FROM i),
+        |d AS (SELECT doc_id,
+        |    abs((u - CASE WHEN u >= 32768 THEN 65536 ELSE 0 END) -
+        |        (v - CASE WHEN v >= 32768 THEN 65536 ELSE 0 END)) AS d
+        |  FROM sm)
+        |SELECT doc_id, count(*) AS n_deltas,
+        |  CAST(max(d) AS BIGINT) AS max_abs_delta,
+        |  CAST(sum(d) AS DOUBLE) / count(*) AS mean_abs_delta,
+        |  CAST(len(bin(CAST(max(d) AS BIGINT))) AS INTEGER) AS delta_bits
+        |FROM d GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val ch = (col("doc_id") % 3 + 1).cast("int")
+      val sr = when(col("doc_id") % 3 === 0, 8000)
+        .when(col("doc_id") % 3 === 1, 16000).otherwise(44100)
+      val payload = col("text").cast("binary")
+      val withMedia = docs.withColumn("media",
+        concat(Multimodal.wavHeader(sr, ch, lit(16), length(payload)), payload))
+      Multimodal.wavDeltaAudit(withMedia, col("doc_id"), col("media"))
+        .select(col("id").as("doc_id"), col("n_deltas"),
+          col("max_abs_delta"), col("mean_abs_delta"), col("delta_bits"))
+        .orderBy("doc_id")
+    },
   )
 }
