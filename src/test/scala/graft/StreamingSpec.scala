@@ -818,6 +818,19 @@ class MultimodalSpec extends SparkSpec {
     assert(alt == ((4L, 3L, 1.0)))
   }
 
+  test("wavDeltaAudit: hand-decoded deltas, bit width via bin-length (no log2)") {
+    // "aazz" → samples 24929, 31354 → one delta of 6425;
+    // bin(6425) = "1100100011001" (13 chars) → delta_bits 13
+    val got = Multimodal.wavDeltaAudit(wavOf("aazz"), col("id"), col("media"))
+      .select("n_deltas", "max_abs_delta", "mean_abs_delta", "delta_bits")
+      .as[(Long, Long, Double, Int)].head()
+    assert(got == ((1L, 6425L, 6425.0, 13)))
+    // constant signal: all deltas 0 → bin(0) = "0" → 1 bit
+    val const = Multimodal.wavDeltaAudit(wavOf("abababab"), col("id"), col("media"))
+      .select("max_abs_delta", "delta_bits").as[(Long, Int)].head()
+    assert(const == ((0L, 1)))
+  }
+
   test("wavZeroCrossings: single-sample and empty clips drop out") {
     assert(Multimodal.wavZeroCrossings(wavOf("ab"), col("id"), col("media"))
       .count() == 0)
