@@ -651,6 +651,31 @@ object AnalyticQueries {
         .orderBy("l_orderkey", "l_linenumber", "measure")
     },
 
+    // ---- the SQL UNPIVOT clause — q68's SQL-syntax twin (the same
+    //      relationship q86's SQL PIVOT has to q17's DataFrame pivot): a
+    //      user migrating warehouse SQL writes this text verbatim, and it
+    //      plans the identical Generate-based map-side expansion. The
+    //      oracle is the explicit UNION ALL expansion (DuckDB's UNPIVOT
+    //      spelling differs — the semantics, not the text, are shared). ----
+    QueryDef("q137_unpivot_sql",
+      """SELECT o_orderkey, measure, val FROM (
+        |  SELECT o_orderkey, 'o_totalprice' AS measure,
+        |         CAST(o_totalprice AS DOUBLE) AS val
+        |  FROM orders WHERE o_orderkey < 2000
+        |  UNION ALL
+        |  SELECT o_orderkey, 'o_custkey', CAST(o_custkey AS DOUBLE)
+        |  FROM orders WHERE o_orderkey < 2000)
+        |ORDER BY o_orderkey, measure""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderkey, measure, val FROM (
+          |  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+          |         CAST(o_custkey AS DOUBLE) AS o_custkey
+          |  FROM orders WHERE o_orderkey < 2000)
+          |UNPIVOT (val FOR measure IN (o_totalprice, o_custkey))
+          |ORDER BY o_orderkey, measure""".stripMargin)
+    },
+
     // ---- FILTER-clause aggregates: per-group conditional KPIs in ONE
     //      aggregation pass — the SQL-standard spelling of the
     //      when/otherwise pivot (q17/A5). Every FILTER arm is a codegen'd
