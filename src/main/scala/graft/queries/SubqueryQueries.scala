@@ -304,5 +304,48 @@ object SubqueryQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts
         |             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin),
+
+    // ---- GROUP BY ALL / ORDER BY ALL — the analyst-ergonomics syntax
+    //      DuckDB popularized and Spark 4 adopted: group by every
+    //      non-aggregate select item, order by every column left to
+    //      right. IDENTICAL text runs on both engines, so the oracle is
+    //      the query itself. ----
+    sqlQuery("q138_group_by_all",
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin),
+
+    // ---- IDENTIFIER() clause — injection-safe DYNAMIC TABLE NAMES, the
+    //      missing leg of the dynamic-SQL family (q88 binds values, q133
+    //      binds into assembled text, this binds an identifier): the
+    //      table name arrives as a typed parameter, never a string
+    //      splice, so a hostile name cannot smuggle SQL. Oracle = the
+    //      statically-named query (the binding must be a pure identifier
+    //      substitution to hash-match). ----
+    QueryDef("q139_identifier_clause",
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT l_returnflag, count(*) AS n,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM IDENTIFIER(:tbl) GROUP BY 1 ORDER BY 1""".stripMargin,
+        Map("tbl" -> "lineitem"))
+    },
+
+    // ---- SELECT * EXCEPT — projection by exclusion (the wide-table
+    //      ergonomic: drop the two heavy columns, keep the other N).
+    //      The planner resolves the star minus the excluded names at
+    //      analysis time, so the scan's ReadSchema prunes exactly like an
+    //      explicit projection; the oracle IS that explicit projection. ----
+    QueryDef("q140_star_except",
+      """SELECT event_id, ts, user_id, event_type FROM events
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT * EXCEPT (value, props) FROM events
+          |ORDER BY event_id""".stripMargin)
+    },
   )
 }
