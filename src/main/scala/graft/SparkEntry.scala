@@ -63,5 +63,16 @@ object SparkEntry {
       graft.ext.Dedup.lshBandTable(
         graft.core.Tables.documents(s, dir),
         functions.col("doc_id"), functions.col("text"))
-        .orderBy("doc", "band")))
+        .orderBy("doc", "band")),
+    // The climate fact's synthetic-noise grain (station_id, year, month,
+    // local_noise) — the one engine-trusted (Murmur3) input behind c03's
+    // full-chain DuckDB oracle; see Climate.noiseTable. Fixture-driven,
+    // dir-independent, deterministic across calls.
+    "_staged_climate_noise" -> ((s, _) =>
+      graft.queries.ClimateQueries.stagedNoiseTable(s)),
+    // The 50 per-station window mean/std doubles inside c03's z-scores,
+    // pulled from the session-memoized cached lineage (bit-identical to
+    // the dump by construction — see ClimateQueries.stagedStatsTable).
+    "_staged_climate_stats" -> ((s, _) =>
+      graft.queries.ClimateQueries.stagedStatsTable(s)))
 }

@@ -211,14 +211,22 @@ object Dedup {
     // every candidate phase is seconds). One array_intersect per pair is
     // O(|A|+|B|) inside a codegen'd map over broadcast-joined signatures —
     // no shuffle ever carries an array. The signature table is one row
-    // per doc (~0.5 KB); beyond broadcast range, drop the hint and the
-    // same plan runs as a co-partitioned join keyed by doc id.
+    // per doc (~0.5 KB); the broadcast hint is SIZE-GATED, not
+    // unconditional: total signature payload ≈ 8 B per shingle row, and
+    // `sh` is already materialized so the count is one cheap scan. Past
+    // the threshold the hint is dropped and the same plan runs as a
+    // co-partitioned shuffle join keyed by doc id (AQE may still promote
+    // it back if runtime stats allow) — a 100 TB corpus must never pin a
+    // multi-GB signature table on the driver.
     val sigs = sh.groupBy(col("doc"))
       .agg(sort_array(collect_list(col("h"))).as("hs"))
+    val sigBytes = sh.count() * 8L
+    val hint: DataFrame => DataFrame =
+      if (sigBytes <= (64L << 20)) broadcast(_) else identity
     cand
-      .join(broadcast(sigs.select(col("doc").as("id_a"), col("hs").as("ha"))),
+      .join(hint(sigs.select(col("doc").as("id_a"), col("hs").as("ha"))),
         "id_a")
-      .join(broadcast(sigs.select(col("doc").as("id_b"), col("hs").as("hb"))),
+      .join(hint(sigs.select(col("doc").as("id_b"), col("hs").as("hb"))),
         "id_b")
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("ha"), col("hb"))).cast("long").as("n_inter"),

@@ -178,33 +178,38 @@ object Multimodal {
     * audio feature next to [[wavFrameRms]]'s energy. Raw PCM routinely
     * carries a DC bias (here structurally: the fixture payloads are
     * ASCII, so the raw sign bit never flips), so the standard practice is
-    * to count crossings of the clip MEAN. The mean test is the integer
-    * cross-multiplication `n·uᵢ > Σu` — no float boundary anywhere, so
-    * the counts are bit-exact in any engine. Σu is computed per clip by
-    * an `aggregate` HOF over the byte positions (one expression, no
-    * second explode pass and no join-back); each exploded row then reads
-    * BOTH sample i and i−1 so the comparison is a pure projection — no
-    * lag window, no per-clip sort. Ties (`== mean`) count as the
-    * non-high side. Returns (id, n_samples, crossings, zcr).
+    * to count crossings of the clip MEAN. Samples are sign-converted
+    * (two's-complement, same `signed()` as [[wavDeltaAudit]]) BEFORE the
+    * mean test, so real PCM with negative samples (raw u ≥ 0x8000) is
+    * handled correctly, not treated as a huge positive. The mean test is
+    * the integer cross-multiplication `n·sᵢ > Σs` — no float boundary
+    * anywhere, so the counts are bit-exact in any engine. Σs is computed
+    * per clip by an `aggregate` HOF over the byte positions (one
+    * expression, no second explode pass and no join-back); each exploded
+    * row then reads BOTH sample i and i−1 so the comparison is a pure
+    * projection — no lag window, no per-clip sort. Ties (`== mean`)
+    * count as the non-high side. Returns (id, n_samples, crossings, zcr).
     */
   def wavZeroCrossings(df: DataFrame, id: Column, media: Column): DataFrame = {
     val ns = (leInt(media, 41, 4) / lit(2)).cast("long")
     val byteAt = (pos: Column) =>
       conv(hex(col("__m").substr(pos, lit(1))), 16, 10).cast("long")
+    def signed(u: Column): Column =
+      u - when(u >= 32768, 65536L).otherwise(0L)
     df.select(id.as("id"), media.as("__m"), ns.as("__ns"))
       .filter(col("__ns") > 1)
       .withColumn("__tot", aggregate(
         sequence(lit(0L), col("__ns") - 1), lit(0L),
-        (acc, i) => acc + byteAt(lit(46) + i * 2) * 256 +
-          byteAt(lit(45) + i * 2)))
+        (acc, i) => acc + signed(byteAt(lit(46) + i * 2) * 256 +
+          byteAt(lit(45) + i * 2))))
       .select(col("id"), col("__m"), col("__ns"), col("__tot"),
         explode(sequence(lit(1L), col("__ns") - 1)).as("__i"))
-      .withColumn("__u",
+      .withColumn("__u", signed(
         byteAt(lit(46) + col("__i") * 2) * 256 +
-          byteAt(lit(45) + col("__i") * 2))
-      .withColumn("__v",
+          byteAt(lit(45) + col("__i") * 2)))
+      .withColumn("__v", signed(
         byteAt(lit(44) + col("__i") * 2) * 256 +
-          byteAt(lit(43) + col("__i") * 2))
+          byteAt(lit(43) + col("__i") * 2)))
       .withColumn("__c",
         ((col("__u") * col("__ns") > col("__tot")) =!=
           (col("__v") * col("__ns") > col("__tot"))).cast("long"))

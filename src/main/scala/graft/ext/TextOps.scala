@@ -660,6 +660,11 @@ object TextOps {
     * same train-loop shape as the k-means centroid pulls (IVF.scala) —
     * each round's corpus transform stays fully distributed, and pair
     * counting combines map-side (positional bigrams → hash agg).
+    *
+    * A corpus that runs out of pairs (no `[a-z]+` word of length ≥ 2, or
+    * every word fully merged into one symbol) ends training early: the
+    * rounds completed so far are returned (possibly zero rows) rather
+    * than throwing on the empty top-pair pull.
     */
   def bpeTrainRounds(df: DataFrame, text: Column, rounds: Int): DataFrame = {
     val spark = df.sparkSession
@@ -669,53 +674,67 @@ object TextOps {
         trim(regexp_replace(col("wd"), "(.)", "$1 ")), lit(" ")).as("s"))
       .localCheckpoint()
     val out = Seq.newBuilder[(Int, String, Long)]
-    for (r <- 1 to rounds) {
-      val top = cur.select(split(trim(col("s")), " ").as("t"))
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      cur.select(split(trim(col("s")), " ").as("t"))
         .select(explode(Dedup.gramsOfWords(col("t"), 2)).as("pair"))
         .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("pair"))
-        .limit(1).collect()(0)
-      val pair = top.getString(0)
-      out += ((r, pair, top.getLong(1)))
-      if (r < rounds)
-        cur = cur.select(call_function("replace", col("s"),
-          lit(" " + pair + " "),
-          lit(" " + pair.replace(" ", "") + " ")).as("s"))
-          .localCheckpoint()
+        .limit(1).collect().headOption match {
+        case None => exhausted = true
+        case Some(top) =>
+          val pair = top.getString(0)
+          out += ((r, pair, top.getLong(1)))
+          if (r < rounds)
+            cur = cur.select(call_function("replace", col("s"),
+              lit(" " + pair + " "),
+              lit(" " + pair.replace(" ", "") + " ")).as("s"))
+              .localCheckpoint()
+      }
+      r += 1
     }
     import spark.implicits._
     out.result().toDF("round", "merged_pair", "pair_count")
   }
 
+  /** Apply an ORDERED merge table to the space-sentinel corpus column —
+    * [[bpeTrainRounds]]'s inference step as one chained projection: each
+    * merge is the same `replace(" a b ", " ab ")`, folded left-to-right,
+    * so the whole table applies in a SINGLE distributed pass (no
+    * per-merge aggregation, no driver round-trips — this is what a
+    * tokenizer does at serving time, and the 100 TB-side win over
+    * re-training: O(1) jobs instead of O(rounds)). */
+  def bpeApplyMerges(s: Column, merges: Seq[String]): Column =
+    merges.foldLeft(s) { (c, pair) =>
+      call_function("replace", c,
+        lit(" " + pair + " "), lit(" " + pair.replace(" ", "") + " "))
+    }
+
   /** BPE ENCODE — [[bpeTrainRounds]]'s apply step: learn `rounds` merges
-    * on the corpus, apply them to every document, and report per-doc
-    * token counts before/after. The merge loop is identical to training
-    * (same corpus-wide statistics — the learned rules, not per-doc ones)
-    * but carries doc_id through, so the final count groups back to
-    * documents. Returns (doc_id, n_tokens_raw, n_tokens_bpe):
+    * on the corpus ONCE (train emits the ordered merge table), then apply
+    * that table to every document via [[bpeApplyMerges]] — one chained
+    * replace projection, one distributed pass, no per-round re-learning.
+    * (Training on the same corpus and replaying its merge table is
+    * byte-identical to re-deriving each round in lockstep, because round
+    * r's statistics depend only on merges 1..r−1 — so this is both the
+    * correct tokenizer shape AND O(rounds) fewer jobs than the previous
+    * re-learn loop.) Returns (doc_id, n_tokens_raw, n_tokens_bpe):
     * n_tokens_raw = character count of the trainable words, n_tokens_bpe
     * = tokens after the merges — the compression a tokenizer buys.
     */
   def bpeEncode(df: DataFrame, id: Column, text: Column,
                 rounds: Int): DataFrame = {
-    var cur = df.select(id.as("doc_id"), explode(words(text)).as("wd"))
+    val merges = bpeTrainRounds(df, text, rounds)
+      .orderBy(col("round"))
+      .select(col("merged_pair"))
+      .collect().map(_.getString(0)).toSeq
+    val base = df.select(id.as("doc_id"), explode(words(text)).as("wd"))
       .filter(col("wd").rlike("^[a-z]+$") && length(col("wd")) >= 2)
       .select(col("doc_id"), concat(lit(" "),
         trim(regexp_replace(col("wd"), "(.)", "$1 ")), lit(" ")).as("s"))
-      .localCheckpoint()
-    for (r <- 1 to rounds) {
-      val top = cur.select(split(trim(col("s")), " ").as("t"))
-        .select(explode(Dedup.gramsOfWords(col("t"), 2)).as("pair"))
-        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("pair"))
-        .limit(1).collect()(0)
-      val pair = top.getString(0)
-      cur = cur.select(col("doc_id"), call_function("replace", col("s"),
-        lit(" " + pair + " "),
-        lit(" " + pair.replace(" ", "") + " ")).as("s"))
-        .localCheckpoint()
-    }
-    cur.select(col("doc_id"),
+    base.select(col("doc_id"), bpeApplyMerges(col("s"), merges).as("s"))
+      .select(col("doc_id"),
         size(split(trim(col("s")), " ")).cast("long").as("n_bpe"),
         (length(call_function("replace", col("s"), lit(" "), lit(""))))
           .cast("long").as("n_chars"))

@@ -147,8 +147,11 @@ object Mining {
     * agg over the facts; everything after is O(distinct values).
     */
   def giniGain(contingency: DataFrame): DataFrame = {
+    // cast each factor to DECIMAL BEFORE multiplying — a BIGINT product
+    // of counts above ~3.04e9 would silently wrap with ANSI off
     val q = expr(
-      "CAST((pos_v * pos_v + (n_v - pos_v) * (n_v - pos_v)) AS DECIMAL(38,0)) " +
+      "(CAST(pos_v AS DECIMAL(38,0)) * pos_v + " +
+        "CAST(n_v - pos_v AS DECIMAL(38,0)) * (n_v - pos_v)) " +
         "* 1000000000 DIV n_v")
     contingency
       .withColumn("q", q)
@@ -157,18 +160,25 @@ object Mining {
         sum(col("n_v")).as("n"), sum(col("pos_v")).as("pos"),
         sum(col("q")).as("sum_q"))
       .select(col("feature"), col("n_values"),
-        ((lit(1.0) - (col("pos") * col("pos") +
-          (col("n") - col("pos")) * (col("n") - col("pos"))).cast("double") /
-          (col("n") * col("n"))) -
+        // parent term in DECIMAL too: pos² / n² wrap just like the
+        // per-value products once counts pass ~3e9
+        ((lit(1.0) - (col("pos").cast("decimal(38,0)") * col("pos") +
+          (col("n") - col("pos")).cast("decimal(38,0)") *
+            (col("n") - col("pos"))).cast("double") /
+          (col("n").cast("decimal(38,0)") * col("n")).cast("double")) -
           (lit(1.0) - col("sum_q").cast("double") /
-            (col("n") * lit(1000000000L)))).as("gain"))
+            (col("n").cast("decimal(38,0)") * lit(1000000000L)).cast("double")))
+          .as("gain"))
   }
 
   /** The DuckDB twin of [[giniGain]]'s quantized term, for oracle reuse:
     * emits the `q` expression over (n_v, pos_v) columns. HUGEINT `//`
-    * is the same exact integral division as Spark's DECIMAL `DIV`. */
+    * is the same exact integral division as Spark's DECIMAL `DIV`; the
+    * casts sit INSIDE the products (mirroring the engine) so neither
+    * side ever forms a BIGINT product of counts. */
   def giniTermSql: String =
-    "((pos_v * pos_v + (n_v - pos_v) * (n_v - pos_v))::HUGEINT * 1000000000) // n_v"
+    "((pos_v::HUGEINT * pos_v + (n_v - pos_v)::HUGEINT * (n_v - pos_v)) " +
+      "* 1000000000) // n_v"
 
   /** Deterministic "random" walks over an edge list: from each start node,
     * `steps` hops where the next node is the out-neighbour minimizing
@@ -178,7 +188,14 @@ object Mining {
     * argmin; pass an already-materialized (checkpointed/cached) edge
     * table — every hop and the caller's start-node selection re-scan it,
     * so an unmaterialized join plan would re-execute per consumer.
-    * Returns (walk_id, step, node) for steps 0..steps.
+    * Returns (walk_id, step, node) for steps 0..steps — EXCEPT that a
+    * walk reaching a SINK node (no out-edges) terminates there: its
+    * remaining steps emit no rows, so such a walk has rows only for
+    * steps 0..k where k is the hop that landed on the sink. On symmetric
+    * graphs (every co-occurrence graph here) sinks cannot occur and every
+    * walk is full-length; callers walking general directed edge lists
+    * should expect the ragged shape (the oracle [[walkStepSql]] has the
+    * same semantics: an inner join against the edge CTE drops the walk).
     */
   def hashWalks(edges: DataFrame, starts: DataFrame, steps: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"))

@@ -90,7 +90,18 @@ object Climate {
     * zero-guard and injection override, `day` dropped from the projection
     * but not aggregated, record_count a constant 30.
     */
-  def factTable(berkeley: DataFrame, dim: DataFrame): DataFrame = {
+  def factTable(berkeley: DataFrame, dim: DataFrame): DataFrame =
+    factProject(factLineage(berkeley, dim))
+
+  /** The fact chain UP TO the final projection — keeps the per-station
+    * window stats (`station_mean_anom`, `station_std_anom`) so the c03
+    * oracle can stage them from the SAME materialized lineage the fact is
+    * dumped from (float window sums are summation-order-sensitive, so an
+    * independent recomputation could flip a z at the 3-dp boundary; one
+    * shared cache of this frame makes fact + staged stats bit-consistent
+    * by construction). Callers cache THIS and project.
+    */
+  def factLineage(berkeley: DataFrame, dim: DataFrame): DataFrame = {
     // Deterministic sample (documented deviation from bare limit(50)).
     val sample = dim.orderBy("station_id").limit(50)
     val base   = berkeley.filter(col("year") >= 2000)
@@ -118,10 +129,48 @@ object Climate {
       .transform(Anomaly.overrideInjectedZ())
       .withColumn("date", expr("make_date(year, month, 1)"))
       .withColumn("record_count", lit(30))
-      .select(col("year"), col("month"), col("date"),
-        col("station_id"), col("location"), col("latitude"), col("longitude"),
-        col("avg_temperature"), col("baseline_temperature"),
-        col("temperature_anomaly"), col("z_score"), col("record_count"))
+  }
+
+  /** [[factLineage]] → the reference's published fact columns. */
+  def factProject(lineage: DataFrame): DataFrame =
+    lineage.select(col("year"), col("month"), col("date"),
+      col("station_id"), col("location"), col("latitude"), col("longitude"),
+      col("avg_temperature"), col("baseline_temperature"),
+      col("temperature_anomaly"), col("z_score"), col("record_count"))
+
+  /** Per-station window stats exactly as they sit inside [[factLineage]]
+    * (one row per station — the window value is constant across the
+    * partition). Staged by Verify as `_staged_climate_stats` so c03's
+    * oracle re-derives z from the same mean/std doubles instead of
+    * re-accumulating float sums in a different order.
+    */
+  def stationStats(lineage: DataFrame): DataFrame =
+    lineage.select(col("station_id"),
+      col("station_mean_anom").as("mean_anom"),
+      col("station_std_anom").as("std_anom"))
+      .distinct()
+
+  /** The fact table's synthetic-noise column at its NATURAL grain —
+    * one row per (station_id, year, month) with the post-injection
+    * `local_noise` value. This is the ONLY engine-trusted input the fact
+    * chain has (Murmur3 has no DuckDB form, SURVEY.md §7.5 risk 5):
+    * Verify stages it so c03's oracle can re-derive the ENTIRE
+    * bronze→gold fact chain in DuckDB — cross join, baseline arithmetic,
+    * per-station z window, injection override, projection — with only
+    * these ~50×months scalars taken on trust (the `_staged_ivf_centroids`
+    * precedent). Key columns and their types are EXACTLY [[factTable]]'s
+    * hash inputs (string station_id, int year/month, same column order),
+    * so the values are bit-identical to the fact's internal noise.
+    */
+  def noiseTable(berkeley: DataFrame, dim: DataFrame): DataFrame = {
+    val sample = dim.orderBy("station_id").limit(50)
+    val keys   = Seq(col("station_id"), col("year"), col("month"))
+    berkeley.filter(col("year") >= 2000)
+      .select(col("year"), col("month")).distinct()
+      .crossJoin(broadcast(sample.select(col("station_id"))))
+      .transform(Anomaly.deterministicNoise(keys))
+      .transform(Anomaly.injectExtremes(keys))
+      .select(col("station_id"), col("year"), col("month"), col("local_noise"))
   }
 
   /** climate_extremes: |z| ≥ 2.5 rows of the fact, labeled
@@ -137,16 +186,21 @@ object Climate {
   // ---------- Full run ----------
 
   final case class Gold(kpis: DataFrame, stationsDim: DataFrame,
-                        fact: DataFrame, extremes: DataFrame)
+                        fact: DataFrame, extremes: DataFrame,
+                        stationStats: DataFrame, lineage: DataFrame)
 
-  /** End-to-end: raw text files → four gold DataFrames. The fact lineage is
-    * cached (one cross-join + window pass serves both fact and extremes).
+  /** End-to-end: raw text files → four gold DataFrames (+ the staged
+    * station-stats side table). The PRE-projection fact lineage is cached
+    * — one cross-join + window pass serves fact, extremes, AND the staged
+    * stats, and `lineage` is the handle callers unpersist.
     */
   def run(spark: SparkSession, berkeleyPath: String, stationsPath: String): Gold = {
     val berkeley = berkeleySilver(ingestText(spark, berkeleyPath, "Berkeley_Earth"))
     val stations = stationsSilver(ingestText(spark, stationsPath, "NOAA_Stations"))
     val dim      = stationsDim(stations)
-    val fact     = factTable(berkeley, dim).cache()
-    Gold(kpis(berkeley, stations.count()), dim, fact, extremes(fact))
+    val lineage  = factLineage(berkeley, dim).cache()
+    val fact     = factProject(lineage)
+    Gold(kpis(berkeley, stations.count()), dim, fact, extremes(fact),
+      stationStats(lineage), lineage)
   }
 }

@@ -11,16 +11,20 @@ import graft.pipeline.{Climate, ClimateFixture}
   * implementation of the whole bronze→silver→gold path.
   *
   * The fact table (c03) uses Spark's Murmur3 `hash` for its synthetic
-  * noise (no DuckDB equivalent, SURVEY.md §7.5 risk 5) → rows-only check;
-  * its exact semantics are golden-tested in ClimateSpec. The DOWNSTREAM
-  * derivations (c04 extremes, c06 corrected monthly, c07 top-k, c08 geo
-  * means) ARE oracled: Verify stages c03's own parquet output, and their
-  * oracle SQL re-derives each from that staged table in DuckDB
+  * noise (no DuckDB equivalent, SURVEY.md §7.5 risk 5). Since round 9 it
+  * is FULLY oracled anyway: Verify stages the noise at its natural
+  * (station_id, year, month) grain (`_staged_climate_noise`, see
+  * [[Climate.noiseTable]]), and c03's oracle re-derives the ENTIRE
+  * bronze→gold fact chain in DuckDB — raw-text re-parse, cross join,
+  * baseline arithmetic, per-station z window, injection override — with
+  * only those ~50×months noise scalars taken on trust (the
+  * `_staged_ivf_centroids` precedent; noise exactness itself is
+  * golden-tested bit-exact vs reference PySpark in ClimateSpec). The
+  * DOWNSTREAM derivations (c04 extremes, c06 corrected monthly, c07
+  * top-k, c08 geo means) are oracled from c03's staged parquet output
   * (`read_parquet('__GRAFT_OUT__/c03_climate_fact/...')` — Verify
   * substitutes the absolute output dir for [[ClimateQueries.OutToken]]
-  * when writing oracle_sql.json). That pins the filter/agg/top-k logic
-  * independently even though the noise values themselves are
-  * engine-specific.
+  * when writing oracle_sql.json).
   */
 object ClimateQueries {
 
@@ -31,7 +35,48 @@ object ClimateQueries {
 
   private val stagedFact = s"read_parquet('$OutToken/c03_climate_fact/*.parquet')"
 
+  private val stagedNoise =
+    s"read_parquet('$OutToken/_staged_climate_noise/*.parquet')"
+
+  private val stagedStats =
+    s"read_parquet('$OutToken/_staged_climate_stats/*.parquet')"
+
   private def fixture(): (String, String) = ClimateFixture.default
+
+  /** The Verify-staged noise table behind c03's oracle (SparkEntry.staged
+    * wires this in). Deterministic across calls — pure hash arithmetic
+    * over the fixture keys, no sampling or float accumulation.
+    */
+  def stagedNoiseTable(s: SparkSession): org.apache.spark.sql.DataFrame = {
+    val (b, st) = fixture()
+    val berkeley = Climate.berkeleySilver(Climate.ingestText(s, b, "t"))
+    val dim = Climate.stationsDim(
+      Climate.stationsSilver(Climate.ingestText(s, st, "t")))
+    Climate.noiseTable(berkeley, dim).orderBy("station_id", "year", "month")
+  }
+
+  /** The Verify-staged per-station window stats behind c03's oracle —
+    * pulled from the SAME session-memoized cached lineage the c03 dump
+    * projects from, so mean/std are bit-identical to the values inside
+    * the dumped z-scores (float window sums are summation-order-
+    * sensitive; an independent recomputation could differ in the last
+    * ulp and flip a round-3 boundary).
+    */
+  def stagedStatsTable(s: SparkSession): org.apache.spark.sql.DataFrame =
+    gold(s).stationStats.orderBy("station_id")
+
+  /** Spark-semantics round for DuckDB oracle SQL: Spark's `round(x, n)`
+    * on doubles is HALF_UP over the SHORTEST decimal representation
+    * (scala BigDecimal(double) = Double.toString), while DuckDB's double
+    * `round` works on the exact binary expansion — they disagree exactly
+    * at representation boundaries (round(2.385, 2): Spark 2.39, DuckDB
+    * 2.38, because the nearest double is 2.38499…). Routing through
+    * VARCHAR (DuckDB casts doubles to shortest round-trip form) and
+    * DECIMAL (half-away-from-zero round, = HALF_UP for both signs)
+    * reproduces Spark bit-for-bit.
+    */
+  private def rs(x: String, n: Int): String =
+    s"CAST(round(CAST(CAST(($x) AS VARCHAR) AS DECIMAL(35,17)), $n) AS DOUBLE)"
 
   // One pipeline build per session: the climate queries share a cached
   // fact lineage instead of re-running bronze→gold each (the reference's
@@ -45,7 +90,7 @@ object ClimateQueries {
       case Some((sess, g)) if sess eq s => g
       case prev =>
         prev.foreach { case (_, g) =>
-          try g.fact.unpersist() catch { case _: Throwable => () }
+          try g.lineage.unpersist() catch { case _: Throwable => () }
         }
         val (b, st) = fixture()
         val g = Climate.run(s, b, st)
@@ -107,16 +152,63 @@ object ClimateQueries {
         gold(s).stationsDim.orderBy("station_id")
       },
 
-      // Murmur3-hash-derived noise → no DuckDB form; rows-only + goldens.
-      QueryDef.noOracle("c03_climate_fact") { (s, _) =>
-        gold(s).fact.orderBy("station_id", "date", "temperature_anomaly", "z_score")
+      // The full fact chain re-derived in DuckDB from raw text + the two
+      // staged engine-trusted inputs: the Murmur3 noise grain (no DuckDB
+      // form) and the 50 per-station window mean/std doubles (float
+      // window sums are summation-order-sensitive — recomputing them in
+      // DuckDB flips a z at the round-3 boundary). Everything else —
+      // raw-text re-parse, deterministic sample, cross join, baseline
+      // arithmetic, Spark-semantics rounding (rs), z formula with
+      // 0-guard, injection override, §2.10 grain quirk, projection — is
+      // independently recomputed. The combined CASE is equivalent to the
+      // engine's compute-then-override order: the override branches
+      // depend only on local_noise, so checking them first yields the
+      // same value. `date` goes through dayStr/strftime on both sides
+      // (string parity convention; the c04-c08 staged-fact oracles read
+      // the string form).
+      QueryDef("c03_climate_fact",
+        s"""WITH sample AS (
+           |  SELECT station_id, name AS location, latitude, longitude
+           |  FROM (${stationsSilverSql(stPath)})
+           |  ORDER BY station_id LIMIT 50),
+           |j AS (
+           |  SELECT b.year, b.month, s.station_id, s.location,
+           |    s.latitude, s.longitude,
+           |    ${rs("30.0::DOUBLE - 0.5::DOUBLE * abs(s.latitude)", 2)}
+           |      AS baseline_temperature,
+           |    n.local_noise,
+           |    ${rs("b.anomaly + n.local_noise", 2)} AS temperature_anomaly
+           |  FROM (SELECT * FROM (${berkeleySilverSql(bPath)})
+           |        WHERE year >= 2000) b
+           |  CROSS JOIN sample s
+           |  JOIN $stagedNoise n ON n.station_id = s.station_id
+           |    AND n.year = b.year AND n.month = b.month),
+           |w AS (
+           |  SELECT j.*, st.mean_anom AS m, st.std_anom AS sd
+           |  FROM j JOIN $stagedStats st ON st.station_id = j.station_id)
+           |SELECT year, month,
+           |  strftime(make_date(year, month, 1), '%Y-%m-%d') AS date,
+           |  station_id, location, latitude, longitude,
+           |  ${rs("baseline_temperature + temperature_anomaly", 2)}
+           |    AS avg_temperature,
+           |  baseline_temperature, temperature_anomaly,
+           |  CASE WHEN local_noise > 10.0 THEN 5.0
+           |       WHEN local_noise < -10.0 THEN -5.0
+           |       WHEN sd = 0 THEN 0.0
+           |       ELSE ${rs("(temperature_anomaly - m) / sd", 3)} END AS z_score,
+           |  CAST(30 AS INTEGER) AS record_count
+           |FROM w
+           |ORDER BY station_id, date, temperature_anomaly, z_score""".stripMargin) { (s, _) =>
+        gold(s).fact
+          .withColumn("date", Parity.dayStr(col("date")))
+          .orderBy("station_id", "date", "temperature_anomaly", "z_score")
       },
 
       // Extremes re-derived in DuckDB from the staged fact: same |z| filter,
       // labeling, and projection (reference jobs/03_silver_to_gold.py:148-153).
       // `date` goes through dayStr on both sides (string parity convention).
       QueryDef("c04_climate_extremes",
-        s"""SELECT strftime(date, '%Y-%m-%d') AS date, station_id, location,
+        s"""SELECT date, station_id, location,
            |  temperature_anomaly, z_score,
            |  CASE WHEN z_score > 0 THEN 'EXTREME_HEAT' ELSE 'EXTREME_COLD' END AS event_type
            |FROM $stagedFact
@@ -192,7 +284,7 @@ object ClimateQueries {
       // deterministic tie-break (z_score closes the remaining tie between
       // a +z/−z pair with equal |z| and temperature_anomaly).
       QueryDef("c07_top_extremes",
-        s"""SELECT strftime(date, '%Y-%m-%d') AS date, station_id, location,
+        s"""SELECT date, station_id, location,
            |  temperature_anomaly, z_score,
            |  CASE WHEN z_score > 0 THEN 'EXTREME_HEAT' ELSE 'EXTREME_COLD' END AS event_type
            |FROM $stagedFact

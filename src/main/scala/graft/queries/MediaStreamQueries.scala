@@ -616,18 +616,24 @@ object MediaStreamQueries {
     //      the voiced/unvoiced + noisiness feature next to m06's frame
     //      energy. Crossings are counted about the clip MEAN (raw PCM
     //      carries DC bias — structurally so here, where ASCII payloads
-    //      never flip the raw sign bit) via the exact integer test
-    //      n·uᵢ > Σu; each exploded row reads sample i AND i−1 directly,
-    //      so the comparison is a pure codegen'd projection — no lag
-    //      window, no per-clip sort. The oracle re-derives the identical
-    //      sample sequence from the ASCII payload (byte == char). ----
+    //      never flip the raw sign bit); samples are two's-complement
+    //      sign-converted FIRST (u - 65536 when u >= 0x8000, mirroring
+    //      m11), then the exact integer test n·sᵢ > Σs runs on signed
+    //      values — correct for real negative-sample PCM, identical on
+    //      the ASCII fixtures. Each exploded row reads sample i AND i−1
+    //      directly, so the comparison is a pure codegen'd projection —
+    //      no lag window, no per-clip sort. The oracle re-derives the
+    //      identical signed sample sequence from the ASCII payload. ----
     QueryDef("m10_zero_crossings",
       """WITH f AS (SELECT doc_id, text, len(text) // 2 AS ns FROM documents),
         |i AS (SELECT doc_id, text, ns, unnest(range(0, ns)) AS i FROM f WHERE ns > 1),
-        |sm AS (SELECT doc_id, ns, i,
+        |r AS (SELECT doc_id, ns, i,
         |    ord(substr(text, CAST(2 * i + 1 AS INTEGER), 1))
-        |      + 256 * ord(substr(text, CAST(2 * i + 2 AS INTEGER), 1)) AS u
+        |      + 256 * ord(substr(text, CAST(2 * i + 2 AS INTEGER), 1)) AS raw
         |  FROM i),
+        |sm AS (SELECT doc_id, ns, i,
+        |    raw - CASE WHEN raw >= 32768 THEN 65536 ELSE 0 END AS u
+        |  FROM r),
         |tot AS (SELECT doc_id, CAST(sum(u) AS BIGINT) AS s_tot FROM sm GROUP BY 1),
         |p AS (SELECT doc_id, ns, i, u,
         |    lag(u) OVER (PARTITION BY doc_id ORDER BY i) AS v

@@ -130,8 +130,10 @@ object MiningQueries {
          |          CAST(sum(q) AS BIGINT) AS sum_q
          |        FROM qq GROUP BY 1)
          |SELECT feature, n_values,
-         |  (1.0 - CAST(pos * pos + (n - pos) * (n - pos) AS DOUBLE) / (n * n)) -
-         |  (1.0 - CAST(sum_q AS DOUBLE) / (n * 1000000000)) AS gain
+         |  (1.0 - CAST(pos::HUGEINT * pos + (n - pos)::HUGEINT * (n - pos)
+         |           AS DOUBLE) / CAST(n::HUGEINT * n AS DOUBLE)) -
+         |  (1.0 - CAST(sum_q AS DOUBLE) / CAST(n::HUGEINT * 1000000000 AS DOUBLE))
+         |    AS gain
          |FROM agg ORDER BY feature""".stripMargin) { (s, dir) =>
       val o = Tables.orders(s, dir).select(
         col("o_orderpriority").as("priority"), col("o_orderstatus").as("status"),

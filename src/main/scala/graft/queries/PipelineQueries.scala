@@ -522,15 +522,19 @@ object PipelineQueries {
     //      q56's row rules. Each leg is one distinct-reduce of the fact
     //      key + two semi/anti joins against the dim key (broadcast-sized
     //      key sets); adding an FK adds a leg, never a rescan of another
-    //      fact. ----
+    //      fact. The orphan leg uses NOT EXISTS (not NOT IN) so the
+    //      oracle matches left_anti's null semantics: a NULL fact key
+    //      counts as an orphan and a NULL dim key can't veto the whole
+    //      set — latent-proofing against nullable keys. ----
     QueryDef("q135_dim_coverage", {
       def leg(name: String, dim: String, dk: String, fact: String,
               fk: String): String =
         s"""SELECT '$name' AS fk, (SELECT count(*) FROM $dim) AS n_dim,
            |  (SELECT count(*) FROM (SELECT DISTINCT $dk FROM $dim
            |     WHERE $dk IN (SELECT $fk FROM $fact))) AS n_referenced,
-           |  (SELECT count(*) FROM (SELECT DISTINCT $fk FROM $fact
-           |     WHERE $fk NOT IN (SELECT $dk FROM $dim))) AS n_orphan_keys,
+           |  (SELECT count(*) FROM (SELECT DISTINCT $fk FROM $fact f
+           |     WHERE NOT EXISTS (SELECT 1 FROM $dim d
+           |       WHERE d.$dk = f.$fk))) AS n_orphan_keys,
            |  CAST((SELECT count(*) FROM (SELECT DISTINCT $dk FROM $dim
            |     WHERE $dk IN (SELECT $fk FROM $fact))) AS DOUBLE)
            |    / (SELECT count(*) FROM $dim) AS coverage

@@ -897,7 +897,10 @@ object SimilarityQueries {
          |  FROM nq CROSS JOIN hit4)
          |ORDER BY nprobe""".stripMargin
     }) { (s, dir) =>
-      val emb = Tables.embeddings(s, dir)
+      // brute-force truth scans queries × corpus BY DESIGN — refuse
+      // loudly past the evaluation-sample envelope (Guard discipline)
+      val emb = graft.core.Guard.quadratic(Tables.embeddings(s, dir),
+        "s27_ivf_recall brute-force truth")
       val pred = col("vec_id") % 50 === 0
       val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", pred, k = 5)
         .select(col("q_id"), col("c_id")).localCheckpoint()

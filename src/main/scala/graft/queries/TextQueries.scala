@@ -1465,7 +1465,11 @@ object TextQueries {
       val docs = Tables.documents(s, dir)
       val cands = Dedup.lshCandidates(docs, col("doc_id"), col("text"))
         .localCheckpoint()
-      val truth = Dedup.jaccardPairs(docs, col("doc_id"), col("text"))
+      // exact all-pairs truth is quadratic BY DESIGN — refuse loudly past
+      // the evaluation-sample envelope rather than silently exploding
+      val gated = graft.core.Guard.quadratic(docs,
+        "t46_lsh_eval exact-Jaccard truth")
+      val truth = Dedup.jaccardPairs(gated, col("doc_id"), col("text"))
         .filter(col("jaccard") >= 0.5)
         .select(col("id_a"), col("id_b"))
         .localCheckpoint()

@@ -102,6 +102,53 @@ class MiningSpec extends SparkSpec {
     assert(math.abs(g - 1.0 / 9) < 1e-9, g.toString)
   }
 
+  test("giniGain: counts past 3e9 don't wrap (DECIMAL before multiply)") {
+    // one value holding the whole population → child impurity == parent
+    // impurity → gain exactly 0. With the old BIGINT pre-cast multiply,
+    // pos_v² = 1.6e19 > 2⁶³ wraps and the gain comes out garbage.
+    val cont = Seq(("big", "x", 5000000000L, 4000000000L))
+      .toDF("feature", "value", "n_v", "pos_v")
+    val g = Mining.giniGain(cont).select("gain").as[Double].head()
+    assert(math.abs(g) < 1e-9, g.toString)
+  }
+
+  test("bpeTrainRounds/bpeEncode: pair-free corpus returns empty, not IndexOutOfBounds") {
+    // no [a-z]+ word of length >= 2 anywhere → zero trainable pairs
+    val docs = Seq((1L, "a 1 B2 !"), (2L, "x 9")).toDF("doc_id", "text")
+    assert(graft.ext.TextOps.bpeTrainRounds(docs, col("text"), rounds = 3)
+      .count() == 0)
+    assert(graft.ext.TextOps.bpeEncode(docs, col("doc_id"), col("text"),
+      rounds = 3).count() == 0)
+  }
+
+  test("bpeTrainRounds: training exhausts mid-way → rounds completed so far") {
+    // "ab ab": round 1 merges "a b" everywhere; afterwards every word is
+    // the single symbol "ab" → no pairs left → rounds 2-3 don't emit.
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val got = graft.ext.TextOps.bpeTrainRounds(docs, col("text"), rounds = 3)
+      .orderBy("round").as[(Int, String, Long)].collect().toSeq
+    assert(got == Seq((1, "a b", 2L)))
+  }
+
+  test("bpeEncode applies the learned merge table (matches per-round re-learn)") {
+    // corpus: "abab ab cd" → merges: r1 "a b"(3), r2 "a b"(1), r3 "ab ab"(1)
+    // doc tokens after: "abab"→[abab], "ab"→[ab], "cd"→[c, d]
+    val docs = Seq((1L, "abab ab"), (2L, "cd")).toDF("doc_id", "text")
+    val got = graft.ext.TextOps.bpeEncode(docs, col("doc_id"), col("text"),
+        rounds = 3)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 6L, 2L), (2L, 2L, 2L)))
+  }
+
+  test("Guard.quadratic: passes under the gate, raises loudly past it") {
+    val small = Seq(1, 2, 3).toDF("x")
+    assert(graft.core.Guard.quadratic(small, "t").count() == 3)
+    val e = intercept[IllegalArgumentException] {
+      graft.core.Guard.quadratic(small, "truth-gen", maxRows = 2)
+    }
+    assert(e.getMessage.contains("truth-gen") && e.getMessage.contains("3"))
+  }
+
   test("hashWalks: every hop follows an edge, walks are complete and deterministic") {
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L))
       .toDF("src", "dst")

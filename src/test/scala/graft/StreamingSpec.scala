@@ -831,6 +831,22 @@ class MultimodalSpec extends SparkSpec {
     assert(const == ((0L, 1)))
   }
 
+  test("wavZeroCrossings: negative PCM samples are sign-converted before the mean test") {
+    // signed samples [-1, -32768, 100] (LE hex ffff 0080 6400):
+    // tot = -32669, n = 3 → high pattern T,F,T → 2 crossings.
+    // The old UNSIGNED decode saw [65535, 32768, 100] / tot 98403 →
+    // T,F,F → only 1 crossing — this pins the signed fix.
+    val df = Seq((1L, "ffff00806400")).toDF("id", "hx")
+      .withColumn("p", unhex(col("hx")))
+      .withColumn("media", concat(
+        Multimodal.wavHeader(lit(8000), lit(1), lit(16), length(col("p"))),
+        col("p")))
+    val got = Multimodal.wavZeroCrossings(df, col("id"), col("media"))
+      .select("n_samples", "crossings", "zcr")
+      .as[(Long, Long, Double)].head()
+    assert(got == ((3L, 2L, 1.0)))
+  }
+
   test("wavZeroCrossings: single-sample and empty clips drop out") {
     assert(Multimodal.wavZeroCrossings(wavOf("ab"), col("id"), col("media"))
       .count() == 0)
@@ -850,7 +866,10 @@ class MultimodalSpec extends SparkSpec {
     val texts = docs.select("doc_id", "text").as[(Long, String)].collect()
     texts.foreach { case (id, t) =>
       val bytes = t.getBytes("UTF-8").map(_ & 0xff)
-      val us = bytes.grouped(2).collect { case Array(lo, hi) => lo + 256 * hi }.toArray
+      val us = bytes.grouped(2).collect { case Array(lo, hi) =>
+        val u = lo + 256 * hi
+        if (u >= 32768) u - 65536 else u // two's-complement, as the engine
+      }.toArray
       if (us.length > 1) {
         val tot = us.map(_.toLong).sum
         val n = us.length.toLong
