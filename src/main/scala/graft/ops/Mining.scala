@@ -180,6 +180,39 @@ object Mining {
     "((pos_v::HUGEINT * pos_v + (n_v - pos_v)::HUGEINT * (n_v - pos_v)) " +
       "* 1000000000) // n_v"
 
+  /** Count-min sketch counters over a key column: d independent hash rows
+    * × w buckets, each cell the count of keys landing there — the
+    * fixed-size frequency sketch (Cormode & Muthukrishnan 2005). The
+    * sketch is d·w integers REGARDLESS of input size: at 100 TB the
+    * shuffle carries at most d·w grouped cells (map-side combine
+    * collapses everything else), and sketches from disjoint partitions /
+    * days / sources merge by cell-wise addition — the property that makes
+    * CMS the streaming-and-distributed counting primitive. Hashing is
+    * [[Prep.portableHash]](j, key) so the DuckDB oracle re-derives every
+    * cell exactly.
+    */
+  def cmsCounters(df: DataFrame, key: Column, d: Int = 4,
+                  w: Int = 1024): DataFrame =
+    df.select(key.as("k"))
+      .select(explode(sequence(lit(0), lit(d - 1))).as("j"), col("k"))
+      .withColumn("bucket", Prep.portableHash(col("j"), col("k")) % w)
+      .groupBy(col("j"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Point-query the sketch for every distinct key: estimate = min over
+    * the d cells the key hashes to. CMS guarantees est ≥ exact (only
+    * collisions inflate, never deflate) — callers can join the exact
+    * counts back to measure the overshoot, as q141 does.
+    */
+  def cmsEstimates(counters: DataFrame, keys: DataFrame, d: Int = 4,
+                   w: Int = 1024): DataFrame =
+    keys.select(col("k")).distinct()
+      .select(col("k"), explode(sequence(lit(0), lit(d - 1))).as("j"))
+      .withColumn("bucket", Prep.portableHash(col("j"), col("k")) % w)
+      .join(counters, Seq("j", "bucket"))
+      .groupBy(col("k"))
+      .agg(min(col("c")).as("est"))
+
   /** Deterministic "random" walks over an edge list: from each start node,
     * `steps` hops where the next node is the out-neighbour minimizing
     * [[Prep.portableHash]](walk·31 + step, dst) — node2vec-style sampling

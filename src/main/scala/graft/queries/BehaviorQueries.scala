@@ -511,5 +511,35 @@ object BehaviorQueries {
             lit(1000000000.0)).as("attributed_conversions"))
         .orderBy("channel")
     },
+
+    // ---- sequential pattern mining: per-user consecutive event-type
+    //      bigrams in (ts, event_id) order — the ORDER-sensitive sibling
+    //      of q123's unordered market baskets, the "what do users do
+    //      next" primitive behind session-flow analysis and next-action
+    //      models. One lead window per user (single shuffle on user_id),
+    //      then a map-side-combinable count over the ~|types|² pattern
+    //      space; n_users is the pattern's support (two-phase distinct
+    //      agg, no row explosion). ----
+    QueryDef("q142_seq_patterns",
+      """WITH p AS (
+        |  SELECT user_id, event_type AS step_a,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS step_b
+        |  FROM events)
+        |SELECT step_a, step_b, count(*) AS n_occurrences,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM p WHERE step_b IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY n_occurrences DESC, step_a, step_b""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("step_b", lead(col("event_type"), 1).over(w))
+        .filter(col("step_b").isNotNull)
+        .groupBy(col("event_type").as("step_a"), col("step_b"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("n_occurrences").desc, col("step_a"), col("step_b"))
+    },
   )
 }

@@ -220,5 +220,46 @@ object MiningQueries {
             .as("responder"))
       Mining.calibrationBins(scored).orderBy("bin")
     },
+
+    // ---- count-min sketch heavy hitters: build the fixed-size (4×1024)
+    //      CMS over part popularity, point-query every key (est = min of
+    //      its 4 cells), and report the top-20 by estimate NEXT TO the
+    //      exact counts — overshoot = est − exact ≥ 0 is the CMS
+    //      guarantee, visible per row. The sketch is 4096 integers no
+    //      matter the input size and merges cell-wise across partitions/
+    //      days — the streaming-and-distributed counting primitive
+    //      (Cormode & Muthukrishnan 2005). portableHash on both sides →
+    //      every cell and every estimate re-derives exactly in DuckDB. ----
+    QueryDef("q141_cms_heavy_hitters", {
+      def h(a: String, b: String) = graft.ops.Prep.portableHashSql(a, b)
+      s"""WITH r AS (SELECT l_partkey AS k FROM lineitem),
+         |js AS (SELECT unnest(range(0, 4)) AS j),
+         |cells AS (SELECT js.j, ${h("js.j", "r.k")} % 1024 AS bucket,
+         |    count(*) AS c
+         |  FROM r CROSS JOIN js GROUP BY 1, 2),
+         |keys AS (SELECT DISTINCT k FROM r),
+         |est AS (SELECT keys.k, min(c.c) AS est
+         |  FROM keys CROSS JOIN js
+         |  JOIN cells c ON c.j = js.j
+         |    AND c.bucket = ${h("js.j", "keys.k")} % 1024
+         |  GROUP BY 1),
+         |ex AS (SELECT k, count(*) AS exact_count FROM r GROUP BY 1)
+         |SELECT est.k AS part_key,
+         |  CAST(ex.exact_count AS BIGINT) AS exact_count,
+         |  CAST(est.est AS BIGINT) AS est_count,
+         |  CAST(est.est - ex.exact_count AS BIGINT) AS overshoot
+         |FROM est JOIN ex ON ex.k = est.k
+         |ORDER BY est_count DESC, part_key LIMIT 20""".stripMargin
+    }) { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select(col("l_partkey").as("k"))
+      val counters = Mining.cmsCounters(li, col("k"))
+      val exact = li.groupBy(col("k")).agg(count(lit(1)).as("exact_count"))
+      Mining.cmsEstimates(counters, li)
+        .join(exact, "k")
+        .select(col("k").as("part_key"), col("exact_count"),
+          col("est").as("est_count"),
+          (col("est") - col("exact_count")).as("overshoot"))
+        .orderBy(col("est_count").desc, col("part_key")).limit(20)
+    },
   )
 }

@@ -380,6 +380,53 @@ object PipelineQueries {
         .orderBy("event_type")
     },
 
+    // ---- MAD robust outliers: per-group median, median-absolute-
+    //      deviation, and the |x − med| > 4.4478·MAD count (4.4478 =
+    //      3·1.4826, the normal-consistency constant, written as ONE
+    //      literal so both engines form the identical threshold double).
+    //      The breakdown-point-0.5 sibling of q57's winsorizing and
+    //      q04's stddev z-scores — the robust anomaly gate monitoring
+    //      pipelines prefer when outliers pollute the stddev itself. Two
+    //      exact-percentile aggregates (group-sized, broadcast back) +
+    //      one counting pass; at 100 TB both swap to approx_percentile
+    //      exactly as q44→q45. Interpolated medians are bit-identical
+    //      across engines (same type-7 lo+(hi−lo)·frac formula — the q57
+    //      precedent), so the strict-> comparison needs no tolerance. ----
+    QueryDef("q143_mad_outliers",
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+        |  FROM events e JOIN med m USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |  FROM d GROUP BY 1)
+        |SELECT d.event_type, round(min(d.med), 6) AS med,
+        |  round(min(md.mad), 6) AS mad,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN d.adev > 4.4478 * md.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers,
+        |  round(CAST(sum(CASE WHEN d.adev > 4.4478 * md.mad THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS outlier_rate
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val med = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      val isOut = col("adev") > lit(4.4478) * col("mad")
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(round(min(col("med")), 6).as("med"),
+          round(min(col("mad")), 6).as("mad"),
+          count(lit(1)).as("n"),
+          sum(when(isOut, 1L).otherwise(0L)).as("n_outliers"),
+          round(sum(when(isOut, 1L).otherwise(0L)).cast("double") /
+            count(lit(1)), 6).as("outlier_rate"))
+        .orderBy("event_type")
+    },
+
     // ---- snapshot data-diff (the pre-promotion audit): classify a
     //      rebuilt snapshot against the current one — added / removed /
     //      changed / unchanged + per-column change counts — via

@@ -140,6 +140,26 @@ class MiningSpec extends SparkSpec {
     assert(got == Seq((1L, 6L, 2L), (2L, 2L, 2L)))
   }
 
+  test("cmsCounters/cmsEstimates: est >= exact always; each hash row holds all N") {
+    val keys = Seq(1L, 1L, 1L, 2L, 2L, 9L, 9L, 9L, 9L, 42L).toDF("k")
+    val counters = Mining.cmsCounters(keys, col("k"), d = 4, w = 8)
+    // sketch invariant: every one of the d rows counts every input row
+    val rowTotals = counters.groupBy("j").agg(sum("c").as("t"))
+      .select("t").as[Long].collect()
+    assert(rowTotals.length == 4 && rowTotals.forall(_ == 10L))
+    val est = Mining.cmsEstimates(counters, keys, d = 4, w = 8)
+      .as[(Long, Long)].collect().toMap
+    val exact = Map(1L -> 3L, 2L -> 2L, 9L -> 4L, 42L -> 1L)
+    assert(est.keySet == exact.keySet)
+    // CMS guarantee: collisions only inflate, never deflate
+    exact.foreach { case (k, c) => assert(est(k) >= c, s"key $k") }
+    // with a wide sketch the 4 keys don't collide: est == exact
+    val wide = Mining.cmsEstimates(
+      Mining.cmsCounters(keys, col("k"), d = 4, w = 4096),
+      keys, d = 4, w = 4096).as[(Long, Long)].collect().toMap
+    assert(wide == exact)
+  }
+
   test("Guard.quadratic: passes under the gate, raises loudly past it") {
     val small = Seq(1, 2, 3).toDF("x")
     assert(graft.core.Guard.quadratic(small, "t").count() == 3)
