@@ -74,5 +74,14 @@ object SparkEntry {
     // pulled from the session-memoized cached lineage (bit-identical to
     // the dump by construction — see ClimateQueries.stagedStatsTable).
     "_staged_climate_stats" -> ((s, _) =>
-      graft.queries.ClimateQueries.stagedStatsTable(s)))
+      graft.queries.ClimateQueries.stagedStatsTable(s)),
+    // The per-word DSIR log ratios behind t49 — ln() is the one
+    // engine-trusted step (no cross-libm bit guarantee); deterministic
+    // across calls (exact integer counts → one ln per word).
+    "_staged_dsir_ratios" -> ((s, dir) =>
+      graft.ext.TextOps.dsirLogRatios(
+        graft.core.Tables.documents(s, dir),
+        functions.col("doc_id"), functions.col("text"),
+        functions.col("lang") === "en")
+        .orderBy("w")))
 }

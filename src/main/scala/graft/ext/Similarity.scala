@@ -937,4 +937,41 @@ object Similarity {
         .cast("double") / sum(col("n"))).as("accuracy"))
     cm.crossJoin(broadcast(acc))
   }
+
+  // ---------- embedding-space anisotropy audit ----------
+
+  /** Deterministic random-pair sample of the embedding space, one row per
+    * sampled pair with its cosine (rounded 6 — the engine-wide rank/parity
+    * convention). The mean pairwise cosine of RANDOM pairs is the standard
+    * anisotropy diagnostic (Ethayarajh 2019: contextual embeddings
+    * collapse into a narrow cone — mean cos ≫ 0 — which silently breaks
+    * cosine-threshold dedup and similarity search; this audit is how a
+    * pipeline notices before deploying thresholds).
+    *
+    * Pair sampling is hash-bucketed so it needs NO global index and no
+    * cross join: vectors hash into `buckets` groups ([[graft.ops.Prep
+    * .portableHash]] — oracle-reproducible), each vector pairs with the
+    * (rank·31+7 mod bucketSize)-th vector of its own bucket (self-pairs
+    * filtered). O(n) pairs, per-bucket rank windows only — at 100 TB the
+    * bucket count scales with the data and no partition sees more than
+    * n/buckets rows.
+    */
+  def anisotropyPairs(emb: DataFrame, id: String, vec: String,
+                      buckets: Int = 64): DataFrame = {
+    val v = emb.select(col(id).as("vid"),
+        col(vec).cast("array<double>").as("e"))
+      .withColumn("b",
+        graft.ops.Prep.portableHash(lit(1), col("vid")) % buckets)
+    val r = v
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("b").orderBy("vid")) - 1)
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("b")))
+      .withColumn("partner", (col("rank") * 31 + 7) % col("bsz"))
+    val right = r.select(col("b").as("b2"), col("rank").as("rank2"),
+      col("vid").as("pid"), col("e").as("e2"))
+    r.filter(col("partner") =!= col("rank"))
+      .join(right, col("b") === col("b2") && col("partner") === col("rank2"))
+      .select(col("vid").as("id_a"), col("pid").as("id_b"),
+        round(cosine(col("e"), col("e2")), 6).as("cos"))
+  }
 }

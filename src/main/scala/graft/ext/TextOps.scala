@@ -698,6 +698,56 @@ object TextOps {
     out.result().toDF("round", "merged_pair", "pair_count")
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): per-feature log ratio
+    * of the TARGET distribution to the SOURCE (full-corpus) distribution,
+    * add-1 smoothed — ln((t_f+1)/(T+V)) − ln((s_f+1)/(S+V)). Features
+    * here are vocabulary unigrams (DuckDB-recomputable); at 100 TB the
+    * standard form hashes n-grams into a fixed bucket space, which only
+    * SHRINKS this table — the scale shape is unchanged: one token-count
+    * aggregate, one broadcast totals row, O(vocab) output.
+    *
+    * The ratio VALUES are the staged engine-trusted input of the t49
+    * oracle (ln has no bit-parity guarantee across libm implementations
+    * — the `_staged_ivf_centroids` pattern); everything downstream is
+    * exact decimal arithmetic both engines re-derive.
+    */
+  def dsirLogRatios(docs: DataFrame, id: Column, text: Column,
+                    targetPred: Column): DataFrame = {
+    val tok = docs
+      .select(id.as("doc"), targetPred.as("tgt"), explode(words(text)).as("w"))
+      .filter(length(col("w")) > 0)
+    val sf = tok.groupBy(col("w"))
+      .agg(count(lit(1)).as("s_f"),
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("t_f"))
+    val tot = sf.agg(sum(col("s_f")).as("S_tot"), sum(col("t_f")).as("T_tot"),
+      count(lit(1)).as("V"))
+    sf.crossJoin(broadcast(tot))
+      .select(col("w"),
+        (log((col("t_f") + 1).cast("double") / (col("T_tot") + col("V"))) -
+          log((col("s_f") + 1).cast("double") / (col("S_tot") + col("V"))))
+          .as("r"))
+  }
+
+  /** Per-doc DSIR score: Σ_w count(doc, w) · r_w with the ratio QUANTIZED
+    * to DECIMAL(18,9) before the multiply-sum — the sum is exact and
+    * merge-order-independent, so the score is reproducible in any engine
+    * given the staged ratio table. Returns (doc, n_tokens, dsir_score
+    * rounded 6); selection = top-k by (score desc, doc) — importance
+    * resampling's deterministic argmax form.
+    */
+  def dsirScores(docs: DataFrame, id: Column, text: Column,
+                 ratios: DataFrame): DataFrame = {
+    val c = docs.select(id.as("doc"), explode(words(text)).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("doc"), col("w")).agg(count(lit(1)).as("c"))
+    c.join(ratios, "w")
+      .groupBy(col("doc"))
+      .agg(sum(col("c")).as("n_tokens"),
+        round(sum(col("c") * col("r").cast("decimal(18,9)")).cast("double"), 6)
+          .as("dsir_score"))
+  }
+
   /** Apply an ORDERED merge table to the space-sentinel corpus column —
     * [[bpeTrainRounds]]'s inference step as one chained projection: each
     * merge is the same `replace(" a b ", " ab ")`, folded left-to-right,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -184,5 +184,91 @@ object Maintenance {
         count(when(!isNull, lit(1))).as("n_distinct"),
         min(col("v_num")).as("min_num"), max(col("v_num")).as("max_num"),
         min(col("v_str")).as("min_str"), max(col("v_str")).as("max_str"))
+  }
+
+  /** Change-data-feed GENERATION — [[snapshotDiff]]'s row-level output:
+    * diff two snapshots into the Delta-CDF/Debezium changelog a consumer
+    * replays — `+I` (insert, new values), `-D` (delete, old values), and
+    * a `-U`/`+U` pair per changed key (old then new values). The exact
+    * inverse of [[applyCdc]]: applying the emitted log to `a` rebuilds
+    * `b`.
+    *
+    * Shape: ONE full-outer join on the keys, then unchanged rows filter
+    * out and each surviving row EXPLODES into its 1-2 events (a when-
+    * chained array of structs — map-side, fan-out ≤ 2). Never four
+    * filtered re-executions of the join, which is what a UNION-of-legs
+    * formulation plans.
+    */
+  def changelogDiff(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
+    require(a.columns.toSeq == b.columns.toSeq,
+      s"changelogDiff: schemas differ: ${a.columns.toSeq} vs ${b.columns.toSeq}")
+    val cmp = a.columns.toSeq.filterNot(keys.contains)
+    val aT = a.withColumn("__in_a", lit(true))
+    val bT = b.select(keys.map(col) ++
+        cmp.map(c => col(c).as(s"__b_$c")) :+ lit(true).as("__in_b"): _*)
+    val j = aT.join(bT, keys, "full_outer")
+    val anyChg = cmp.map(c => !(col(c) <=> col(s"__b_$c"))).reduce(_ || _)
+    def ev(op: String, f: String => Column) =
+      struct(lit(op).as("op") +: cmp.map(c => f(c).as(c)): _*)
+    val oldEv = (op: String) => ev(op, col)
+    val newEv = (op: String) => ev(op, c => col(s"__b_$c"))
+    j.filter(col("__in_a").isNull || col("__in_b").isNull || anyChg)
+      .select(keys.map(col) :+ explode(
+        when(col("__in_a").isNull, array(newEv("+I")))
+          .when(col("__in_b").isNull, array(oldEv("-D")))
+          .otherwise(array(oldEv("-U"), newEv("+U")))).as("__ev"): _*)
+      .select(col("__ev.op").as("op") +: keys.map(col) ++:
+        cmp.map(c => col(s"__ev.$c")): _*)
+  }
+
+  /** Compaction (OPTIMIZE) planner over a small-file inventory
+    * (part, file_id, bytes): within each table partition, files are
+    * packed size-descending into sequential bins of ~`targetBytes` via a
+    * cumulative-sum window — bin = Σbytes-before DIV target, the same
+    * greedy sequential packing Delta/Iceberg OPTIMIZE implementations
+    * use (deterministic, one window, no bin-state loop). Returns one row
+    * per planned rewrite task: (part, bin, n_files, total_bytes).
+    *
+    * Scale shape: the inventory is file METADATA (one row per file —
+    * millions of rows for a petabyte table, not billions), the window
+    * partitions by table-partition, and the plan is what an executor
+    * fleet then executes; planning never touches data bytes.
+    */
+  def compactionPlan(files: DataFrame, targetBytes: Long): DataFrame = {
+    val w = Window.partitionBy("part")
+      .orderBy(col("bytes").desc, col("file_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("__before", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"__before DIV $targetBytes"))
+      .groupBy(col("part"), col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("total_bytes"))
+  }
+
+  /** Join-key skew profile over (col_name, k) key instances: per audited
+    * column, the distinct-key count, the hottest key and its count, the
+    * max/mean skew ratio, and the Gini coefficient of the key-frequency
+    * distribution — the pre-join diagnostic that decides between a plain
+    * shuffle join, [[Skew.saltedJoin]], or AQE skew splitting BEFORE the
+    * straggler task appears. All integer arithmetic until the two final
+    * divisions: with counts c_i sorted ascending and 1-based rank i,
+    * Gini = (2·Σi·c_i − (k+1)·n) / (k·n) — exact, merge-order-free.
+    */
+  def keySkewProfile(keyed: DataFrame): DataFrame = {
+    val cnt = keyed.groupBy(col("col_name"), col("k"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("col_name").orderBy(col("c"), col("k"))
+    cnt.withColumn("i", row_number().over(w))
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+        max(col("c")).as("max_count"),
+        max(struct(col("c"), (-col("k")).as("nk"))).as("__top"),
+        sum(col("i") * col("c")).as("__ic"))
+      .select(col("col_name"), col("n_keys"), col("n_rows"), col("max_count"),
+        (-col("__top.nk")).as("top_key"),
+        round(col("max_count") * col("n_keys").cast("double") /
+          col("n_rows"), 6).as("skew_ratio"),
+        round((lit(2) * col("__ic") - (col("n_keys") + 1) * col("n_rows"))
+          .cast("double") / (col("n_keys") * col("n_rows")), 6).as("gini"))
   }
 }

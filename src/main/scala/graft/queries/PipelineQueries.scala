@@ -427,6 +427,136 @@ object PipelineQueries {
         .orderBy("event_type")
     },
 
+    // ---- change-data-feed GENERATION (q104's row-level inverse): diff
+    //      the same two snapshots into the Delta-CDF/Debezium changelog —
+    //      +I with new values, -D with old, a -U/+U pair per changed key.
+    //      Applying this log to A rebuilds B (the applyCdc inverse). ONE
+    //      full-outer join; each surviving row explodes into its 1-2
+    //      events map-side — never four filtered re-executions of the
+    //      join, which is what the UNION-of-legs oracle formulation
+    //      plans (fine for DuckDB, wrong at 100 TB). ----
+    QueryDef("q148_changelog_gen",
+      """WITH a AS (SELECT * FROM orders),
+        |b AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |        CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 100.0
+        |             ELSE o_totalprice END AS o_totalprice,
+        |        o_orderdate,
+        |        CASE WHEN o_orderkey % 97 = 0 THEN '3-MEDIUM'
+        |             ELSE o_orderpriority END AS o_orderpriority
+        |      FROM orders WHERE o_orderkey % 101 <> 0
+        |      UNION ALL
+        |      SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+        |        o_totalprice, o_orderdate, o_orderpriority
+        |      FROM orders WHERE o_orderkey % 103 = 0),
+        |chg AS (SELECT a.o_orderkey,
+        |    a.o_custkey AS a_cust, a.o_orderstatus AS a_status,
+        |    a.o_totalprice AS a_price, a.o_orderdate AS a_date,
+        |    a.o_orderpriority AS a_prio,
+        |    b.o_custkey AS b_cust, b.o_orderstatus AS b_status,
+        |    b.o_totalprice AS b_price, b.o_orderdate AS b_date,
+        |    b.o_orderpriority AS b_prio
+        |  FROM a JOIN b USING (o_orderkey)
+        |  WHERE a.o_totalprice IS DISTINCT FROM b.o_totalprice
+        |     OR a.o_orderpriority IS DISTINCT FROM b.o_orderpriority
+        |     OR a.o_custkey IS DISTINCT FROM b.o_custkey
+        |     OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+        |     OR a.o_orderdate IS DISTINCT FROM b.o_orderdate)
+        |SELECT * FROM (
+        |  SELECT '+I' AS op, b.o_orderkey, b.o_custkey, b.o_orderstatus,
+        |    b.o_totalprice, strftime(b.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |    b.o_orderpriority
+        |  FROM b WHERE NOT EXISTS
+        |    (SELECT 1 FROM a WHERE a.o_orderkey = b.o_orderkey)
+        |  UNION ALL
+        |  SELECT '-D', a.o_orderkey, a.o_custkey, a.o_orderstatus,
+        |    a.o_totalprice, strftime(a.o_orderdate, '%Y-%m-%d'),
+        |    a.o_orderpriority
+        |  FROM a WHERE NOT EXISTS
+        |    (SELECT 1 FROM b WHERE b.o_orderkey = a.o_orderkey)
+        |  UNION ALL
+        |  SELECT '-U', o_orderkey, a_cust, a_status, a_price,
+        |    strftime(a_date, '%Y-%m-%d'), a_prio FROM chg
+        |  UNION ALL
+        |  SELECT '+U', o_orderkey, b_cust, b_status, b_price,
+        |    strftime(b_date, '%Y-%m-%d'), b_prio FROM chg)
+        |ORDER BY o_orderkey, op""".stripMargin) { (s, dir) =>
+      val a = Tables.orders(s, dir)
+      val mut = col("o_orderkey") % 97 === 0
+      val b = a.filter(col("o_orderkey") % 101 =!= 0)
+        .withColumn("o_totalprice",
+          when(mut, col("o_totalprice") + 100.0).otherwise(col("o_totalprice")))
+        .withColumn("o_orderpriority",
+          when(mut, lit("3-MEDIUM")).otherwise(col("o_orderpriority")))
+        .unionByName(a.filter(col("o_orderkey") % 103 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      Maintenance.changelogDiff(a, b, Seq("o_orderkey"))
+        .withColumn("o_orderdate", dayStr(col("o_orderdate")))
+        .orderBy("o_orderkey", "op")
+    },
+
+    // ---- compaction (OPTIMIZE) planner: pack a small-file inventory
+    //      into ~2 MiB rewrite bins per table partition — greedy
+    //      size-descending sequential packing via ONE cumulative-sum
+    //      window (bin = bytes-before DIV target), the Delta/Iceberg
+    //      OPTIMIZE planning shape. The inventory is derived
+    //      deterministically from lineitem (file = orderkey%40 within
+    //      returnflag, bytes = 128·rows) so both engines plan the same
+    //      files; planning is metadata-sized — one row per FILE — and
+    //      never touches data bytes. ----
+    QueryDef("q144_compaction_plan",
+      """WITH inv AS (SELECT l_returnflag AS part,
+        |    l_orderkey % 40 AS file_id, count(*) * 128 AS bytes
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT part, bytes,
+        |    COALESCE(sum(bytes) OVER (PARTITION BY part
+        |      ORDER BY bytes DESC, file_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bfr
+        |  FROM inv)
+        |SELECT part, CAST(bfr // 2097152 AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(bytes) AS BIGINT) AS total_bytes
+        |FROM c GROUP BY 1, 2 ORDER BY part, bin""".stripMargin) { (s, dir) =>
+      val inv = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("part"),
+          (col("l_orderkey") % 40).as("file_id"))
+        .agg((count(lit(1)) * 128).as("bytes"))
+      Maintenance.compactionPlan(inv, targetBytes = 2097152L)
+        .orderBy("part", "bin")
+    },
+
+    // ---- join-key skew profile: per candidate join key, distinct-key
+    //      count, hottest key + count, max/mean skew ratio, and the Gini
+    //      coefficient of the key-frequency distribution — the pre-join
+    //      diagnostic that picks plain shuffle vs q46's salted join vs
+    //      AQE skew splitting BEFORE the straggler task appears. One
+    //      stack pass over the facts, count tables combine map-side, the
+    //      rank window runs over DISTINCT keys only; Gini is exact
+    //      integer arithmetic until the final division. ----
+    QueryDef("q145_skew_profile",
+      """WITH keyed AS (
+        |  SELECT 'l_orderkey' AS col_name, l_orderkey AS k FROM lineitem
+        |  UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+        |  UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem),
+        |cnt AS (SELECT col_name, k, count(*) AS c FROM keyed GROUP BY 1, 2),
+        |r AS (SELECT col_name, k, c,
+        |    row_number() OVER (PARTITION BY col_name ORDER BY c, k) AS i,
+        |    row_number() OVER (PARTITION BY col_name ORDER BY c DESC, k) AS rd
+        |  FROM cnt)
+        |SELECT col_name, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(c) AS BIGINT) AS n_rows,
+        |  CAST(max(c) AS BIGINT) AS max_count,
+        |  CAST(max(CASE WHEN rd = 1 THEN k END) AS BIGINT) AS top_key,
+        |  round(CAST(max(c) AS DOUBLE) * count(*) / sum(c), 6) AS skew_ratio,
+        |  round(CAST(2 * sum(i * c) - (count(*) + 1) * sum(c) AS DOUBLE) /
+        |    (count(*) * sum(c)), 6) AS gini
+        |FROM r GROUP BY 1 ORDER BY col_name""".stripMargin) { (s, dir) =>
+      val keyed = Tables.lineitem(s, dir).select(expr(
+        """stack(3, 'l_orderkey', l_orderkey,
+          |  'l_partkey', l_partkey,
+          |  'l_suppkey', l_suppkey) AS (col_name, k)""".stripMargin))
+      Maintenance.keySkewProfile(keyed).orderBy("col_name")
+    },
+
     // ---- snapshot data-diff (the pre-promotion audit): classify a
     //      rebuilt snapshot against the current one — added / removed /
     //      changed / unchanged + per-column change counts — via

@@ -927,5 +927,49 @@ object SimilarityQueries {
               .as("recall"))
       }.reduce(_ unionByName _).orderBy("nprobe")
     },
+
+    // ---- embedding-space anisotropy audit: mean + quantiles of the
+    //      cosine over a deterministic random-pair sample (Ethayarajh
+    //      2019's cone-collapse diagnostic — mean cos >> 0 silently
+    //      breaks every cosine-threshold dedup/search setting; this is
+    //      how a pipeline notices BEFORE deploying thresholds). Pair
+    //      sampling is hash-bucketed (portableHash -> per-bucket rank ->
+    //      rank*31+7 mod bucketSize partner): O(n) pairs, no global
+    //      index, no cross join — fully re-derived in DuckDB. The mean
+    //      is a DECIMAL(18,6) sum of the rounded cosines (order-free
+    //      exact); quantiles interpolate the same rounded multiset. ----
+    QueryDef("s28_anisotropy", {
+      val h = graft.ops.Prep.portableHashSql("1", "vec_id")
+      s"""WITH v AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS e,
+         |    $h % 64 AS b
+         |  FROM embeddings),
+         |r AS (SELECT vid, e, b,
+         |    row_number() OVER (PARTITION BY b ORDER BY vid) - 1 AS rank,
+         |    count(*) OVER (PARTITION BY b) AS bsz
+         |  FROM v),
+         |pr AS (SELECT a.vid,
+         |    round(list_dot_product(a.e, c.e) /
+         |      (sqrt(list_dot_product(a.e, a.e)) *
+         |       sqrt(list_dot_product(c.e, c.e))), 6) AS cos
+         |  FROM r a JOIN r c ON c.b = a.b
+         |    AND c.rank = (a.rank * 31 + 7) % a.bsz
+         |  WHERE (a.rank * 31 + 7) % a.bsz <> a.rank)
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |  round(CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)
+         |    / count(*), 6) AS avg_cos,
+         |  round(quantile_cont(cos, 0.05), 6) AS p05_cos,
+         |  round(quantile_cont(cos, 0.5), 6) AS p50_cos,
+         |  round(quantile_cont(cos, 0.95), 6) AS p95_cos
+         |FROM pr""".stripMargin
+    }) { (s, dir) =>
+      Similarity.anisotropyPairs(Tables.embeddings(s, dir),
+          "vec_id", "embedding", buckets = 64)
+        .agg(count(lit(1)).as("n_pairs"),
+          round(graft.core.Exact.decimalSumExpr(col("cos")) /
+            count(lit(1)), 6).as("avg_cos"),
+          round(expr("percentile(cos, 0.05)"), 6).as("p05_cos"),
+          round(expr("percentile(cos, 0.5)"), 6).as("p50_cos"),
+          round(expr("percentile(cos, 0.95)"), 6).as("p95_cos"))
+    },
   )
 }

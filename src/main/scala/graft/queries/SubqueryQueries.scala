@@ -347,5 +347,67 @@ object SubqueryQueries {
         """SELECT * EXCEPT (value, props) FROM events
           |ORDER BY event_id""".stripMargin)
     },
+
+    // ---- VARIANT (Spark 4's semi-structured type): build a nested JSON
+    //      doc from the event columns, parse it to VARIANT, and navigate
+    //      back out with typed variant_get path extraction — the
+    //      shred-free JSON lakehouse surface. The ORACLE aggregates the
+    //      ORIGINAL columns directly, so the hash match proves the whole
+    //      to_json → parse_json → variant_get round trip preserves every
+    //      value (shortest-repr double serialization makes the v sum
+    //      exact; the decimal cast makes it order-free). ----
+    QueryDef("q146_variant_json",
+      """SELECT event_type AS etype, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+        |    AS BIGINT) AS sum_k,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_v
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """WITH v AS (
+          |  SELECT parse_json(to_json(named_struct(
+          |      'meta', named_struct('type', event_type,
+          |        'k', CAST(get_json_object(props, '$.k') AS INT)),
+          |      'v', value))) AS doc
+          |  FROM events)
+          |SELECT variant_get(doc, '$.meta.type', 'string') AS etype,
+          |  count(*) AS n,
+          |  sum(variant_get(doc, '$.meta.k', 'int')) AS sum_k,
+          |  round(CAST(sum(CAST(variant_get(doc, '$.v', 'double')
+          |    AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_v
+          |FROM v GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+
+    // ---- collations (Spark 4): case-insensitive DISTINCT and equality
+    //      via UTF8_LCASE on a deliberately case-mixed column — the
+    //      declarative alternative to lower()-wrapping every comparison
+    //      (and, unlike lower(), collation-aware comparisons keep
+    //      pushdown/statistics on the original column). The oracle
+    //      expresses the same semantics with lower(); binary-vs-lcase
+    //      distinct counts (10 vs 5) pin that the collation actually
+    //      changed equality, and the mixed-case literal match pins
+    //      collated '='. ----
+    QueryDef("q147_collation_lcase",
+      """WITH m AS (SELECT CASE WHEN c_custkey % 2 = 0
+        |      THEN upper(c_mktsegment) ELSE lower(c_mktsegment) END AS seg
+        |  FROM customer)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT seg) AS BIGINT) AS n_distinct_binary,
+        |  CAST(count(DISTINCT lower(seg)) AS BIGINT) AS n_distinct_lcase,
+        |  CAST(sum(CASE WHEN lower(seg) = 'building' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_building
+        |FROM m""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """WITH m AS (SELECT CASE WHEN c_custkey % 2 = 0
+          |      THEN upper(c_mktsegment) ELSE lower(c_mktsegment) END AS seg
+          |  FROM customer)
+          |SELECT count(*) AS n_rows,
+          |  count(DISTINCT seg) AS n_distinct_binary,
+          |  count(DISTINCT collate(seg, 'UTF8_LCASE')) AS n_distinct_lcase,
+          |  sum(CASE WHEN collate(seg, 'UTF8_LCASE') = 'Building'
+          |      THEN 1 ELSE 0 END) AS n_building
+          |FROM m""".stripMargin)
+    },
   )
 }

@@ -1416,6 +1416,40 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- DSIR data selection (Xie et al. 2023): score every document by
+    //      Σ count(doc, w)·ln((t_w+1)/(T+V) ÷ (s_w+1)/(S+V)) — how much
+    //      more the doc looks like the TARGET distribution (lang='en')
+    //      than the source corpus — and keep the top 15, importance
+    //      resampling's deterministic argmax form. The per-word log
+    //      ratios are the ONE engine-trusted input (ln has no cross-libm
+    //      bit guarantee), staged as `_staged_dsir_ratios`; the oracle
+    //      re-derives the per-doc counts AND the quantized multiply-sum
+    //      from scratch (DECIMAL(18,9) terms → exact, order-free on both
+    //      engines; Spark's shortest-repr HALF_UP double→decimal cast is
+    //      mirrored via the VARCHAR route). ----
+    QueryDef("t49_dsir_selection",
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+         |  FROM documents),
+         |c AS (SELECT doc_id, w, count(*) AS c FROM tok
+         |      WHERE len(w) > 0 GROUP BY 1, 2),
+         |r AS (SELECT w,
+         |    CAST(round(CAST(CAST(r AS VARCHAR) AS DECIMAL(35,17)), 9)
+         |      AS DECIMAL(18,9)) AS rq
+         |  FROM read_parquet('${ClimateQueries.OutToken}/_staged_dsir_ratios/*.parquet'))
+         |SELECT c.doc_id, CAST(sum(c.c) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(c.c * r.rq) AS DOUBLE), 6) AS dsir_score
+         |FROM c JOIN r USING (w) GROUP BY 1
+         |ORDER BY dsir_score DESC, doc_id LIMIT 15""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val ratios = TextOps.dsirLogRatios(docs, col("doc_id"), col("text"),
+        col("lang") === "en")
+      TextOps.dsirScores(docs, col("doc_id"), col("text"), ratios)
+        .select(col("doc").as("doc_id"), col("n_tokens"), col("dsir_score"))
+        .orderBy(col("dsir_score").desc, col("doc_id")).limit(15)
+    },
+
     // ---- LSH blocking quality report — the dedup EVALUATION harness as
     //      a first-class query: candidate-stage precision (how much
     //      verify work the bands waste) and recall (what the bands miss)

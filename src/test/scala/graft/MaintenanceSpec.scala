@@ -209,4 +209,55 @@ class MaintenanceSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(plan).size == 1, plan)
     assert(!plan.contains("Union"), plan)
   }
+
+  test("changelogDiff: correct event fan-out; applying the log rebuilds B") {
+    import spark.implicits._
+    val a = Seq((1L, "x", 10.0), (2L, "y", 20.0), (3L, "z", 30.0))
+      .toDF("k", "s", "v")
+    val b = Seq((1L, "x", 10.0), (2L, "y2", 21.0), (4L, "w", 40.0))
+      .toDF("k", "s", "v")
+    val log = Maintenance.changelogDiff(a, b, Seq("k"))
+    val got = log.orderBy("k", "op")
+      .as[(String, Long, String, Double)].collect().toSeq
+    // unchanged key 1 emits nothing; '+' sorts before '-'
+    assert(got == Seq(
+      ("+U", 2L, "y2", 21.0), ("-U", 2L, "y", 20.0),
+      ("-D", 3L, "z", 30.0), ("+I", 4L, "w", 40.0)))
+    // round trip: the log is applyCdc's input format modulo the
+    // old-value rows — strip -U, map +I/-D/+U to I/D/U, apply → B
+    val cdc = log.filter(col("op") =!= "-U")
+      .withColumn("op", expr("substring(op, 2, 1)"))
+    val rebuilt = Maintenance.applyCdc(a, cdc, Seq("k"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(rebuilt == b.as[(Long, String, Double)].collect().toSet)
+  }
+
+  test("compactionPlan: hand-packed bins (size-desc greedy, DIV boundary)") {
+    import spark.implicits._
+    // files 5,4,3,2 at target 7: cumulative-before 0,5,9,12 → bins 0,0,1,1
+    val inv = Seq(("x", 1L, 5L), ("x", 2L, 4L), ("x", 3L, 3L), ("x", 4L, 2L))
+      .toDF("part", "file_id", "bytes")
+    val got = Maintenance.compactionPlan(inv, targetBytes = 7L)
+      .orderBy("bin").as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("x", 0L, 2L, 9L), ("x", 1L, 2L, 5L)))
+    // a second partition plans independently
+    val two = inv.union(Seq(("y", 1L, 20L)).toDF("part", "file_id", "bytes"))
+    assert(Maintenance.compactionPlan(two, 7L).count() == 3)
+  }
+
+  test("keySkewProfile: hand-computed gini/skew on a 3-key distribution") {
+    import spark.implicits._
+    // counts {1:3, 2:1, 3:1} → asc ranks (2,1),(3,1),(1,3) → Σi·c = 12;
+    // gini = (2·12 − 4·5)/(3·5) = 4/15; skew = 3·3/5 = 1.8; top key 1
+    val keyed = Seq(1L, 1L, 1L, 2L, 3L).map(("ka", _)).toDF("col_name", "k")
+    val r = Maintenance.keySkewProfile(keyed).collect().head
+    assert(r.getAs[Long]("n_keys") == 3 && r.getAs[Long]("n_rows") == 5)
+    assert(r.getAs[Long]("max_count") == 3 && r.getAs[Long]("top_key") == 1L)
+    assert(r.getAs[Double]("skew_ratio") == 1.8)
+    assert(math.abs(r.getAs[Double]("gini") - 4.0 / 15) < 1e-6)
+    // uniform distribution → gini 0
+    val uni = Seq(1L, 2L, 3L, 4L).map(("kb", _)).toDF("col_name", "k")
+    assert(Maintenance.keySkewProfile(uni).collect().head
+      .getAs[Double]("gini") == 0.0)
+  }
 }

@@ -430,4 +430,22 @@ class SimilaritySpec extends SparkSpec {
     // craters recall to ~chance, not against honest quantization loss
     assert(recall >= 0.6, s"binary ANN recall $recall < 0.6")
   }
+
+  test("anisotropyPairs: no self-pairs, O(n) pairs, identical corpus → cos 1") {
+    val n = 200
+    val emb = (0 until n).map(i => (i.toLong, Seq(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.anisotropyPairs(emb, "vec_id", "embedding",
+      buckets = 8).collect()
+    assert(pairs.nonEmpty && pairs.length <= n)
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("id_a") != r.getAs[Long]("id_b"))
+      assert(r.getAs[Double]("cos") == 1.0)
+    }
+    // deterministic across repartitionings
+    val again = Similarity.anisotropyPairs(emb.repartition(7), "vec_id",
+      "embedding", buckets = 8).collect()
+    assert(again.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      pairs.map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
 }
