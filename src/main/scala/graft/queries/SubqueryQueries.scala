@@ -409,5 +409,54 @@ object SubqueryQueries {
           |      THEN 1 ELSE 0 END) AS n_building
           |FROM m""".stripMargin)
     },
+
+    // ---- SQL pipe syntax (Spark 4's |> operators, SPARK-49555): the
+    //      same filter→aggregate→order program written as a linear
+    //      pipeline instead of inside-out SQL — each |> stage consumes
+    //      the previous table. Catalyst plans it identically to the
+    //      classic form (the oracle), so the hash match pins that the
+    //      surface is sugar, not different semantics. ----
+    QueryDef("q149_pipe_syntax",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total
+        |FROM events WHERE value > 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """FROM events
+          ||> WHERE value > 1
+          ||> AGGREGATE count(*) AS n,
+          |     round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+          |       AS total
+          |   GROUP BY event_type
+          ||> ORDER BY event_type""".stripMargin)
+    },
+
+    // ---- XML ingestion (Spark 4's from_xml): build an XML doc per
+    //      event, parse it back with a schema, extract typed fields, and
+    //      aggregate — the q146 VARIANT discipline applied to the XML
+    //      surface. The oracle aggregates the ORIGINAL columns, so the
+    //      hash match proves the to_xml → from_xml round trip is
+    //      lossless (ints and shortest-repr doubles). ----
+    QueryDef("q150_xml_roundtrip",
+      """SELECT event_type AS etype, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+        |    AS BIGINT) AS sum_k,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_v
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """WITH x AS (
+          |  SELECT to_xml(named_struct(
+          |      'type', event_type,
+          |      'k', CAST(get_json_object(props, '$.k') AS INT),
+          |      'v', value)) AS doc
+          |  FROM events),
+          |p AS (SELECT from_xml(doc,
+          |        'type STRING, k INT, v DOUBLE') AS r FROM x)
+          |SELECT r.type AS etype, count(*) AS n, sum(r.k) AS sum_k,
+          |  round(CAST(sum(CAST(r.v AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_v
+          |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
   )
 }

@@ -538,4 +538,53 @@ object GraftProps extends Properties("graft") {
       Prop(got.keySet == nodes && got.values.toSet.subsetOf(nodes) &&
         doubled == got) :| s"got=$got doubled=$doubled"
     }
+
+  private val keysGen: Gen[List[Long]] =
+    Gen.choose(3, 30).flatMap(n => Gen.listOfN(n, Gen.choose(0L, 9L)))
+
+  property("cms: est >= exact for every key; row totals == N; merge = cell-wise add") =
+    forAll(keysGen) { ks =>
+      val df = ks.toDF("k")
+      val counters = graft.ops.Mining.cmsCounters(df, col("k"), d = 3, w = 4)
+      val est = graft.ops.Mining.cmsEstimates(counters, df, d = 3, w = 4)
+        .as[(Long, Long)].collect().toMap
+      val exact = ks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val rowTotals = counters.groupBy("j").agg(sum("c").as("t"))
+        .select("t").as[Long].collect().toSeq
+      // sketch of a split input merges by cell-wise addition into the
+      // whole-input sketch (the distributed-counting property)
+      val (l, r) = ks.splitAt(ks.size / 2)
+      val merged = graft.ops.Mining.cmsCounters(l.toDF("k"), col("k"), 3, 4)
+        .unionByName(graft.ops.Mining.cmsCounters(r.toDF("k"), col("k"), 3, 4))
+        .groupBy("j", "bucket").agg(sum("c").as("c"))
+        .as[(Int, Long, Long)].collect().toSet
+      val whole = counters.as[(Int, Long, Long)].collect().toSet
+      Prop(exact.forall { case (k, c) => est(k) >= c } &&
+        rowTotals.forall(_ == ks.size.toLong) &&
+        merged == whole) :| s"est=$est exact=$exact"
+    }
+
+  private val snapGen: Gen[(List[(Long, String)], List[(Long, String)])] =
+    for {
+      a <- Gen.listOf(Gen.zip(Gen.choose(0L, 8L), Gen.oneOf("x", "y", "z")))
+      b <- Gen.listOf(Gen.zip(Gen.choose(0L, 8L), Gen.oneOf("x", "y", "z")))
+    } yield (a.distinctBy(_._1), b.distinctBy(_._1))
+
+  property("changelogDiff: applying the emitted log to A always rebuilds B") =
+    forAll(snapGen) { case (as, bs) =>
+      val a = as.toDF("k", "s")
+      val b = bs.toDF("k", "s")
+      val log = graft.ops.Maintenance.changelogDiff(a, b, Seq("k"))
+      val cdc = log.filter(col("op") =!= "-U")
+        .withColumn("op", expr("substring(op, 2, 1)"))
+      val rebuilt = graft.ops.Maintenance.applyCdc(a, cdc, Seq("k"))
+        .as[(Long, String)].collect().toSet
+      // event-count identity: |log| = inserts + deletes + 2·changed
+      val statuses = graft.ops.Maintenance.snapshotDiff(a, b, Seq("k"))
+        .groupBy("status").count().as[(String, Long)].collect().toMap
+      val expected = statuses.getOrElse("added", 0L) +
+        statuses.getOrElse("removed", 0L) + 2 * statuses.getOrElse("changed", 0L)
+      Prop(rebuilt == bs.toSet && log.count() == expected) :|
+        s"a=$as b=$bs rebuilt=$rebuilt"
+    }
 }
