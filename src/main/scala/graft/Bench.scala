@@ -62,7 +62,7 @@ object Bench {
     // min of two runs per query: damps shared-machine load spikes without
     // hiding real cost (both runs rebuild the full plan; only JVM/codegen
     // warmth carries over, which the warm-up pass already granted).
-    val measured = SparkEntry.queries.map { case (name, fn) =>
+    val measured = (SparkEntry.queries ++ SparkEntry.benchOnly).map { case (name, fn) =>
       val times = (1 to 2).map(_ => timeOnce(name, fn))
       // a failed query reports -1, never its time-to-exception (a broken
       // query must not read as a speedup)
@@ -119,7 +119,7 @@ object Bench {
       "q88_param_binding", "st07_funnel_chain", "t34_pmi_collocations",
       "q123_market_basket", "q127_hash_walks", "q129_table_profile",
       "q132_label_prop", "t43_sorted_neighborhood", "t45_bpe_train",
-      "s26_ann_binary", "s27_ivf_recall")
+      "s26_ann_binary", "s27_ivf_recall", "c09_full_pipeline")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"),
       jsonLine(results.toSeq.sortBy(_._1)))

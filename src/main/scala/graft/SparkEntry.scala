@@ -31,6 +31,17 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
 
+  /** Bench-only entries: timed by [[graft.Bench]] but NOT graded by
+    * Verify — each is a COMPOSITION of already-oracled queries, timed in
+    * the shape the reference actually runs it. c09 is the full
+    * bronze→silver→gold 4-table pipeline as one unit (fresh lineage per
+    * call — a lost cache() in the shared climate lineage shows up here
+    * as a board regression, invisible to the per-query entries that
+    * share the session memo).
+    */
+  def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c09_full_pipeline" -> ((s, _) => ClimateQueries.fullPipelineFresh(s)))
+
   /** Auxiliary engine artifacts Verify stages alongside the query dumps —
     * NOT graded queries, just inputs an oracle needs to re-derive an
     * otherwise engine-trusted step (referenced via the OutToken path).

@@ -22,7 +22,7 @@ object TimeQuery {
     }
     SparkEntry.queries.get("q01_pricing_summary").foreach(_(spark, sfDir).count())
     args.foreach { name =>
-      SparkEntry.queries.get(name) match {
+      (SparkEntry.queries ++ SparkEntry.benchOnly).get(name) match {
         case None => println(s"$name: UNKNOWN")
         case Some(fn) =>
           val times = (1 to 2).map { _ =>

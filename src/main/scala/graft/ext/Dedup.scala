@@ -173,7 +173,8 @@ object Dedup {
     * J ≥ tauNum/tauDen, id_a < id_b.
     */
   def prefixFilterPairs(df: DataFrame, id: Column, text: Column, n: Int = 3,
-                        tauNum: Int = 2, tauDen: Int = 5): DataFrame = {
+                        tauNum: Int = 2, tauDen: Int = 5,
+                        broadcastSigBytes: Long = 64L << 20): DataFrame = {
     // (doc, s, h) distinct shingle rows feed FOUR consumers (df counts,
     // sizes, prefix ranks, both verify sides) — materialize once, same
     // rationale as jaccardPairs' localCheckpoint.
@@ -222,7 +223,7 @@ object Dedup {
       .agg(sort_array(collect_list(col("h"))).as("hs"))
     val sigBytes = sh.count() * 8L
     val hint: DataFrame => DataFrame =
-      if (sigBytes <= (64L << 20)) broadcast(_) else identity
+      if (sigBytes <= broadcastSigBytes) broadcast(_) else identity
     cand
       .join(hint(sigs.select(col("doc").as("id_a"), col("hs").as("ha"))),
         "id_a")

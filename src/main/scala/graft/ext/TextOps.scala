@@ -665,18 +665,47 @@ object TextOps {
     * every word fully merged into one symbol) ends training early: the
     * rounds completed so far are returned (possibly zero rows) rather
     * than throwing on the empty top-pair pull.
+    *
+    * SCALE: `trainFrac` > 1 trains on a deterministic 1/trainFrac
+    * DOCUMENT sample — merge statistics are sample-tolerant (the PQ/IVF
+    * `trainFrac` discipline, ext/PQ.scala), and at 100 TB the trainer
+    * must not materialize R full-corpus token tables for a 26²-ish pair
+    * statistic. The sample predicate is the last hex nibble of
+    * md5(doc_id-as-string) — NOT xxhash64 — so a SQL oracle on any
+    * engine with md5 (DuckDB: `substr(md5(CAST(doc_id AS VARCHAR)),
+    * 32, 1) < '4'`) re-derives the exact same subset; trainFrac must
+    * divide 16. The sampled base is materialized ONCE; round r's corpus
+    * is base + merges 1..r−1 re-applied as one chained-replace
+    * projection ([[bpeApplyMerges]]) — composition-identical to
+    * materializing each round, without R localCheckpoints.
     */
-  def bpeTrainRounds(df: DataFrame, text: Column, rounds: Int): DataFrame = {
+  def bpeTrainRounds(df: DataFrame, text: Column, rounds: Int,
+                     trainFrac: Int = 1,
+                     sampleId: Option[Column] = None): DataFrame = {
+    require(trainFrac >= 1 && 16 % trainFrac == 0,
+      s"bpeTrainRounds: trainFrac=$trainFrac must divide 16 (md5-nibble sample)")
+    require(trainFrac == 1 || sampleId.nonEmpty,
+      "bpeTrainRounds: trainFrac > 1 needs sampleId (the doc id column)")
     val spark = df.sparkSession
-    var cur = df.select(explode(words(text)).as("wd"))
+    val src = sampleId match {
+      case Some(idc) if trainFrac > 1 =>
+        val keepBelow = "0123456789abcdef".charAt(16 / trainFrac).toString
+        df.filter(substring(md5(idc.cast("string")), 32, 1) < lit(keepBelow))
+      case _ => df
+    }
+    val base = src.select(explode(words(text)).as("wd"))
       .filter(col("wd").rlike("^[a-z]+$") && length(col("wd")) >= 2)
       .select(concat(lit(" "),
         trim(regexp_replace(col("wd"), "(.)", "$1 ")), lit(" ")).as("s"))
       .localCheckpoint()
     val out = Seq.newBuilder[(Int, String, Long)]
+    var merges = Vector.empty[String]
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
+      val cur =
+        if (merges.isEmpty) base
+        else base.select(bpeApplyMerges(col("s"), merges).as("s"))
       cur.select(split(trim(col("s")), " ").as("t"))
         .select(explode(Dedup.gramsOfWords(col("t"), 2)).as("pair"))
         .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
@@ -686,11 +715,7 @@ object TextOps {
         case Some(top) =>
           val pair = top.getString(0)
           out += ((r, pair, top.getLong(1)))
-          if (r < rounds)
-            cur = cur.select(call_function("replace", col("s"),
-              lit(" " + pair + " "),
-              lit(" " + pair.replace(" ", "") + " ")).as("s"))
-              .localCheckpoint()
+          merges :+= pair
       }
       r += 1
     }
@@ -761,24 +786,20 @@ object TextOps {
         lit(" " + pair + " "), lit(" " + pair.replace(" ", "") + " "))
     }
 
-  /** BPE ENCODE — [[bpeTrainRounds]]'s apply step: learn `rounds` merges
-    * on the corpus ONCE (train emits the ordered merge table), then apply
-    * that table to every document via [[bpeApplyMerges]] — one chained
-    * replace projection, one distributed pass, no per-round re-learning.
-    * (Training on the same corpus and replaying its merge table is
-    * byte-identical to re-deriving each round in lockstep, because round
-    * r's statistics depend only on merges 1..r−1 — so this is both the
-    * correct tokenizer shape AND O(rounds) fewer jobs than the previous
-    * re-learn loop.) Returns (doc_id, n_tokens_raw, n_tokens_bpe):
+  /** BPE ENCODE — [[bpeTrainRounds]]'s apply step, taking an ALREADY
+    * TRAINED ordered merge table (what a tokenizer does at serving time:
+    * train once, apply everywhere) and applying it to every document via
+    * [[bpeApplyMerges]] — one chained replace projection, one distributed
+    * pass, ZERO training jobs. Callers share one trained table per
+    * session (TextQueries memoizes it, the ClimateQueries cached-lineage
+    * pattern) instead of re-learning per consumer — at 100 TB an encode
+    * that re-trains internally multiplies the corpus scans by the
+    * number of consumers. Returns (doc_id, n_tokens_raw, n_tokens_bpe):
     * n_tokens_raw = character count of the trainable words, n_tokens_bpe
     * = tokens after the merges — the compression a tokenizer buys.
     */
   def bpeEncode(df: DataFrame, id: Column, text: Column,
-                rounds: Int): DataFrame = {
-    val merges = bpeTrainRounds(df, text, rounds)
-      .orderBy(col("round"))
-      .select(col("merged_pair"))
-      .collect().map(_.getString(0)).toSeq
+                merges: Seq[String]): DataFrame = {
     val base = df.select(id.as("doc_id"), explode(words(text)).as("wd"))
       .filter(col("wd").rlike("^[a-z]+$") && length(col("wd")) >= 2)
       .select(col("doc_id"), concat(lit(" "),

@@ -207,7 +207,11 @@ object Maintenance {
     val bT = b.select(keys.map(col) ++
         cmp.map(c => col(c).as(s"__b_$c")) :+ lit(true).as("__in_b"): _*)
     val j = aT.join(bT, keys, "full_outer")
-    val anyChg = cmp.map(c => !(col(c) <=> col(s"__b_$c"))).reduce(_ || _)
+    // foldLeft, not reduce: key-only snapshots (cmp empty) are legal —
+    // anyChg degenerates to false, so matched keys are "unchanged" and
+    // the log carries only +I/-D rows instead of throwing on the reduce
+    val anyChg = cmp.map(c => !(col(c) <=> col(s"__b_$c")))
+      .foldLeft(lit(false))(_ || _)
     def ev(op: String, f: String => Column) =
       struct(lit(op).as("op") +: cmp.map(c => f(c).as(c)): _*)
     val oldEv = (op: String) => ev(op, col)
@@ -258,14 +262,18 @@ object Maintenance {
     val cnt = keyed.groupBy(col("col_name"), col("k"))
       .agg(count(lit(1)).as("c"))
     val w = Window.partitionBy("col_name").orderBy(col("c"), col("k"))
+    // top_key tie-break via min(struct(-count, key)): only the COUNT is
+    // negated (always numeric), so the hottest key with smallest-key
+    // tie-break is deterministic for ANY orderable key type — negating
+    // the key column itself would null out non-numeric keys (ANSI off)
     cnt.withColumn("i", row_number().over(w))
       .groupBy(col("col_name"))
       .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
         max(col("c")).as("max_count"),
-        max(struct(col("c"), (-col("k")).as("nk"))).as("__top"),
+        min(struct((-col("c")).as("nc"), col("k").as("tk"))).as("__top"),
         sum(col("i") * col("c")).as("__ic"))
       .select(col("col_name"), col("n_keys"), col("n_rows"), col("max_count"),
-        (-col("__top.nk")).as("top_key"),
+        col("__top.tk").as("top_key"),
         round(col("max_count") * col("n_keys").cast("double") /
           col("n_rows"), 6).as("skew_ratio"),
         round((lit(2) * col("__ic") - (col("n_keys") + 1) * col("n_rows"))

@@ -145,6 +145,14 @@ object Mining {
     * two final single divisions are IEEE, pinned to one shape both
     * engines share. Contingency rows are one map-side-combinable count
     * agg over the facts; everything after is O(distinct values).
+    *
+    * REMAINING BOUND: Spark's `DIV` yields a LONG even from DECIMAL
+    * operands, so the quotient 10⁹·n_v must itself fit 2⁶³ — exact up to
+    * n_v ≈ 9.2e9 rows PER FEATURE VALUE (vs ~3.04e9 before the DECIMAL
+    * fix). Past that Spark returns null (ANSI off) while the DuckDB
+    * twin's HUGEINT `//` keeps going — the two sides diverge rather than
+    * fail loudly. 9.2e9 rows in a single categorical cell is ~74 TB of
+    * 8-byte keys in one value; revisit the 10⁹ quantum before that.
     */
   def giniGain(contingency: DataFrame): DataFrame = {
     // cast each factor to DECIMAL BEFORE multiplying — a BIGINT product
@@ -203,15 +211,23 @@ object Mining {
     * the d cells the key hashes to. CMS guarantees est ≥ exact (only
     * collisions inflate, never deflate) — callers can join the exact
     * counts back to measure the overshoot, as q141 does.
+    *
+    * The counters join is LEFT with empty cells coalesced to 0: a
+    * queried key ABSENT from the sketch's build input may hash to cells
+    * no build key touched, and the proper sketch estimate is the min
+    * over all d cells including the empty (count 0) ones — an inner
+    * join would silently drop such keys or overestimate past the true
+    * min. For keys ⊆ build input (every current caller) the two forms
+    * are identical, since a build key populates all d of its cells.
     */
   def cmsEstimates(counters: DataFrame, keys: DataFrame, d: Int = 4,
                    w: Int = 1024): DataFrame =
     keys.select(col("k")).distinct()
       .select(col("k"), explode(sequence(lit(0), lit(d - 1))).as("j"))
       .withColumn("bucket", Prep.portableHash(col("j"), col("k")) % w)
-      .join(counters, Seq("j", "bucket"))
+      .join(counters, Seq("j", "bucket"), "left")
       .groupBy(col("k"))
-      .agg(min(col("c")).as("est"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
 
   /** Deterministic "random" walks over an edge list: from each start node,
     * `steps` hops where the next node is the out-neighbour minimizing

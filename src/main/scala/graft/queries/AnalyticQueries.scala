@@ -576,6 +576,90 @@ object AnalyticQueries {
         .orderBy("event_type")
     },
 
+    // ---- DRIVER-VISIBLE sketch bounds for the three rows-only approx
+    //      queries (q30/q45/q59): each bound query computes BOTH the
+    //      approx sketch and its exact counterpart engine-side and emits
+    //      the exact values plus a within_bound boolean; the oracle
+    //      re-derives the exact side and asserts TRUE — so a sketch
+    //      drifting past its tolerance flips the hash and FAILS the
+    //      correctness gate every round, not just the sbt StatsSpec
+    //      tests. Sketches are deterministic given the data, so the
+    //      boolean is stable across rounds at the gate's fixed sf. ----
+
+    // q30's bound: per-ship-year HLL++ distinct estimates within 5%
+    // relative error of the exact distinct counts (rsd default = 0.05).
+    QueryDef("q151_approx_distinct_bound",
+      """SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+        |  count(DISTINCT l_suppkey) AS exact_suppliers,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS within_bound
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(year(col("l_shipdate")).as("ship_year"))
+        .agg(countDistinct(col("l_suppkey")).as("exact_suppliers"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_suppkey")).as("__as"),
+          approx_count_distinct(col("l_partkey")).as("__ap"))
+        .select(col("ship_year"), col("exact_suppliers"), col("exact_parts"),
+          (abs(col("__as") - col("exact_suppliers")).cast("double") <=
+            lit(0.05) * col("exact_suppliers") &&
+           abs(col("__ap") - col("exact_parts")).cast("double") <=
+            lit(0.05) * col("exact_parts")).as("within_bound"))
+        .orderBy("ship_year")
+    },
+
+    // q45's bound: the approx equi-depth histogram still produces 10
+    // buckets whose depths stay within 5% of the ideal N/10 (the
+    // accuracy=10000 sketch is near-exact at gate scale).
+    QueryDef("q152_equidepth_bound",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(10 AS BIGINT) AS n_buckets,
+        |  TRUE AS within_bound
+        |FROM events""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val edges = ev.agg(
+        percentile_approx(col("value"),
+          array((1 to 9).map(i => lit(i / 10.0)): _*), lit(10000)).as("edges"))
+      val buckets = ev
+        .crossJoin(broadcast(edges))
+        .select((lit(1) + size(filter(col("edges"), e => col("value") > e)))
+          .as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      val tot = buckets.agg(sum(col("n")).as("__tot"), count(lit(1)).as("__k"))
+      buckets.crossJoin(broadcast(tot))
+        .groupBy()
+        .agg(max(col("__tot")).as("n_rows"), max(col("__k")).as("n_buckets"),
+          max(abs(col("n") * 10 - col("__tot"))).as("__dev"))
+        .select(col("n_rows"), col("n_buckets"),
+          (col("__dev").cast("double") <= lit(0.05) * col("n_rows"))
+            .as("within_bound"))
+    },
+
+    // q59's bound: the merged per-day DataSketches HLL estimate stays
+    // within 5% of the exact per-type distinct-user count, and the day
+    // partials cover exactly the distinct (type, day) grain.
+    QueryDef("q153_hll_merge_bound",
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+        |  TRUE AS within_bound
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val daily = ev
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val est = daily.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("__est"),
+          count(lit(1)).as("n_days"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      est.join(exact, "event_type")
+        .select(col("event_type"), col("exact_users"), col("n_days"),
+          (abs(col("__est") - col("exact_users")).cast("double") <=
+            lit(0.05) * col("exact_users")).as("within_bound"))
+        .orderBy("event_type")
+    },
+
     // ---- exponentially time-decayed average: recency-weighted per-user
     //      value with a 7-day half-life-style decay against the corpus
     //      max timestamp — the feature-freshness aggregate a training

@@ -85,6 +85,33 @@ object ClimateQueries {
   // stopped session's cache blocks for the JVM lifetime.
   @volatile private var memo: Option[(SparkSession, Climate.Gold)] = None
 
+  // Bench-only composed-pipeline run (c09): the reference's actual shape
+  // is three chained spark-submits producing FOUR gold tables off one
+  // shared lineage (scripts/run_pipeline.sh:26-32) — timing it as one
+  // unit makes a lost cache() in the shared climate lineage surface as a
+  // board regression instead of hiding behind the per-query memo. Each
+  // call builds a FRESH Gold (never the session memo — that would time a
+  // no-op) and returns a union of the four tables' one-row counts, so
+  // one count() action evaluates every gold leg. The previous bench
+  // lineage is unpersisted before each build to keep repeat runs flat.
+  @volatile private var benchLineage: Option[org.apache.spark.sql.DataFrame] = None
+
+  def fullPipelineFresh(s: SparkSession): org.apache.spark.sql.DataFrame =
+    synchronized {
+      benchLineage.foreach { l =>
+        try l.unpersist() catch { case _: Throwable => () }
+      }
+      val (b, st) = fixture()
+      val g = Climate.run(s, b, st)
+      benchLineage = Some(g.lineage)
+      Seq("climate_kpis" -> g.kpis, "stations_dim" -> g.stationsDim,
+        "climate_fact" -> g.fact, "climate_extremes" -> g.extremes)
+        .map { case (n, df) =>
+          df.agg(count(lit(1)).as("n_rows")).select(lit(n).as("table"), col("n_rows"))
+        }
+        .reduce(_ unionByName _)
+    }
+
   private def gold(s: SparkSession): Climate.Gold = synchronized {
     memo match {
       case Some((sess, g)) if sess eq s => g

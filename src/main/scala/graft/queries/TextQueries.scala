@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
@@ -1335,17 +1336,22 @@ object TextQueries {
 
     // ---- the REAL BPE training loop (t44 is the one-round statistic):
     //      3 rounds of count-pairs → pick top → merge everywhere →
-    //      recount on the MERGED corpus. The oracle replays the identical
-    //      loop from generated per-round CTEs (scalar-subquery top pick +
-    //      the same left-to-right non-overlapping replace), so round 2+
-    //      grades the engine's round-1 merge application, not just its
-    //      counting. Per-round top pair is a 1-row driver pull — the
-    //      k-means train-loop shape (IVF.scala). ----
+    //      recount on the MERGED corpus, trained on a deterministic 1/4
+    //      DOCUMENT sample (md5-nibble predicate — merge statistics are
+    //      sample-tolerant; the PQ/IVF trainFrac discipline, and at
+    //      100 TB the trainer must not scan the full corpus per round).
+    //      The oracle replays the identical loop — SAME md5 sample, same
+    //      scalar-subquery top pick, same left-to-right non-overlapping
+    //      replace — from generated per-round CTEs, so round 2+ grades
+    //      the engine's round-1 merge application, not just its counting.
+    //      Per-round top pair is a 1-row driver pull — the k-means
+    //      train-loop shape (IVF.scala). ----
     QueryDef("t45_bpe_train",
       s"""WITH w0 AS (
          |  SELECT ' ' || trim(regexp_replace(wd, '(.)', '\\1 ', 'g')) || ' ' AS s
          |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS wd
-         |        FROM documents)
+         |        FROM documents
+         |        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) < '4')
          |  WHERE len(wd) >= 2 AND regexp_full_match(wd, '[a-z]+')),
          |${(1 to 3).map(r => bpeRoundSql(r)).mkString(",\n")}
          |SELECT * FROM (
@@ -1353,8 +1359,7 @@ object TextQueries {
          |  UNION ALL SELECT 2, pair, cnt FROM t2
          |  UNION ALL SELECT 3, pair, cnt FROM t3)
          |ORDER BY round""".stripMargin) { (s, dir) =>
-      TextOps.bpeTrainRounds(Tables.documents(s, dir), col("text"), rounds = 3)
-        .orderBy("round")
+      bpeTrainTable(s, dir).orderBy("round")
     },
 
     // ---- language-ID classifier evaluation — the eval-harness family
@@ -1392,27 +1397,37 @@ object TextQueries {
         .orderBy("lang", "predicted")
     },
 
-    // ---- BPE ENCODE — t45's apply step: learn the 3 merges on the
-    //      corpus, apply them to every document, report per-doc token
+    // ---- BPE ENCODE — t45's apply step: apply the SESSION-MEMOIZED
+    //      merge table (trained ONCE on the 1/4 sample, shared with t45 —
+    //      the ClimateQueries cached-lineage pattern; an encode that
+    //      re-trains internally multiplies corpus scans per consumer) to
+    //      every document of the FULL corpus, reporting per-doc token
     //      counts before/after (the compression a tokenizer buys). The
-    //      oracle replays train AND apply from the same per-round CTEs
-    //      carrying doc_id, so a wrong merge application on any single
-    //      document flips its row. ----
+    //      oracle replays train (sampled CTEs, no doc) AND apply (full-
+    //      corpus CTE chain carrying doc_id), so a wrong merge
+    //      application on any single document flips its row. ----
     QueryDef("t47_bpe_encode",
       s"""WITH w0 AS (
+         |  SELECT ' ' || trim(regexp_replace(wd, '(.)', '\\1 ', 'g')) || ' ' AS s
+         |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS wd
+         |        FROM documents
+         |        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) < '4')
+         |  WHERE len(wd) >= 2 AND regexp_full_match(wd, '[a-z]+')),
+         |${(1 to 3).map(r => bpeRoundSql(r)).mkString(",\n")},
+         |a0 AS (
          |  SELECT doc_id,
          |    ' ' || trim(regexp_replace(wd, '(.)', '\\1 ', 'g')) || ' ' AS s
          |  FROM (SELECT doc_id,
          |          unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS wd
          |        FROM documents)
          |  WHERE len(wd) >= 2 AND regexp_full_match(wd, '[a-z]+')),
-         |${(1 to 3).map(r => bpeRoundSql(r, carryDoc = true)).mkString(",\n")}
+         |${(1 to 3).map(bpeApplySql).mkString(",\n")}
          |SELECT doc_id,
          |  CAST(sum(len(replace(s, ' ', ''))) AS BIGINT) AS n_tokens_raw,
          |  CAST(sum(len(regexp_split_to_array(trim(s), ' '))) AS BIGINT) AS n_tokens_bpe
-         |FROM w3 GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+         |FROM a3 GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
       TextOps.bpeEncode(Tables.documents(s, dir), col("doc_id"), col("text"),
-          rounds = 3)
+          bpeMergeSeq(s, dir))
         .orderBy("doc_id")
     },
 
@@ -1521,13 +1536,10 @@ object TextQueries {
   /** One BPE round as DuckDB CTEs (mirrors [[graft.ext.TextOps
     * .bpeTrainRounds]]'s loop body term for term): count positional
     * adjacent token pairs over w{i-1}, pick the (count desc, pair) top,
-    * merge it with the sentinel-delimited replace. `carryDoc` keeps the
-    * doc_id column through the merge chain (t47's encode needs it; t45's
-    * train table doesn't).
+    * merge it with the sentinel-delimited replace.
     */
-  private def bpeRoundSql(r: Int, carryDoc: Boolean = false): String = {
+  private def bpeRoundSql(r: Int): String = {
     val prev = s"w${r - 1}"
-    val docCol = if (carryDoc) "doc_id, " else ""
     s"""p$r AS (SELECT pair, count(*) AS cnt FROM (
        |  SELECT unnest(list_transform(range(1, len(t)),
        |    i -> t[i] || ' ' || t[i+1])) AS pair
@@ -1535,8 +1547,51 @@ object TextQueries {
        |  GROUP BY 1),
        |t$r AS (SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM p$r
        |        ORDER BY cnt DESC, pair LIMIT 1),
-       |w$r AS (SELECT ${docCol}replace(s, ' ' || (SELECT pair FROM t$r) || ' ',
+       |w$r AS (SELECT replace(s, ' ' || (SELECT pair FROM t$r) || ' ',
        |          ' ' || replace((SELECT pair FROM t$r), ' ', '') || ' ') AS s
        |        FROM $prev)""".stripMargin
   }
+
+  /** The APPLY half of t47's oracle: fold round r's learned pair (the
+    * scalar subquery against the TRAINING CTE t$r) into the full-corpus
+    * doc-carrying chain a{r-1} → a{r} — [[graft.ext.TextOps
+    * .bpeApplyMerges]]'s chained replace, one CTE per merge. */
+  private def bpeApplySql(r: Int): String =
+    s"""a$r AS (SELECT doc_id, replace(s, ' ' || (SELECT pair FROM t$r) || ' ',
+       |          ' ' || replace((SELECT pair FROM t$r), ' ', '') || ' ') AS s
+       |        FROM a${r - 1})""".stripMargin
+
+  // One BPE training run shared t45 → t47 (the ClimateQueries cached-
+  // lineage discipline: encode must not re-train per consumer). t45
+  // ALWAYS trains — its bench entry stays an honest measurement of the
+  // sampled trainer — and deposits the merge rows; t47 consumes the
+  // deposit when (session, dir) match, else trains once itself (train is
+  // deterministic, so either path yields identical rows).
+  @volatile private var bpeMemo:
+    Option[(SparkSession, String, Seq[(Int, String, Long)])] = None
+
+  private def bpeTrainFresh(s: SparkSession, dir: String): Seq[(Int, String, Long)] = {
+    val rows = TextOps.bpeTrainRounds(Tables.documents(s, dir),
+        col("text"), rounds = 3, trainFrac = 4,
+        sampleId = Some(col("doc_id")))
+      .orderBy("round")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    synchronized { bpeMemo = Some((s, dir, rows)) }
+    rows
+  }
+
+  /** t45's result as a DataFrame (always a fresh sampled train). */
+  private def bpeTrainTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bpeTrainFresh(s, dir).toDF("round", "merged_pair", "pair_count")
+  }
+
+  /** The ordered merge strings t47 applies — memoized train if this
+    * (session, dir) already trained, else one fresh train. */
+  private def bpeMergeSeq(s: SparkSession, dir: String): Seq[String] =
+    (synchronized { bpeMemo } match {
+      case Some((sess, d, rows)) if (sess eq s) && d == dir => rows
+      case _ => bpeTrainFresh(s, dir)
+    }).map(_._2)
 }

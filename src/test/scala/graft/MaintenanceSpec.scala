@@ -260,4 +260,23 @@ class MaintenanceSpec extends SparkSpec {
     assert(Maintenance.keySkewProfile(uni).collect().head
       .getAs[Double]("gini") == 0.0)
   }
+
+  test("keySkewProfile: string keys — top_key exact, ties break to smallest key") {
+    import spark.implicits._
+    // 'b' and 'a' tie at count 2 → top_key must be 'a' (smallest), and a
+    // non-numeric key must never silently null out under the tie-break
+    val keyed = Seq("b", "b", "a", "a", "z").map(("kc", _)).toDF("col_name", "k")
+    val r = Maintenance.keySkewProfile(keyed).collect().head
+    assert(r.getAs[String]("top_key") == "a", r.toString)
+    assert(r.getAs[Long]("max_count") == 2L)
+  }
+
+  test("changelogDiff: key-only snapshots emit +I/-D and never throw") {
+    import spark.implicits._
+    val a = Seq(1L, 2L).toDF("k")
+    val b = Seq(2L, 3L).toDF("k")
+    val log = Maintenance.changelogDiff(a, b, Seq("k"))
+      .select("op", "k").as[(String, Long)].collect().toSet
+    assert(log == Set(("-D", 1L), ("+I", 3L)), log.toString)
+  }
 }

@@ -118,7 +118,36 @@ class MiningSpec extends SparkSpec {
     assert(graft.ext.TextOps.bpeTrainRounds(docs, col("text"), rounds = 3)
       .count() == 0)
     assert(graft.ext.TextOps.bpeEncode(docs, col("doc_id"), col("text"),
-      rounds = 3).count() == 0)
+      merges = Nil).count() == 0)
+  }
+
+  test("bpeTrainRounds: trainFrac=1 with sampleId is identical to no sampling") {
+    val docs = Seq((1L, "abab ab"), (2L, "cd cd"), (3L, "abab")).toDF("doc_id", "text")
+    val full = graft.ext.TextOps.bpeTrainRounds(docs, col("text"), rounds = 3)
+      .orderBy("round").as[(Int, String, Long)].collect().toSeq
+    val frac1 = graft.ext.TextOps.bpeTrainRounds(docs, col("text"), rounds = 3,
+        trainFrac = 1, sampleId = Some(col("doc_id")))
+      .orderBy("round").as[(Int, String, Long)].collect().toSeq
+    assert(full == frac1 && full.nonEmpty)
+  }
+
+  test("bpeTrainRounds: trainFrac sample == manual md5-nibble pre-filter at trainFrac=1") {
+    // the sampled trainer must equal training on the externally-filtered
+    // subset — the exact relation the DuckDB oracle relies on
+    val docs = (1L to 40L).map(i =>
+      (i, if (i % 3 == 0) "abab ab" else "cdcd cd")).toDF("doc_id", "text")
+    val sampled = graft.ext.TextOps.bpeTrainRounds(docs, col("text"), rounds = 3,
+        trainFrac = 4, sampleId = Some(col("doc_id")))
+      .orderBy("round").as[(Int, String, Long)].collect().toSeq
+    val manual = graft.ext.TextOps.bpeTrainRounds(
+        docs.filter(substring(md5(col("doc_id").cast("string")), 32, 1) < "4"),
+        col("text"), rounds = 3)
+      .orderBy("round").as[(Int, String, Long)].collect().toSeq
+    assert(sampled == manual && sampled.nonEmpty, s"$sampled vs $manual")
+    // and the nibble predicate keeps a strict non-empty subset
+    val kept = docs.filter(
+      substring(md5(col("doc_id").cast("string")), 32, 1) < "4").count()
+    assert(kept > 0 && kept < 40, kept.toString)
   }
 
   test("bpeTrainRounds: training exhausts mid-way → rounds completed so far") {
@@ -134,8 +163,11 @@ class MiningSpec extends SparkSpec {
     // corpus: "abab ab cd" → merges: r1 "a b"(3), r2 "a b"(1), r3 "ab ab"(1)
     // doc tokens after: "abab"→[abab], "ab"→[ab], "cd"→[c, d]
     val docs = Seq((1L, "abab ab"), (2L, "cd")).toDF("doc_id", "text")
+    val merges = graft.ext.TextOps.bpeTrainRounds(docs, col("text"), rounds = 3)
+      .orderBy("round").select("merged_pair").as[String].collect().toSeq
+    assert(merges == Seq("a b", "a b", "ab ab"))
     val got = graft.ext.TextOps.bpeEncode(docs, col("doc_id"), col("text"),
-        rounds = 3)
+        merges)
       .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
     assert(got == Seq((1L, 6L, 2L), (2L, 2L, 2L)))
   }
@@ -158,6 +190,14 @@ class MiningSpec extends SparkSpec {
       Mining.cmsCounters(keys, col("k"), d = 4, w = 4096),
       keys, d = 4, w = 4096).as[(Long, Long)].collect().toMap
     assert(wide == exact)
+    // a queried key ABSENT from the build input must survive the probe
+    // (left join + 0-coalesce) with the proper sketch estimate, not be
+    // silently dropped: with w=4096 its cells are empty → est exactly 0
+    val ext = Mining.cmsEstimates(
+      Mining.cmsCounters(keys, col("k"), d = 4, w = 4096),
+      Seq(1L, 777L).toDF("k"), d = 4, w = 4096)
+      .as[(Long, Long)].collect().toMap
+    assert(ext == Map(1L -> 3L, 777L -> 0L), ext.toString)
   }
 
   test("Guard.quadratic: passes under the gate, raises loudly past it") {

@@ -511,6 +511,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("t40 prefix-filter over-threshold: verify leg falls back to a non-broadcast join") {
+    // the 100 TB driver-OOM guard: when the signature payload passes the
+    // size gate, the broadcast HINT must be dropped and the verify step
+    // planned as a co-partitioned shuffle join — pin the fallback branch
+    // by forcing the gate (threshold 0) with auto-broadcast off so the
+    // planner can't silently re-promote the hintless join at this size
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "-1")
+    try {
+      val docs = Tables.documents(spark, sf)
+      val forced = graft.ext.Dedup.prefixFilterPairs(docs,
+        col("doc_id"), col("text"), broadcastSigBytes = 0L)
+      val plan = forced.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"over-threshold verify leg must not broadcast signatures:\n$plan")
+      // and the fallback leg returns the exact same pairs as the
+      // broadcast leg (already completeness-tested in DedupSpec)
+      val hinted = graft.ext.Dedup.prefixFilterPairs(docs,
+        col("doc_id"), col("text"))
+      assert(forced.select("id_a", "id_b").collect().toSet ==
+        hinted.select("id_a", "id_b").collect().toSet)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("q66 DSv2 source: pushed range prunes partitions before execution") {
     // the q66 scan shape without the aggregate: 16 range partitions over
     // 100k ids; [25000, 75000) overlaps exactly 8 — the other 8 are
