@@ -4,12 +4,21 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // Canonical per-query reference from the COMMITTED bench_full.json,
+    run(sfDir, cpus, "bench_full.json")
+  }
+
+  /** The full board sweep, parameterized so [[Sf1Sweep]] can aim it at an
+    * inflated dir with its own canonical file (bench_sf1.json) without
+    * clobbering the sf0.1 snapshot. Writes the complete per-query map to
+    * `outPath`, prints the headline JSON line, returns the line.
+    */
+  def run(sfDir: String, cpus: String, outPath: String): String = {
+    // Canonical per-query reference from the COMMITTED outPath snapshot,
     // read before this run overwrites it: feeds the outlier re-run gate
     // at sweep end. Crude regex parse — keys are [A-Za-z0-9_] and values
     // plain numbers by construction (this file writes them).
     val canonical: Map[String, Double] = try {
-      val s = java.nio.file.Files.readString(java.nio.file.Paths.get("bench_full.json"))
+      val s = java.nio.file.Files.readString(java.nio.file.Paths.get(outPath))
       // only comparable when the snapshot was measured at THIS scale
       // factor (a dev run at another sf must not trigger re-runs)
       if (!s.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
@@ -121,10 +130,12 @@ object Bench {
       "q132_label_prop", "t43_sorted_neighborhood", "t45_bpe_train",
       "s26_ann_binary", "s27_ivf_recall", "c09_full_pipeline")
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_full.json"),
+      java.nio.file.Paths.get(outPath),
       jsonLine(results.toSeq.sortBy(_._1)))
     catch { case e: Throwable => System.err.println(s"[bench] full dump failed: $e") }
-    println(jsonLine(headline.flatMap(h => results.get(h).map(h -> _))))
+    val line = jsonLine(headline.flatMap(h => results.get(h).map(h -> _)))
+    println(line)
     spark.stop()
+    line
   }
 }

@@ -1531,6 +1531,132 @@ object TextQueries {
           (col("n_hit").cast("double") / col("n_cand")).as("precision"),
           (col("n_hit").cast("double") / col("n_truth")).as("recall"))
     },
+
+    // ---- URL canonicalization + URL-level dedup — the FIRST dedup pass
+    //      a crawl corpus gets (before any content hashing): normalize
+    //      scheme/host case, drop the www. prefix and default port,
+    //      strip trailing slashes and fragments, remove utm_* tracking
+    //      params and SORT the survivors — then group by canonical form.
+    //      Raw URLs are DERIVED deterministically from (doc_id, source)
+    //      with injected mess (case, :443, trailing /, utm params,
+    //      #fragment — the q104 derived-input discipline) so both
+    //      engines canonicalize the same strings. Engine side uses
+    //      parse_url (codegen'd Spark-native URL parts) + array
+    //      filter/sort HOFs — map-side until the one grouping; at crawl
+    //      scale this is THE cheap 30-50% row cut before MinHash ever
+    //      runs. ----
+    QueryDef("t50_url_canonicalize",
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3
+        |      WHEN 0 THEN 'HTTPS://WWW.' || source || '.example.com'
+        |      WHEN 1 THEN 'https://' || upper(source) || '.EXAMPLE.COM'
+        |      ELSE 'https://www.' || source || '.example.com' END
+        |    || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+        |    || '/docs/' || (doc_id % 25)
+        |    || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+        |    || CASE WHEN doc_id % 2 = 0
+        |         THEN '?utm_source=feed&utm_campaign=x&id=' || (doc_id % 5)
+        |         ELSE '?id=' || (doc_id % 5) END
+        |    || CASE WHEN doc_id % 11 = 0 THEN '#sec2' ELSE '' END AS url
+        |  FROM documents),
+        |canon AS (
+        |  SELECT doc_id, url,
+        |    'https://'
+        |    || regexp_replace(lower(regexp_extract(url, '://([^/:?#]+)', 1)),
+        |                      '^www\.', '')
+        |    || regexp_replace(regexp_extract(url, '://[^/?#]+([^?#]*)', 1),
+        |                      '/$', '')
+        |    || '?'
+        |    || array_to_string(list_sort(list_filter(
+        |         string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |         p -> NOT starts_with(p, 'utm_'))), '&') AS canonical_url
+        |  FROM raw)
+        |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT url) AS BIGINT) AS n_raw_variants,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc
+        |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val raw = Tables.documents(s, dir).select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 3 === 0,
+            concat(lit("HTTPS://WWW."), col("source"), lit(".example.com")))
+            .when(col("doc_id") % 3 === 1,
+              concat(lit("https://"), upper(col("source")), lit(".EXAMPLE.COM")))
+            .otherwise(
+              concat(lit("https://www."), col("source"), lit(".example.com"))),
+          when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit("")),
+          lit("/docs/"), (col("doc_id") % 25).cast("string"),
+          when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 2 === 0,
+            concat(lit("?utm_source=feed&utm_campaign=x&id="),
+              (col("doc_id") % 5).cast("string")))
+            .otherwise(concat(lit("?id="), (col("doc_id") % 5).cast("string"))),
+          when(col("doc_id") % 11 === 0, lit("#sec2")).otherwise(lit("")))
+          .as("url"))
+      raw
+        .withColumn("canonical_url", concat(
+          lit("https://"),
+          regexp_replace(lower(expr("parse_url(url, 'HOST')")),
+            "^www\\.", ""),
+          regexp_replace(expr("parse_url(url, 'PATH')"), "/$", ""),
+          lit("?"),
+          array_join(array_sort(filter(
+            split(expr("parse_url(url, 'QUERY')"), "&"),
+            p => !p.startsWith("utm_"))), "&")))
+        .groupBy(col("canonical_url"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("url")).as("n_raw_variants"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("canonical_url")
+    },
+
+    // ---- eval-set n-gram contamination report — the GPT-3/PaLM-style
+    //      decontamination AUDIT at n-gram granularity (t17/t26 drop
+    //      whole matching docs; this measures HOW MUCH of each training
+    //      doc's distinct 3-gram mass appears anywhere in the held-out
+    //      set, the signal behind span-level dedup decisions). Eval
+    //      membership is the deterministic doc_id % 97 slice. The eval
+    //      gram set is corpus-small (the held-out benchmark, not the
+    //      crawl) → broadcast; the training side is ONE map-side probe +
+    //      one grouping — at 100 TB the broadcast set swaps for t26's
+    //      bloom filter with the same plan shape. Flag = ≥20% overlap,
+    //      integer-exact (n_cont·5 ≥ n_grams); frac is a single division
+    //      both engines compute identically. ----
+    QueryDef("t51_eval_contamination",
+      """WITH docs AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(w) - 1),
+        |                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+        |  FROM docs),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+        |c AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0)
+        |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_contaminated,
+        |  CAST(sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS contaminated_frac,
+        |  sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) * 5 >= count(*)
+        |    AS flagged
+        |FROM c LEFT JOIN ev ON ev.s = c.s
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id").as("doc"), TextOps.words(col("text")).as("w"))
+        .select(col("doc"), explode(Dedup.shinglesOfWords(col("w"), 3)).as("s"))
+      val evalGrams = sh.filter(col("doc") % 97 === 0)
+        .select(col("s")).distinct().withColumn("__hit", lit(1L))
+      sh.filter(col("doc") % 97 =!= 0)
+        .join(broadcast(evalGrams), Seq("s"), "left")
+        .groupBy(col("doc"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+        .select(col("doc").as("doc_id"), col("n_grams"), col("n_contaminated"),
+          (col("n_contaminated").cast("double") / col("n_grams"))
+            .as("contaminated_frac"),
+          (col("n_contaminated") * 5 >= col("n_grams")).as("flagged"))
+        .orderBy("doc_id")
+    },
   )
 
   /** One BPE round as DuckDB CTEs (mirrors [[graft.ext.TextOps

@@ -83,4 +83,37 @@ class QueriesSpec extends SparkSpec {
     // multi-member components exist at sf0.001 (the fixture plants dups)
     assert(surv.exists(_.getLong(3) > 1), "no multi-member cluster found")
   }
+
+  test("t50 canonical URLs are actually canonical and account for every doc") {
+    val rows = SparkEntry.queries("t50_url_canonicalize")(spark, sf).collect()
+    val urls = rows.map(_.getString(0))
+    // canonicalization invariants: lowercase, no www., no default port,
+    // no fragment, no tracking params, no trailing slash, sorted params
+    urls.foreach { u =>
+      assert(u == u.toLowerCase && u.startsWith("https://"), u)
+      assert(!u.contains("www.") && !u.contains(":443"), u)
+      assert(!u.contains("#") && !u.contains("utm_"), u)
+      assert(!u.stripSuffix("?").endsWith("/"), u)
+      val params = u.dropWhile(_ != '?').drop(1).split("&").toSeq
+      assert(params == params.sorted, u)
+    }
+    // grouping is a partition of the corpus: every doc in exactly one group
+    val total = graft.core.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    // and variants DO collapse somewhere (messy case/port/slash/utm forms)
+    assert(rows.exists(_.getLong(2) > 1), "no raw-variant collapse found")
+  }
+
+  test("t51 contamination: flag matches the exact integer rule, fracs in [0,1]") {
+    val rows = SparkEntry.queries("t51_eval_contamination")(spark, sf).collect()
+    rows.foreach { r =>
+      val (n, c, f, flag) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))
+      assert(c >= 0 && c <= n, r.toString)
+      assert(math.abs(f - c.toDouble / n) < 1e-15, r.toString)
+      assert(flag == (c * 5 >= n), r.toString)
+    }
+    // eval docs themselves are excluded from the report
+    assert(rows.forall(_.getLong(0) % 97 != 0))
+  }
 }
