@@ -773,6 +773,27 @@ object TextOps {
           .as("dsir_score"))
   }
 
+  /** Canonicalize a URL column — the normalization behind URL-level crawl
+    * dedup (t50): lowercase the host, drop a leading `www.`, drop the
+    * port (parse_url's HOST already excludes it, so `:443` never
+    * survives), strip the trailing path slash and any fragment, remove
+    * `utm_*` tracking params and SORT the survivors. Everything is
+    * codegen'd map-side expression work (parse_url + regexp + array
+    * HOFs) — no shuffle, no UDF. IDEMPOTENT by construction
+    * (canonical(canonical(u)) == canonical(u), GraftProps): a canonical
+    * URL's host is already lowercase/www-less, its path slash-free, its
+    * params sorted and utm-free — the second pass is the identity.
+    */
+  def canonicalizeUrl(url: Column): Column = concat(
+    lit("https://"),
+    regexp_replace(lower(call_function("parse_url", url, lit("HOST"))),
+      "^www\\.", ""),
+    regexp_replace(call_function("parse_url", url, lit("PATH")), "/$", ""),
+    lit("?"),
+    array_join(array_sort(filter(
+      split(call_function("parse_url", url, lit("QUERY")), "&"),
+      p => !p.startsWith("utm_"))), "&"))
+
   /** Apply an ORDERED merge table to the space-sentinel corpus column —
     * [[bpeTrainRounds]]'s inference step as one chained projection: each
     * merge is the same `replace(" a b ", " ab ")`, folded left-to-right,

@@ -1594,15 +1594,7 @@ object TextQueries {
           when(col("doc_id") % 11 === 0, lit("#sec2")).otherwise(lit("")))
           .as("url"))
       raw
-        .withColumn("canonical_url", concat(
-          lit("https://"),
-          regexp_replace(lower(expr("parse_url(url, 'HOST')")),
-            "^www\\.", ""),
-          regexp_replace(expr("parse_url(url, 'PATH')"), "/$", ""),
-          lit("?"),
-          array_join(array_sort(filter(
-            split(expr("parse_url(url, 'QUERY')"), "&"),
-            p => !p.startsWith("utm_"))), "&")))
+        .withColumn("canonical_url", TextOps.canonicalizeUrl(col("url")))
         .groupBy(col("canonical_url"))
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("url")).as("n_raw_variants"),

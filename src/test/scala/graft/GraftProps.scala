@@ -587,4 +587,33 @@ object GraftProps extends Properties("graft") {
       Prop(rebuilt == bs.toSet && log.count() == expected) :|
         s"a=$as b=$bs rebuilt=$rebuilt"
     }
+
+  // random messy-URL generator: mixed-case scheme/host, optional www.,
+  // optional default port, path segments with optional trailing slash,
+  // shuffled params with utm_ noise, optional fragment
+  private val urlGen: Gen[String] = for {
+    scheme <- Gen.oneOf("https", "HTTPS", "Https")
+    www    <- Gen.oneOf("", "www.", "WWW.")
+    host   <- Gen.oneOf("Example.COM", "data.example.com", "CRAWL.example.org")
+    port   <- Gen.oneOf("", ":443")
+    seg    <- Gen.choose(0, 99)
+    slash  <- Gen.oneOf("", "/")
+    params <- Gen.someOf("id=1", "q=spark", "utm_source=x", "utm_medium=y",
+      "page=2")
+    frag   <- Gen.oneOf("", "#top")
+  } yield s"$scheme://$www$host$port/p/$seg$slash?${params.mkString("&")}$frag"
+
+  property("canonicalizeUrl is idempotent and strips every mess class") =
+    forAll(Gen.listOfN(8, urlGen)) { urls =>
+      val df = urls.toDF("url")
+        .select(graft.ext.TextOps.canonicalizeUrl(col("url")).as("c1"))
+        .select(col("c1"),
+          graft.ext.TextOps.canonicalizeUrl(col("c1")).as("c2"))
+      val rows = df.as[(String, String)].collect()
+      Prop(rows.forall { case (c1, c2) =>
+        c1 == c2 && c1 == c1.toLowerCase && !c1.contains("www.") &&
+          !c1.contains(":443") && !c1.contains("#") && !c1.contains("utm_") &&
+          !c1.stripSuffix("?").endsWith("/")
+      }) :| rows.mkString("; ")
+    }
 }
