@@ -162,6 +162,34 @@ object ScaleCheck {
     check(snHotLinked >= 399,
       s"SN chained the hot copies: $snHotLinked of 399 linked")
 
+    // ---------- t45-shape: SAMPLE-TRAINED BPE at scale ----------
+    // The trainFrac discipline's two scale claims, checked on the 10×
+    // corpus: (a) ORACLE RELATION — the sampled trainer is bit-identical
+    // to training on the externally md5-filtered subset (what the DuckDB
+    // oracle replays), so sampling is a pure input restriction, never a
+    // different algorithm; (b) the md5-nibble sample actually lands near
+    // 1/trainFrac of docs (a skewed hash here would silently bias every
+    // merge statistic). Wall-clock for the sampled trainer is recorded
+    // (t_bpe_sec) — at 10× it stays round-count-bounded, not corpus-
+    // scan-dominated (bench_sf1.json: 9.4 s full-scan r9 → 3.2 s sampled).
+    val tBpe0 = System.nanoTime()
+    val bpeSampled = graft.ext.TextOps.bpeTrainRounds(docs, col("text"),
+        rounds = 3, trainFrac = 4, sampleId = Some(col("doc_id")))
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    val tBpe = (System.nanoTime() - tBpe0) / 1e9
+    val bpeManual = graft.ext.TextOps.bpeTrainRounds(
+        docs.filter(substring(md5(col("doc_id").cast("string")), 32, 1) < "4"),
+        col("text"), rounds = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    check(bpeSampled.nonEmpty && bpeSampled == bpeManual,
+      s"sampled BPE == manually-prefiltered train at 10x: $bpeSampled vs $bpeManual")
+    val bpeKept = docs.filter(
+      substring(md5(col("doc_id").cast("string")), 32, 1) < "4").count()
+    check(math.abs(bpeKept.toDouble / nDocs - 0.25) < 0.05,
+      s"md5-nibble sample near 1/4: kept $bpeKept of $nDocs")
+
     // ---------- s08-shape: semantic dedup at scale ----------
     // mult copies of every vector (identical → cos 1 with the original →
     // every non-first copy must drop). cells scale with n (~n/600) — the
@@ -630,6 +658,7 @@ object ScaleCheck {
     out ++= f""""t_prefix_sec":$tPrefix%.1f,"prefix_pairs":$nPf,"prefix_hot":$hotPf,"""
     out ++= f""""t_mutual_sec":$tMutual%.1f,"mutual_pairs":$nMnn,"mutual_groups":$nZeroGroups,"""
     out ++= f""""t_sn_sec":$tSn%.1f,"sn_pairs":$nSnPairs,"sn_hot_linked":$snHotLinked,"sn_orig_linked":$snOrigLinked,"""
+    out ++= f""""t_bpe_sec":$tBpe%.1f,"bpe_rounds":${bpeSampled.size},"bpe_sample_kept":$bpeKept,"""
     out ++= s""""bfs_levels":{${lvlScaled.toSeq.sorted.map { case (d, n) => s""""$d":$n""" }.mkString(",")}},"""
     out ++= s""""pr_edges":$nEdgesPr,"pr_mass_err":${massErrs.max},"pr_copy_diff":$rankDiff,"""
     out ++= s""""tri_total":$triTotal,"tri_copy_mismatch":$triCopyMismatch,"""

@@ -612,6 +612,57 @@ object MediaStreamQueries {
         .orderBy("user_id", "event_id")
     },
 
+    // ---- st11: streaming count-min sketch — per-day CMS partial cells
+    //      (state = d·w integers per open day under a watermark,
+    //      REGARDLESS of event volume; a per-key streaming count would
+    //      hold key-cardinality state) merged cell-wise into one sketch
+    //      and point-queried for the top-20 heaviest users next to their
+    //      exact counts. q141's distributed-counting primitive in its
+    //      INCREMENTAL form (q59 is the same move for distinct counts):
+    //      store daily cells, re-merge any date range without rescanning
+    //      history. Batch twin graded here; every cell, merge, and
+    //      estimate is portableHash arithmetic the oracle re-derives
+    //      exactly — cell-wise addition is exact, so merged estimates
+    //      equal a one-shot sketch bit-for-bit (StreamingSpec pins that
+    //      AND stream == batch through MemoryStream). ----
+    QueryDef("st11_stream_cms", {
+      def h(a: String, b: String) = graft.ops.Prep.portableHashSql(a, b)
+      s"""WITH r AS (SELECT CAST(ts AS DATE) AS day, user_id AS k FROM events),
+         |js AS (SELECT unnest(range(0, 4)) AS j),
+         |daily AS (SELECT day, js.j, ${h("js.j", "r.k")} % 1024 AS bucket,
+         |    count(*) AS c
+         |  FROM r CROSS JOIN js GROUP BY 1, 2, 3),
+         |merged AS (SELECT j, bucket, sum(c) AS c FROM daily GROUP BY 1, 2),
+         |keys AS (SELECT DISTINCT k FROM r),
+         |est AS (SELECT keys.k, min(m.c) AS est
+         |  FROM keys CROSS JOIN js
+         |  JOIN merged m ON m.j = js.j
+         |    AND m.bucket = ${h("js.j", "keys.k")} % 1024
+         |  GROUP BY 1),
+         |ex AS (SELECT k, count(*) AS exact_count FROM r GROUP BY 1)
+         |SELECT est.k AS user_id, CAST(ex.exact_count AS BIGINT) AS exact_count,
+         |  CAST(est.est AS BIGINT) AS est_count,
+         |  CAST(est.est - ex.exact_count AS BIGINT) AS overshoot,
+         |  (SELECT CAST(count(DISTINCT day) AS BIGINT) FROM r) AS n_days
+         |FROM est JOIN ex ON ex.k = est.k
+         |ORDER BY est_count DESC, user_id LIMIT 20""".stripMargin
+    }) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val daily = ev.transform(StreamOps.cmsDailyCells("ts", col("user_id")))
+      val merged = StreamOps.cmsMergeCells(daily)
+      val keys = ev.select(col("user_id").as("k"))
+      val exact = keys.groupBy(col("k")).agg(count(lit(1)).as("exact_count"))
+      val nDays = daily.select(col("day")).distinct()
+        .agg(count(lit(1)).as("n_days"))
+      graft.ops.Mining.cmsEstimates(merged, keys)
+        .join(exact, "k")
+        .crossJoin(broadcast(nDays))
+        .select(col("k").as("user_id"), col("exact_count"),
+          col("est").as("est_count"),
+          (col("est") - col("exact_count")).as("overshoot"), col("n_days"))
+        .orderBy(col("est_count").desc, col("user_id")).limit(20)
+    },
+
     // ---- m10: per-clip zero-crossing rate after DC-offset removal —
     //      the voiced/unvoiced + noisiness feature next to m06's frame
     //      energy. Crossings are counted about the clip MEAN (raw PCM

@@ -179,6 +179,36 @@ object StreamOps {
       .agg(count(lit(1)).as("n_band_hits"))
   }
 
+  /** Per-day count-min-sketch PARTIAL cells over a streaming (or batch)
+    * key column — the frequency-sketch sibling of q59's daily HLL
+    * partials, and the streaming face of [[graft.ops.Mining.cmsCounters]]
+    * (same [[graft.ops.Prep.portableHash]] cells, so the DuckDB oracle
+    * re-derives every cell). Under readStream this is ONE watermarked
+    * grouped aggregate whose state is AT MOST d·w cells per open day —
+    * fixed regardless of event volume, the property that makes CMS the
+    * streaming counting primitive (a per-key count would hold
+    * key-cardinality state). Works identically on a batch frame: the
+    * graded st11 twin IS this function on the same input.
+    */
+  def cmsDailyCells(tsCol: String, key: Column, watermark: String = "1 day",
+                    d: Int = 4, w: Int = 1024)(df: DataFrame): DataFrame = {
+    val src = if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
+    src.select(to_date(col(tsCol)).as("day"), key.as("k"))
+      .select(col("day"), explode(sequence(lit(0), lit(d - 1))).as("j"), col("k"))
+      .withColumn("bucket", graft.ops.Prep.portableHash(col("j"), col("k")) % w)
+      .groupBy(col("day"), col("j"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Merge daily CMS partials into one sketch by CELL-WISE ADDITION —
+    * exact (counts add), so merged point-estimates equal a one-shot
+    * sketch over the union of days bit-for-bit (StreamingSpec pins it).
+    * This is the incremental re-aggregation move: store d·w cells per
+    * day, re-merge ANY date range without rescanning history.
+    */
+  def cmsMergeCells(daily: DataFrame): DataFrame =
+    daily.groupBy(col("j"), col("bucket")).agg(sum(col("c")).as("c"))
+
   /** Continuous gold-table maintenance: every micro-batch SCD1-upserts
     * into a parquet state table via [[graft.ops.Maintenance.upsert]]
     * (key-unique enforced per batch with a dropDuplicates on the keys).

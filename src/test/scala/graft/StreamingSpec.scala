@@ -880,4 +880,41 @@ class MultimodalSpec extends SparkSpec {
       } else assert(!got.contains(id))
     }
   }
+
+  test("st11 CMS cells: streaming == batch across micro-batches; merge == one-shot") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.core.Tables.events(spark, sf)
+      .select("ts", "user_id").limit(600).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1)))
+    val mem = MemoryStream[(Timestamp, Long)]
+    val sdf = mem.toDF().toDF("ts", "user_id")
+    val q = StreamOps.cmsDailyCells("ts", col("user_id"))(sdf)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("st11_out").start()
+    // split across two micro-batches: daily cells must keep ACCUMULATING
+    // state per (day, j, bucket) across the batch boundary
+    val (b1, b2) = ev.splitAt(300)
+    mem.addData(b1.toIndexedSeq: _*)
+    q.processAllAvailable()
+    mem.addData(b2.toIndexedSeq: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("st11_out")
+      .orderBy("day", "j", "bucket")
+      .as[(java.sql.Date, Int, Long, Long)].collect().toSeq
+    q.stop()
+    val batchDf = ev.toSeq.toDF("ts", "user_id")
+    val batch = StreamOps.cmsDailyCells("ts", col("user_id"))(batchDf)
+      .orderBy("day", "j", "bucket")
+      .as[(java.sql.Date, Int, Long, Long)].collect().toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+    // cell-wise merge of the daily partials == a one-shot sketch over all
+    // rows (counts add exactly — the property st11's estimates rely on)
+    val merged = StreamOps.cmsMergeCells(
+        StreamOps.cmsDailyCells("ts", col("user_id"))(batchDf))
+      .orderBy("j", "bucket").as[(Int, Long, Long)].collect().toSeq
+    val oneShot = graft.ops.Mining
+      .cmsCounters(batchDf, col("user_id"))
+      .orderBy("j", "bucket").as[(Int, Long, Long)].collect().toSeq
+    assert(merged == oneShot)
+  }
 }
