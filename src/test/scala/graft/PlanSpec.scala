@@ -539,6 +539,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("t50 URL canonicalize: scan prunes to (doc_id, source), one agg shuffle") {
+    val q = SparkEntry.queries("t50_url_canonicalize")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    // derivation + canonicalization are pure projection over two narrow
+    // columns — reading `text`/`n_chars` for a URL op would be the
+    // wasted-IO bug ReadSchema pruning exists to catch
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      plan)
+    // the canonical grouping's two-phase count-distinct (partial on
+    // (canonical, url), final on canonical) + the final sort's range
+    // exchange — nothing else shuffles, and every exchange carries
+    // grouped rows, never the raw corpus
+    assert(shuffles(q) <= 3, plan)
+  }
+
+  test("t51 contamination: eval gram set broadcasts into the corpus probe") {
+    val q = SparkEntry.queries("t51_eval_contamination")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q66 DSv2 source: pushed range prunes partitions before execution") {
     // the q66 scan shape without the aggregate: 16 range partitions over
     // 100k ids; [25000, 75000) overlaps exactly 8 — the other 8 are
