@@ -81,6 +81,40 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cos"), col("rn").cast("int").as("rn"))
   }
 
+  /** FILTERED ANN: per-query top-k restricted to candidates sharing the
+    * query's `label` — the metadata-constrained retrieval every
+    * production vector store needs ("similar AND same
+    * class/tenant/language"). The predicate is pushed INTO the join key:
+    * queries hash-join candidates ON label, so the pair space is
+    * Σ_label n_l·q_l — label-blocked, never the full n·q cross join —
+    * and a query's k results are guaranteed to satisfy the filter
+    * (post-filtering a global top-k instead can return fewer than k or
+    * none: the classic filtered-ANN bug). At index scale the label
+    * becomes a partition key of the stored cell table (s15's layout) and
+    * this join prunes partitions; distances compute only inside the
+    * filtered block. Returns (q_id, label, c_id, cos, rn ≤ k).
+    */
+  def labelFilteredTopK(emb: DataFrame, id: String, vec: String,
+                        queryPred: Column, k: Int = 5): DataFrame = {
+    ensureRegistered(emb)
+    val c = emb.select(col(id).as("c_id"),
+        col(vec).cast("array<double>").as("c_vec"), col("label"))
+      .withColumn("c_norm", sqrt(dotNative(col("c_vec"), col("c_vec"))))
+    val q = emb.filter(queryPred)
+      .select(col(id).as("q_id"),
+        col(vec).cast("array<double>").as("q_vec"), col("label"))
+      .withColumn("q_norm", sqrt(dotNative(col("q_vec"), col("q_vec"))))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    c.join(broadcast(q), Seq("label"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos",
+        round(dotNative(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("label"), col("c_id"), col("cos"),
+        col("rn").cast("int").as("rn"))
+  }
+
   /** Embedding-space decontamination audit — the semantic member of the
     * decontamination family (t17 exact shingles, t26 map-side Bloom):
     * for each EVAL document, how hard does the TRAIN corpus press on it?

@@ -64,6 +64,30 @@ object SimilarityQueries {
         .orderBy("q_id", "rn")
     },
 
+    // ---- s29: FILTERED ANN — per-query top-5 restricted to candidates
+    //      sharing the query's label (metadata-constrained retrieval:
+    //      "similar AND same class/tenant/language"). The filter is
+    //      pushed INTO the join key — queries hash-join candidates ON
+    //      label, label-blocking the pair space instead of post-filtering
+    //      a global top-k (which can return < k rows, the classic
+    //      filtered-ANN bug). Fully SQL-expressible → complete oracle,
+    //      like s01. ----
+    QueryDef("s29_ann_filtered",
+      s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+         |           FROM embeddings)
+         |SELECT q_id, label, c_id, cos, CAST(rn AS INTEGER) AS rn FROM (
+         |  SELECT q.vec_id AS q_id, q.label AS label, c.vec_id AS c_id,
+         |    round($duckCos, 6) AS cos,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |                       ORDER BY round($duckCos, 6) DESC, c.vec_id) AS rn
+         |  FROM v q JOIN v c ON c.label = q.label AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id % 50 = 0)
+         |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      Similarity.labelFilteredTopK(Tables.embeddings(s, dir),
+          "vec_id", "embedding", col("vec_id") % 50 === 0, k = 5)
+        .orderBy("q_id", "rn")
+    },
+
     QueryDef("s02_neardup_pairs",
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
          |           FROM embeddings WHERE vec_id < 250)

@@ -562,6 +562,16 @@ class PlanSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("s29 filtered ANN: label predicate rides the join key, never a cross join") {
+    val q = SparkEntry.queries("s29_ann_filtered")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    // the filtered-ANN point: queries hash-join candidates ON label
+    // (label-blocked pair space), not cross-join-then-filter
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q66 DSv2 source: pushed range prunes partitions before execution") {
     // the q66 scan shape without the aggregate: 16 range partitions over
     // 100k ids; [25000, 75000) overlaps exactly 8 — the other 8 are

@@ -448,4 +448,35 @@ class SimilaritySpec extends SparkSpec {
     assert(again.map(r => (r.getLong(0), r.getLong(1))).toSet ==
       pairs.map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
+
+  test("labelFilteredTopK == per-label brute force; every hit satisfies the filter") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val got = Similarity.labelFilteredTopK(emb, "vec_id", "embedding",
+        col("vec_id") % 50 === 0, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4)))
+    assert(got.nonEmpty)
+    val labelOf = emb.select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // the filter HELD for every returned candidate
+    got.foreach { case (q, lbl, c, _, _) =>
+      assert(labelOf(q) == lbl && labelOf(c) == lbl, s"q=$q c=$c")
+    }
+    // per query: exactly min(k, same-label candidates) rows — the
+    // guarantee post-filtering a global top-k cannot give
+    val byQ = got.groupBy(_._1)
+    val labelSizes = labelOf.values.groupBy(identity).map { case (l, xs) => l -> xs.size }
+    byQ.foreach { case (q, rows) =>
+      val avail = labelSizes(labelOf(q)) - 1
+      assert(rows.length == math.min(5, avail), s"q=$q got ${rows.length} of $avail")
+    }
+    // and it matches bruteForceTopK run on the label-restricted corpus
+    val lbl0 = labelOf(0L)
+    val restricted = Similarity.bruteForceTopK(
+        emb.filter(col("label") === lbl0), "vec_id", "embedding",
+        col("vec_id") === 0L, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val mine = got.filter(_._1 == 0L).map(t => (t._1, t._3, t._4, t._5))
+    assert(mine.toSeq.sortBy(_._4) == restricted.toSeq.sortBy(_._4))
+  }
 }
