@@ -788,10 +788,14 @@ object TextOps {
     lit("https://"),
     regexp_replace(lower(call_function("parse_url", url, lit("HOST"))),
       "^www\\.", ""),
-    regexp_replace(call_function("parse_url", url, lit("PATH")), "/$", ""),
+    // PATH/QUERY coalesce to "" — a bare `https://host` or query-less URL
+    // must canonicalize, not null out the whole string through concat
+    regexp_replace(coalesce(call_function("parse_url", url, lit("PATH")),
+      lit("")), "/$", ""),
     lit("?"),
     array_join(array_sort(filter(
-      split(call_function("parse_url", url, lit("QUERY")), "&"),
+      split(coalesce(call_function("parse_url", url, lit("QUERY")), lit("")),
+        "&"),
       p => !p.startsWith("utm_"))), "&"))
 
   /** Apply an ORDERED merge table to the space-sentinel corpus column —

@@ -600,8 +600,13 @@ object GraftProps extends Properties("graft") {
     slash  <- Gen.oneOf("", "/")
     params <- Gen.someOf("id=1", "q=spark", "utm_source=x", "utm_medium=y",
       "page=2")
+    qmark  <- Gen.oneOf("", "?") // query-less URLs must canonicalize too
     frag   <- Gen.oneOf("", "#top")
-  } yield s"$scheme://$www$host$port/p/$seg$slash?${params.mkString("&")}$frag"
+  } yield {
+    val qs = if (qmark.isEmpty && params.isEmpty) ""
+             else s"?${params.mkString("&")}"
+    s"$scheme://$www$host$port/p/$seg$slash$qs$frag"
+  }
 
   property("canonicalizeUrl is idempotent and strips every mess class") =
     forAll(Gen.listOfN(8, urlGen)) { urls =>
