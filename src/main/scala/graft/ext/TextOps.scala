@@ -786,12 +786,19 @@ object TextOps {
     */
   def canonicalizeUrl(url: Column): Column = concat(
     lit("https://"),
-    regexp_replace(lower(call_function("parse_url", url, lit("HOST"))),
-      "^www\\.", ""),
+    // HOST coalesces to "" like PATH/QUERY: a malformed URL parse_url
+    // can't extract a host from must NOT null the whole concat —
+    // otherwise every unparseable URL collapses into one NULL canonical
+    // group at dedup time (and diverges from oracle regexp_extract,
+    // which yields '' on no match)
+    regexp_replace(lower(coalesce(call_function("parse_url", url,
+      lit("HOST")), lit(""))), "^www\\.", ""),
     // PATH/QUERY coalesce to "" — a bare `https://host` or query-less URL
-    // must canonicalize, not null out the whole string through concat
+    // must canonicalize, not null out the whole string through concat.
+    // `/+$` strips ALL trailing slashes so a `//`-terminated path stays
+    // idempotent (one-slash strip left canonical(canonical(u)) != canonical(u))
     regexp_replace(coalesce(call_function("parse_url", url, lit("PATH")),
-      lit("")), "/$", ""),
+      lit("")), "/+$", ""),
     lit("?"),
     array_join(array_sort(filter(
       split(coalesce(call_function("parse_url", url, lit("QUERY")), lit("")),

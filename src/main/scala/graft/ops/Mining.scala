@@ -146,21 +146,23 @@ object Mining {
     * engines share. Contingency rows are one map-side-combinable count
     * agg over the facts; everything after is O(distinct values).
     *
-    * REMAINING BOUND: Spark's `DIV` yields a LONG even from DECIMAL
-    * operands, so the quotient 10⁹·n_v must itself fit 2⁶³ — exact up to
-    * n_v ≈ 9.2e9 rows PER FEATURE VALUE (vs ~3.04e9 before the DECIMAL
-    * fix). Past that Spark returns null (ANSI off) while the DuckDB
-    * twin's HUGEINT `//` keeps going — the two sides diverge rather than
-    * fail loudly. 9.2e9 rows in a single categorical cell is ~74 TB of
-    * 8-byte keys in one value; revisit the 10⁹ quantum before that.
+    * The quotient STAYS IN DECIMAL: `DIV` would narrow it to LONG
+    * (null past n_v ≈ 9.2e9, silently diverging from the DuckDB twin's
+    * HUGEINT `//`), and a bare decimal divide rounds HALF_UP at the
+    * result scale (a true quotient k − ε would round UP to k). Instead
+    * the remainder is subtracted first — (A − A % n_v) is exactly
+    * divisible, so the decimal divide is exact at any scale — and the
+    * result cast back to DECIMAL(38,0). Exactness now holds until the
+    * 38-digit product cap: n_v²·10⁹ < 10³⁸ ⇒ n_v ≲ 3e14 rows per
+    * feature value (~2.5 PB of 8-byte keys in ONE categorical cell).
     */
   def giniGain(contingency: DataFrame): DataFrame = {
     // cast each factor to DECIMAL BEFORE multiplying — a BIGINT product
     // of counts above ~3.04e9 would silently wrap with ANSI off
-    val q = expr(
-      "(CAST(pos_v AS DECIMAL(38,0)) * pos_v + " +
-        "CAST(n_v - pos_v AS DECIMAL(38,0)) * (n_v - pos_v)) " +
-        "* 1000000000 DIV n_v")
+    val a = (col("pos_v").cast("decimal(38,0)") * col("pos_v") +
+      (col("n_v") - col("pos_v")).cast("decimal(38,0)") *
+        (col("n_v") - col("pos_v"))) * lit(1000000000L)
+    val q = ((a - a % col("n_v")) / col("n_v")).cast("decimal(38,0)")
     contingency
       .withColumn("q", q)
       .groupBy(col("feature"))

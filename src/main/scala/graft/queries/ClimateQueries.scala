@@ -112,6 +112,19 @@ object ClimateQueries {
         .reduce(_ unionByName _)
     }
 
+  /** Free the LAST c09 bench lineage once its timings are done —
+    * [[fullPipelineFresh]] only unpersists the previous lineage on the
+    * NEXT call, so without this hook the final run's cache blocks stay
+    * resident for the remainder of the board sweep (memory pressure on
+    * whatever queries follow c09). Bench calls this after the measure +
+    * outlier-rerun phases. */
+  def releaseBenchLineage(): Unit = synchronized {
+    benchLineage.foreach { l =>
+      try l.unpersist() catch { case _: Throwable => () }
+    }
+    benchLineage = None
+  }
+
   private def gold(s: SparkSession): Climate.Gold = synchronized {
     memo match {
       case Some((sess, g)) if sess eq s => g

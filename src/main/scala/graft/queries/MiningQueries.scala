@@ -127,7 +127,7 @@ object MiningQueries {
          |qq AS (SELECT feature, n_v, pos_v, ${Mining.giniTermSql} AS q FROM cont),
          |agg AS (SELECT feature, count(*) AS n_values,
          |          CAST(sum(n_v) AS BIGINT) AS n, CAST(sum(pos_v) AS BIGINT) AS pos,
-         |          CAST(sum(q) AS BIGINT) AS sum_q
+         |          sum(q) AS sum_q
          |        FROM qq GROUP BY 1)
          |SELECT feature, n_values,
          |  (1.0 - CAST(pos::HUGEINT * pos + (n - pos)::HUGEINT * (n - pos)

@@ -1566,7 +1566,7 @@ object TextQueries {
         |    || regexp_replace(lower(regexp_extract(url, '://([^/:?#]+)', 1)),
         |                      '^www\.', '')
         |    || regexp_replace(regexp_extract(url, '://[^/?#]+([^?#]*)', 1),
-        |                      '/$', '')
+        |                      '/+$', '')
         |    || '?'
         |    || array_to_string(list_sort(list_filter(
         |         string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
@@ -1665,18 +1665,24 @@ object TextQueries {
        |  GROUP BY 1),
        |t$r AS (SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM p$r
        |        ORDER BY cnt DESC, pair LIMIT 1),
-       |w$r AS (SELECT replace(s, ' ' || (SELECT pair FROM t$r) || ' ',
-       |          ' ' || replace((SELECT pair FROM t$r), ' ', '') || ' ') AS s
+       |w$r AS (SELECT replace(s, ' ' || coalesce((SELECT pair FROM t$r), '~') || ' ',
+       |          ' ' || replace(coalesce((SELECT pair FROM t$r), '~'), ' ', '') || ' ') AS s
        |        FROM $prev)""".stripMargin
   }
 
   /** The APPLY half of t47's oracle: fold round r's learned pair (the
     * scalar subquery against the TRAINING CTE t$r) into the full-corpus
     * doc-carrying chain a{r-1} → a{r} — [[graft.ext.TextOps
-    * .bpeApplyMerges]]'s chained replace, one CTE per merge. */
+    * .bpeApplyMerges]]'s chained replace, one CTE per merge. The scalar
+    * subquery coalesces to '~' (never occurs in the lowercase sentinel
+    * corpus, so the replace is the identity): if the sampled train
+    * exhausts before all rounds, the oracle then applies FEWER merges —
+    * exactly the engine's behavior — instead of NULLing the whole chain
+    * through `' ' || NULL || ' '`. Same guard on the training chain's
+    * w$r CTE. */
   private def bpeApplySql(r: Int): String =
-    s"""a$r AS (SELECT doc_id, replace(s, ' ' || (SELECT pair FROM t$r) || ' ',
-       |          ' ' || replace((SELECT pair FROM t$r), ' ', '') || ' ') AS s
+    s"""a$r AS (SELECT doc_id, replace(s, ' ' || coalesce((SELECT pair FROM t$r), '~') || ' ',
+       |          ' ' || replace(coalesce((SELECT pair FROM t$r), '~'), ' ', '') || ' ') AS s
        |        FROM a${r - 1})""".stripMargin
 
   // One BPE training run shared t45 → t47 (the ClimateQueries cached-

@@ -597,7 +597,8 @@ object GraftProps extends Properties("graft") {
     host   <- Gen.oneOf("Example.COM", "data.example.com", "CRAWL.example.org")
     port   <- Gen.oneOf("", ":443")
     seg    <- Gen.choose(0, 99)
-    slash  <- Gen.oneOf("", "/")
+    slash  <- Gen.oneOf("", "/", "//", "///") // multi-slash tails too —
+    // a one-slash strip would break idempotence on these
     params <- Gen.someOf("id=1", "q=spark", "utm_source=x", "utm_medium=y",
       "page=2")
     qmark  <- Gen.oneOf("", "?") // query-less URLs must canonicalize too

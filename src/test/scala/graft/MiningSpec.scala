@@ -112,6 +112,27 @@ class MiningSpec extends SparkSpec {
     assert(math.abs(g) < 1e-9, g.toString)
   }
 
+  test("giniGain: quotient past the old DIV-LONG ceiling matches the HUGEINT oracle exactly") {
+    // n_v = 1.2e10 in one cell → q ≈ 1e19 > 2⁶³: the old `DIV` yielded
+    // null (silently diverging from DuckDB's HUGEINT `//`); the decimal
+    // remainder-subtract divide stays exact. Expected value replays the
+    // oracle's integer formula with BigInt, so this is an exact ==, not
+    // a tolerance check.
+    val cells = Seq(("f", "a", 12000000000L, 9000000000L),
+      ("f", "b", 8000000000L, 1000000000L))
+    val cont = cells.toDF("feature", "value", "n_v", "pos_v")
+    val g = Mining.giniGain(cont).select("gain").as[Double].head()
+    val qs = cells.map { case (_, _, nv, pv) =>
+      val (p, m) = (BigInt(pv), BigInt(nv - pv))
+      (p * p + m * m) * BigInt(1000000000) / BigInt(nv)
+    }
+    val (n, pos) = (BigInt(cells.map(_._3).sum), BigInt(cells.map(_._4).sum))
+    val neg = n - pos
+    val parent = (1.0 - (pos * pos + neg * neg).toDouble / (n * n).toDouble)
+    val child = 1.0 - qs.sum.toDouble / (n * BigInt(1000000000)).toDouble
+    assert(g == parent - child, s"$g vs ${parent - child}")
+  }
+
   test("bpeTrainRounds/bpeEncode: pair-free corpus returns empty, not IndexOutOfBounds") {
     // no [a-z]+ word of length >= 2 anywhere → zero trainable pairs
     val docs = Seq((1L, "a 1 B2 !"), (2L, "x 9")).toDF("doc_id", "text")
