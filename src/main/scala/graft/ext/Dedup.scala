@@ -38,6 +38,22 @@ object Dedup {
     df.join(keep, Seq(id), "left_semi")
   }
 
+  /** URL-level dedup — the FIRST pass a crawl corpus gets, before any
+    * content hashing (CommonCrawl-style: most duplicate pages share a
+    * URL modulo tracking params/case/slashes, and cutting them here
+    * costs one key-agg instead of MinHash): group by
+    * [[TextOps.canonicalizeUrl]] and keep the min-id survivor per
+    * canonical key, t05's survivor rule on the canonical URL. Returns
+    * (canonical_url, keep_id, n_absorbed). The canonical key is pure
+    * map-side expression work (parse_url + regexp + array HOFs), so the
+    * ONLY data-sized shuffle is the partial-agg exchange on grouped
+    * rows; callers join survivors back to the corpus on the id (ids
+    * shuffle, payloads don't — the dedupExact join-back shape, which at
+    * 100 TB beats dragging document bytes through min_by). */
+  def urlSurvivors(df: DataFrame, id: Column, url: Column): DataFrame =
+    df.groupBy(TextOps.canonicalizeUrl(url).as("canonical_url"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_absorbed"))
+
   // ---------- shingling + exact Jaccard ----------
 
   /** Distinct word n-gram shingles from a PRE-SPLIT words column

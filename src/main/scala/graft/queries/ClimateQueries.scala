@@ -337,6 +337,53 @@ object ClimateQueries {
             col("temperature_anomaly"), col("z_score"))
           .limit(10)
       },
+
+      // ---- composed-pipeline correctness IDENTITY: c09_full_pipeline
+      //      times the reference's three-job composed shape (bench-only);
+      //      this row hash-checks it. A FRESH shared lineage (the exact
+      //      build c09 times) is compared table-by-table against the
+      //      session-memoized per-query gold — the lineage c01-c04's
+      //      hash-oracled rows are graded from — with exceptAll BOTH
+      //      ways: bit-exact on every column, doubles included (same
+      //      deterministic pipeline, so any difference is a real bug).
+      //      The oracle pins the expected verdict, the q151-q153
+      //      bound-audit pattern: a future cache-sharing bug that changes
+      //      composed RESULTS (not just time) flips a boolean here and
+      //      fails the driver's hash check. ----
+      QueryDef("c09_pipeline_identity",
+        """SELECT tbl, identical FROM (VALUES
+          |  ('climate_extremes', true),
+          |  ('climate_fact', true),
+          |  ('climate_kpis', true),
+          |  ('stations_dim', true)) AS t(tbl, identical)
+          |ORDER BY tbl""".stripMargin) { (s, _) =>
+        pipelineIdentity(s)
+      },
     )
+  }
+
+  /** Build ONE fresh composed lineage and compare each gold table
+    * against the memoized per-query gold — [[all]]'s c09 identity row.
+    * exceptAll both ways ⇒ equal as multisets; the fresh lineage is
+    * unpersisted before returning so the audit leaves no cache residue.
+    */
+  private def pipelineIdentity(s: SparkSession): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val (b, st) = fixture()
+    val fresh = Climate.run(s, b, st)
+    val memoG = gold(s)
+    val rows =
+      try Seq(
+        ("climate_extremes", fresh.extremes, memoG.extremes),
+        ("climate_fact", fresh.fact, memoG.fact),
+        ("climate_kpis", fresh.kpis, memoG.kpis),
+        ("stations_dim", fresh.stationsDim, memoG.stationsDim))
+        .map { case (n, a, m) =>
+          (n, a.exceptAll(m).isEmpty && m.exceptAll(a).isEmpty)
+        }
+      finally {
+        try fresh.lineage.unpersist() catch { case _: Throwable => () }
+      }
+    rows.toDF("tbl", "identical").orderBy("tbl")
   }
 }

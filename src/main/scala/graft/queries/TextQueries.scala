@@ -1546,60 +1546,49 @@ object TextQueries {
     //      scale this is THE cheap 30-50% row cut before MinHash ever
     //      runs. ----
     QueryDef("t50_url_canonicalize",
-      """WITH raw AS (
-        |  SELECT doc_id,
-        |    CASE doc_id % 3
-        |      WHEN 0 THEN 'HTTPS://WWW.' || source || '.example.com'
-        |      WHEN 1 THEN 'https://' || upper(source) || '.EXAMPLE.COM'
-        |      ELSE 'https://www.' || source || '.example.com' END
-        |    || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
-        |    || '/docs/' || (doc_id % 25)
-        |    || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
-        |    || CASE WHEN doc_id % 2 = 0
-        |         THEN '?utm_source=feed&utm_campaign=x&id=' || (doc_id % 5)
-        |         ELSE '?id=' || (doc_id % 5) END
-        |    || CASE WHEN doc_id % 11 = 0 THEN '#sec2' ELSE '' END AS url
-        |  FROM documents),
-        |canon AS (
-        |  SELECT doc_id, url,
-        |    'https://'
-        |    || regexp_replace(lower(regexp_extract(url, '://([^/:?#]+)', 1)),
-        |                      '^www\.', '')
-        |    || regexp_replace(regexp_extract(url, '://[^/?#]+([^?#]*)', 1),
-        |                      '/+$', '')
-        |    || '?'
-        |    || array_to_string(list_sort(list_filter(
-        |         string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
-        |         p -> NOT starts_with(p, 'utm_'))), '&') AS canonical_url
-        |  FROM raw)
-        |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(count(DISTINCT url) AS BIGINT) AS n_raw_variants,
-        |  CAST(min(doc_id) AS BIGINT) AS first_doc
-        |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-      val raw = Tables.documents(s, dir).select(col("doc_id"),
-        concat(
-          when(col("doc_id") % 3 === 0,
-            concat(lit("HTTPS://WWW."), col("source"), lit(".example.com")))
-            .when(col("doc_id") % 3 === 1,
-              concat(lit("https://"), upper(col("source")), lit(".EXAMPLE.COM")))
-            .otherwise(
-              concat(lit("https://www."), col("source"), lit(".example.com"))),
-          when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit("")),
-          lit("/docs/"), (col("doc_id") % 25).cast("string"),
-          when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
-          when(col("doc_id") % 2 === 0,
-            concat(lit("?utm_source=feed&utm_campaign=x&id="),
-              (col("doc_id") % 5).cast("string")))
-            .otherwise(concat(lit("?id="), (col("doc_id") % 5).cast("string"))),
-          when(col("doc_id") % 11 === 0, lit("#sec2")).otherwise(lit("")))
-          .as("url"))
-      raw
+      "WITH raw AS (\n" + urlRawSql + "),\n" +
+        "canon AS (\n  SELECT doc_id, url,\n" + urlCanonExprSql +
+        " AS canonical_url\n  FROM raw)\n" +
+        """SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(count(DISTINCT url) AS BIGINT) AS n_raw_variants,
+          |  CAST(min(doc_id) AS BIGINT) AS first_doc
+          |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      urlRaw(s, dir)
         .withColumn("canonical_url", TextOps.canonicalizeUrl(col("url")))
         .groupBy(col("canonical_url"))
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("url")).as("n_raw_variants"),
           min(col("doc_id")).as("first_doc"))
         .orderBy("canonical_url")
+    },
+
+    // ---- URL-KEYED DEDUP consuming t50's canonical key — the
+    //      CommonCrawl-style URL-dedup pass every pretraining pipeline
+    //      runs BEFORE content dedup (t50 builds the key; nothing graded
+    //      kept survivors until now): one min-id survivor per canonical
+    //      URL (Dedup.urlSurvivors = t05's survivor rule on the
+    //      canonical key), then survivors join BACK to the corpus on
+    //      doc_id — ids shuffle, payloads don't. The canonical key is
+    //      computed map-side before the single partial-agg exchange
+    //      (PlanSpec pins the plan); the oracle reuses t50's raw/canon
+    //      CTEs verbatim. ----
+    QueryDef("t52_url_dedup",
+      "WITH raw AS (\n" + urlRawSql + "),\n" +
+        "canon AS (\n  SELECT doc_id, url,\n" + urlCanonExprSql +
+        " AS canonical_url\n  FROM raw)\n" +
+        """, keep AS (
+          |  SELECT canonical_url, min(doc_id) AS keep_id,
+          |    CAST(count(*) AS BIGINT) AS n_absorbed
+          |  FROM canon GROUP BY 1)
+          |SELECT d.doc_id, d.source, k.canonical_url, k.n_absorbed
+          |FROM documents d JOIN keep k ON d.doc_id = k.keep_id
+          |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val keep = Dedup.urlSurvivors(urlRaw(s, dir), col("doc_id"), col("url"))
+      Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        .join(keep, col("doc_id") === col("keep_id"))
+        .select(col("doc_id"), col("source"), col("canonical_url"),
+          col("n_absorbed"))
+        .orderBy("doc_id")
     },
 
     // ---- eval-set n-gram contamination report — the GPT-3/PaLM-style
@@ -1669,6 +1658,60 @@ object TextQueries {
        |          ' ' || replace(coalesce((SELECT pair FROM t$r), '~'), ' ', '') || ' ') AS s
        |        FROM $prev)""".stripMargin
   }
+
+  /** Shared raw-URL derivation for t50/t52 (the q104 derived-input
+    * discipline): deterministic URL mess — case, :443, trailing slash,
+    * utm params, #fragment — injected from (doc_id, source) so both
+    * engines canonicalize identical strings. DuckDB CTE body; engine
+    * twin is [[urlRaw]]. */
+  private def urlRawSql: String =
+    """  SELECT doc_id,
+      |    CASE doc_id % 3
+      |      WHEN 0 THEN 'HTTPS://WWW.' || source || '.example.com'
+      |      WHEN 1 THEN 'https://' || upper(source) || '.EXAMPLE.COM'
+      |      ELSE 'https://www.' || source || '.example.com' END
+      |    || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+      |    || '/docs/' || (doc_id % 25)
+      |    || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+      |    || CASE WHEN doc_id % 2 = 0
+      |         THEN '?utm_source=feed&utm_campaign=x&id=' || (doc_id % 5)
+      |         ELSE '?id=' || (doc_id % 5) END
+      |    || CASE WHEN doc_id % 11 = 0 THEN '#sec2' ELSE '' END AS url
+      |  FROM documents""".stripMargin
+
+  /** The DuckDB twin of [[graft.ext.TextOps.canonicalizeUrl]] as a SQL
+    * expression over a column named `url` — shared by t50/t52 so the two
+    * oracles cannot drift from each other. */
+  private def urlCanonExprSql: String =
+    """    'https://'
+      |    || regexp_replace(lower(regexp_extract(url, '://([^/:?#]+)', 1)),
+      |                      '^www\.', '')
+      |    || regexp_replace(regexp_extract(url, '://[^/?#]+([^?#]*)', 1),
+      |                      '/+$', '')
+      |    || '?'
+      |    || array_to_string(list_sort(list_filter(
+      |         string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+      |         p -> NOT starts_with(p, 'utm_'))), '&')""".stripMargin
+
+  /** Engine twin of [[urlRawSql]]: the derived (doc_id, url) frame. */
+  private def urlRaw(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 3 === 0,
+          concat(lit("HTTPS://WWW."), col("source"), lit(".example.com")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("https://"), upper(col("source")), lit(".EXAMPLE.COM")))
+          .otherwise(
+            concat(lit("https://www."), col("source"), lit(".example.com"))),
+        when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit("")),
+        lit("/docs/"), (col("doc_id") % 25).cast("string"),
+        when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("?utm_source=feed&utm_campaign=x&id="),
+            (col("doc_id") % 5).cast("string")))
+          .otherwise(concat(lit("?id="), (col("doc_id") % 5).cast("string"))),
+        when(col("doc_id") % 11 === 0, lit("#sec2")).otherwise(lit("")))
+        .as("url"))
 
   /** The APPLY half of t47's oracle: fold round r's learned pair (the
     * scalar subquery against the TRAINING CTE t$r) into the full-corpus

@@ -554,6 +554,23 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(q) <= 3, plan)
   }
 
+  test("t52 URL dedup: canonical key computes map-side before the single agg exchange") {
+    val q = SparkEntry.queries("t52_url_dedup")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    // the survivor agg must combine map-side ON the canonical key — a
+    // partial min/count below the one hashpartitioning exchange proves
+    // the parse_url/regexp key work happened before any shuffle, so the
+    // exchange carries grouped rows, never the raw corpus
+    assert(plan.contains("partial_min(doc_id"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    // both the derivation scan and the join-back probe prune to the two
+    // narrow columns — reading `text` for a URL op is the wasted-IO bug
+    assert("ReadSchema: struct<doc_id:bigint,source:string>".r
+      .findAllIn(plan).size == 2, plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("t51 contamination: eval gram set broadcasts into the corpus probe") {
     val q = SparkEntry.queries("t51_eval_contamination")(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
