@@ -421,6 +421,34 @@ class TextOpsSpec extends SparkSpec {
     assert(bReal.nonEmpty, "fixture should contain at least one τ≥0.4 pair")
   }
 
+  test("prefixFilterPairs τ=1/2 == jaccardPairs.filter(≥0.5) — the t23/t28 edge-set swap") {
+    // t23/t28 build their connected-component closures from
+    // prefixFilterPairs(tauNum=1, tauDen=2) while their DuckDB oracles
+    // keep the inverted-index derivation; this pins the swap's premise —
+    // pair-set EQUALITY at exactly τ=1/2, including the J==0.5 boundary
+    // (doc pair below: ∩=3 of sizes 4,5 → J = 3/6 = 0.5, in BOTH sets).
+    val boundary = Seq(
+      (1L, "a b c d e f"),     // shingles: abc bcd cde def (4)
+      (2L, "a b c d e g h"),   // shingles: abc bcd cde deg egh (5): ∩=3 → J=0.5
+      (3L, "p q r s t u v")
+    ).toDF("doc_id", "text")
+    def both(df: org.apache.spark.sql.DataFrame): (Set[(Long, Long)], Set[(Long, Long)]) = {
+      val brute = Dedup.jaccardPairs(df, col("doc_id"), col("text"))
+        .filter(col("jaccard") >= 0.5)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val pf = Dedup.prefixFilterPairs(df, col("doc_id"), col("text"),
+          tauNum = 1, tauDen = 2)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      (brute, pf)
+    }
+    val (bB, pB) = both(boundary)
+    assert(pB == bB && pB == Set((1L, 2L)), s"boundary: brute=$bB pf=$pB")
+    val (bReal, pReal) = both(graft.core.Tables.documents(spark, sf))
+    assert(pReal == bReal,
+      s"real corpus τ=1/2: missing=${bReal -- pReal} extra=${pReal -- bReal}")
+    assert(bReal.nonEmpty, "fixture should contain at least one τ≥0.5 pair")
+  }
+
   test("sortedNeighborhoodPairs: near-dups sort adjacent, unrelated never pair") {
     // A/B differ in one trailing word: shingles ∩=4 ∪=6 → J=2/3; C disjoint.
     val docs = Seq(
