@@ -32,15 +32,21 @@ object Bench {
     // Pre-flight contention gate: the min-of-two + loadavg-recording
     // guards DOCUMENT contention but the headline number still whipsaws
     // when another build shares the machine (r6: 101 s contended vs 78-86 s
-    // truth). Spin-wait up to 120 s for the 1-minute loadavg to drop
-    // below ~cpus/8 (4.0 on 32 cpus) before measuring anything.
+    // truth). Spin-wait for the 1-minute loadavg to quiesce before
+    // measuring anything. r10+r11 both ran with 12 outlier re-runs
+    // because the old cpus/8 = 4.0 gate released a board onto a
+    // loadavg-6.2 machine after only 120 s: a co-tenant build holding
+    // 4 cores passed the gate yet inflated the whole board ~1.12×. The
+    // gate is now ~cpus/16 (2.0 on 32 cpus — one stray compile, not a
+    // build) and the preflight budget 300 s (loadavg_1m needs ~2-3 min
+    // to decay even after the co-tenant exits).
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val hostCpus = Runtime.getRuntime.availableProcessors()
-    val loadGate = math.max(2.0, hostCpus / 8.0)
+    val loadGate = math.max(1.5, hostCpus / 16.0)
     val loadAtStart = osBean.getSystemLoadAverage
     val gateT0 = System.nanoTime()
     while (osBean.getSystemLoadAverage > loadGate &&
-      (System.nanoTime() - gateT0) < 120L * 1000000000L)
+      (System.nanoTime() - gateT0) < 300L * 1000000000L)
       Thread.sleep(5000)
     val preflightWait = (System.nanoTime() - gateT0) / 1e9
     val spark = SparkSession.builder()
@@ -71,14 +77,23 @@ object Bench {
     // Mid-sweep contention gate: the r10 board needed 12 outlier re-runs
     // (vs 1 in r9) because load arrived DURING the sweep, after the
     // preflight gate passed. Before each query, if the 1-minute loadavg
-    // is above the gate, wait a little — bounded by a single global
-    // 120 s budget so a permanently-loud machine costs at most 2 min,
-    // not 2 min × 261 queries. Loadavg is minute-averaged so this can't
-    // dodge every spike, but it stops a sustained co-tenant build from
-    // contaminating a long run of consecutive queries.
-    var midGateBudgetNs = 120L * 1000000000L
+    // is above the gate, wait a little — bounded by a global budget so a
+    // permanently-loud machine costs minutes, not 2 min × 261 queries.
+    // The budget RE-ARMS whenever the gate observes a quiet machine: the
+    // exhaustible-budget escape hatch is only for sustained co-tenant
+    // load, so a second spike hours into the sweep gets its own full
+    // budget instead of inheriting an empty one (r11 gap: one long early
+    // spike drained the budget and every later spike ran ungated).
+    // Loadavg is minute-averaged so this can't dodge every spike, but it
+    // stops a sustained co-tenant build from contaminating a long run of
+    // consecutive queries.
+    val midGateFullNs = 180L * 1000000000L
+    var midGateBudgetNs = midGateFullNs
+    // (re-arm happens only at ENTRY on a quiet reading — re-arming inside
+    // the wait loop could spin forever on load oscillating at the gate)
     def gateIfLoud(): Unit =
-      while (midGateBudgetNs > 0 && osBean.getSystemLoadAverage > loadGate) {
+      if (osBean.getSystemLoadAverage <= loadGate) midGateBudgetNs = midGateFullNs
+      else while (midGateBudgetNs > 0 && osBean.getSystemLoadAverage > loadGate) {
         Thread.sleep(2000)
         midGateBudgetNs -= 2L * 1000000000L
       }
@@ -114,6 +129,9 @@ object Bench {
     // c09's bench lineage is only unpersisted on the NEXT c09 call —
     // free the final run's cache blocks now that all timing is done.
     try graft.queries.ClimateQueries.releaseBenchLineage()
+    catch { case _: Throwable => () }
+    // likewise the shared dedup prefix tables (t40/t23/t28's memo slots)
+    try graft.queries.TextQueries.releaseSharedDedup()
     catch { case _: Throwable => () }
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     // Contention guard (r4's driver numbers were ~1.8× the uncontended truth
@@ -151,7 +169,8 @@ object Bench {
       "q88_param_binding", "st07_funnel_chain", "t34_pmi_collocations",
       "q123_market_basket", "q127_hash_walks", "q129_table_profile",
       "q132_label_prop", "t43_sorted_neighborhood", "t45_bpe_train",
-      "s26_ann_binary", "s27_ivf_recall", "c09_full_pipeline")
+      "s26_ann_binary", "s27_ivf_recall", "c09_full_pipeline",
+      "t53_dedup_chain_fresh")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath),
       jsonLine(results.toSeq.sortBy(_._1)))

@@ -40,7 +40,11 @@ object SparkEntry {
     * share the session memo).
     */
   def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "c09_full_pipeline" -> ((s, _) => ClimateQueries.fullPipelineFresh(s)))
+    "c09_full_pipeline" -> ((s, _) => ClimateQueries.fullPipelineFresh(s)),
+    // t23's full chain with NO session memos (fresh shingles + τ=1/2
+    // prefix-filter + CC + survivors): keeps the end-to-end dedup cost
+    // on the board now that t40/t23/t28 share the corpus tables
+    "t53_dedup_chain_fresh" -> ((s, dir) => TextQueries.dedupChainFresh(s, dir)))
 
   /** Auxiliary engine artifacts Verify stages alongside the query dumps —
     * NOT graded queries, just inputs an oracle needs to re-derive an

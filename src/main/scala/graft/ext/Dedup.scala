@@ -190,13 +190,31 @@ object Dedup {
     */
   def prefixFilterPairs(df: DataFrame, id: Column, text: Column, n: Int = 3,
                         tauNum: Int = 2, tauDen: Int = 5,
-                        broadcastSigBytes: Long = 64L << 20): DataFrame = {
-    // (doc, s, h) distinct shingle rows feed FOUR consumers (df counts,
-    // sizes, prefix ranks, both verify sides) — materialize once, same
-    // rationale as jaccardPairs' localCheckpoint.
-    val sh = shingleRows(df, id, text, n)
+                        broadcastSigBytes: Long = 64L << 20): DataFrame =
+    prefixFilterPairsFrom(shingleHashTable(df, id, text, n),
+      tauNum, tauDen, broadcastSigBytes)
+
+  /** The materialized (doc, s, h) distinct-shingle table every
+    * prefix-filter consumer starts from — (doc, shingle string,
+    * xxhash64). Split out of [[prefixFilterPairs]] so the THREE board
+    * queries that tokenize the same corpus (t40 τ=2/5; t23/t28 τ=1/2)
+    * can build it once per (session, dir) and share (VERDICT r11 task
+    * #3): it feeds FOUR consumers inside one prefix-filter call already
+    * (df counts, sizes, prefix ranks, both verify sides) — materialize
+    * once, same rationale as jaccardPairs' localCheckpoint.
+    */
+  def shingleHashTable(df: DataFrame, id: Column, text: Column,
+                       n: Int = 3): DataFrame =
+    shingleRows(df, id, text, n)
       .select(col("doc"), col("s"), xxhash64(col("s")).as("h"))
       .localCheckpoint()
+
+  /** [[prefixFilterPairs]] from an already-materialized
+    * [[shingleHashTable]] — the τ-specific tail (prefix ranks, candidate
+    * self-join, length filter, array-intersect verify).
+    */
+  def prefixFilterPairsFrom(sh: DataFrame, tauNum: Int, tauDen: Int,
+                            broadcastSigBytes: Long = 64L << 20): DataFrame = {
     val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     // prefix_len = n − ⌈τn⌉ + 1, all integer

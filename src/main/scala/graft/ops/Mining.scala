@@ -90,6 +90,12 @@ object Mining {
     *
     * `scored` must have columns (id, score, responder∈{0,1}); `score`
     * must be exactly reproducible (integer or decimal-summed).
+    *
+    * The global-order window here is single-partition BY DESIGN — the
+    * exact-oracle form, the q44 discipline. The deployment form is
+    * [[decileLiftBucketed]] (identical output, bucketed prefix-sum rank,
+    * no unpartitioned window); q125 grades this one, q155 grades the
+    * twin against the SAME oracle.
     */
   def decileLift(scored: DataFrame): DataFrame = {
     val w = Window.orderBy(col("score").desc, col("id"))
@@ -109,6 +115,53 @@ object Mining {
           (col("n_cust") * col("tot_resp"))).as("lift"))
   }
 
+  /** [[decileLift]]'s at-scale twin: bit-identical output with NO
+    * unpartitioned window anywhere in the plan.
+    *
+    *   - the global rank comes from [[Prep.rankViaBuckets]] (sketch-edge
+    *     buckets + partitioned intra-bucket row_number + driver-side
+    *     B-entry prefix map) instead of a single-task ntile sort;
+    *   - ntile is re-derived from that rank by its closed form: with
+    *     q = n DIV 10, rem = n MOD 10, ranks ≤ (q+1)·rem fall in the
+    *     first `rem` tiles of size q+1, the rest in tiles of size q —
+    *     pure integer arithmetic, so the decile of every row matches the
+    *     window ntile exactly;
+    *   - the cumulative-capture window (10 decile rows) becomes a
+    *     broadcast triangle self-join — bounded at 10×10 FOREVER, so the
+    *     twin's plan is entirely window-free.
+    *
+    * Division shapes are copied from [[decileLift]] verbatim (same IEEE
+    * single divisions of exact integers) — q155 hash-grades this twin
+    * against q125's oracle SQL unchanged.
+    */
+  def decileLiftBucketed(scored: DataFrame): DataFrame = {
+    val n = scored.count()
+    val ranked = Prep.rankViaBuckets(scored, col("score"), col("id"),
+      ascending = false, rankCol = "__rank")
+    val q = n / 10
+    val rem = n % 10
+    val cut = (q + 1) * rem
+    val decile =
+      if (q == 0) col("__rank").cast("int") // n < 10: tile r for rank r
+      else expr(s"CAST(CASE WHEN __rank <= $cut THEN (__rank - 1) DIV ${q + 1} " +
+        s"ELSE $rem + (__rank - 1 - $cut) DIV $q END AS INT) + 1")
+    val g = ranked.withColumn("decile", decile)
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("responder")).as("responders"))
+    val tot = scored.agg(sum(col("responder")).as("tot_resp"),
+      count(lit(1)).as("tot_n"))
+    val cum = g.select(col("decile").as("__d2"), col("responders").as("__r2"))
+    g.join(broadcast(cum), col("__d2") <= col("decile"))
+      .groupBy(col("decile"), col("n_cust"), col("responders"))
+      .agg(sum(col("__r2")).as("cum_resp"))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_cust"), col("responders"),
+        (col("responders").cast("double") / col("n_cust")).as("resp_rate"),
+        (col("cum_resp").cast("double") / col("tot_resp")).as("capture"),
+        ((col("responders") * col("tot_n")).cast("double") /
+          (col("n_cust") * col("tot_resp"))).as("lift"))
+  }
+
   /** Calibration-bin (reliability-diagram) table over (id, score,
     * responder) units: predicted probability = score percentile
     * rank/(N+1) — an exact rational — so bin assignment is the integer
@@ -116,11 +169,36 @@ object Mining {
     * Σrank/(n·(N+1)) with an exact integer numerator, and the
     * calibration gap is a difference of two exactly-reproducible
     * doubles. No float accumulates anywhere. The one rank window runs on
-    * the pre-aggregated unit grain.
+    * the pre-aggregated unit grain — single-partition BY DESIGN (the
+    * exact-oracle form, q44 discipline); the deployment form is
+    * [[calibrationBinsBucketed]] (identical output, partitioned rank),
+    * graded as q156 against the same oracle as q128.
     */
   def calibrationBins(scored: DataFrame, bins: Int = 10): DataFrame = {
     val w = Window.orderBy(col("score"), col("id"))
-    scored.withColumn("rank", row_number().over(w))
+    calibrationFromRanked(
+      scored.withColumn("rank", row_number().over(w)), scored, bins)
+  }
+
+  /** [[calibrationBins]]'s at-scale twin: the one global-order window is
+    * replaced by [[Prep.rankViaBuckets]] (partitioned intra-bucket rank +
+    * driver-side B-entry prefix map); everything downstream of the rank
+    * is the shared integer-exact tail, so the output is bit-identical —
+    * q156 hash-grades it against q128's oracle SQL unchanged.
+    */
+  def calibrationBinsBucketed(scored: DataFrame, bins: Int = 10): DataFrame =
+    calibrationFromRanked(
+      Prep.rankViaBuckets(scored, col("score"), col("id"), rankCol = "rank"),
+      scored, bins)
+
+  /** Shared tail of the two calibration forms: bin assignment and the
+    * per-bin integer-exact aggregate over an already-ranked unit table.
+    * (LONG vs INT rank both widen to LONG in the DIV and the Σrank — the
+    * arithmetic is shape-identical for either producer.)
+    */
+  private def calibrationFromRanked(ranked: DataFrame, scored: DataFrame,
+                                    bins: Int): DataFrame =
+    ranked
       .crossJoin(broadcast(scored.agg(count(lit(1)).as("n"))))
       .withColumn("bin", expr(s"CAST(($bins * rank) DIV (n + 1) AS INT)"))
       .groupBy(col("bin"))
@@ -131,7 +209,6 @@ object Mining {
         (sum(col("responder")).cast("double") / count(lit(1)))
           .as("actual_rate"))
       .withColumn("gap", col("pred_avg") - col("actual_rate"))
-  }
 
   /** Gini information gain of a categorical split vs a binary target —
     * the decision-tree / feature-ranking primitive. Input is the

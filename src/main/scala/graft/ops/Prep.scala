@@ -102,6 +102,70 @@ object Prep {
   def portableHashSql(a: String, b: String): String =
     s"(($a * 2654435761 + $b * 40503) % 4294967296)"
 
+  /** Scale-safe exact global row_number — the bucketed prefix-sum rank.
+    *
+    * `row_number() OVER (ORDER BY value, tieBreak)` moves every row into
+    * ONE window task (WindowExec has no partial mode under an empty
+    * partitionSpec): a single-task sort of the whole input — the scale
+    * killer behind the q110/q125/q128 audit items. This form produces
+    * the IDENTICAL rank with no unpartitioned window anywhere:
+    *
+    *   1. approx_percentile edges (one tree-reduced aggregate; B−1
+    *      doubles collected to the driver) quantize `value` into ≤B
+    *      buckets. The edges are re-embedded as a LITERAL array so the
+    *      bucket function is bit-identical in every later pass — a
+    *      re-evaluated sketch could legally place a row differently
+    *      between the histogram job and the final plan.
+    *   2. per-bucket counts (map-side-combinable aggregate, ≤B result
+    *      rows) are prefix-summed ON THE DRIVER into a B-entry
+    *      bucket→prior-count literal map — the IVF/PQ k-row-collect
+    *      discipline, never a data-sized pull.
+    *   3. rank = prior(bucket) + row_number() within the bucket — a
+    *      PARTITIONED window: ~B concurrent sorts of ~n/B rows each.
+    *
+    * Exact, not approximate: the sketch only picks PARTITION BOUNDARIES.
+    * The bucket function is monotone in `value` (count of edges strictly
+    * below) and value-ties always land in one bucket, so
+    * prior + local rank == the global row_number for ANY edge placement;
+    * sketch error skews bucket sizes, never rank values.
+    *
+    * `value` must be non-null and castable to double (the cast feeds
+    * only the bucket assignment — ordering uses the original column, so
+    * exact types rank exactly). The rank lands as LONG (the global
+    * window's INT rank overflows past 2³¹ rows anyway). Cost: two extra
+    * narrow passes over the input (edge sketch + bucket histogram) — the
+    * price of deleting the single-task sort.
+    */
+  def rankViaBuckets(df: DataFrame, value: Column, tieBreak: Column,
+                     ascending: Boolean = true, buckets: Int = 64,
+                     rankCol: String = "rank"): DataFrame = {
+    val qs = (1 until buckets).map(i => lit(i.toDouble / buckets))
+    val edgeRow = df.agg(percentile_approx(value.cast("double"),
+      array(qs: _*), lit(10000)).as("e")).head()
+    // empty input → no edges → everything in bucket 0, prior map empty
+    val edgeVals: Seq[Double] =
+      if (edgeRow.isNullAt(0)) Seq.empty else edgeRow.getSeq[Double](0)
+    val bucketOf =
+      if (edgeVals.isEmpty) lit(0)
+      else size(filter(array(edgeVals.map(lit): _*),
+        e => value.cast("double") > e))
+    val withB = df.withColumn("__rvb_b", bucketOf)
+    val counts = withB.groupBy(col("__rvb_b"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toSeq
+    val ordered = if (ascending) counts.sortBy(_._1) else counts.sortBy(-_._1)
+    val priors: Map[Int, Long] =
+      ordered.map(_._1).zip(ordered.scanLeft(0L)(_ + _._2).init).toMap
+    val ord =
+      if (ascending) Seq(value.asc, tieBreak.asc)
+      else Seq(value.desc, tieBreak.asc)
+    val w = Window.partitionBy(col("__rvb_b")).orderBy(ord: _*)
+    withB.withColumn(rankCol,
+        coalesce(element_at(typedLit(priors), col("__rvb_b")), lit(0L)) +
+          row_number().over(w))
+      .drop("__rvb_b")
+  }
+
   /** Weighted-sampling key (the A-ES / exponential-race scheme from the
     * weighted-reservoir literature): key = −ln(u)/w with u a
     * [[portableHash]]-derived uniform in (0, 1]; ranking ASCENDING keeps

@@ -430,9 +430,15 @@ object BehaviorQueries {
     //      disagree). Durations are exact epoch-micros longs. The rank
     //      window runs on the CONVERTED-USERS table (already collapsed
     //      to one row per user by the funnel's min-ts aggregates) — tiny
-    //      relative to raw events at any volume; the q44→q45 discipline
-    //      (approx_percentile twin) applies if conversions themselves
-    //      are huge. ----
+    //      relative to raw events at any volume, but if conversions are
+    //      dense it is still O(users), so the rank comes from
+    //      Prep.rankViaBuckets (partitioned intra-bucket rank + driver
+    //      prefix map, exact — see its scaladoc) rather than a global
+    //      window: identical rn values, no single-task sort even when
+    //      the converted population is huge. The funnel output is
+    //      localCheckpoint'd first — rankViaBuckets makes two extra
+    //      narrow passes (edge sketch + bucket histogram) and re-running
+    //      the 3-stage funnel for each would triple the dominant cost. ----
     QueryDef("q118_time_to_convert",
       """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
         |           WHERE event_type = 'view' GROUP BY 1),
@@ -458,10 +464,10 @@ object BehaviorQueries {
       val d = p.join(v, "user_id")
         .select(col("user_id"),
           (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("dur_us"))
-      val wRank = Window.orderBy(col("dur_us"), col("user_id"))
-      d.withColumn("rn", row_number().over(wRank))
-        .withColumn("n", count(lit(1)).over(
-          Window.partitionBy(lit(1))))
+        .localCheckpoint()
+      graft.ops.Prep.rankViaBuckets(d, col("dur_us"), col("user_id"),
+          rankCol = "rn")
+        .crossJoin(broadcast(d.agg(count(lit(1)).as("n"))))
         .agg(max(col("n")).cast("long").as("n_converted"),
           min(col("dur_us")).as("min_us"),
           max(when(col("rn") === expr("(n + 1) div 2"), col("dur_us")))

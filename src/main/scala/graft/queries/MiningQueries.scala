@@ -76,7 +76,10 @@ object MiningQueries {
     //      urgent order), cumulative responder capture, and lift vs base
     //      rate — the model-evaluation table every targeting/scoring
     //      pipeline prints. Facts pre-aggregate to customer grain before
-    //      the one O(customers) ranking window. ----
+    //      the one O(customers) ranking window — single-partition BY
+    //      DESIGN (exact-oracle form, the q44 discipline); the deployment
+    //      form is q155_decile_lift_bucketed, hash-graded against this
+    //      SAME oracle. ----
     QueryDef("q125_decile_lift",
       """WITH sc AS (
         |  SELECT o_custkey AS id,
@@ -194,7 +197,9 @@ object MiningQueries {
     //      Σrank / (n·(N+1)) (no float accumulation anywhere), and the
     //      gap column is the difference of two exactly-reproducible
     //      doubles. Facts pre-aggregate to customer grain before the one
-    //      O(customers) rank window. ----
+    //      O(customers) rank window — single-partition BY DESIGN
+    //      (exact-oracle form); the deployment form is
+    //      q156_calibration_bins_bucketed against this SAME oracle. ----
     QueryDef("q128_calibration_bins",
       """WITH sc AS (
         |  SELECT o_custkey AS id,
@@ -219,6 +224,73 @@ object MiningQueries {
           max(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0))
             .as("responder"))
       Mining.calibrationBins(scored).orderBy("bin")
+    },
+
+    // ---- q125's AT-SCALE twin, graded against the IDENTICAL oracle: the
+    //      single-task ntile sort becomes Prep.rankViaBuckets (sketch-edge
+    //      buckets → partitioned intra-bucket rank → driver-side B-entry
+    //      prefix map) + the closed-form ntile inverse, and the 10-row
+    //      cumulative window becomes a broadcast triangle join — the plan
+    //      has NO window at all (PlanSpec census). Twin discipline: q44→
+    //      q45, except here the bucketed form is EXACT, so it hash-grades
+    //      against the same SQL instead of rows-only. ----
+    QueryDef("q155_decile_lift_bucketed",
+      """WITH sc AS (
+        |  SELECT o_custkey AS id,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS score,
+        |    max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS responder
+        |  FROM orders GROUP BY 1),
+        |d AS (SELECT CAST(ntile(10) OVER (ORDER BY score DESC, id) AS INTEGER) AS decile,
+        |        responder FROM sc),
+        |g AS (SELECT decile, count(*) AS n_cust,
+        |        CAST(sum(responder) AS BIGINT) AS responders
+        |      FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(responder) AS BIGINT) AS tot_resp,
+        |        count(*) AS tot_n FROM sc)
+        |SELECT decile, n_cust, responders,
+        |  CAST(responders AS DOUBLE) / n_cust AS resp_rate,
+        |  CAST(sum(responders) OVER (ORDER BY decile) AS DOUBLE) / tot_resp AS capture,
+        |  CAST(responders * tot_n AS DOUBLE) / (n_cust * tot_resp) AS lift
+        |FROM g CROSS JOIN t ORDER BY decile""".stripMargin) { (s, dir) =>
+      val scored = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("id"))
+        .agg(Exact.decimalSum(col("o_totalprice"), "score"),
+          max(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0))
+            .as("responder"))
+      Mining.decileLiftBucketed(scored)
+        .withColumn("decile", col("decile").cast("int"))
+        .orderBy("decile")
+    },
+
+    // ---- q128's AT-SCALE twin, graded against the IDENTICAL oracle: the
+    //      one global rank window swaps for Prep.rankViaBuckets; the
+    //      integer-exact binning/aggregate tail is SHARED with q128
+    //      (Mining.calibrationFromRanked), so the outputs are
+    //      bit-identical by construction. ----
+    QueryDef("q156_calibration_bins_bucketed",
+      """WITH sc AS (
+        |  SELECT o_custkey AS id,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS score,
+        |    max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS responder
+        |  FROM orders GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM sc),
+        |r AS (SELECT id, responder,
+        |        row_number() OVER (ORDER BY score, id) AS rank FROM sc),
+        |b AS (SELECT CAST((10 * rank) // (n + 1) AS INTEGER) AS bin,
+        |        rank, responder, n FROM r CROSS JOIN nn)
+        |SELECT bin, count(*) AS n_cust,
+        |  CAST(sum(responder) AS BIGINT) AS responders,
+        |  CAST(sum(rank) AS DOUBLE) / (count(*) * (max(n) + 1)) AS pred_avg,
+        |  CAST(sum(responder) AS DOUBLE) / count(*) AS actual_rate,
+        |  CAST(sum(rank) AS DOUBLE) / (count(*) * (max(n) + 1)) -
+        |    CAST(sum(responder) AS DOUBLE) / count(*) AS gap
+        |FROM b GROUP BY 1 ORDER BY bin""".stripMargin) { (s, dir) =>
+      val scored = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("id"))
+        .agg(Exact.decimalSum(col("o_totalprice"), "score"),
+          max(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0))
+            .as("responder"))
+      Mining.calibrationBinsBucketed(scored).orderBy("bin")
     },
 
     // ---- count-min sketch heavy hitters: build the fixed-size (4×1024)

@@ -380,9 +380,10 @@ object PrepQueries {
     //      exact integer ratio and the interpolation is one fixed IEEE
     //      chain, so no decimal detour is needed anywhere. The pooled
     //      rank window is single-partition BY DESIGN at fixture scale
-    //      (exact order statistics for the oracle); the 100 TB form
-    //      swaps it for approx_percentile edges + the same two
-    //      bracketing joins — the q44→q45 twin discipline. ----
+    //      (exact order statistics for the oracle); the 100 TB form is
+    //      q154_quantile_norm_bucketed — sketch-edge bucketed pool rank +
+    //      plain (non-broadcast) bracketing joins, hash-graded against
+    //      this SAME oracle. ----
     QueryDef("q110_quantile_norm",
       s"""WITH nc AS (SELECT count(*) AS nn FROM customer),
          |pool AS (SELECT c_acctbal AS val,
@@ -418,6 +419,60 @@ object PrepQueries {
       ix.join(broadcast(pool.select(col("rn").as("__rlo"), col("val").as("__vlo"))),
           lo === col("__rlo"))
         .join(broadcast(pool.select(col("rn").as("__rhi"), col("val").as("__vhi"))),
+          hi === col("__rhi"))
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          graft.ops.Prep.floorTo(col("__vlo") +
+            (col("__vhi") - col("__vlo")) * (col("idx") - lo), 4).as("qnorm"))
+        .orderBy("c_mktsegment", "c_custkey")
+    },
+
+    // ---- q110's AT-SCALE twin, graded against the IDENTICAL oracle.
+    //      Two scale killers deleted: (1) the pooled order statistics
+    //      come from Prep.rankViaBuckets (one sketch aggregate +
+    //      PARTITIONED intra-bucket rank + driver-side B-entry prefix
+    //      map) instead of a single-task sort of the whole table;
+    //      (2) the pool is NOT broadcast — a data-sized broadcast at
+    //      100 TB — the two bracketing lookups ride plain equi-joins on
+    //      rn, which plan as shuffle joins once the pool outgrows the
+    //      auto-broadcast threshold. The per-segment percent_rank window
+    //      is keyed (unchanged). Ranks are exact (rankViaBuckets
+    //      scaladoc), the idx/interpolation chain is copied verbatim, so
+    //      the output hash-matches q110's oracle bit-for-bit. ----
+    QueryDef("q154_quantile_norm_bucketed",
+      s"""WITH nc AS (SELECT count(*) AS nn FROM customer),
+         |pool AS (SELECT c_acctbal AS val,
+         |    row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rn
+         |  FROM customer),
+         |r AS (SELECT c_mktsegment, c_custkey, c_acctbal,
+         |    percent_rank() OVER (PARTITION BY c_mktsegment
+         |                         ORDER BY c_acctbal, c_custkey) AS pr
+         |  FROM customer),
+         |ix AS (SELECT c_mktsegment, c_custkey, c_acctbal,
+         |    1.0 + pr * (nn - 1) AS idx
+         |  FROM r CROSS JOIN nc)
+         |SELECT c_mktsegment, c_custkey, c_acctbal,
+         |  ${graft.ops.Prep.floorToSql(
+             "pl.val + (ph.val - pl.val) * (idx - CAST(floor(idx) AS BIGINT))", 4)} AS qnorm
+         |FROM ix
+         |JOIN pool pl ON pl.rn = CAST(floor(idx) AS BIGINT)
+         |JOIN pool ph ON ph.rn = CAST(ceil(idx) AS BIGINT)
+         |ORDER BY c_mktsegment, c_custkey""".stripMargin) { (s, dir) =>
+      val cust = Tables.customer(s, dir)
+      val nc = cust.agg(count(lit(1)).as("nn"))
+      val pool = graft.ops.Prep.rankViaBuckets(
+        cust.select(col("c_acctbal").as("val"), col("c_custkey").as("__ck")),
+        col("val"), col("__ck"), rankCol = "rn").drop("__ck")
+      val pr = percent_rank().over(Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal"), col("c_custkey")))
+      val ix = cust.select(col("c_mktsegment"), col("c_custkey"),
+          col("c_acctbal"), pr.as("pr"))
+        .crossJoin(broadcast(nc))
+        .withColumn("idx", lit(1.0) + col("pr") * (col("nn") - 1))
+      val lo = floor(col("idx")).cast("long")
+      val hi = ceil(col("idx")).cast("long")
+      ix.join(pool.select(col("rn").as("__rlo"), col("val").as("__vlo")),
+          lo === col("__rlo"))
+        .join(pool.select(col("rn").as("__rhi"), col("val").as("__vhi")),
           hi === col("__rhi"))
         .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
           graft.ops.Prep.floorTo(col("__vlo") +

@@ -24,6 +24,77 @@ object TextQueries {
        |            / len($duckWords) * 5.0, 1.0) * 0.5
        |      + least(len($duckWords) / 100.0, 1.0) * 0.5, 4)""".stripMargin
 
+  // ---- shared prefix-filter tables (VERDICT r11 task #3) -------------
+  // t40 (τ=2/5), t23 and t28 (both τ=1/2) all tokenize the same corpus:
+  // before r12 each board paid the shingle+hash materialization three
+  // times and the FULL τ=1/2 candidate+verify twice (t23+t28). The memos
+  // below are single-slot and session+dir-keyed, exactly the
+  // ClimateQueries gold-lineage discipline: replacing an entry drops the
+  // old reference (ContextCleaner reclaims its checkpoint blocks), and
+  // Bench frees the slot at sweep end via releaseSharedDedup(). Results
+  // are IDENTICAL (same deterministic tables), so Verify grading is
+  // untouched; the bench board's per-query mins become "given the shared
+  // corpus tables" — the same semantic the climate family already has —
+  // and the fresh end-to-end cost stays visible as the benchOnly
+  // t53_dedup_chain_fresh entry (the c09 pattern).
+  @volatile private var shMemo: Option[(SparkSession, String, DataFrame)] = None
+  @volatile private var halfPairMemo: Option[(SparkSession, String, DataFrame)] = None
+
+  /** The (doc, s, h) shingle-hash table for `documents` at `dir`,
+    * materialized once per (session, dir). */
+  private[graft] def sharedShingles(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      shMemo match {
+        case Some((sess, d, df)) if (sess eq s) && d == dir => df
+        case _ =>
+          val df = Dedup.shingleHashTable(
+            Tables.documents(s, dir), col("doc_id"), col("text"), n = 3)
+          shMemo = Some((s, dir, df))
+          df
+      }
+    }
+
+  /** The exact J ≥ 1/2 pair set (t23/t28's edge engine), computed once
+    * per (session, dir) from [[sharedShingles]] and materialized — the
+    * two consumers differ only downstream of the edges. */
+  private[graft] def sharedHalfPairs(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      halfPairMemo match {
+        case Some((sess, d, df)) if (sess eq s) && d == dir => df
+        case _ =>
+          val df = Dedup.prefixFilterPairsFrom(sharedShingles(s, dir),
+              tauNum = 1, tauDen = 2)
+            .select(col("id_a"), col("id_b"))
+            .localCheckpoint()
+          halfPairMemo = Some((s, dir, df))
+          df
+      }
+    }
+
+  /** Drop both memo slots (called by Bench after the board: the blocks
+    * would otherwise stay resident for the session's remainder). */
+  def releaseSharedDedup(): Unit = synchronized {
+    shMemo = None
+    halfPairMemo = None
+  }
+
+  /** benchOnly twin of t23 with NO session memos: shingle table, τ=1/2
+    * prefix-filter pairs, connected components and survivor argmax all
+    * built fresh per call — the c09_full_pipeline pattern, keeping the
+    * true end-to-end dedup cost on the board now that t40/t23/t28's
+    * per-query entries time the marginal cost over the shared tables.
+    * Result is identical to t23 (graded there); this entry exists only
+    * to be timed.
+    */
+  def dedupChainFresh(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.prefixFilterPairs(docs, col("doc_id"), col("text"),
+        tauNum = 1, tauDen = 2)
+      .select(col("id_a"), col("id_b"))
+      .union(docs.select(col("doc_id"), col("doc_id")))
+    survivors(docs, Dedup.connectedComponents(pairs, col("id_a"), col("id_b")))
+  }
+
   /** Survivor selection shared by t23 (exact edges, oracled) and t27 (LSH
     * edges, scale form): one kept doc per connected component, argmax by
     * (word_count desc, node asc), with member counts. Windows partition BY
@@ -561,10 +632,10 @@ object TextQueries {
       // candidates form only where rarest-token prefixes collide, so the
       // hot-shingle quadratic blowup the full self-join pays at 10×-100×
       // data never materializes. The oracle keeps the inverted-index
-      // form — the two derivations agreeing IS the check.
-      val pairs = Dedup.prefixFilterPairs(docs, col("doc_id"), col("text"),
-          tauNum = 1, tauDen = 2)
-        .select(col("id_a"), col("id_b"))
+      // form — the two derivations agreeing IS the check. Edges come from
+      // the SHARED τ=1/2 pair table (one build per session+dir; t28
+      // consumes the same edges, t40 the same shingle table).
+      val pairs = sharedHalfPairs(s, dir)
         .union(docs.select(col("doc_id"), col("doc_id")))
       survivors(docs, Dedup.connectedComponents(pairs, col("id_a"), col("id_b")))
     },
@@ -865,10 +936,9 @@ object TextQueries {
       // candidates form only where rarest-token prefixes collide, so the
       // hot-shingle quadratic blowup the full self-join pays at 10×-100×
       // data never materializes. The oracle keeps the inverted-index
-      // form — the two derivations agreeing IS the check.
-      val pairs = Dedup.prefixFilterPairs(docs, col("doc_id"), col("text"),
-          tauNum = 1, tauDen = 2)
-        .select(col("id_a"), col("id_b"))
+      // form — the two derivations agreeing IS the check. Same shared
+      // τ=1/2 edge table as t23 (sharedHalfPairs scaladoc).
+      val pairs = sharedHalfPairs(s, dir)
         .union(docs.select(col("doc_id"), col("doc_id")))
       Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
         .select(col("node").as("doc_id"), col("component"),
@@ -1167,8 +1237,10 @@ object TextQueries {
         |JOIN sz zb ON zb.doc = id_b
         |WHERE 7 * n_inter >= 2 * (za.n_sh + zb.n_sh)
         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
-      Dedup.prefixFilterPairs(Tables.documents(s, dir),
-          col("doc_id"), col("text"), n = 3, tauNum = 2, tauDen = 5)
+      // τ=2/5 tail over the SHARED shingle-hash table (built once per
+      // session+dir; t23/t28's τ=1/2 path starts from the same table)
+      Dedup.prefixFilterPairsFrom(sharedShingles(s, dir),
+          tauNum = 2, tauDen = 5)
         .orderBy("id_a", "id_b")
     },
 

@@ -303,4 +303,37 @@ class MiningSpec extends SparkSpec {
       .select("n").as[Long].collect()
     assert(byWalk.length == 20 && byWalk.forall(_ == 5L))
   }
+
+  // the q125/q128 scored-units input (customer grain of orders), shared
+  // by the two bucketed-twin equality tests below
+  private def scoredUnits = graft.core.Tables.orders(spark, sf)
+    .groupBy(col("o_custkey").as("id"))
+    .agg(graft.core.Exact.decimalSum(col("o_totalprice"), "score"),
+      max(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0))
+        .as("responder"))
+
+  test("decileLiftBucketed == decileLift bit-for-bit (q155's twin identity)") {
+    val a = Mining.decileLift(scoredUnits).orderBy("decile").collect().toSeq
+    val b = Mining.decileLiftBucketed(scoredUnits)
+      .orderBy("decile").collect().toSeq
+    assert(a == b, s"exact form:\n$a\nbucketed twin:\n$b")
+  }
+
+  test("decileLiftBucketed: closed-form ntile inverse at a non-divisible n") {
+    import spark.implicits._
+    // n=23, k=10 → rem=3 tiles of 3 then 7 tiles of 2: exercises both
+    // branches of the CASE and the cut boundary itself (rank 9)
+    val units = (1 to 23).map(i => (i.toLong, (24 - i).toDouble, i % 2))
+      .toDF("id", "score", "responder")
+    val a = Mining.decileLift(units).orderBy("decile").collect().toSeq
+    val b = Mining.decileLiftBucketed(units).orderBy("decile").collect().toSeq
+    assert(a == b, s"exact form:\n$a\nbucketed twin:\n$b")
+  }
+
+  test("calibrationBinsBucketed == calibrationBins bit-for-bit (q156's twin identity)") {
+    val a = Mining.calibrationBins(scoredUnits).orderBy("bin").collect().toSeq
+    val b = Mining.calibrationBinsBucketed(scoredUnits)
+      .orderBy("bin").collect().toSeq
+    assert(a == b, s"exact form:\n$a\nbucketed twin:\n$b")
+  }
 }

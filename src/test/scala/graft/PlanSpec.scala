@@ -736,4 +736,72 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("q154/q155/q156/q118: the bucketed-rank family plans with ZERO unpartitioned WindowExec") {
+    // the whole point of the twins (and the q118 swap): the exact global
+    // rank is computed without ever moving the input into one window task
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (name <- Seq("q154_quantile_norm_bucketed", "q155_decile_lift_bucketed",
+        "q156_calibration_bins_bucketed", "q118_time_to_convert")) {
+      val bad = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.sparkPlan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
+      assert(bad.isEmpty,
+        s"$name has ${bad.size} unpartitioned WindowExec:\n${bad.mkString("\n")}")
+    }
+  }
+
+  test("global-window census: unpartitioned WindowExec ONLY on the documented allowlist") {
+    // VERDICT r11 task #6: the bench tail prints WindowExec's single-
+    // partition warning somewhere on every board with nothing
+    // distinguishing the legitimate sites (windows over aggregate-grain /
+    // bounded inputs) from an accidental new global sort over a
+    // data-sized input. This census walks EVERY registered query's
+    // physical plan: a query may contain an unpartitioned WindowExec only
+    // if it is allowlisted below with the reason its window input is
+    // cardinality-bounded; the allowlist itself is asserted two-way, so
+    // an entry whose global window disappears must be removed (it shrank
+    // as q110/q125/q128 did via their q154-q156 twins).
+    import org.apache.spark.sql.execution.window.WindowExec
+    val allow: Map[String, String] = Map(
+      // --- exact-oracle forms, single-partition BY DESIGN, each with a
+      //     graded at-scale twin running the same oracle ---
+      "q44_equidepth_hist" -> "exact ntile oracle form; scale twin q45 (+q152 bound audit)",
+      "q110_quantile_norm" -> "exact pooled-rank oracle form; scale twin q154 (same oracle)",
+      "q125_decile_lift" -> "exact ntile oracle form; scale twin q155 (same oracle)",
+      "q128_calibration_bins" -> "exact rank oracle form; scale twin q156 (same oracle)",
+      // --- windows over CALENDAR-grain series (≤36,525 rows/century —
+      //     groupBy(day/month) reduces ahead of the window) ---
+      "q20_moving_avg_daily" -> "7-day trailing avg over the daily series",
+      "q37_range_frame" -> "RANGE frame over epoch-day series",
+      "q38_cumulative_users" -> "running sum over day-grain first-seen counts",
+      "q81_acf" -> "lag windows over the daily series",
+      "q91_seasonal_decompose" -> "trend window over the daily series",
+      "q107_rolling_corr" -> "rolling moments over two daily-count series",
+      "c05_monthly_moving_avg" -> "12-month trailing avg over the monthly series",
+      // --- windows over DOMAIN-bounded grains (distinct values, fixed k,
+      //     range totals) ---
+      "q93_ks_test" -> "CDF steps over distinct VALUES (value-cardinality-bounded)",
+      "q99_mann_whitney" -> "rank over distinct values (Stats.mannWhitneyU scaladoc)",
+      "q111_pareto_frontier" -> "frontier scan over distinct 2-decimal prices",
+      "t13_pack_bins" -> "offsets window over R range TOTALS, not docs (packBins 2-pass)",
+      "t19_zipf_fit" -> "rank over the TakeOrdered top-100 terms",
+      "t32_bm25_topk" -> "rank over the TakeOrdered top-20 survivors")
+    val hits = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val n = fn(spark, sf).queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }.size
+      if (n > 0) Some(name) else None
+    }
+    val undocumented = hits.filterNot(allow.contains)
+    assert(undocumented.isEmpty,
+      s"global-order windows outside the allowlist (either partition them, " +
+        s"swap for Prep.rankViaBuckets, or document the bounded grain): " +
+        undocumented.mkString(", "))
+    val stale = allow.keySet.filterNot(hits.contains)
+    assert(stale.isEmpty,
+      s"allowlist entries whose global window is gone — delete them: " +
+        stale.mkString(", "))
+  }
 }

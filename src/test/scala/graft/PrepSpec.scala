@@ -244,4 +244,41 @@ class PrepSpec extends SparkSpec {
       .select("component").distinct().count()
     assert(comp == 1L)
   }
+
+  test("rankViaBuckets == global row_number, asc and desc, heavy ties across buckets") {
+    import org.apache.spark.sql.expressions.Window
+    // l_quantity has ~50 distinct values vs 64 buckets — most buckets
+    // hold exactly one tie class, several are empty, and every tie class
+    // spans many rows: the exact adversarial regime for a bucketed rank
+    // (a tie split across two buckets would double-count a prior).
+    val df = graft.core.Tables.lineitem(spark, sf)
+      .select(col("l_quantity").as("v"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("id"))
+    for (asc <- Seq(true, false)) {
+      val w =
+        if (asc) Window.orderBy(col("v").asc, col("id").asc)
+        else Window.orderBy(col("v").desc, col("id").asc)
+      // compare the rank-ordered (v, id) sequences — the synthetic
+      // lineitem contains fully-duplicated rows, so a (v, id) join would
+      // cross-match the arbitrary-but-harmless tie order between
+      // IDENTICAL tuples; the ordered sequence is invariant to it
+      val expect = df.withColumn("r", row_number().over(w).cast("long"))
+        .orderBy("r").select("v", "id").collect().toSeq
+      val got = graft.ops.Prep.rankViaBuckets(df, col("v"), col("id"),
+          ascending = asc, rankCol = "r")
+        .orderBy("r").select("v", "id").collect().toSeq
+      assert(expect == got, s"asc=$asc: rank order diverges")
+    }
+  }
+
+  test("rankViaBuckets: ranks are a permutation of 1..n even with few distinct values") {
+    import spark.implicits._
+    // 7 distinct values, 64 requested buckets → sketch edges collapse to
+    // duplicates; priors must still tile 1..n exactly
+    val df = (1 to 500).map(i => (i % 7, i.toLong)).toDF("v", "id")
+    val ranks = graft.ops.Prep.rankViaBuckets(df, col("v"), col("id"),
+        rankCol = "r")
+      .select("r").as[Long].collect().sorted
+    assert(ranks.toSeq == (1L to 500L).toSeq)
+  }
 }
