@@ -89,11 +89,20 @@ object Bench {
     // consecutive queries.
     val midGateFullNs = 180L * 1000000000L
     var midGateBudgetNs = midGateFullNs
+    // The mid-sweep threshold allows the sweep's OWN full-cpu load on
+    // top of the co-tenant gate: loadavg cannot distinguish self from
+    // co-tenant, and once queries get long enough to saturate the
+    // worker pool (the sf1 board holds loadavg ≈ cpus for an hour) a
+    // bare `loadGate` threshold self-triggers on the first query, burns
+    // the whole budget sleeping on our own load, and never re-arms —
+    // leaving real co-tenant spikes ungated. Preflight (measured before
+    // any self-load exists) keeps the strict gate.
+    val midGateLoad = loadGate + cpus.toDouble
     // (re-arm happens only at ENTRY on a quiet reading — re-arming inside
     // the wait loop could spin forever on load oscillating at the gate)
     def gateIfLoud(): Unit =
-      if (osBean.getSystemLoadAverage <= loadGate) midGateBudgetNs = midGateFullNs
-      else while (midGateBudgetNs > 0 && osBean.getSystemLoadAverage > loadGate) {
+      if (osBean.getSystemLoadAverage <= midGateLoad) midGateBudgetNs = midGateFullNs
+      else while (midGateBudgetNs > 0 && osBean.getSystemLoadAverage > midGateLoad) {
         Thread.sleep(2000)
         midGateBudgetNs -= 2L * 1000000000L
       }
