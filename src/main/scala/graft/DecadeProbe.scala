@@ -66,10 +66,22 @@ object DecadeProbe {
       (name, v, (System.nanoTime() - t0) / 1e9)
     }
 
+    // t06's candidate volume WITHOUT running its join: the inverted-index
+    // self-join emits exactly Σ_shingle C(df,2) rows, computable from the
+    // df histogram in one narrow pass. This is the number that decides
+    // whether the uncapped exact form is even runnable at a decade —
+    // past the guard the probe reports the count and SKIPS the query
+    // (the documented answer at that volume is the capped/LSH/prefix
+    // forms t07/t16/t40, not a bigger box).
+    val t06CandVolume = graft.ext.Dedup
+      .shingleRows(docs, col("doc_id"), col("text"), 3)
+      .select(xxhash64(col("s")).as("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .agg(sum(col("df") * (col("df") - 1) / 2).cast("long"))
+      .head().getLong(0)
+
     val metrics = Seq(
-      metric("t06_verified_colliding_pairs") {
-        graft.ext.Dedup.jaccardPairs(docs, col("doc_id"), col("text")).count()
-      },
+      metric("t06_candidate_join_volume") { t06CandVolume },
       metric("lsh_band_candidate_pairs") {
         graft.ext.Dedup.lshCandidates(docs, col("doc_id"), col("text")).count()
       },
@@ -85,11 +97,42 @@ object DecadeProbe {
       println(f"""{"metric":"$n","value":$v,"probe_sec":$t%.1f}""")
     }
 
-    Seq("t06_jaccard_topk", "t16_dedup_clusters", "t27_cluster_survivors_lsh",
-        "s12_knn_graph", "s23_mutual_nn").foreach { q =>
-      val t = time(q)
-      println(f"""{"query":"$q","sf_dir":"$sfDir","sec":$t%.3f}""")
+    val ivfVolume = metrics(2)._2
+    val guard = 2000000000L // ~2e9 join rows ≈ the single-box ceiling
+    def skip(q: String, vol: Long): Unit =
+      println(s"""{"query":"$q","sf_dir":"$sfDir","sec":-1,""" +
+        s""""skipped":"candidate volume $vol > guard $guard"}""")
+    Seq("t06_jaccard_topk" -> t06CandVolume,
+        "t16_dedup_clusters" -> 0L, "t27_cluster_survivors_lsh" -> 0L,
+        "s12_knn_graph" -> ivfVolume, "s23_mutual_nn" -> ivfVolume).foreach {
+      case (q, vol) =>
+        if (vol > guard) skip(q, vol)
+        else {
+          val t = time(q)
+          println(f"""{"query":"$q","sf_dir":"$sfDir","sec":$t%.3f}""")
+        }
     }
+
+    // Deployment-knob variants: the fixed fixture knobs (8 IVF cells,
+    // 0.1 grid cells) make blocked pair volume Θ(n²/cells) — quadratic
+    // when cells stay constant while n grows. The at-scale discipline
+    // (s28's "bucket count scales with data") is cells ∝ n /
+    // cellSize ∝ 1/√density, holding per-point candidate work constant;
+    // these runs MEASURE that path at the same dir so the decade table
+    // shows both the fixed-knob blowup and the knob that removes it.
+    val nVec = emb.count()
+    val cellsScaled = math.max(8, (nVec / 250L).toInt)
+    val tKnn = metric(s"s12_scaled_cells_$cellsScaled") {
+      graft.ext.Similarity.knnGraph(emb, "vec_id", "embedding",
+        k = 3, cells = cellsScaled).count()
+    }
+    println(f"""{"query":"s12_knn_graph[cells=$cellsScaled]","sf_dir":"$sfDir","sec":${tKnn._3}%.3f,"edges":${tKnn._2}}""")
+    val sizeScaled = 0.1 / math.sqrt((nVec / 2000L).toDouble.max(1.0))
+    val tMnn = metric(f"s23_scaled_cell_$sizeScaled%.4f") {
+      graft.ext.Similarity.mutualNN2d(emb, "vec_id", "embedding",
+        cellSize = sizeScaled).count()
+    }
+    println(f"""{"query":"s23_mutual_nn[cellSize=$sizeScaled%.4f]","sf_dir":"$sfDir","sec":${tMnn._3}%.3f,"edges":${tMnn._2}}""")
     spark.stop()
   }
 }

@@ -93,7 +93,7 @@ object Dedup {
     * get merged, which would put split back inside the lambda and
     * re-tokenize per element; measured 20× slower).
     */
-  private def shingleRows(df: DataFrame, id: Column, text: Column,
+  private[graft] def shingleRows(df: DataFrame, id: Column, text: Column,
                           n: Int): DataFrame =
     df.select(id.as("doc"), TextOps.words(text).as("w"))
       .select(col("doc"), explode(shinglesOfWords(col("w"), n)).as("s"))
