@@ -166,6 +166,62 @@ object Prep {
       .drop("__rvb_b")
   }
 
+  /** [[rankViaBuckets]]'s sibling for CUMULATIVE SUMS: exact running
+    * totals of integer weight columns over a VALUE-KEYED table (one row
+    * per distinct value), without the unpartitioned
+    * `sum(w) OVER (ORDER BY value)` window. "Distinct values" is NOT a
+    * bounded grain for continuous columns (events.value at sf0.1:
+    * ~18% of rows are distinct) — a CDF/rank-sum window over it is the
+    * same single-task sort q110/q125/q128 had, one aggregation earlier.
+    *
+    * Same three moves as rankViaBuckets: literal sketch edges pick
+    * bucket boundaries; per-bucket WEIGHT TOTALS (≤B rows) prefix-sum on
+    * the driver into per-weight prior maps; the in-bucket running sum is
+    * a PARTITIONED window. prior(bucket) + running == the global running
+    * total exactly (counts are longs — no float reassociation), for any
+    * edge placement. `inclusive=false` gives the strict-prior frame
+    * (rows BEFORE current — Mann-Whitney's tie base) instead of the CDF
+    * frame.
+    *
+    * `value` must be non-null with one row per value; weights must be
+    * integral (LONG) columns. Appends one output column per entry of
+    * `weights` (inputCol -> outputCol).
+    */
+  def runningTotalsViaBuckets(df: DataFrame, value: Column,
+                              weights: Seq[(String, String)],
+                              inclusive: Boolean = true,
+                              buckets: Int = 64): DataFrame = {
+    val qs = (1 until buckets).map(i => lit(i.toDouble / buckets))
+    val edgeRow = df.agg(percentile_approx(value.cast("double"),
+      array(qs: _*), lit(10000)).as("e")).head()
+    val edgeVals: Seq[Double] =
+      if (edgeRow.isNullAt(0)) Seq.empty else edgeRow.getSeq[Double](0)
+    val bucketOf =
+      if (edgeVals.isEmpty) lit(0)
+      else size(filter(array(edgeVals.map(lit): _*),
+        e => value.cast("double") > e))
+    val withB = df.withColumn("__rtb_b", bucketOf)
+    val wAggs = weights.map { case (in, _) => sum(col(in)).as(in) }
+    val totals = withB.groupBy(col("__rtb_b"))
+      .agg(wAggs.head, wAggs.tail: _*)
+      .collect()
+    val bucketsSorted = totals.map(_.getInt(0)).sorted
+    val priorMaps: Seq[Map[Int, Long]] = weights.indices.map { wi =>
+      val totByBucket = totals.map(r => r.getInt(0) -> r.getLong(wi + 1)).toMap
+      val priors = bucketsSorted.scanLeft(0L)((acc, b) => acc + totByBucket(b))
+      bucketsSorted.zip(priors.init).toMap
+    }
+    val frameEnd = if (inclusive) 0L else -1L
+    val w = Window.partitionBy(col("__rtb_b")).orderBy(value)
+      .rowsBetween(Window.unboundedPreceding, frameEnd)
+    weights.zipWithIndex.foldLeft(withB) {
+      case (acc, ((in, out), wi)) =>
+        acc.withColumn(out,
+          coalesce(element_at(typedLit(priorMaps(wi)), col("__rtb_b")), lit(0L)) +
+            coalesce(sum(col(in)).over(w), lit(0L)))
+    }.drop("__rtb_b")
+  }
+
   /** Weighted-sampling key (the A-ES / exponential-race scheme from the
     * weighted-reservoir literature): key = −ln(u)/w with u a
     * [[portableHash]]-derived uniform in (0, 1]; ranking ASCENDING keeps

@@ -161,10 +161,11 @@ object Stats {
     * z the normal approximation WITHOUT tie correction (raw double;
     * callers round for display).
     *
-    * The distinct-value window is a single partition by design at fixture
-    * scale; the at-scale form ranges the window over value buckets and
-    * prefix-sums bucket totals (the q44→q45 / zscore→zscoreViaAgg twin
-    * discipline).
+    * "Distinct values" is NOT a bounded grain for continuous columns
+    * (~18% of event values are distinct at sf0.1), so the tie-base prior
+    * counts come from [[Prep.runningTotalsViaBuckets]] — the bucketed
+    * prefix-sum (exact longs, identical __prior values) — never an
+    * unpartitioned window, at any cardinality.
     */
   def mannWhitneyU(df: DataFrame, isA: Column, isB: Column,
                    value: Column): DataFrame = {
@@ -172,10 +173,9 @@ object Stats {
       .groupBy(value.as("__v"))
       .agg(count(when(isA, 1)).as("__ca"), count(when(isB, 1)).as("__cb"))
     val n = c.agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"))
-    val wPrior = Window.orderBy("__v")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val r = c.withColumn("__prior",
-        coalesce(sum(col("__ca") + col("__cb")).over(wPrior), lit(0)))
+    val r = Prep.runningTotalsViaBuckets(
+        c.withColumn("__w", col("__ca") + col("__cb")),
+        col("__v"), Seq("__w" -> "__prior"), inclusive = false)
       .agg(sum(col("__ca") *
         (col("__prior") + (col("__ca") + col("__cb") + 1) / lit(2.0))).as("__r1"))
     val naD = col("n_a").cast("double")

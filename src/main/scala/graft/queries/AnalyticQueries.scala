@@ -299,9 +299,12 @@ object AnalyticQueries {
         .agg(count(when(col("event_type") === "click", 1)).as("ca"),
           count(when(col("event_type") === "error", 1)).as("cb"))
       val n = c.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
-      val w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-      c.withColumn("cuma", sum(col("ca")).over(w))
-        .withColumn("cumb", sum(col("cb")).over(w))
+      // the CDF runs over DISTINCT VALUES — not a bounded grain for a
+      // continuous column (~18% of rows are distinct at sf0.1), so the
+      // running sums come from the bucketed prefix-sum op (exact longs,
+      // identical cuma/cumb) instead of an unpartitioned window
+      graft.ops.Prep.runningTotalsViaBuckets(c, col("value"),
+          Seq("ca" -> "cuma", "cb" -> "cumb"), inclusive = true)
         .crossJoin(broadcast(n))
         .groupBy("na", "nb")
         .agg(round(max(abs(

@@ -780,10 +780,11 @@ class PlanSpec extends SparkSpec {
       "q91_seasonal_decompose" -> "trend window over the daily series",
       "q107_rolling_corr" -> "rolling moments over two daily-count series",
       "c05_monthly_moving_avg" -> "12-month trailing avg over the monthly series",
-      // --- windows over DOMAIN-bounded grains (distinct values, fixed k,
-      //     range totals) ---
-      "q93_ks_test" -> "CDF steps over distinct VALUES (value-cardinality-bounded)",
-      "q99_mann_whitney" -> "rank over distinct values (Stats.mannWhitneyU scaladoc)",
+      // --- windows over DOMAIN-bounded grains (fixed k, range totals,
+      //     bounded price domain). q93/q99 were REMOVED from this list in
+      //     r12: "distinct values" of a continuous column is data-sized
+      //     (~18% of rows at sf0.1), so both now use
+      //     Prep.runningTotalsViaBuckets in place of the global window ---
       "q111_pareto_frontier" -> "frontier scan over distinct 2-decimal prices",
       "t13_pack_bins" -> "offsets window over R range TOTALS, not docs (packBins 2-pass)",
       "t19_zipf_fit" -> "rank over the TakeOrdered top-100 terms",

@@ -271,6 +271,28 @@ class PrepSpec extends SparkSpec {
     }
   }
 
+  test("runningTotalsViaBuckets == unpartitioned running sums, inclusive and prior frames, two weights") {
+    import org.apache.spark.sql.expressions.Window
+    // the q93 shape: value-grain table with two integer weight columns
+    val c = graft.core.Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "error"))
+      .groupBy("value")
+      .agg(count(when(col("event_type") === "click", 1)).as("ca"),
+        count(when(col("event_type") === "error", 1)).as("cb"))
+    for (inclusive <- Seq(true, false)) {
+      val end = if (inclusive) 0L else -1L
+      val w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, end)
+      val want = c
+        .withColumn("wa", coalesce(sum(col("ca")).over(w), lit(0L)))
+        .withColumn("wb", coalesce(sum(col("cb")).over(w), lit(0L)))
+      val got = graft.ops.Prep.runningTotalsViaBuckets(c, col("value"),
+        Seq("ca" -> "ga", "cb" -> "gb"), inclusive = inclusive)
+      val bad = want.join(got, Seq("value", "ca", "cb"))
+        .filter(col("wa") =!= col("ga") || col("wb") =!= col("gb")).count()
+      assert(bad == 0L, s"inclusive=$inclusive: $bad values diverge")
+    }
+  }
+
   test("rankViaBuckets: ranks are a permutation of 1..n even with few distinct values") {
     import spark.implicits._
     // 7 distinct values, 64 requested buckets → sketch edges collapse to
