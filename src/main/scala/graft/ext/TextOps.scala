@@ -343,8 +343,12 @@ object TextOps {
     * into id ranges (`floor(doc / rangeSize)` — any monotone split keeps
     * the global order, and duplicates land in the same range), each range
     * cumsums locally under a KEYED window, and the per-range totals — R
-    * rows, not N — run through a tiny unpartitioned window to produce
-    * range offsets that broadcast-join back. Explicit ROWS frame: the
+    * rows, not N, but R still grows ~n/rangeSize — prefix-sum via
+    * [[graft.ops.Prep.runningTotalsViaBuckets]] (bucketed, partitioned,
+    * exact) to produce range offsets that broadcast-join back. At 100 TB
+    * the offsets table is data-sized/8192; broadcast survives because
+    * each row is 16 bytes, and past that the join falls back to shuffle
+    * by dropping the hint. Explicit ROWS frame: the
     * default RANGE frame would make duplicate ids peers and share their
     * cumulative sum (wrong bins).
     */
@@ -356,14 +360,16 @@ object TextOps {
       .withColumn("rng", floor(col("doc") / rangeSize))
     val wLocal = Window.partitionBy(col("rng")).orderBy(col("doc"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // offsets: one row per range (tiny — the unpartitioned window here is
-    // over the AGGREGATE, never the full table)
-    val wOff = Window.orderBy(col("rng"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = base.groupBy(col("rng"))
-      .agg(sum(col("n_words")).as("rng_total"))
-      .select(col("rng"),
-        coalesce(sum(col("rng_total")).over(wOff), lit(0L)).as("rng_offset"))
+    // offsets: one row per range — but R = maxDoc/rangeSize GROWS WITH
+    // THE CORPUS (~n/8192), so since r12 the range-offset prefix sum is
+    // the bucketed form too (Prep.runningTotalsViaBuckets: ≤64-entry
+    // driver prior map + partitioned in-bucket running sums — exact
+    // longs, bit-identical offsets), never an unpartitioned window at
+    // any corpus size
+    val offsets = graft.ops.Prep.runningTotalsViaBuckets(
+        base.groupBy(col("rng")).agg(sum(col("n_words")).as("rng_total")),
+        col("rng"), Seq("rng_total" -> "rng_offset"), inclusive = false)
+      .select(col("rng"), col("rng_offset"))
     base
       .withColumn("local_cum", sum(col("n_words")).over(wLocal))
       .join(broadcast(offsets), "rng")

@@ -786,7 +786,8 @@ class PlanSpec extends SparkSpec {
       //     (~18% of rows at sf0.1), so both now use
       //     Prep.runningTotalsViaBuckets in place of the global window ---
       "q111_pareto_frontier" -> "frontier scan over distinct 2-decimal prices",
-      "t13_pack_bins" -> "offsets window over R range TOTALS, not docs (packBins 2-pass)",
+      // (t13_pack_bins removed r12: R = n/8192 range totals grow with the
+      //  corpus — its offset prefix sum is now runningTotalsViaBuckets)
       "t19_zipf_fit" -> "rank over the TakeOrdered top-100 terms",
       "t32_bm25_topk" -> "rank over the TakeOrdered top-20 survivors")
     val hits = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
