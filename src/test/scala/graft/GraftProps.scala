@@ -622,4 +622,55 @@ object GraftProps extends Properties("graft") {
           !c1.stripSuffix("?").endsWith("/")
       }) :| rows.mkString("; ")
     }
+
+  // random heavy-tie frames: few distinct values + duplicate ids exercise
+  // every boundary of the bucketed-rank machinery (ties at sketch edges,
+  // empty buckets, duplicate rows with identical (v, id))
+  private val rankFrameGen: Gen[List[(Double, Long)]] = for {
+    n       <- Gen.choose(5, 60)
+    nvals   <- Gen.choose(1, 6)
+    vals    <- Gen.listOfN(nvals, Gen.choose(-50.0, 50.0).map(v => math.rint(v * 10) / 10))
+    rows    <- Gen.listOfN(n, for {
+      v  <- Gen.oneOf(vals)
+      id <- Gen.choose(0L, 20L)
+    } yield (v, id))
+  } yield rows
+
+  property("rankViaBuckets == global row_number on random heavy-tie frames, both directions") =
+    forAll(rankFrameGen, Gen.oneOf(true, false)) { (rows, asc) =>
+      import org.apache.spark.sql.expressions.Window
+      val df = rows.toDF("v", "id")
+      val w =
+        if (asc) Window.orderBy(col("v").asc, col("id").asc)
+        else Window.orderBy(col("v").desc, col("id").asc)
+      // duplicate (v, id) tuples get arbitrary tie order in BOTH forms —
+      // compare the rank-ordered tuple sequences, invariant to it
+      val want = df.withColumn("r", row_number().over(w).cast("long"))
+        .orderBy("r").select("v", "id").as[(Double, Long)].collect().toSeq
+      val got = graft.ops.Prep.rankViaBuckets(df, col("v"), col("id"),
+          ascending = asc, buckets = 7, rankCol = "r")
+        .orderBy("r").select("v", "id").as[(Double, Long)].collect().toSeq
+      Prop(want == got) :| s"asc=$asc want=$want got=$got"
+    }
+
+  property("runningTotalsViaBuckets == unpartitioned running sums on random value-keyed frames") =
+    forAll(rankFrameGen, Gen.oneOf(true, false)) { (rows, inclusive) =>
+      import org.apache.spark.sql.expressions.Window
+      // collapse to value grain with two integer weights (the q93 shape)
+      val c = rows.toDF("v", "id")
+        .groupBy("v")
+        .agg(count(lit(1)).as("ca"), sum(col("id")).as("cb"))
+      val end = if (inclusive) 0L else -1L
+      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, end)
+      val want = c
+        .withColumn("wa", coalesce(sum(col("ca")).over(w), lit(0L)))
+        .withColumn("wb", coalesce(sum(col("cb")).over(w), lit(0L)))
+        .orderBy("v").select("v", "wa", "wb")
+        .as[(Double, Long, Long)].collect().toSeq
+      val got = graft.ops.Prep.runningTotalsViaBuckets(c, col("v"),
+          Seq("ca" -> "wa", "cb" -> "wb"), inclusive = inclusive, buckets = 7)
+        .orderBy("v").select("v", "wa", "wb")
+        .as[(Double, Long, Long)].collect().toSeq
+      Prop(want == got) :| s"inclusive=$inclusive want=$want got=$got"
+    }
 }
