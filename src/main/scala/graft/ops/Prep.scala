@@ -134,7 +134,10 @@ object Prep {
     * exact types rank exactly). The rank lands as LONG (the global
     * window's INT rank overflows past 2³¹ rows anyway). Cost: two extra
     * narrow passes over the input (edge sketch + bucket histogram) — the
-    * price of deleting the single-task sort.
+    * price of deleting the single-task sort. Raise `buckets` toward the
+    * cluster's target parallelism at larger scales (exactness holds for
+    * ANY B — GraftProps drives B=7 against heavy ties); the default 64
+    * matches the local harness.
     */
   def rankViaBuckets(df: DataFrame, value: Column, tieBreak: Column,
                      ascending: Boolean = true, buckets: Int = 64,
