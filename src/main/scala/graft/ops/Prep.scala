@@ -141,7 +141,8 @@ object Prep {
     */
   def rankViaBuckets(df: DataFrame, value: Column, tieBreak: Column,
                      ascending: Boolean = true, buckets: Int = 64,
-                     rankCol: String = "rank"): DataFrame = {
+                     rankCol: String = "rank",
+                     partitionKeys: Seq[Column] = Nil): DataFrame = {
     val qs = (1 until buckets).map(i => lit(i.toDouble / buckets))
     val edgeRow = df.agg(percentile_approx(value.cast("double"),
       array(qs: _*), lit(10000)).as("e")).head()
@@ -152,21 +153,59 @@ object Prep {
       if (edgeVals.isEmpty) lit(0)
       else size(filter(array(edgeVals.map(lit): _*),
         e => value.cast("double") > e))
-    val withB = df.withColumn("__rvb_b", bucketOf)
-    val counts = withB.groupBy(col("__rvb_b"))
-      .agg(count(lit(1)).as("c")).collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toSeq
-    val ordered = if (ascending) counts.sortBy(_._1) else counts.sortBy(-_._1)
-    val priors: Map[Int, Long] =
-      ordered.map(_._1).zip(ordered.scanLeft(0L)(_ + _._2).init).toMap
     val ord =
       if (ascending) Seq(value.asc, tieBreak.asc)
       else Seq(value.desc, tieBreak.asc)
-    val w = Window.partitionBy(col("__rvb_b")).orderBy(ord: _*)
-    withB.withColumn(rankCol,
-        coalesce(element_at(typedLit(priors), col("__rvb_b")), lit(0L)) +
-          row_number().over(w))
-      .drop("__rvb_b")
+    if (partitionKeys.isEmpty) {
+      val withB = df.withColumn("__rvb_b", bucketOf)
+      val counts = withB.groupBy(col("__rvb_b"))
+        .agg(count(lit(1)).as("c")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toSeq
+      val ordered = if (ascending) counts.sortBy(_._1) else counts.sortBy(-_._1)
+      val priors: Map[Int, Long] =
+        ordered.map(_._1).zip(ordered.scanLeft(0L)(_ + _._2).init).toMap
+      val w = Window.partitionBy(col("__rvb_b")).orderBy(ord: _*)
+      withB.withColumn(rankCol,
+          coalesce(element_at(typedLit(priors), col("__rvb_b")), lit(0L)) +
+            row_number().over(w))
+        .drop("__rvb_b")
+    } else {
+      // PER-GROUP rank for LOW-cardinality partition keys — the skewed
+      // case a plain keyed window can't survive: `partitionBy(segment)`
+      // with 5 segments is a 5-task sort of the table, the same
+      // single-task problem divided by five. Sketch edges stay GLOBAL
+      // (they only place partition boundaries); priors become a
+      // (group, bucket)-keyed driver map; the window partitions by
+      // (keys…, bucket). Keys must render stably as strings (string /
+      // integer columns) and group-cardinality × buckets must stay
+      // driver-small — guarded below, the k-row-collect discipline.
+      val pkStr = concat_ws("\u0001", partitionKeys.map(_.cast("string")): _*)
+      val withB = df.withColumn("__rvb_b", bucketOf)
+        .withColumn("__rvb_p", pkStr)
+      val counts = withB.groupBy(col("__rvb_p"), col("__rvb_b"))
+        .agg(count(lit(1)).as("c")).collect()
+      require(counts.length <= 100000,
+        s"rankViaBuckets(partitionKeys): ${counts.length} (group, bucket) " +
+          "cells — partition keys must be low-cardinality (use a plain " +
+          "keyed window, or raise the guard, for wide key domains)")
+      val priors: Map[String, Long] = counts
+        .groupBy(_.getString(0))
+        .flatMap { case (p, rows) =>
+          val cells = rows.map(r => r.getInt(1) -> r.getLong(2)).toSeq
+          val orderedCells =
+            if (ascending) cells.sortBy(_._1) else cells.sortBy(-_._1)
+          orderedCells.map(_._1)
+            .zip(orderedCells.scanLeft(0L)(_ + _._2).init)
+            .map { case (b, prior) => s"$p\u0001$b" -> prior }
+        }
+      val w = Window.partitionBy(partitionKeys :+ col("__rvb_b"): _*)
+        .orderBy(ord: _*)
+      withB.withColumn(rankCol,
+          coalesce(element_at(typedLit(priors),
+            concat_ws("\u0001", col("__rvb_p"), col("__rvb_b").cast("string"))),
+            lit(0L)) + row_number().over(w))
+        .drop("__rvb_b", "__rvb_p")
+    }
   }
 
   /** [[rankViaBuckets]]'s sibling for CUMULATIVE SUMS: exact running

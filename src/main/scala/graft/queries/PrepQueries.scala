@@ -427,17 +427,22 @@ object PrepQueries {
     },
 
     // ---- q110's AT-SCALE twin, graded against the IDENTICAL oracle.
-    //      Two scale killers deleted: (1) the pooled order statistics
+    //      Three scale killers deleted: (1) the pooled order statistics
     //      come from Prep.rankViaBuckets (one sketch aggregate +
     //      PARTITIONED intra-bucket rank + driver-side B-entry prefix
     //      map) instead of a single-task sort of the whole table;
     //      (2) the pool is NOT broadcast — a data-sized broadcast at
     //      100 TB — the two bracketing lookups ride plain equi-joins on
     //      rn, which plan as shuffle joins once the pool outgrows the
-    //      auto-broadcast threshold. The per-segment percent_rank window
-    //      is keyed (unchanged). Ranks are exact (rankViaBuckets
-    //      scaladoc), the idx/interpolation chain is copied verbatim, so
-    //      the output hash-matches q110's oracle bit-for-bit. ----
+    //      auto-broadcast threshold; (3) the per-segment percent_rank is
+    //      ALSO bucketed (rankViaBuckets with partitionKeys=segment):
+    //      `partitionBy(c_mktsegment)` is a FIVE-value key, so the plain
+    //      keyed window is a 5-task sort — 20% of the table per task at
+    //      any volume — and pr re-derives as (rank−1)/(n_seg−1), the
+    //      exact double division percent_rank itself computes. Ranks are
+    //      exact (rankViaBuckets scaladoc), the idx/interpolation chain
+    //      is copied verbatim, so the output hash-matches q110's oracle
+    //      bit-for-bit. ----
     QueryDef("q154_quantile_norm_bucketed",
       s"""WITH nc AS (SELECT count(*) AS nn FROM customer),
          |pool AS (SELECT c_acctbal AS val,
@@ -462,10 +467,20 @@ object PrepQueries {
       val pool = graft.ops.Prep.rankViaBuckets(
         cust.select(col("c_acctbal").as("val"), col("c_custkey").as("__ck")),
         col("val"), col("__ck"), rankCol = "rn").drop("__ck")
-      val pr = percent_rank().over(Window.partitionBy("c_mktsegment")
-        .orderBy(col("c_acctbal"), col("c_custkey")))
-      val ix = cust.select(col("c_mktsegment"), col("c_custkey"),
-          col("c_acctbal"), pr.as("pr"))
+      val nSeg = cust.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("__nseg"))
+      // percent_rank == (rank−1)/(n−1) when the order is unique (custkey
+      // tie-break): same IEEE division PercentRank evaluates; n=1 → 0.0
+      val pr = when(col("__nseg") === 1, lit(0.0))
+        .otherwise((col("__rkseg") - 1).cast("double") /
+          (col("__nseg") - 1).cast("double"))
+      val ix = graft.ops.Prep.rankViaBuckets(
+          cust.select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal")),
+          col("c_acctbal"), col("c_custkey"), rankCol = "__rkseg",
+          partitionKeys = Seq(col("c_mktsegment")))
+        .join(broadcast(nSeg), "c_mktsegment")
+        .withColumn("pr", pr)
+        .drop("__rkseg", "__nseg")
         .crossJoin(broadcast(nc))
         .withColumn("idx", lit(1.0) + col("pr") * (col("nn") - 1))
       val lo = floor(col("idx")).cast("long")

@@ -271,6 +271,22 @@ class PrepSpec extends SparkSpec {
     }
   }
 
+  test("rankViaBuckets(partitionKeys) == keyed row_number — the 5-value-skew case") {
+    import org.apache.spark.sql.expressions.Window
+    // l_returnflag has 3 values: the skewed-partition regime where a
+    // plain keyed window is a 3-task sort of the table
+    val df = graft.core.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("g"), col("l_quantity").as("v"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("id"))
+    val w = Window.partitionBy("g").orderBy(col("v").asc, col("id").asc)
+    val want = df.withColumn("r", row_number().over(w).cast("long"))
+      .orderBy("g", "r").select("g", "v", "id").collect().toSeq
+    val got = graft.ops.Prep.rankViaBuckets(df, col("v"), col("id"),
+        rankCol = "r", partitionKeys = Seq(col("g")))
+      .orderBy("g", "r").select("g", "v", "id").collect().toSeq
+    assert(want == got)
+  }
+
   test("runningTotalsViaBuckets == unpartitioned running sums, inclusive and prior frames, two weights") {
     import org.apache.spark.sql.expressions.Window
     // the q93 shape: value-grain table with two integer weight columns
