@@ -345,10 +345,13 @@ object TextOps {
     * cumsums locally under a KEYED window, and the per-range totals — R
     * rows, not N, but R still grows ~n/rangeSize — prefix-sum via
     * [[graft.ops.Prep.runningTotalsViaBuckets]] (bucketed, partitioned,
-    * exact) to produce range offsets that broadcast-join back. At 100 TB
-    * the offsets table is data-sized/8192; broadcast survives because
-    * each row is 16 bytes, and past that the join falls back to shuffle
-    * by dropping the hint. Explicit ROWS frame: the
+    * exact) to produce range offsets that join back. At 100 TB the
+    * offsets table is data-sized/8192 — small but not bounded — so the
+    * broadcast hint is GATED on a measured row count (Spark honors an
+    * explicit hint at any size, so an unconditional hint would be a
+    * driver OOM, not a fallback): under the cap the join broadcasts,
+    * over it the hint is genuinely dropped and the join runs as a
+    * plain shuffle join on `rng`. Explicit ROWS frame: the
     * default RANGE frame would make duplicate ids peers and share their
     * cumulative sum (wrong bins).
     */
@@ -365,14 +368,23 @@ object TextOps {
     // the bucketed form too (Prep.runningTotalsViaBuckets: ≤64-entry
     // driver prior map + partitioned in-bucket running sums — exact
     // longs, bit-identical offsets), never an unpartitioned window at
-    // any corpus size
+    // any corpus size. Checkpointed: the prefix-sum helper makes three
+    // passes over it, and the count below must see the same rows.
+    val rngTotals = base.groupBy(col("rng"))
+      .agg(sum(col("n_words")).as("rng_total"))
+      .localCheckpoint(true)
     val offsets = graft.ops.Prep.runningTotalsViaBuckets(
-        base.groupBy(col("rng")).agg(sum(col("n_words")).as("rng_total")),
+        rngTotals,
         col("rng"), Seq("rng_total" -> "rng_offset"), inclusive = false)
       .select(col("rng"), col("rng_offset"))
+    // ~16 B/row -> 4 M rows ~ 64 MB in the broadcast; past that the
+    // hint is dropped and the join shuffles on rng (both sides already
+    // carry the key). The count is free: rngTotals is checkpointed.
+    val offsetsJoinSide =
+      if (rngTotals.count() <= 4000000L) broadcast(offsets) else offsets
     base
       .withColumn("local_cum", sum(col("n_words")).over(wLocal))
-      .join(broadcast(offsets), "rng")
+      .join(offsetsJoinSide, "rng")
       .select(col("doc"), col("n_words"),
         ((col("rng_offset") + col("local_cum") - col("n_words")) / budget)
           .cast("int").as("bin"))

@@ -134,7 +134,14 @@ object Mining {
     * single divisions of exact integers) — q155 hash-grades this twin
     * against q125's oracle SQL unchanged.
     */
-  def decileLiftBucketed(scored: DataFrame): DataFrame = {
+  def decileLiftBucketed(scored0: DataFrame): DataFrame = {
+    // Materialize the input once: this function makes ~5 independent
+    // passes over it (count, totals, plus rankViaBuckets' sketch /
+    // histogram / final plan). An expensive — or nondeterministic —
+    // upstream lineage would re-execute per pass, and nondeterminism
+    // would desync the driver prior map from the final bucket
+    // assignment. Same discipline as q118's checkpoint of its input.
+    val scored = scored0.localCheckpoint(true)
     val n = scored.count()
     val ranked = Prep.rankViaBuckets(scored, col("score"), col("id"),
       ascending = false, rankCol = "__rank")
@@ -186,10 +193,15 @@ object Mining {
     * is the shared integer-exact tail, so the output is bit-identical —
     * q156 hash-grades it against q128's oracle SQL unchanged.
     */
-  def calibrationBinsBucketed(scored: DataFrame, bins: Int = 10): DataFrame =
+  def calibrationBinsBucketed(scored0: DataFrame, bins: Int = 10): DataFrame = {
+    // Checkpoint for the same multi-pass / determinism reason as
+    // decileLiftBucketed: the ranked side and the count side must see
+    // the identical input rows.
+    val scored = scored0.localCheckpoint(true)
     calibrationFromRanked(
       Prep.rankViaBuckets(scored, col("score"), col("id"), rankCol = "rank"),
       scored, bins)
+  }
 
   /** Shared tail of the two calibration forms: bin assignment and the
     * per-bin integer-exact aggregate over an already-ranked unit table.

@@ -131,7 +131,11 @@ object Prep {
     *
     * `value` must be non-null and castable to double (the cast feeds
     * only the bucket assignment — ordering uses the original column, so
-    * exact types rank exactly). The rank lands as LONG (the global
+    * exact types rank exactly). NaN is handled: it buckets explicitly
+    * into the TOP bucket (Spark's sort order puts NaN above every real
+    * double, so `value > edge` — false for NaN — would otherwise drop
+    * NaN rows into bucket 0 while the window sorts them last, breaking
+    * the rank permutation). The rank lands as LONG (the global
     * window's INT rank overflows past 2³¹ rows anyway). Cost: two extra
     * narrow passes over the input (edge sketch + bucket histogram) — the
     * price of deleting the single-task sort. Raise `buckets` toward the
@@ -149,10 +153,17 @@ object Prep {
     // empty input → no edges → everything in bucket 0, prior map empty
     val edgeVals: Seq[Double] =
       if (edgeRow.isNullAt(0)) Seq.empty else edgeRow.getSeq[Double](0)
+    // NaN sorts ABOVE every real double in Spark's ordering, but
+    // `vd > e` is false for NaN — without the explicit when() NaN rows
+    // would land in bucket 0 while the in-bucket sort puts them last,
+    // colliding their ranks with higher buckets. Pinning NaN to the top
+    // bucket makes prior + local rank match the global window for NaN
+    // too (it sorts last there — exactly its global position).
     val bucketOf =
       if (edgeVals.isEmpty) lit(0)
-      else size(filter(array(edgeVals.map(lit): _*),
-        e => value.cast("double") > e))
+      else when(isnan(value.cast("double")), lit(edgeVals.size))
+        .otherwise(size(filter(array(edgeVals.map(lit): _*),
+          e => value.cast("double") > e)))
     val ord =
       if (ascending) Seq(value.asc, tieBreak.asc)
       else Seq(value.desc, tieBreak.asc)
@@ -179,11 +190,29 @@ object Prep {
       // (keys…, bucket). Keys must render stably as strings (string /
       // integer columns) and group-cardinality × buckets must stay
       // driver-small — guarded below, the k-row-collect discipline.
-      val pkStr = concat_ws("\u0001", partitionKeys.map(_.cast("string")): _*)
+      //
+      // Key encoding is a netstring per component (`V<len>:<chars>`,
+      // null -> `N0:`): a bare concat_ws SKIPS nulls, so a null-key
+      // group and an empty-string group (or keys containing the
+      // separator) would collide to one prior-map key while the window
+      // still partitions them apart — silently wrong ranks for both.
+      // The length prefix makes the concatenation prefix-free, so
+      // distinct key tuples can never render to the same string.
+      def encKey(k: Column): Column = {
+        val ks = k.cast("string")
+        concat(
+          when(ks.isNull, lit("N0:"))
+            .otherwise(concat(lit("V"), length(ks).cast("string"), lit(":"))),
+          coalesce(ks, lit("")))
+      }
+      val pkStr = concat(partitionKeys.map(encKey): _*)
       val withB = df.withColumn("__rvb_b", bucketOf)
         .withColumn("__rvb_p", pkStr)
+      // limit(guard+1) BOUNDS the driver pull before the cardinality
+      // check: a runaway key domain fails the require() after pulling
+      // 100 001 rows, instead of OOMing the driver it should protect.
       val counts = withB.groupBy(col("__rvb_p"), col("__rvb_b"))
-        .agg(count(lit(1)).as("c")).collect()
+        .agg(count(lit(1)).as("c")).limit(100001).collect()
       require(counts.length <= 100000,
         s"rankViaBuckets(partitionKeys): ${counts.length} (group, bucket) " +
           "cells — partition keys must be low-cardinality (use a plain " +
@@ -238,10 +267,13 @@ object Prep {
       array(qs: _*), lit(10000)).as("e")).head()
     val edgeVals: Seq[Double] =
       if (edgeRow.isNullAt(0)) Seq.empty else edgeRow.getSeq[Double](0)
+    // NaN pins to the top bucket for the same reason as rankViaBuckets:
+    // `vd > e` is false for NaN but Spark sorts NaN above every real.
     val bucketOf =
       if (edgeVals.isEmpty) lit(0)
-      else size(filter(array(edgeVals.map(lit): _*),
-        e => value.cast("double") > e))
+      else when(isnan(value.cast("double")), lit(edgeVals.size))
+        .otherwise(size(filter(array(edgeVals.map(lit): _*),
+          e => value.cast("double") > e)))
     val withB = df.withColumn("__rtb_b", bucketOf)
     val wAggs = weights.map { case (in, _) => sum(col(in)).as(in) }
     val totals = withB.groupBy(col("__rtb_b"))

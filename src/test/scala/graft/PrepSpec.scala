@@ -319,4 +319,49 @@ class PrepSpec extends SparkSpec {
       .select("r").as[Long].collect().sorted
     assert(ranks.toSeq == (1L to 500L).toSeq)
   }
+
+  test("rankViaBuckets: NaN rows rank exactly where the global window puts them (above every real)") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // NaN would silently bucket-0 under a bare `v > edge` predicate while
+    // the sort sends it last — the r12 advice finding. The fix pins NaN
+    // to the top bucket; this asserts full parity with the global window
+    // in both directions.
+    val df = (1 to 300).map { i =>
+      val v = if (i % 29 == 0) Double.NaN else (i % 13).toDouble
+      (v, i.toLong)
+    }.toDF("v", "id")
+    for (asc <- Seq(true, false)) {
+      val w =
+        if (asc) Window.orderBy(col("v").asc, col("id").asc)
+        else Window.orderBy(col("v").desc, col("id").asc)
+      val want = df.withColumn("r", row_number().over(w).cast("long"))
+        .orderBy("r").select("id").as[Long].collect().toSeq
+      val got = graft.ops.Prep.rankViaBuckets(df, col("v"), col("id"),
+          ascending = asc, rankCol = "r")
+        .orderBy("r").select("id").as[Long].collect().toSeq
+      assert(want == got, s"asc=$asc: NaN rows misplaced")
+    }
+  }
+
+  test("rankViaBuckets(partitionKeys): null, empty-string and separator-bearing keys stay distinct groups") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // Pre-fix, concat_ws skipped nulls so a null-key group and an
+    // empty-string group shared one prior-map entry while the window
+    // partitioned them apart. The netstring encoding must keep all four
+    // adversarial groups (null, empty, the separator char itself, and a
+    // key containing it) independent.
+    val keys = Seq(null, "", "\u0001", "a\u0001b")
+    val df = (1 to 400).map { i =>
+      (keys(i % 4), (i % 11).toDouble, i.toLong)
+    }.toDF("g", "v", "id")
+    val w = Window.partitionBy("g").orderBy(col("v").asc, col("id").asc)
+    val want = df.withColumn("r", row_number().over(w).cast("long"))
+    val got = graft.ops.Prep.rankViaBuckets(df, col("v"), col("id"),
+      rankCol = "r2", partitionKeys = Seq(col("g")))
+    val bad = want.join(got, Seq("id"))
+      .filter(col("r") =!= col("r2")).count()
+    assert(bad == 0L, s"$bad rows rank differently from the keyed window")
+  }
 }
