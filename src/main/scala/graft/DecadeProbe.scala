@@ -85,8 +85,16 @@ object DecadeProbe {
       metric("lsh_band_candidate_pairs") {
         graft.ext.Dedup.lshCandidates(docs, col("doc_id"), col("text")).count()
       },
-      metric("ivf_cell_pair_volume") {
+      metric("ivf_cell_pair_volume_fixed8") {
         graft.ext.IVF.assignTable(emb, "vec_id", "embedding", cells = 8, iters = 3)
+          .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+          .agg(sum(col("n") * (col("n") - 1) / 2).cast("long")).head().getLong(0)
+      },
+      // the volume the REGISTERED s12 actually feeds its join since r13:
+      // cells derive from the corpus count (constant expected occupancy)
+      metric("ivf_cell_pair_volume_derived") {
+        val cells = graft.ext.Similarity.autoCells(emb.count())
+        graft.ext.IVF.assignTable(emb, "vec_id", "embedding", cells, iters = 3)
           .groupBy(col("cell")).agg(count(lit(1)).as("n"))
           .agg(sum(col("n") * (col("n") - 1) / 2).cast("long")).head().getLong(0)
       },
@@ -97,7 +105,7 @@ object DecadeProbe {
       println(f"""{"metric":"$n","value":$v,"probe_sec":$t%.1f}""")
     }
 
-    val ivfVolume = metrics(2)._2
+    val ivfVolume = metrics(3)._2 // derived-knob volume: what s12/s23 run
     val guard = 2000000000L // ~2e9 join rows ≈ the single-box ceiling
     def skip(q: String, vol: Long): Unit =
       println(s"""{"query":"$q","sf_dir":"$sfDir","sec":-1,""" +
@@ -113,26 +121,34 @@ object DecadeProbe {
         }
     }
 
-    // Deployment-knob variants: the fixed fixture knobs (8 IVF cells,
-    // 0.1 grid cells) make blocked pair volume Θ(n²/cells) — quadratic
-    // when cells stay constant while n grows. The at-scale discipline
-    // (s28's "bucket count scales with data") is cells ∝ n /
-    // cellSize ∝ 1/√density, holding per-point candidate work constant;
-    // these runs MEASURE that path at the same dir so the decade table
-    // shows both the fixed-knob blowup and the knob that removes it.
+    // Fixture-knob CONTRAST variants: since r13 the REGISTERED s12/s23
+    // derive their blocking knobs from the corpus count (autoCells /
+    // autoCellSize — constant expected occupancy, linear pair volume),
+    // so the primary rows above probe the deployment path directly.
+    // These runs keep the r12 fixture knobs (8 IVF cells, 0.1 grid)
+    // measurable for the decade table's "what the fixed knob would
+    // cost" column — guard-skipped once their Θ(n²/cells) volume passes
+    // the single-box ceiling.
     val nVec = emb.count()
-    val cellsScaled = math.max(8, (nVec / 250L).toInt)
-    val tKnn = metric(s"s12_scaled_cells_$cellsScaled") {
-      graft.ext.Similarity.knnGraph(emb, "vec_id", "embedding",
-        k = 3, cells = cellsScaled).count()
+    val cellsAuto = graft.ext.Similarity.autoCells(nVec)
+    val sizeAuto = graft.ext.Similarity.autoCellSize(nVec)
+    println(s"""{"metric":"derived_knobs","cells":$cellsAuto,"cellSize":$sizeAuto}""")
+    val fixedVolume = metrics(2)._2
+    if (fixedVolume > guard) {
+      skip("s12_knn_graph[fixed cells=8]", fixedVolume)
+      skip("s23_mutual_nn[fixed cellSize=0.1]", fixedVolume)
+    } else {
+      val tKnn = metric("s12_fixed_cells_8") {
+        graft.ext.Similarity.knnGraph(emb, "vec_id", "embedding",
+          k = 3, cells = 8).count()
+      }
+      println(f"""{"query":"s12_knn_graph[fixed cells=8]","sf_dir":"$sfDir","sec":${tKnn._3}%.3f,"edges":${tKnn._2}}""")
+      val tMnn = metric("s23_fixed_cell_0.1") {
+        graft.ext.Similarity.mutualNN2d(emb, "vec_id", "embedding",
+          cellSize = 0.1).count()
+      }
+      println(f"""{"query":"s23_mutual_nn[fixed cellSize=0.1]","sf_dir":"$sfDir","sec":${tMnn._3}%.3f,"edges":${tMnn._2}}""")
     }
-    println(f"""{"query":"s12_knn_graph[cells=$cellsScaled]","sf_dir":"$sfDir","sec":${tKnn._3}%.3f,"edges":${tKnn._2}}""")
-    val sizeScaled = 0.1 / math.sqrt((nVec / 2000L).toDouble.max(1.0))
-    val tMnn = metric(f"s23_scaled_cell_$sizeScaled%.4f") {
-      graft.ext.Similarity.mutualNN2d(emb, "vec_id", "embedding",
-        cellSize = sizeScaled).count()
-    }
-    println(f"""{"query":"s23_mutual_nn[cellSize=$sizeScaled%.4f]","sf_dir":"$sfDir","sec":${tMnn._3}%.3f,"edges":${tMnn._2}}""")
     spark.stop()
   }
 }

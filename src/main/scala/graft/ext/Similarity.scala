@@ -472,6 +472,31 @@ object Similarity {
     * Returns (q_id, c_id, cos, rn) — same surface as the ANN top-k
     * family, so the staged-rerank oracle applies as-is.
     */
+  /** Corpus-derived IVF cell count for [[knnGraph]]-style blocking:
+    * cells = max(8, n / 250) holds EXPECTED CELL OCCUPANCY constant as
+    * the corpus grows, which keeps the within-cell pair volume
+    * Σ_cell C(n_c, 2) ≈ n·250/2 — LINEAR in n. A fixed cell count makes
+    * that volume Θ(n²/cells): the r12 DecadeProbe measured 2.6 G pairs
+    * at sf10 under cells=8 (guard-skipped) vs a near-linear runtime with
+    * this scaling on the same data. One cheap count() pass buys the
+    * knob; the k-means assignment cost itself is linear either way.
+    */
+  def autoCells(n: Long, targetCellRows: Long = 250L): Int =
+    math.max(8L, n / targetCellRows).min(Int.MaxValue).toInt
+
+  /** Corpus-derived grid cell side for the 2-D blocked NN family:
+    * shrinks the r12 fixture side (0.1) by √(n/2000), so cell AREA
+    * shrinks ∝ 1/n and expected occupancy — hence per-point candidate
+    * work in the 3×3 neighborhood join — stays constant as density
+    * grows. Exact-arithmetic note for the oracles: integer floor-divide
+    * then one sqrt and one division, all IEEE-correctly-rounded ops on
+    * exactly-representable inputs, so DuckDB re-derives the identical
+    * double from `count(*)` and the grid assignment matches bit-for-bit.
+    */
+  def autoCellSize(n: Long, base: Double = 0.1,
+                   targetDensity: Long = 2000L): Double =
+    base / math.sqrt((n / targetDensity).toDouble.max(1.0))
+
   def knnGraph(emb: DataFrame, id: String, vec: String, k: Int = 3,
                cells: Int = 8, iters: Int = 3): DataFrame = {
     val n = graft.ext.IVF.assignTable(emb, id, vec, cells, iters)

@@ -442,10 +442,16 @@ object SimilarityQueries {
     //      space (equi-join on cell, top-k window per node). Candidate
     //      blocking is k-means → engine-trusted; the exact cosine + rank
     //      over the emitted edges is DuckDB-re-derived from the staged
-    //      pairs, same as the ANN family. ----
+    //      pairs, same as the ANN family. The cell COUNT derives from a
+    //      cheap corpus count (Similarity.autoCells: constant expected
+    //      occupancy → linear within-cell pair volume) — the r13 fix for
+    //      the fixed-knob form DecadeProbe measured quadratic at sf10.
+    //      The staged-rerank oracle re-derives cosine+rank from the
+    //      emitted pairs, so grading is knob-independent. ----
     QueryDef("s12_knn_graph", stagedRerankSql("s12_knn_graph")) { (s, dir) =>
-      Similarity.knnGraph(Tables.embeddings(s, dir), "vec_id", "embedding",
-          k = 3, cells = 8)
+      val emb = Tables.embeddings(s, dir)
+      Similarity.knnGraph(emb, "vec_id", "embedding",
+          k = 3, cells = Similarity.autoCells(emb.count()))
         .orderBy("q_id", "rn")
     },
 
@@ -723,12 +729,20 @@ object SimilarityQueries {
     //      plain relational algebra DuckDB re-derives from raw
     //      embeddings (the BETWEEN join is set-equivalent to the
     //      exploded equi-join). ----
+    // cs: the corpus-derived grid side (Similarity.autoCellSize) —
+    // integer floor-divide, one greatest, one sqrt, one division, every
+    // op IEEE-correctly-rounded on exact inputs, so the oracle derives
+    // the bit-identical double the engine embeds as its literal.
     QueryDef("s23_mutual_nn",
-      """WITH g AS (
+      """WITH cs AS (
+        |  SELECT CAST(0.1 AS DOUBLE) / sqrt(greatest(
+        |    CAST((count(*) // 2000) AS DOUBLE), CAST(1 AS DOUBLE))) AS cs
+        |  FROM embeddings),
+        |g AS (
         |  SELECT vec_id,
         |    CAST(embedding[1] AS DOUBLE) AS x, CAST(embedding[2] AS DOUBLE) AS y,
-        |    CAST(floor(CAST(embedding[1] AS DOUBLE) / CAST(0.1 AS DOUBLE)) AS BIGINT) AS gx,
-        |    CAST(floor(CAST(embedding[2] AS DOUBLE) / CAST(0.1 AS DOUBLE)) AS BIGINT) AS gy
+        |    CAST(floor(CAST(embedding[1] AS DOUBLE) / (SELECT cs FROM cs)) AS BIGINT) AS gx,
+        |    CAST(floor(CAST(embedding[2] AS DOUBLE) / (SELECT cs FROM cs)) AS BIGINT) AS gy
         |  FROM embeddings),
         |nn AS (
         |  SELECT q_id, c_id, dist2 FROM (
@@ -746,8 +760,9 @@ object SimilarityQueries {
         |FROM nn l JOIN nn r ON l.q_id = r.c_id AND l.c_id = r.q_id
         |WHERE l.q_id < l.c_id
         |ORDER BY id_a""".stripMargin) { (s, dir) =>
-      Similarity.mutualNN2d(Tables.embeddings(s, dir), "vec_id", "embedding",
-          cellSize = 0.1)
+      val emb = Tables.embeddings(s, dir)
+      Similarity.mutualNN2d(emb, "vec_id", "embedding",
+          cellSize = Similarity.autoCellSize(emb.count()))
         .orderBy("id_a")
     },
 
