@@ -80,8 +80,20 @@ object DecadeProbe {
       .agg(sum(col("df") * (col("df") - 1) / 2).cast("long"))
       .head().getLong(0)
 
+    // t54's capped volume: same histogram, df > 20 stop-listed — the
+    // per-shingle fan-out bound that keeps the exact form runnable at
+    // any corpus size (pairs per shingle <= C(20,2)).
+    val t54CandVolume = graft.ext.Dedup
+      .shingleRows(docs, col("doc_id"), col("text"), 3)
+      .select(xxhash64(col("s")).as("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 20)
+      .agg(coalesce(sum(col("df") * (col("df") - 1) / 2), lit(0)).cast("long"))
+      .head().getLong(0)
+
     val metrics = Seq(
       metric("t06_candidate_join_volume") { t06CandVolume },
+      metric("t54_capped_candidate_volume") { t54CandVolume },
       metric("lsh_band_candidate_pairs") {
         graft.ext.Dedup.lshCandidates(docs, col("doc_id"), col("text")).count()
       },
@@ -105,12 +117,15 @@ object DecadeProbe {
       println(f"""{"metric":"$n","value":$v,"probe_sec":$t%.1f}""")
     }
 
-    val ivfVolume = metrics(3)._2 // derived-knob volume: what s12/s23 run
+    def metricVal(name: String): Long =
+      metrics.find(_._1 == name).map(_._2).getOrElse(-1L)
+    val ivfVolume = metricVal("ivf_cell_pair_volume_derived") // what s12/s23 run
     val guard = 2000000000L // ~2e9 join rows ≈ the single-box ceiling
     def skip(q: String, vol: Long): Unit =
       println(s"""{"query":"$q","sf_dir":"$sfDir","sec":-1,""" +
         s""""skipped":"candidate volume $vol > guard $guard"}""")
     Seq("t06_jaccard_topk" -> t06CandVolume,
+        "t54_jaccard_topk_capped" -> t54CandVolume,
         "t16_dedup_clusters" -> 0L, "t27_cluster_survivors_lsh" -> 0L,
         "s12_knn_graph" -> ivfVolume, "s23_mutual_nn" -> ivfVolume).foreach {
       case (q, vol) =>
@@ -133,7 +148,7 @@ object DecadeProbe {
     val cellsAuto = graft.ext.Similarity.autoCells(nVec)
     val sizeAuto = graft.ext.Similarity.autoCellSize(nVec)
     println(s"""{"metric":"derived_knobs","cells":$cellsAuto,"cellSize":$sizeAuto}""")
-    val fixedVolume = metrics(2)._2
+    val fixedVolume = metricVal("ivf_cell_pair_volume_fixed8")
     if (fixedVolume > guard) {
       skip("s12_knn_graph[fixed cells=8]", fixedVolume)
       skip("s23_mutual_nn[fixed cellSize=0.1]", fixedVolume)

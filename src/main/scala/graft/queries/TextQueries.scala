@@ -212,6 +212,46 @@ object TextQueries {
         .limit(20)
     },
 
+    // ---- t54: t06's DEPLOYMENT twin — exact Jaccard with the df-capped
+    //      shingle space (maxDf=20). Same inverted-index join, but
+    //      shingles in more than 20 docs are stop-listed BEFORE the
+    //      self-join, so per-shingle pair fan-out is bounded at C(20,2)
+    //      and total candidate volume is linear in the corpus — the
+    //      uncapped t06 was measured at 13.9 G join rows at x100 data
+    //      (out of single-box reach BY THE DATA). Jaccard is computed
+    //      consistently over the surviving shingle space (sizes and
+    //      intersections both exclude stop-listed shingles) — the
+    //      standard production df-cap, and fully DuckDB-expressible:
+    //      the q44->q45 discipline applied to the dedup family's exact
+    //      member. ----
+    QueryDef("t54_jaccard_topk_capped",
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(w) - 1),
+        |                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+        |  FROM docs),
+        |keep AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 20),
+        |sh AS (SELECT sh0.doc_id, sh0.sh FROM sh0 JOIN keep USING (sh)),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |ORDER BY jaccard DESC, id_a, id_b LIMIT 20""".stripMargin) { (s, dir) =>
+      Dedup.jaccardPairs(Tables.documents(s, dir), col("doc_id"), col("text"),
+          maxDf = 20L)
+        .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+        .limit(20)
+    },
+
     QueryDef("t09_repetition",
       """WITH w AS (
         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS words
