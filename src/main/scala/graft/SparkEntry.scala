@@ -74,6 +74,22 @@ object SparkEntry {
     // pure relational algebra DuckDB re-derives from scratch — only the
     // murmur3 band-hash values stay engine-trusted. Deterministic across
     // calls (order-invariant signature; see Dedup.bandRows).
+    // The PENULTIMATE k-means round's centroids (iters=2 of the same
+    // deterministic training behind _staged_ivf_centroids' iters=3):
+    // given these, s30 re-derives one FULL k-means round in DuckDB —
+    // argmin assignment (the s09 pattern) + exact decimal mean-update —
+    // and hash-grades it against the engine's final centroids. This
+    // closes the last engine-trusted training stage: the ANN family's
+    // oracles re-derive everything FROM the centroids, and s30 now
+    // grades how the centroids themselves are produced.
+    "_staged_ivf_centroids_prev" -> ((s, dir) =>
+      graft.ext.IVF.kmeansCentroids(
+        graft.core.Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 8, iters = 2)
+        .select(functions.col("cell"), functions.posexplode(functions.col("c")))
+        .select(functions.col("cell"), functions.col("pos"),
+          functions.col("col").as("value"))
+        .orderBy("cell", "pos")),
     "_staged_lsh_bands" -> ((s, dir) =>
       graft.ext.Dedup.lshBandTable(
         graft.core.Tables.documents(s, dir),

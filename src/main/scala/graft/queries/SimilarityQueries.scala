@@ -186,6 +186,49 @@ object SimilarityQueries {
         .orderBy("vid")
     },
 
+    // ---- s30: the k-means TRAINING invariant, hash-graded — final
+    //      centroid == exact decimal mean of the vectors the penultimate
+    //      round assigns to its cell. Given the staged penultimate
+    //      centroids (_staged_ivf_centroids_prev, iters=2 of the same
+    //      deterministic training), DuckDB re-derives the entire last
+    //      round from raw embeddings: the argmin assignment (identical
+    //      float chain to s09's oracle — list_dot_product matches
+    //      dotNative bit-for-bit) and the DECIMAL(38,18)-sum mean (the
+    //      s24 centroid parity pattern). A wrong distance, tie-break,
+    //      dropped vector, or broken decimal discipline in the
+    //      mean-update flips this row. Only the penultimate centroid
+    //      VALUES stay engine-trusted (k-means isn't SQL-expressible);
+    //      every derived quantity in the round is re-computed. ----
+    QueryDef("s30_kmeans_centroid_audit",
+      s"""WITH prev AS (SELECT cell, list(value ORDER BY pos) AS c
+         |              FROM read_parquet('${ClimateQueries.OutToken}/_staged_ivf_centroids_prev/*.parquet')
+         |              GROUP BY cell),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |assign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT v.vec_id, prev.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        list_dot_product(v.e, v.e) - 2.0 * list_dot_product(v.e, prev.c)
+         |          + list_dot_product(prev.c, prev.c), prev.cell) AS rn
+         |    FROM v CROSS JOIN prev) WHERE rn = 1),
+         |x AS (SELECT a.cell,
+         |        unnest(range(1, len(v.e) + 1)) AS dim,
+         |        unnest(v.e) AS comp
+         |      FROM assign a JOIN v ON v.vec_id = a.vec_id)
+         |SELECT cell, CAST(dim - 1 AS INTEGER) AS pos,
+         |  round(CAST(sum(CAST(comp AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS value
+         |FROM x GROUP BY cell, dim
+         |ORDER BY cell, pos""".stripMargin) { (s, dir) =>
+      // round(6dp) on both sides — the family's established parity dial
+      // (s05): the exact decimal sums agree, but the decimal->double
+      // conversion path differs by ~1 ulp (1e-17) between engines.
+      graft.ext.IVF.kmeansCentroids(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 8, iters = 3)
+        .select(col("cell"), posexplode(col("c")))
+        .select(col("cell"), col("pos"), round(col("col"), 6).as("value"))
+        .orderBy("cell", "pos")
+    },
+
     // Cluster-scoped semantic dedup (SemDeDup shape): k-means cells bound
     // the pair space to n²/cells; same any-lower-id rule as s06's exact
     // form. Given the staged s09 cell table (same deterministic
