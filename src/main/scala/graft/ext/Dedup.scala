@@ -215,6 +215,21 @@ object Dedup {
     */
   def prefixFilterPairsFrom(sh: DataFrame, tauNum: Int, tauDen: Int,
                             broadcastSigBytes: Long = 64L << 20): DataFrame = {
+    val pref = prefixIndexTable(sh, tauNum, tauDen).localCheckpoint()
+    val sigs = signatureTable(sh)
+    val sigBytes = sh.count() * 8L
+    pairsFromPrefixIndex(pref, sigs, tauNum, tauDen,
+      broadcastSigs = sigBytes <= broadcastSigBytes)
+  }
+
+  /** The τ-specific PREFIX INDEX: each doc's rarest-(df, shingle) prefix
+    * as (doc, h, n_sh) rows. This plus [[signatureTable]] is everything
+    * the prefix-filter join needs — persist both once (the s15
+    * stored-index discipline) and the per-run dedup pays NO
+    * tokenization, df counting, or prefix ranking: t55 grades that
+    * stored query path against t40's unchanged oracle.
+    */
+  def prefixIndexTable(sh: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
     val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     // prefix_len = n − ⌈τn⌉ + 1, all integer
@@ -222,16 +237,30 @@ object Dedup {
       .divide(tauDen).cast("long")
     val wp = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc")).orderBy(col("df"), col("s"))
-    // materialize the ranked prefix ONCE: the self-join below would
-    // otherwise plan the whole join+window subtree under BOTH sides
-    // (measured 432 s of executor time on the 10× ScaleCheck fixture —
-    // the duplicated window sort, not the 55M-row join, was the cost;
-    // DuckDB runs the same relational program in ~3 s)
-    val pref = sh.join(dfreq, "h").join(sizes, "doc")
+    sh.join(dfreq, "h").join(sizes, "doc")
       .withColumn("pos", row_number().over(wp))
       .filter(col("pos") <= col("n_sh") - ceilTau + 1)
       .select(col("doc"), col("h"), col("n_sh"))
-      .localCheckpoint()
+  }
+
+  /** Per-doc sorted signature arrays (doc, hs) — the verify side of the
+    * prefix-filter join; persistable next to [[prefixIndexTable]]. */
+  def signatureTable(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"))
+
+  /** The prefix-filter join's QUERY PATH over already-materialized index
+    * tables: candidate self-join on the prefix index + array-intersect
+    * verify against the signatures. Callers materializing `pref` inline
+    * must localCheckpoint it first (the self-join otherwise plans the
+    * whole join+window subtree under BOTH sides — measured 432 s of
+    * executor time on the 10× ScaleCheck fixture; the duplicated window
+    * sort, not the 55M-row join, was the cost). Reading from a stored
+    * parquet index needs no checkpoint: the scan is already a leaf.
+    */
+  def pairsFromPrefixIndex(pref: DataFrame, sigs: DataFrame,
+                           tauNum: Int, tauDen: Int,
+                           broadcastSigs: Boolean): DataFrame = {
     val cand = pref.as("p").join(pref.as("f"),
         col("p.h") === col("f.h") && col("p.doc") < col("f.doc"))
       .filter(col("p.n_sh") * tauDen >= col("f.n_sh") * tauNum &&
@@ -246,18 +275,15 @@ object Dedup {
     // every candidate phase is seconds). One array_intersect per pair is
     // O(|A|+|B|) inside a codegen'd map over broadcast-joined signatures —
     // no shuffle ever carries an array. The signature table is one row
-    // per doc (~0.5 KB); the broadcast hint is SIZE-GATED, not
-    // unconditional: total signature payload ≈ 8 B per shingle row, and
-    // `sh` is already materialized so the count is one cheap scan. Past
-    // the threshold the hint is dropped and the same plan runs as a
-    // co-partitioned shuffle join keyed by doc id (AQE may still promote
-    // it back if runtime stats allow) — a 100 TB corpus must never pin a
-    // multi-GB signature table on the driver.
-    val sigs = sh.groupBy(col("doc"))
-      .agg(sort_array(collect_list(col("h"))).as("hs"))
-    val sigBytes = sh.count() * 8L
+    // per doc (~0.5 KB); the broadcast hint is SIZE-GATED by the caller
+    // (total payload ≈ 8 B per shingle row, one cheap scan over the
+    // materialized table). Past the threshold the hint is dropped and
+    // the same plan runs as a co-partitioned shuffle join keyed by doc
+    // id (AQE may still promote it back if runtime stats allow) — a
+    // 100 TB corpus must never pin a multi-GB signature table on the
+    // driver.
     val hint: DataFrame => DataFrame =
-      if (sigBytes <= broadcastSigBytes) broadcast(_) else identity
+      if (broadcastSigs) broadcast(_) else identity
     cand
       .join(hint(sigs.select(col("doc").as("id_a"), col("hs").as("ha"))),
         "id_a")

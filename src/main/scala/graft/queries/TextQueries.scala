@@ -1284,6 +1284,93 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // ---- t55: t40's STORED-INDEX twin (the s15 discipline applied to
+    //      the dedup chain): the τ=2/5 prefix index (doc, h, n_sh) and
+    //      the signature arrays (doc, hs) persist once under a
+    //      content-stamped location, and the per-run query path is pure
+    //      candidate-join + array-intersect verify over two parquet
+    //      scans — zero tokenization, df counting or prefix ranking
+    //      (PlanSpec pins the absence). Hash-graded against t40's
+    //      UNCHANGED oracle: the stored path must reproduce the inline
+    //      path bit-for-bit. At 100 TB this is the deployment shape —
+    //      the index is maintained incrementally next to the corpus;
+    //      t53 keeps the honest index-build-included cost on the
+    //      board. ----
+    QueryDef("t55_prefix_pairs_stored",
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id AS doc, unnest(list_distinct(
+        |    list_transform(range(1, len(w) - 1),
+        |                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+        |  FROM docs),
+        |dfq AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+        |sz AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY 1),
+        |pref AS (
+        |  SELECT doc, s, n_sh FROM (
+        |    SELECT h.doc, h.s, z.n_sh,
+        |      row_number() OVER (PARTITION BY h.doc ORDER BY d.df, h.s) AS pos
+        |    FROM sh h JOIN dfq d USING (s) JOIN sz z USING (doc))
+        |  WHERE pos <= n_sh - ((2 * n_sh + 4) // 5) + 1),
+        |cand AS (
+        |  SELECT DISTINCT p.doc AS id_a, f.doc AS id_b
+        |  FROM pref p JOIN pref f ON f.s = p.s AND p.doc < f.doc
+        |  WHERE p.n_sh * 5 >= f.n_sh * 2 AND f.n_sh * 5 >= p.n_sh * 2),
+        |inter AS (
+        |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+        |  FROM cand c
+        |  JOIN sh a ON a.doc = c.id_a
+        |  JOIN sh b ON b.doc = c.id_b AND b.s = a.s
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_inter, za.n_sh AS n_a, zb.n_sh AS n_b,
+        |  round(CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter), 6)
+        |    AS jaccard
+        |FROM inter
+        |JOIN sz za ON za.doc = id_a
+        |JOIN sz zb ON zb.doc = id_b
+        |WHERE 7 * n_inter >= 2 * (za.n_sh + zb.n_sh)
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      // deterministic per-sf location under java.io.tmpdir (local path →
+      // java.nio is sound; a real deployment writes next to the corpus)
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_prefix_index_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      val marker = java.nio.file.Paths.get(idxDir, "_GRAFT_INDEX")
+      // order-independent content stamp (s15 discipline): a regenerated
+      // corpus at the same path must invalidate the index; ONE agg so
+      // the staleness probe costs a single narrow corpus scan
+      val stampRow = docs.agg(count(lit(1)),
+        sum(xxhash64(col("doc_id"), col("text")))).first()
+      val nShRowsKey = "sh_rows="
+      val stampHead = s"tau=2/5 n=3 docs=${stampRow.getLong(0)} " +
+        s"fp=${stampRow.getLong(1)} src=$dir"
+      val existing =
+        if (java.nio.file.Files.exists(marker))
+          new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+        else ""
+      val built = existing.startsWith(stampHead + "\n")
+      val shRows: Long =
+        if (built)
+          existing.linesIterator.find(_.startsWith(nShRowsKey))
+            .map(_.stripPrefix(nShRowsKey).toLong).getOrElse(0L)
+        else {
+          val sh = Dedup.shingleHashTable(docs, col("doc_id"), col("text"))
+          Dedup.prefixIndexTable(sh, tauNum = 2, tauDen = 5)
+            .write.mode("overwrite").parquet(s"$idxDir/prefix")
+          Dedup.signatureTable(sh)
+            .write.mode("overwrite").parquet(s"$idxDir/sigs")
+          val n = sh.count()
+          java.nio.file.Files.write(marker,
+            (stampHead + "\n" + nShRowsKey + n).getBytes("UTF-8"))
+          n
+        }
+      Dedup.pairsFromPrefixIndex(
+          s.read.parquet(s"$idxDir/prefix"), s.read.parquet(s"$idxDir/sigs"),
+          tauNum = 2, tauDen = 5, broadcastSigs = shRows * 8L <= (64L << 20))
+        .orderBy("id_a", "id_b")
+    },
+
     // ---- n-gram novelty (the curation "novelty decay" signal — Lee et
     //      al.'s dedup work measures corpora by how much of each new doc
     //      is text never seen before): per doc, the fraction of its

@@ -216,6 +216,22 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"no window operator expected: $plan")
   }
 
+  test("t55 stored prefix-index query path: zero tokenization, ranking or corpus scan") {
+    // The stored-index discipline's whole point: with the index built,
+    // the per-run plan is candidate-join + array-intersect verify over
+    // two parquet scans. Tokenization (split/explode), the df window
+    // rank, and any read of the documents table would mean the index is
+    // being silently rebuilt per query.
+    val q = SparkEntry.queries("t55_prefix_pairs_stored")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), s"no explode in the query path: $plan")
+    assert(!plan.contains("split("), s"no tokenization in the query path: $plan")
+    assert(!plan.contains("Window"), s"no prefix-rank window in the query path: $plan")
+    assert(!plan.contains("documents.parquet"),
+      s"the corpus itself must not be scanned (index-only): $plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q73 EXISTS subquery decorrelates to a left-semi hash/merge join") {
     // RewritePredicateSubquery must fire: the plan is a semi join, never a
     // per-outer-row nested-loop re-execution of the subquery
