@@ -261,6 +261,7 @@ object Dedup {
   def pairsFromPrefixIndex(pref: DataFrame, sigs: DataFrame,
                            tauNum: Int, tauDen: Int,
                            broadcastSigs: Boolean): DataFrame = {
+    graft.functions.GraftFunctions.register(pref.sparkSession)
     val cand = pref.as("p").join(pref.as("f"),
         col("p.h") === col("f.h") && col("p.doc") < col("f.doc"))
       .filter(col("p.n_sh") * tauDen >= col("f.n_sh") * tauNum &&
@@ -289,8 +290,14 @@ object Dedup {
         "id_a")
       .join(hint(sigs.select(col("doc").as("id_b"), col("hs").as("hb"))),
         "id_b")
+      // graft_sorted_intersect_count: two-pointer merge over the SORTED
+      // signature arrays — count only, zero allocation. The built-in
+      // size(array_intersect(..)) builds a hash set AND materializes the
+      // intersection per pair: measured ~35 s of the 63 s sf1 query path
+      // across 44 M candidates; the native kernel removes it.
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("ha"), col("hb"))).cast("long").as("n_inter"),
+        call_function("graft_sorted_intersect_count",
+          col("ha"), col("hb")).as("n_inter"),
         size(col("ha")).cast("long").as("n_a"),
         size(col("hb")).cast("long").as("n_b"))
       .filter(col("n_inter") * (tauDen + tauNum) >=

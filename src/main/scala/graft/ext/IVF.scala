@@ -112,14 +112,37 @@ object IVF {
       centroids)
   }
 
-  /** Nearest-centroid assignment: (vid, v, cell) via broadcast cross join
-    * + `min_by` AGGREGATE argmin (squared L2; ties → lowest cell via the
-    * (d2, cell) ordering struct). Same pattern as PQ.assignCodes — partial
-    * min_by combines map-side, so the shuffle carries one row per vector,
-    * not k; a row_number window here (the round-3 PQ perf outlier's shape)
-    * would force a full shuffle+sort of all n·k joined rows.
+  /** Nearest-centroid assignment: (vid, v, cell) as a MAP-ONLY projection
+    * through the native [[graft.functions.NearestCell]] argmin — the
+    * centroid matrix (k·d doubles, the same driver state the training
+    * loop already materializes) rides into the expression as literals,
+    * and each vector pays one tight k·d flop loop inside whole-stage
+    * codegen. This replaced the crossJoin(broadcast(centroids)) +
+    * min_by(struct(d2, cell)) formulation in r13: that pays Spark row
+    * overhead on n·k JOINED rows plus a shuffle, which turns quadratic
+    * once cells scale with the corpus (autoCells) — measured ~600 s of
+    * s12's 698 s at sf10 (200k vectors × 800 cells × 4 passes). The
+    * kernel reproduces the join's float chain and (d2, cell) tie-break
+    * bit-for-bit (java.lang.Double.compare ordering), so every
+    * staged-centroid oracle and hash grade is unchanged — pinned by
+    * IVFSkewSpec's kernel-vs-join parity test. Bonus: assignment no
+    * longer shuffles at all.
     */
   private[graft] def assignCells(v: DataFrame, centroids: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(v.sparkSession)
+    // k rows of driver state — the established k-row-collect discipline
+    val rows = centroids.select(col("cell").cast("int"), col("c")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    v.select(col("vid"), col("v"),
+      call_function("graft_nearest_cell", col("v"),
+        typedLit(rows.map(_._1).toSeq),
+        typedLit(rows.map(_._2).toSeq)).as("cell"))
+  }
+
+  /** The r12 join-formulation argmin, kept as the parity REFERENCE the
+    * suite pins [[assignCells]]'s native kernel against (IVFSkewSpec).
+    */
+  private[graft] def assignCellsViaJoin(v: DataFrame, centroids: DataFrame): DataFrame = {
     val d2 = dotNative(col("v"), col("v")) - lit(2.0) * dotNative(col("v"), col("c")) +
       dotNative(col("c"), col("c"))
     v.crossJoin(broadcast(centroids))

@@ -46,6 +46,16 @@ object GraftFunctions {
       require(exprs.length == 2,
         "graft_might_contain requires (bloom binary, value) arguments")
       BloomFilterMightContain(exprs(0), new XxHash64(Seq(exprs(1))))
+    }),
+    "graft_sorted_intersect_count" -> (exprs => {
+      require(exprs.length == 2,
+        "graft_sorted_intersect_count requires exactly two array<bigint> arguments")
+      SortedIntersectCount(exprs(0), exprs(1))
+    }),
+    "graft_nearest_cell" -> (exprs => {
+      require(exprs.length == 3,
+        "graft_nearest_cell requires (vector, cell-ids literal, matrix literal)")
+      NearestCell(exprs(0), exprs(1), exprs(2))
     }))
 
   def register(spark: SparkSession): Unit = {

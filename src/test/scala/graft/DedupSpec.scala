@@ -482,4 +482,26 @@ class TextOpsSpec extends SparkSpec {
       windowSize = 3, minJaccard = 0.0).count()
     assert(n == 3 * 10 - 6, s"expected 24 candidate pairs, got $n")
   }
+
+  test("graft_sorted_intersect_count == size(array_intersect) on random sorted multisets") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // adversarial shapes: duplicates (distinct-count semantics), empty
+    // arrays, disjoint, identical, and interleaved runs — the native
+    // two-pointer kernel must match the built-in exactly on all of them
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 200).map { i =>
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextInt(20).toLong).sorted
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextInt(20).toLong).sorted
+      (i, a, b)
+    } :+ ((201, Seq.empty[Long], Seq(1L, 2L))) :+
+      ((202, Seq(5L, 5L, 5L), Seq(5L, 5L))) :+
+      ((203, Seq(1L, 2L, 3L), Seq(4L, 5L)))
+    val df = rows.toDF("i", "a", "b")
+    val bad = df.select(
+        call_function("graft_sorted_intersect_count", col("a"), col("b")).as("native"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("builtin"))
+      .filter(col("native") =!= col("builtin")).count()
+    assert(bad == 0L, s"$bad rows diverge from size(array_intersect)")
+  }
 }

@@ -242,4 +242,28 @@ class SkewSpec extends SparkSpec {
     assert(byPk == plain)
     assert(plain.size == 500)
   }
+
+  test("assignCells native kernel == join-formulation argmin, incl. ties and sparse cell ids") {
+    import spark.implicits._
+    // The r13 map-only NearestCell kernel must reproduce the
+    // crossJoin+min_by argmin bit-for-bit: same d2 float chain, same
+    // (d2, cell) tie-break (lowest id wins), and ACTUAL cell ids carried
+    // through even when the id set is sparse (empty cells drop out of
+    // the k-means update, so ids are not 1..k).
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val v = emb.select(col("vec_id").as("vid"),
+      col("embedding").cast("array<double>").as("v"))
+    // sparse, non-contiguous cell ids; duplicate centroid VALUES force a
+    // tie every row between cells 7 and 9 — the lowest id must win
+    val someVecs = v.orderBy("vid").limit(3).collect().map(_.getSeq[Double](1))
+    val centroids = Seq(
+      (3, someVecs(0)), (7, someVecs(1)), (9, someVecs(1)), (12, someVecs(2)))
+      .toDF("cell", "c")
+    val native = graft.ext.IVF.assignCells(v, centroids)
+      .select("vid", "cell").as[(Long, Int)].collect().sorted.toSeq
+    val joined = graft.ext.IVF.assignCellsViaJoin(v, centroids)
+      .select("vid", "cell").as[(Long, Int)].collect().sorted.toSeq
+    assert(native == joined, "kernel diverges from the join argmin")
+    assert(!native.exists(_._2 == 9), "tie must break to the lower cell id (7, never 9)")
+  }
 }
