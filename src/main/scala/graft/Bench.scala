@@ -123,12 +123,15 @@ object Bench {
     // a one-off spike. Two attempts + the gate is the q63/s08-drift
     // playbook applied in-harness: a quiesced min-of-N, so watch items
     // stop reaching the verdict in the first place.
-    var rerunCount = 0
+    // Record WHICH queries re-ran, not just how many: adjudicating a
+    // board ("was q63 slow, or the machine?") needs the names, and the
+    // r13 sf1 snapshot shipped with rerun_outliers=5 and no way to tell.
+    val rerunNames = scala.collection.mutable.ListBuffer.empty[String]
     val results = measured.map { case (name, t) =>
       val ref = canonical.getOrElse(name, -1.0)
       name -> (if (t > 0 && ref > 0 && t > 2.5 * ref)
         (SparkEntry.queries ++ SparkEntry.benchOnly).get(name).map { fn =>
-          rerunCount += 1
+          rerunNames += name
           gateIfLoud()
           val reruns = (1 to 2).map(_ => timeOnce(name, fn)).filterNot(_.isNaN)
           (t +: reruns).min
@@ -153,7 +156,7 @@ object Bench {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val total = results.values.filter(_ >= 0).sum
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","host_cpus":$hostCpus,"loadavg_1m":${fmt(loadAvg)},"loadavg_preflight":${fmt(loadAtStart)},"preflight_wait_sec":${fmt(preflightWait)},"rerun_outliers":$rerunCount}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","host_cpus":$hostCpus,"loadavg_1m":${fmt(loadAvg)},"loadavg_preflight":${fmt(loadAtStart)},"preflight_wait_sec":${fmt(preflightWait)},"rerun_outliers":${rerunNames.size},"rerun_names":${rerunNames.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     }
     // The driver keeps only a ~2k-char tail of stdout; the full 80-query
     // map doesn't fit, so stdout carries the headline subset (cost drivers
