@@ -372,15 +372,39 @@ object Dedup {
   }
 
   /** Per-doc shingle SETS re-assembled from the exploded rows: (doc,
-    * sh_arr). collect_list's order is nondeterministic, which is legal
-    * everywhere this is consumed — the MinHash signature is a
-    * per-permutation min (order-invariant) and the verify arithmetic is
-    * array_intersect/array_union (set ops).
+    * sh_arr), SORTED — one O(S log S) sort per doc buys the candidate
+    * verify a binary two-pointer merge per PAIR (each doc appears in
+    * many pairs, so the per-doc sort amortizes). Order is otherwise
+    * free to choose: the MinHash signature is a per-permutation min
+    * (order-invariant) and the verify arithmetic is set ops.
     */
   private[graft] def shingleSets(df: DataFrame, id: Column, text: Column,
                                  n: Int): DataFrame =
     shingleRows(df, id, text, n)
-      .groupBy("doc").agg(collect_list(col("s")).as("sh_arr"))
+      .groupBy("doc").agg(sort_array(collect_list(col("s"))).as("sh_arr"))
+
+  /** The candidate-pair verify shared by [[minhashNearDups]] and
+    * [[sortedNeighborhoodPairs]]: join each (id_a, id_b) candidate to its
+    * two shingle sets and compute EXACT Jaccard. `sh_arr` is distinct
+    * (array_distinct in shinglesOfWords) and sorted ([[shingleSets]]), so
+    * |∩| is one native sorted-merge per pair (graft_sorted_intersect_count
+    * — no per-pair hash set) and |∪| = |A|+|B|−|∩| needs no array_union
+    * materialization. Same formula as [[jaccardPairs]]; the division sees
+    * the same integers as size(array_intersect)/size(array_union), so
+    * every hash-graded oracle value is unchanged.
+    */
+  private def verifiedJaccard(cands: DataFrame, sets: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(cands.sparkSession)
+    cands
+      .join(sets.select(col("doc").as("id_a"), col("sh_arr").as("sh_a")), "id_a")
+      .join(sets.select(col("doc").as("id_b"), col("sh_arr").as("sh_b")), "id_b")
+      .withColumn("inter",
+        call_function("graft_sorted_intersect_count", col("sh_a"), col("sh_b")))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+          .as("jaccard"))
+  }
 
   /** Exploded (doc, band, bucket) band-hash rows from the re-assembled
     * shingle sets — the single derivation behind [[minhashNearDups]]'s
@@ -406,8 +430,8 @@ object Dedup {
   }
 
   /** Full MinHash-LSH near-dup pipeline: candidates from banding, verified
-    * with exact shingle Jaccard computed ONLY for candidate pairs via
-    * array_intersect on the two shingle sets — never the all-pairs join
+    * with exact shingle Jaccard computed ONLY for candidate pairs (the
+    * [[verifiedJaccard]] sorted-merge kernel) — never the all-pairs join
     * (that quadratic pass is exactly what LSH exists to avoid; at 100 TB
     * the candidate set is the only thing small enough to touch twice).
     * Returns (id_a, id_b, jaccard).
@@ -426,12 +450,7 @@ object Dedup {
     // degenerate-bucket exclusion.
     val sets = shingleSets(df, id, text, n)
     val cands = bandPairs(bandRows(sets), maxBucket)
-    cands
-      .join(sets.select(col("doc").as("id_a"), col("sh_arr").as("sh_a")), "id_a")
-      .join(sets.select(col("doc").as("id_b"), col("sh_arr").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+    verifiedJaccard(cands, sets)
   }
 
   /** Sorted-neighborhood blocking dedup — the classic entity-resolution
@@ -442,8 +461,8 @@ object Dedup {
     * even when word ORDER was perturbed); the first sorted word is the
     * block, so the rank window partitions by block — no global sort, and
     * the candidate count is ≤ windowSize·n by construction. Candidates
-    * verify with exact shingle Jaccard via array_intersect on the
-    * re-assembled sets (the [[minhashNearDups]] verify — candidate pairs
+    * verify with exact shingle Jaccard over the re-assembled sets (the
+    * shared [[verifiedJaccard]] sorted-merge kernel — candidate pairs
     * only, never all-pairs). Returns (id_a, id_b, jaccard) ≥ minJaccard.
     */
   def sortedNeighborhoodPairs(df: DataFrame, id: Column, text: Column,
@@ -461,12 +480,7 @@ object Dedup {
         lead(col("doc"), k).over(wOrd).as("id_b"))
     }.reduce(_ unionByName _).filter(col("id_b").isNotNull)
     val sets = shingleSets(df, id, text, n)
-    cands
-      .join(sets.select(col("doc").as("id_a"), col("sh_arr").as("sh_a")), "id_a")
-      .join(sets.select(col("doc").as("id_b"), col("sh_arr").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+    verifiedJaccard(cands, sets)
       .filter(col("jaccard") >= minJaccard)
   }
 

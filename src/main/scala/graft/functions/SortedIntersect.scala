@@ -6,8 +6,8 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** graft_sorted_intersect_count(a, b) — native codegen'd count of DISTINCT
-  * common elements of two SORTED array<long> columns, by two-pointer
-  * merge: O(|a|+|b|) with zero allocation.
+  * common elements of two SORTED array<long> OR array<string> columns,
+  * by two-pointer merge: O(|a|+|b|) with zero allocation.
   *
   * This is the verify kernel of the prefix-filter dedup join
   * (Dedup.pairsFromPrefixIndex): `size(array_intersect(ha, hb))` builds a
@@ -19,6 +19,15 @@ import org.apache.spark.sql.types._
   * `size(array_intersect)` even on inputs with repeated values (an
   * equal-valued run counts once), pinned by DedupSpec against the
   * built-in on random multisets.
+  *
+  * The string form serves the LSH / sorted-neighborhood verify
+  * (Dedup.verifiedJaccard): shingle SETS are distinct by construction
+  * (array_distinct in shinglesOfWords) and sorted once per DOC
+  * (sort_array in shingleSets), so each candidate PAIR pays a binary
+  * merge instead of a per-pair string hash set — and the union size
+  * needs no array_union at all (|A∪B| = |A|+|B|−|∩| on distinct
+  * inputs). sort_array's StringType ordering IS UTF8String.compareTo
+  * (binary), the same comparison the merge uses.
   *
   * Null semantics: null if either ARRAY is null (nullIntolerant); null
   * ELEMENTS sort first in Spark's sort_array and are skipped — like
@@ -33,13 +42,21 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
 
+  private def elemType: DataType = left.dataType match {
+    case ArrayType(et, _) => et
+    case _ => NullType
+  }
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case (l, r) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"$prettyName requires (array<bigint>, array<bigint>), got " +
+          s"$prettyName requires (array<bigint>, array<bigint>) or " +
+            s"(array<string>, array<string>), got " +
             s"(${l.catalogString}, ${r.catalogString})")
     }
 
@@ -51,19 +68,39 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     var i = 0
     var j = 0
     var c = 0L
-    while (i < nx && j < ny) {
-      if (x.isNullAt(i)) { i += 1 }
-      else if (y.isNullAt(j)) { j += 1 }
-      else {
-        val xv = x.getLong(i)
-        val yv = y.getLong(j)
-        if (xv < yv) i += 1
-        else if (xv > yv) j += 1
+    if (elemType == StringType) {
+      while (i < nx && j < ny) {
+        if (x.isNullAt(i)) { i += 1 }
+        else if (y.isNullAt(j)) { j += 1 }
         else {
-          c += 1
-          // skip the full equal run on both sides: distinct-count semantics
-          while (i < nx && !x.isNullAt(i) && x.getLong(i) == xv) i += 1
-          while (j < ny && !y.isNullAt(j) && y.getLong(j) == yv) j += 1
+          val xv = x.getUTF8String(i)
+          val yv = y.getUTF8String(j)
+          val cmp = xv.compareTo(yv)
+          if (cmp < 0) i += 1
+          else if (cmp > 0) j += 1
+          else {
+            c += 1
+            // skip the full equal run on both sides: distinct-count semantics
+            while (i < nx && !x.isNullAt(i) && x.getUTF8String(i).equals(xv)) i += 1
+            while (j < ny && !y.isNullAt(j) && y.getUTF8String(j).equals(yv)) j += 1
+          }
+        }
+      }
+    } else {
+      while (i < nx && j < ny) {
+        if (x.isNullAt(i)) { i += 1 }
+        else if (y.isNullAt(j)) { j += 1 }
+        else {
+          val xv = x.getLong(i)
+          val yv = y.getLong(j)
+          if (xv < yv) i += 1
+          else if (xv > yv) j += 1
+          else {
+            c += 1
+            // skip the full equal run on both sides: distinct-count semantics
+            while (i < nx && !x.isNullAt(i) && x.getLong(i) == xv) i += 1
+            while (j < ny && !y.isNullAt(j) && y.getLong(j) == yv) j += 1
+          }
         }
       }
     }
@@ -79,27 +116,53 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val c = ctx.freshName("c")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
-      s"""
-         |int $nx = $a.numElements();
-         |int $ny = $b.numElements();
-         |int $i = 0; int $j = 0; long $c = 0L;
-         |while ($i < $nx && $j < $ny) {
-         |  if ($a.isNullAt($i)) { $i++; }
-         |  else if ($b.isNullAt($j)) { $j++; }
-         |  else {
-         |    long $xv = $a.getLong($i);
-         |    long $yv = $b.getLong($j);
-         |    if ($xv < $yv) { $i++; }
-         |    else if ($xv > $yv) { $j++; }
-         |    else {
-         |      $c++;
-         |      while ($i < $nx && !$a.isNullAt($i) && $a.getLong($i) == $xv) $i++;
-         |      while ($j < $ny && !$b.isNullAt($j) && $b.getLong($j) == $yv) $j++;
-         |    }
-         |  }
-         |}
-         |${ev.value} = $c;
-       """.stripMargin
+      if (elemType == StringType) {
+        val cmp = ctx.freshName("cmp")
+        s"""
+           |int $nx = $a.numElements();
+           |int $ny = $b.numElements();
+           |int $i = 0; int $j = 0; long $c = 0L;
+           |while ($i < $nx && $j < $ny) {
+           |  if ($a.isNullAt($i)) { $i++; }
+           |  else if ($b.isNullAt($j)) { $j++; }
+           |  else {
+           |    UTF8String $xv = $a.getUTF8String($i);
+           |    UTF8String $yv = $b.getUTF8String($j);
+           |    int $cmp = $xv.compareTo($yv);
+           |    if ($cmp < 0) { $i++; }
+           |    else if ($cmp > 0) { $j++; }
+           |    else {
+           |      $c++;
+           |      while ($i < $nx && !$a.isNullAt($i) && $a.getUTF8String($i).equals($xv)) $i++;
+           |      while ($j < $ny && !$b.isNullAt($j) && $b.getUTF8String($j).equals($yv)) $j++;
+           |    }
+           |  }
+           |}
+           |${ev.value} = $c;
+         """.stripMargin
+      } else {
+        s"""
+           |int $nx = $a.numElements();
+           |int $ny = $b.numElements();
+           |int $i = 0; int $j = 0; long $c = 0L;
+           |while ($i < $nx && $j < $ny) {
+           |  if ($a.isNullAt($i)) { $i++; }
+           |  else if ($b.isNullAt($j)) { $j++; }
+           |  else {
+           |    long $xv = $a.getLong($i);
+           |    long $yv = $b.getLong($j);
+           |    if ($xv < $yv) { $i++; }
+           |    else if ($xv > $yv) { $j++; }
+           |    else {
+           |      $c++;
+           |      while ($i < $nx && !$a.isNullAt($i) && $a.getLong($i) == $xv) $i++;
+           |      while ($j < $ny && !$b.isNullAt($j) && $b.getLong($j) == $yv) $j++;
+           |    }
+           |  }
+           |}
+           |${ev.value} = $c;
+         """.stripMargin
+      }
     })
 
   override protected def withNewChildrenInternal(

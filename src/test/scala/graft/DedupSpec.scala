@@ -504,4 +504,40 @@ class TextOpsSpec extends SparkSpec {
       .filter(col("native") =!= col("builtin")).count()
     assert(bad == 0L, s"$bad rows diverge from size(array_intersect)")
   }
+
+  test("graft_sorted_intersect_count string form == size(array_intersect), and union arithmetic") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // string shingles sorted by sort_array (UTF8String binary order —
+    // same comparison the merge kernel uses), including multi-byte
+    // UTF-8, shared prefixes, duplicates, and empties
+    val vocab = Vector("the cat sat", "cat sat on", "sat on the",
+      "on the mat", "naïve café über", "émigré touché déjà", "a b c",
+      "a b d", "zz top x", "", " ")
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { i =>
+      val a = Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+      val b = Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+      (i, a, b)
+    } :+ ((201, Seq.empty[String], Seq("x"))) :+
+      ((202, Seq("q", "q"), Seq("q")))
+    val df = rows.toDF("i", "a0", "b0")
+      .select(col("i"), sort_array(col("a0")).as("a"), sort_array(col("b0")).as("b"))
+    val bad = df.select(
+        call_function("graft_sorted_intersect_count", col("a"), col("b")).as("native"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("builtin"))
+      .filter(col("native") =!= col("builtin")).count()
+    assert(bad == 0L, s"$bad string rows diverge from size(array_intersect)")
+    // the verifiedJaccard union arithmetic needs DISTINCT inputs:
+    // |A∪B| = |A|+|B|−|∩| must equal size(array_union) there
+    val dd = df.select(sort_array(array_distinct(col("a"))).as("a"),
+      sort_array(array_distinct(col("b"))).as("b"))
+    val badU = dd.select(
+        (size(col("a")) + size(col("b")) -
+          call_function("graft_sorted_intersect_count", col("a"), col("b")))
+          .cast("long").as("arith"),
+        size(array_union(col("a"), col("b"))).cast("long").as("builtin"))
+      .filter(col("arith") =!= col("builtin")).count()
+    assert(badU == 0L, s"$badU rows diverge from size(array_union) arithmetic")
+  }
 }
