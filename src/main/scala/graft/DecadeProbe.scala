@@ -55,6 +55,8 @@ object DecadeProbe {
 
     val docs = graft.core.Tables.documents(spark, sfDir)
     val emb = graft.core.Tables.embeddings(spark, sfDir)
+    implicit val probeEnv: ProbeEnv = ProbeEnv(emb, sfDir)
+    if (args.contains("ivf2only")) { ivf2Contrast(); spark.stop(); return }
 
     // candidate-space metrics (timed separately — they ARE extra passes)
     def metric(name: String)(f: => Long): (String, Long, Double) = {
@@ -164,6 +166,62 @@ object DecadeProbe {
       }
       println(f"""{"query":"s23_mutual_nn[fixed cellSize=0.1]","sf_dir":"$sfDir","sec":${tMnn._3}%.3f,"edges":${tMnn._2}}""")
     }
+
+    ivf2Contrast()
     spark.stop()
   }
+
+  /** Two-level quantizer flop-wall contrast (r13: s31/s32): at EQUAL
+    * leaf count, the flat quantizer's train+assign pays n·cells·d flops
+    * per pass where the hierarchical residual form pays n·(k1+k2)·d —
+    * the measured answer to SCALE.md's "past ~10⁷ vectors per shard,
+    * move to a two-level coarse quantizer" note. Both timings are
+    * END-TO-END (train + assign + count) at the corpus-derived leaf
+    * count the registered deployment would use. Runs standalone via
+    * `runMain graft.DecadeProbe ivf2only` so a decade point doesn't
+    * re-pay the full probe sweep.
+    */
+  private def ivf2Contrast()(implicit env: ProbeEnv): Unit = {
+    import env._
+    val nVec = emb.count()
+    val cellsAuto = graft.ext.Similarity.autoCells(nVec)
+    val (k1, k2) = graft.ext.IVF.autoK1K2(nVec)
+    def timed(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val v = try f catch { case e: Throwable =>
+        System.err.println(s"[decade] $name failed: ${e.getMessage}"); -1L }
+      println(f"""{"query":"$name","sf_dir":"$sfDir","sec":${(System.nanoTime() - t0) / 1e9}%.3f,"rows":$v}""")
+    }
+    timed(s"ivf_flat_train_assign[cells=$cellsAuto]") {
+      graft.ext.IVF.assignTable(emb, "vec_id", "embedding",
+        cellsAuto, iters = 3).count()
+    }
+    timed(s"ivf2_train_assign[k1=$k1,k2=$k2]") {
+      graft.ext.IVF.twoLevelAssignTable(emb, "vec_id", "embedding",
+        k1, k2, iters = 3).count()
+    }
+    // assignment-ONLY contrast (models pre-trained): this is the
+    // component the flop wall lives in — training's decimal-sum update
+    // is Θ(n·d) regardless of cell count and dominates end-to-end at
+    // probe scales, masking the n·cells·d vs n·(k1+k2)·d assignment gap
+    // that decides the next decade.
+    val v = emb.select(col("vec_id").as("vid"),
+      col("embedding").cast("array<double>").as("v"))
+    val l1flat = graft.ext.IVF.kmeansCentroids(
+      emb, "vec_id", "embedding", cellsAuto, iters = 3)
+    timed(s"ivf_flat_assign_only[cells=$cellsAuto]") {
+      graft.ext.IVF.assignCells(v, l1flat).count()
+    }
+    val (l1h, l2h, _) = graft.ext.IVF.twoLevelModel(
+      emb, "vec_id", "embedding", k1, k2, iters = 3)
+    timed(s"ivf2_assign_only[k1=$k1,k2=$k2]") {
+      val res = graft.ext.IVF.assignCells(v, l1h)
+        .join(broadcast(l1h), "cell")
+        .select(col("vid"),
+          zip_with(col("v"), col("c"), (a, b) => a - b).as("v"))
+      graft.ext.IVF.assignCells(res, l2h).count()
+    }
+  }
+
+  private case class ProbeEnv(emb: org.apache.spark.sql.DataFrame, sfDir: String)
 }

@@ -90,6 +90,35 @@ object SparkEntry {
         .select(functions.col("cell"), functions.col("pos"),
           functions.col("col").as("value"))
         .orderBy("cell", "pos")),
+    // The two-level quantizer's model tables behind s31/s32 (same
+    // flattened (cell, pos, value) shape): L1 is a plain k1-cell
+    // kmeansCentroids call; L2 is the residual codebook, which depends on
+    // the full L1 train+assign+subtract chain — IVF.twoLevelModel is
+    // deterministic by construction end-to-end, so this separate staging
+    // call reproduces the query's internals bit-for-bit (the
+    // _staged_ivf_centroids discipline, one level deeper). Level sizes
+    // derive from the corpus count (IVF.autoK1K2) in BOTH the staging
+    // and the registered queries — the s12 derived-knob discipline.
+    "_staged_ivf2_l1" -> ((s, dir) => {
+      val emb = graft.core.Tables.embeddings(s, dir)
+      val (k1, _) = graft.ext.IVF.autoK1K2(emb.count())
+      graft.ext.IVF.kmeansCentroids(emb, "vec_id", "embedding",
+          k = k1, iters = 3)
+        .select(functions.col("cell"), functions.posexplode(functions.col("c")))
+        .select(functions.col("cell"), functions.col("pos"),
+          functions.col("col").as("value"))
+        .orderBy("cell", "pos")
+    }),
+    "_staged_ivf2_l2" -> ((s, dir) => {
+      val emb = graft.core.Tables.embeddings(s, dir)
+      val (k1, k2) = graft.ext.IVF.autoK1K2(emb.count())
+      graft.ext.IVF.twoLevelModel(emb, "vec_id", "embedding",
+          k1 = k1, k2 = k2, iters = 3)._2
+        .select(functions.col("cell"), functions.posexplode(functions.col("c")))
+        .select(functions.col("cell"), functions.col("pos"),
+          functions.col("col").as("value"))
+        .orderBy("cell", "pos")
+    }),
     "_staged_lsh_bands" -> ((s, dir) =>
       graft.ext.Dedup.lshBandTable(
         graft.core.Tables.documents(s, dir),

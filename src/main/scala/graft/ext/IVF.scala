@@ -128,15 +128,21 @@ object IVF {
     * IVFSkewSpec's kernel-vs-join parity test. Bonus: assignment no
     * longer shuffles at all.
     */
-  private[graft] def assignCells(v: DataFrame, centroids: DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.register(v.sparkSession)
-    // k rows of driver state — the established k-row-collect discipline
+  private[graft] def assignCells(v: DataFrame, centroids: DataFrame): DataFrame =
+    v.select(col("vid"), col("v"), nearestCellExpr(centroids, col("v")).as("cell"))
+
+  /** The [[assignCells]] argmin as a bare Column, so callers that carry
+    * extra columns (the two-level residual assignment keeps cell1) can
+    * project it in place. Collects the k-row centroid table into the
+    * expression as literals — the established k-row-collect discipline.
+    */
+  private def nearestCellExpr(centroids: DataFrame, v: Column): Column = {
+    graft.functions.GraftFunctions.register(centroids.sparkSession)
     val rows = centroids.select(col("cell").cast("int"), col("c")).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
-    v.select(col("vid"), col("v"),
-      call_function("graft_nearest_cell", col("v"),
-        typedLit(rows.map(_._1).toSeq),
-        typedLit(rows.map(_._2).toSeq)).as("cell"))
+    call_function("graft_nearest_cell", v,
+      typedLit(rows.map(_._1).toSeq),
+      typedLit(rows.map(_._2).toSeq))
   }
 
   /** The r12 join-formulation argmin, kept as the parity REFERENCE the
@@ -190,6 +196,134 @@ object IVF {
     val assignedN = assigned.withColumn("v_norm", sqrt(dotNative(col("v"), col("v"))))
     val probesN   = probes.withColumn("q_norm", sqrt(dotNative(col("q_vec"), col("q_vec"))))
     val cands = probesN.join(assignedN, "cell")
+      .filter(col("vid") =!= col("q_id"))
+    val cos = round(
+      dotNative(col("q_vec"), col("v")) / (col("q_norm") * col("v_norm")), 6)
+    val wr = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vid"))
+    cands.withColumn("cos", cos)
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vid").as("c_id"), col("cos"),
+        col("rn").cast("int").as("rn"))
+  }
+
+  // ---------- two-level (residual) coarse quantizer ----------
+  //
+  // The flat quantizer's assignment costs n·cells·d flops; with cells
+  // scaled to the corpus (Similarity.autoCells) that is quadratic in
+  // FLOPS even after the map-only kernel made it linear in ROWS — the
+  // wall SCALE.md documents at ~10⁷ vectors/shard. The classic fix is
+  // hierarchical: a k1-cell first level over the vectors plus a k2-cell
+  // SECOND level trained on the residuals (v − c1), giving k1·k2
+  // addressable leaves for n·(k1+k2)·d assignment flops — √ of the flat
+  // cost at equal leaf count. The leaf key (cell1, cell2) is the
+  // partition pair a 100 TB deployment persists, exactly like the flat
+  // assignTable's single cell column.
+
+  /** Corpus-derived level sizes: k1·k2 ≈ Similarity.autoCells(n) leaves
+    * (the flat deployment's constant-occupancy knob), split ~evenly so
+    * assignment flops are the minimal k1+k2 per vector. The registered
+    * queries AND Verify's staging both derive from the same corpus
+    * count, so the staged model tables always match the graded query's
+    * training — the s12 derived-knob discipline.
+    */
+  def autoK1K2(n: Long): (Int, Int) = {
+    val cells = Similarity.autoCells(n)
+    val k1 = math.max(2, math.ceil(math.sqrt(cells.toDouble)).toInt)
+    (k1, math.max(2, math.ceil(cells.toDouble / k1).toInt))
+  }
+
+  private def resolveK(emb: DataFrame, k1: Int, k2: Int): (Int, Int) =
+    if (k1 > 0 && k2 > 0) (k1, k2) else autoK1K2(emb.count())
+
+  /** Train both levels. Returns (l1 centroids, l2 residual centroids,
+    * assigned) where assigned = (vid, v, cell1, cell2). Deterministic by
+    * construction end-to-end: both k-means are [[kmeansCentroids]]
+    * (hash-spread init, decimal-sum means), the L1 assignment is the
+    * native argmin kernel, and the residual is exact IEEE elementwise
+    * subtraction — so a second call (Verify's staging) reproduces every
+    * value bit-for-bit, the property the s31 oracle relies on.
+    */
+  private[graft] def twoLevelModel(emb: DataFrame, id: String, vec: String,
+                                   k1: Int, k2: Int, iters: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val v = emb.select(col(id).as("vid"), col(vec).cast("array<double>").as("v"))
+    val l1 = kmeansCentroids(emb, id, vec, k1, iters)
+    // residuals against the OWN cell's centroid: one broadcast join with
+    // the k1-row centroid table, materialized once (localCheckpoint) —
+    // the L2 training loop would otherwise re-run scan+assign+join per
+    // iteration, the Mining.decileLiftBucketed lesson.
+    val res = assignCells(v, l1)
+      .join(broadcast(l1), "cell")
+      .select(col("vid"), col("v"), col("cell").as("cell1"),
+        zip_with(col("v"), col("c"), (a, b) => a - b).as("r"))
+      .localCheckpoint(true)
+    val l2 = kmeansCentroids(res, "vid", "r", k2, iters)
+    val assigned = res.select(col("vid"), col("v"), col("cell1"),
+      nearestCellExpr(l2, col("r")).as("cell2"))
+    (l1, l2, assigned)
+  }
+
+  /** The stored two-level index: (vid, cell1, cell2) for every vector —
+    * the composite partition key of the hierarchical deployment. Same
+    * contract as [[assignTable]], one level deeper. k1/k2 ≤ 0 (the
+    * default) derives both from the corpus count ([[autoK1K2]]).
+    */
+  def twoLevelAssignTable(emb: DataFrame, id: String, vec: String,
+                          k1: Int = 0, k2: Int = 0, iters: Int = 3): DataFrame = {
+    val (kk1, kk2) = resolveK(emb, k1, k2)
+    val (_, _, assigned) = twoLevelModel(emb, id, vec, kk1, kk2, iters)
+    assigned.select(col("vid"), col("cell1"), col("cell2"))
+  }
+
+  /** Two-level IVF top-k: probe the nprobe1 nearest L1 cells, then within
+    * each the nprobe2 nearest L2 residual cells — candidates are the
+    * vectors in the probed (cell1, cell2) leaves, exact-cosine ranked.
+    * Query-side probing touches k1 + nprobe1·k2 centroids per query
+    * instead of the flat form's k1·k2; the corpus side reads
+    * ~(nprobe1·nprobe2)/(k1·k2) of the data via leaf pruning. Returns
+    * (q_id, c_id, cos, rn) — the [[ivfTopKWith]] contract.
+    */
+  def ivf2TopK(emb: DataFrame, id: String, vec: String, queryPred: Column,
+               k: Int = 5, k1: Int = 0, k2: Int = 0,
+               nprobe1: Int = 2, nprobe2: Int = 2, iters: Int = 3): DataFrame = {
+    val (kk1, kk2) = resolveK(emb, k1, k2)
+    val (l1, l2, assigned) = twoLevelModel(emb, id, vec, kk1, kk2, iters)
+    val q = emb.filter(queryPred)
+      .select(col(id).as("q_id"), col(vec).cast("array<double>").as("q_vec"))
+    ivf2TopKWith(l1, l2, assigned, q, k, nprobe1, nprobe2)
+  }
+
+  /** [[ivf2TopK]] against a pre-trained model — the s27-style shape that
+    * lets a probe sweep reuse one training run.
+    */
+  private[graft] def ivf2TopKWith(l1: DataFrame, l2: DataFrame,
+                                  assigned: DataFrame, q: DataFrame,
+                                  k: Int, nprobe1: Int, nprobe2: Int): DataFrame = {
+    val d1 = dotNative(col("q_vec"), col("q_vec")) -
+      lit(2.0) * dotNative(col("q_vec"), col("c")) +
+      dotNative(col("c"), col("c"))
+    val w1 = Window.partitionBy("q_id").orderBy(col("d2"), col("cell"))
+    val probes1 = q.crossJoin(broadcast(l1))
+      .withColumn("d2", d1)
+      .withColumn("rn", row_number().over(w1))
+      .filter(col("rn") <= nprobe1)
+      .select(col("q_id"), col("q_vec"), col("cell").as("cell1"),
+        zip_with(col("q_vec"), col("c"), (a, b) => a - b).as("rq"))
+    val d2c = dotNative(col("rq"), col("rq")) -
+      lit(2.0) * dotNative(col("rq"), col("c")) +
+      dotNative(col("c"), col("c"))
+    val w2 = Window.partitionBy("q_id", "cell1").orderBy(col("d2"), col("cell"))
+    val probes = probes1.crossJoin(broadcast(l2))
+      .withColumn("d2", d2c)
+      .withColumn("rn", row_number().over(w2))
+      .filter(col("rn") <= nprobe2)
+      .select(col("q_id"), col("q_vec"), col("cell1"), col("cell").as("cell2"))
+
+    val assignedN = assigned.withColumn("v_norm", sqrt(dotNative(col("v"), col("v"))))
+    val probesN = probes.withColumn("q_norm", sqrt(dotNative(col("q_vec"), col("q_vec"))))
+    val cands = probesN.join(assignedN, Seq("cell1", "cell2"))
       .filter(col("vid") =!= col("q_id"))
     val cos = round(
       dotNative(col("q_vec"), col("v")) / (col("q_norm") * col("v_norm")), 6)

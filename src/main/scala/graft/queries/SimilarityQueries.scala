@@ -229,6 +229,64 @@ object SimilarityQueries {
         .orderBy("cell", "pos")
     },
 
+    // ---- s31: the TWO-LEVEL (residual) coarse quantizer's stored index —
+    //      (vid, cell1, cell2) for every vector, the composite partition
+    //      key of the hierarchical ANN deployment. This is the engine's
+    //      answer to the flat quantizer's flop wall (SCALE.md: n·cells·d
+    //      assignment flops turn quadratic once cells ∝ corpus; two
+    //      levels give k1·k2 leaves for n·(k1+k2)·d flops). FULLY oracled
+    //      one level deeper than s09: given the staged L1 centroids AND
+    //      the staged L2 residual codebook, DuckDB re-derives BOTH
+    //      argmins from raw embeddings — the L1 assignment (s09's float
+    //      chain), the exact IEEE residual subtraction (elementwise
+    //      v[i] − c[i] matches zip_with), and the L2 residual argmin.
+    //      A wrong distance, tie-break, residual arithmetic, or dropped
+    //      vector at either level turns the board red. Only the two
+    //      centroid tables stay engine-trusted (k-means isn't
+    //      SQL-expressible) — and s30 grades how THOSE are produced.
+    //      Level sizes derive from the corpus count (IVF.autoK1K2, the
+    //      s12 derived-knob discipline); staging derives identically. ----
+    QueryDef("s31_ivf2_cells",
+      s"""WITH l1 AS (SELECT cell, list(value ORDER BY pos) AS c
+         |            FROM read_parquet('${ClimateQueries.OutToken}/_staged_ivf2_l1/*.parquet')
+         |            GROUP BY cell),
+         |l2 AS (SELECT cell, list(value ORDER BY pos) AS c
+         |       FROM read_parquet('${ClimateQueries.OutToken}/_staged_ivf2_l2/*.parquet')
+         |       GROUP BY cell),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |a1 AS (SELECT vec_id, cell AS cell1, c FROM (
+         |  SELECT v.vec_id, l1.cell, l1.c,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      list_dot_product(v.e, v.e) - 2.0 * list_dot_product(v.e, l1.c)
+         |        + list_dot_product(l1.c, l1.c), l1.cell) AS rn
+         |  FROM v CROSS JOIN l1) WHERE rn = 1),
+         |r AS (SELECT a1.vec_id, a1.cell1,
+         |        list_transform(range(1, len(v.e) + 1), i -> v.e[i] - a1.c[i]) AS r
+         |      FROM a1 JOIN v ON v.vec_id = a1.vec_id)
+         |SELECT vec_id AS vid, cell1, cell AS cell2 FROM (
+         |  SELECT r.vec_id, r.cell1, l2.cell,
+         |    row_number() OVER (PARTITION BY r.vec_id ORDER BY
+         |      list_dot_product(r.r, r.r) - 2.0 * list_dot_product(r.r, l2.c)
+         |        + list_dot_product(l2.c, l2.c), l2.cell) AS rn
+         |  FROM r CROSS JOIN l2) WHERE rn = 1
+         |ORDER BY vid""".stripMargin) { (s, dir) =>
+      graft.ext.IVF.twoLevelAssignTable(Tables.embeddings(s, dir),
+          "vec_id", "embedding")
+        .orderBy("vid")
+    },
+
+    // Two-level IVF ANN top-k: hierarchical probe (nprobe1 L1 cells, then
+    // nprobe2 residual cells within each), exact-cosine rank over the
+    // probed leaves — the s04 grading discipline (candidate set
+    // engine-trusted, rerank DuckDB re-derived), with s31 grading the
+    // leaf assignment itself and IVFSpec pinning full-probe == brute.
+    QueryDef("s32_ann_ivf2", stagedRerankSql("s32_ann_ivf2")) { (s, dir) =>
+      graft.ext.IVF.ivf2TopK(Tables.embeddings(s, dir),
+          "vec_id", "embedding", col("vec_id") % 50 === 0,
+          k = 5, nprobe1 = 2, nprobe2 = 2)
+        .orderBy("q_id", "rn")
+    },
+
     // Cluster-scoped semantic dedup (SemDeDup shape): k-means cells bound
     // the pair space to n²/cells; same any-lower-id rule as s06's exact
     // form. Given the staged s09 cell table (same deterministic

@@ -65,6 +65,49 @@ class IVFSpec extends SparkSpec {
       .select("q_id", "c_id").as[(Long, Long)].collect().toSet
     assert(all == brute, "nprobe == cells must reduce to exact search")
   }
+
+  test("ivf2TopK: probing every leaf reduces to brute force; honest probe returns k per query") {
+    val emb = Tables.embeddings(spark, sf)
+    val pred = col("vec_id") % 50 === 0
+    // full hierarchical probe = all k1·k2 leaves = every vector is a
+    // candidate → must equal exact search, like the flat nprobe==cells pin
+    val all = IVF.ivf2TopK(emb, "vec_id", "embedding", pred, k = 3,
+        k1 = 3, k2 = 3, nprobe1 = 3, nprobe2 = 3)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", pred, 3)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    assert(all == brute, "full leaf probe must reduce to exact search")
+    val honest = IVF.ivf2TopK(emb, "vec_id", "embedding", pred, k = 3,
+      k1 = 3, k2 = 3, nprobe1 = 2, nprobe2 = 2).collect()
+    assert(honest.nonEmpty)
+    assert(honest.forall(r => r.getLong(0) != r.getLong(1)))
+    assert(honest.groupBy(_.getLong(0)).values.forall(_.length == 3))
+  }
+
+  test("twoLevelAssignTable: total over the corpus, cell1 == flat L1 assignment, valid leaf ids") {
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count()
+    val assigned = IVF.twoLevelAssignTable(emb, "vec_id", "embedding",
+      k1 = 4, k2 = 4, iters = 3).collect()
+    assert(assigned.length == n, "every vector must get a leaf")
+    // cell1 must be exactly the flat quantizer's assignment under the
+    // same deterministic L1 training — the two-level index refines the
+    // flat one, never disagrees with it
+    val l1 = IVF.kmeansCentroids(emb, "vec_id", "embedding", k = 4, iters = 3)
+    val flat = IVF.assignCells(
+        emb.select(col("vec_id").as("vid"),
+          col("embedding").cast("array<double>").as("v")), l1)
+      .select("vid", "cell").as[(Long, Int)].collect().toMap
+    assert(assigned.forall(r => flat(r.getLong(0)) == r.getInt(1)),
+      "cell1 diverges from the flat L1 assignment")
+    val l1Ids = l1.select("cell").as[Int].collect().toSet
+    assert(assigned.map(_.getInt(1)).toSet.subsetOf(l1Ids))
+    // L2 ids come from the residual codebook (possibly sparse after
+    // empty-cell dropout) — every assigned cell2 must be one of them
+    val l2Ids = IVF.twoLevelModel(emb, "vec_id", "embedding", 4, 4, 3)
+      ._2.select("cell").as[Int].collect().toSet
+    assert(assigned.map(_.getInt(2)).toSet.subsetOf(l2Ids))
+  }
 }
 
 /** Measured evidence for SCALE.md's "AQE owns skew" claim: with skew-join
