@@ -10,12 +10,12 @@ import Similarity.dotNative
   * cells nearest to each query — the second scale path for ANN alongside
   * random-projection LSH (Similarity.annTopK).
   *
-  * Everything is DataFrame-native: assignment is a broadcast cross join
-  * against the (tiny, k-row) centroid table + ranked window argmin;
-  * centroid recomputation is a posexplode + per-(cell, dim) average.
-  * Centroids are driver-collected between iterations — k·d doubles, the
-  * same order of driver state as any broadcast dimension; the VECTORS
-  * never leave the executors.
+  * Everything is DataFrame-native: assignment is a map-only projection
+  * through the native NearestCell argmin kernel (the k·d centroid matrix
+  * rides in as literals); centroid recomputation is a posexplode +
+  * per-(cell, dim) decimal-exact average. Centroids are driver-collected
+  * between iterations — k·d doubles, the same order of driver state as
+  * any broadcast dimension; the VECTORS never leave the executors.
   *
   * At 100 TB: cells are the partition pruning unit — a query touches
   * nprobe/k of the data. The cell assignment is written once (a stored
