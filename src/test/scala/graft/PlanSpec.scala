@@ -753,6 +753,23 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("s31 two-level assignment: post-build plan is a map-only projection — no join, no corpus re-scan") {
+    // the whole point of the hierarchical quantizer: the L1 assign +
+    // residual join happen ONCE at build time behind the eager
+    // localCheckpoint, so the query-side plan is a bare projection (the
+    // L2 kernel) over the materialized residual table. A Join or
+    // FileScan here means the build leaked into the per-query path; the
+    // only Exchange allowed is the output orderBy's range partitioning.
+    val plan = SparkEntry.queries("s31_ivf2_cells")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"build-time join leaked into the query plan: $plan")
+    assert(!plan.contains("FileScan"), s"corpus re-scanned at query time: $plan")
+    assert(plan.contains("ExistingRDD"), s"expected the checkpointed residual table: $plan")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    val rangeEx = "Exchange rangepartitioning".r.findAllIn(plan).length
+    assert(exchanges == rangeEx, s"non-orderBy shuffle in the assignment path: $plan")
+  }
+
   test("q154/q155/q156/q118: the bucketed-rank family plans with ZERO unpartitioned WindowExec") {
     // the whole point of the twins (and the q118 swap): the exact global
     // rank is computed without ever moving the input into one window task
