@@ -287,6 +287,124 @@ object SimilarityQueries {
         .orderBy("q_id", "rn")
     },
 
+    // ---- s33: the two-level quantizer's recall sweep — s27's evaluation
+    //      harness applied to the hierarchical form (t46 : LSH ::
+    //      s27 : flat IVF :: s33 : two-level). recall@5 at
+    //      (nprobe1, nprobe2) ∈ {(1,1),(2,2),(3,3)} vs brute-force
+    //      truth, trained ONCE for the sweep (ivf2TopKWith). FULLY
+    //      re-derived by DuckDB from the two staged codebooks: leaf
+    //      assignment (s31's chain), the hierarchical query probe (L1
+    //      rank, per-probed-cell residual rank — filtering the full
+    //      rank table per config equals the engine's filter-then-rank
+    //      because per-cell1 residual ranks are config-independent),
+    //      per-config top-5, brute truth, hit counts. At the gate
+    //      scales k1 = k2 = 3, so the (3,3) row probes every leaf and
+    //      must read recall = 1.0 — the IVFSpec reduction visible in
+    //      the graded output itself. ----
+    QueryDef("s33_ivf2_recall", {
+      def configSql(tag: String, p1: Int, p2: Int): String =
+        s"""ivf$tag AS (SELECT q_id, c_id FROM (
+           |  SELECT q.q_id, a.vid AS c_id,
+           |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+           |      round(list_dot_product(q.qe, c.e) /
+           |        (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.e, c.e))), 6)
+           |        DESC, a.vid) AS rn
+           |  FROM qv q
+           |  JOIN (SELECT q_id, cell1, cell2 FROM q2
+           |        WHERE rn1 <= $p1 AND rn2 <= $p2) pr ON pr.q_id = q.q_id
+           |  JOIN assign a ON a.cell1 = pr.cell1 AND a.cell2 = pr.cell2
+           |  JOIN v c ON c.vec_id = a.vid
+           |  WHERE a.vid <> q.q_id) WHERE rn <= 5),
+           |hit$tag AS (SELECT count(*) AS h FROM ivf$tag i
+           |            JOIN brute b ON b.q_id = i.q_id AND b.c_id = i.c_id)"""
+          .stripMargin
+      s"""WITH l1 AS (SELECT cell, list(value ORDER BY pos) AS c
+         |            FROM read_parquet('${ClimateQueries.OutToken}/_staged_ivf2_l1/*.parquet')
+         |            GROUP BY cell),
+         |l2 AS (SELECT cell, list(value ORDER BY pos) AS c
+         |       FROM read_parquet('${ClimateQueries.OutToken}/_staged_ivf2_l2/*.parquet')
+         |       GROUP BY cell),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |a1 AS (SELECT vec_id, cell AS cell1, c FROM (
+         |  SELECT v.vec_id, l1.cell, l1.c,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      list_dot_product(v.e, v.e) - 2.0 * list_dot_product(v.e, l1.c)
+         |        + list_dot_product(l1.c, l1.c), l1.cell) AS rn
+         |  FROM v CROSS JOIN l1) WHERE rn = 1),
+         |r AS (SELECT a1.vec_id, a1.cell1,
+         |        list_transform(range(1, len(v.e) + 1), i -> v.e[i] - a1.c[i]) AS r
+         |      FROM a1 JOIN v ON v.vec_id = a1.vec_id),
+         |assign AS (SELECT vec_id AS vid, cell1, cell AS cell2 FROM (
+         |  SELECT r.vec_id, r.cell1, l2.cell,
+         |    row_number() OVER (PARTITION BY r.vec_id ORDER BY
+         |      list_dot_product(r.r, r.r) - 2.0 * list_dot_product(r.r, l2.c)
+         |        + list_dot_product(l2.c, l2.c), l2.cell) AS rn
+         |  FROM r CROSS JOIN l2) WHERE rn = 1),
+         |qv AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id % 50 = 0),
+         |q1 AS (SELECT q.q_id, q.qe, l1.cell AS cell1, l1.c,
+         |         row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |           list_dot_product(q.qe, q.qe) - 2.0 * list_dot_product(q.qe, l1.c)
+         |             + list_dot_product(l1.c, l1.c), l1.cell) AS rn1
+         |       FROM qv q CROSS JOIN l1),
+         |q1r AS (SELECT q_id, cell1, rn1,
+         |          list_transform(range(1, len(qe) + 1), i -> qe[i] - c[i]) AS rq
+         |        FROM q1),
+         |q2 AS (SELECT q1r.q_id, q1r.cell1, q1r.rn1, l2.cell AS cell2,
+         |         row_number() OVER (PARTITION BY q1r.q_id, q1r.cell1 ORDER BY
+         |           list_dot_product(q1r.rq, q1r.rq) - 2.0 * list_dot_product(q1r.rq, l2.c)
+         |             + list_dot_product(l2.c, l2.c), l2.cell) AS rn2
+         |       FROM q1r CROSS JOIN l2),
+         |brute AS (SELECT q_id, c_id FROM (
+         |  SELECT q.q_id, c.vec_id AS c_id,
+         |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |      round(list_dot_product(q.qe, c.e) /
+         |        (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.e, c.e))), 6)
+         |        DESC, c.vec_id) AS rn
+         |  FROM qv q CROSS JOIN v c WHERE c.vec_id <> q.q_id) WHERE rn <= 5),
+         |nq AS (SELECT count(*) AS n FROM qv),
+         |${configSql("a", 1, 1)},
+         |${configSql("b", 2, 2)},
+         |${configSql("c", 3, 3)}
+         |SELECT * FROM (
+         |  SELECT 1 AS nprobe1, 1 AS nprobe2, nq.n AS n_queries, hita.h AS n_hits,
+         |    CAST(hita.h AS DOUBLE) / (5 * nq.n) AS recall
+         |  FROM nq CROSS JOIN hita
+         |  UNION ALL SELECT 2, 2, nq.n, hitb.h, CAST(hitb.h AS DOUBLE) / (5 * nq.n)
+         |  FROM nq CROSS JOIN hitb
+         |  UNION ALL SELECT 3, 3, nq.n, hitc.h, CAST(hitc.h AS DOUBLE) / (5 * nq.n)
+         |  FROM nq CROSS JOIN hitc)
+         |ORDER BY nprobe1""".stripMargin
+    }) { (s, dir) =>
+      // brute-force truth scans queries × corpus BY DESIGN — refuse
+      // loudly past the evaluation-sample envelope (Guard discipline)
+      val emb = graft.core.Guard.quadratic(Tables.embeddings(s, dir),
+        "s33_ivf2_recall brute-force truth")
+      val pred = col("vec_id") % 50 === 0
+      val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", pred, k = 5)
+        .select(col("q_id"), col("c_id")).localCheckpoint()
+      val nq = emb.filter(pred).agg(count(lit(1)).as("n_queries"))
+      // train ONCE for the whole sweep: quantizer + leaf assignment are
+      // probe-independent (the s27 move, one level deeper)
+      val (k1, k2) = graft.ext.IVF.autoK1K2(emb.count())
+      val (l1, l2, assigned0) = graft.ext.IVF.twoLevelModel(
+        emb, "vec_id", "embedding", k1, k2, iters = 3)
+      val assigned = assigned0.localCheckpoint()
+      val q = emb.filter(pred).select(col("vec_id").as("q_id"),
+        col("embedding").cast("array<double>").as("q_vec"))
+      Seq((1, 1), (2, 2), (3, 3)).map { case (p1, p2) =>
+        val hits = graft.ext.IVF.ivf2TopKWith(l1, l2, assigned, q,
+            k = 5, nprobe1 = p1, nprobe2 = p2)
+          .select(col("q_id"), col("c_id"))
+          .join(brute, Seq("q_id", "c_id"))
+          .agg(count(lit(1)).as("n_hits"))
+        nq.crossJoin(hits)
+          .select(lit(p1).as("nprobe1"), lit(p2).as("nprobe2"),
+            col("n_queries"), col("n_hits"),
+            (col("n_hits").cast("double") / (lit(5) * col("n_queries")))
+              .as("recall"))
+      }.reduce(_ unionByName _).orderBy("nprobe1")
+    },
+
     // Cluster-scoped semantic dedup (SemDeDup shape): k-means cells bound
     // the pair space to n²/cells; same any-lower-id rule as s06's exact
     // form. Given the staged s09 cell table (same deterministic
