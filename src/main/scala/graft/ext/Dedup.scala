@@ -308,6 +308,62 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Incremental (cross-collection) prefix-filter probe: a NEW BATCH's
+    * full shingle rows against a stored CORPUS prefix index — the
+    * deployment shape of continuous ingestion (probe the index before
+    * inserting the batch). Returns (id_a=batch doc, id_b=corpus doc,
+    * n_inter, n_a, n_b, jaccard) for all cross pairs with J ≥ τ;
+    * batch-internal pairs are [[prefixFilterPairs]]' job, not this one's.
+    *
+    * Completeness needs NO shared token ordering: full(batch) ⋈
+    * prefix(corpus) is exhaustive for ANY per-doc prefix order, because
+    * J(a,b) ≥ τ ⟹ |∩| ≥ τ·|union| ≥ τ·n_b > n_b − prefix_len(b), so the
+    * intersection cannot avoid b's prefix (pigeonhole) — whereas the
+    * self-join form's pref ⋈ pref needs the global df order both sides.
+    * So the batch probes with zero knowledge of the corpus' df
+    * statistics, and the stored index never recomputes for a new batch.
+    * Verified complete vs brute force in DedupSpec.
+    *
+    * Scale: candidate volume is (batch tokens) ⋈ (corpus prefixes) — the
+    * batch is deployment-small, the corpus side is its τ-prefix only,
+    * and the length filter prunes before the distinct. The verify joins
+    * carry the batch's own fresh signature arrays and the STORED corpus
+    * signatures (size-gate the broadcast exactly as
+    * [[pairsFromPrefixIndex]]).
+    */
+  def crossPrefixProbe(batchSh: DataFrame, corpusPref: DataFrame,
+                       corpusSigs: DataFrame, tauNum: Int, tauDen: Int,
+                       broadcastSigs: Boolean): DataFrame = {
+    graft.functions.GraftFunctions.register(batchSh.sparkSession)
+    val bSizes = batchSh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    val cand = batchSh.as("b")
+      .join(bSizes.withColumnRenamed("doc", "bdoc").as("z"),
+        col("b.doc") === col("z.bdoc"))
+      .join(corpusPref.as("p"), col("b.h") === col("p.h"))
+      .filter(col("z.n_sh") * tauDen >= col("p.n_sh") * tauNum &&
+        col("p.n_sh") * tauDen >= col("z.n_sh") * tauNum)
+      .select(col("b.doc").as("id_a"), col("p.doc").as("id_b"))
+      .distinct()
+    val bSigs = signatureTable(batchSh)
+    val hint: DataFrame => DataFrame =
+      if (broadcastSigs) broadcast(_) else identity
+    cand
+      .join(bSigs.select(col("doc").as("id_a"), col("hs").as("ha")), "id_a")
+      .join(hint(corpusSigs.select(col("doc").as("id_b"), col("hs").as("hb"))),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        call_function("graft_sorted_intersect_count",
+          col("ha"), col("hb")).as("n_inter"),
+        size(col("ha")).cast("long").as("n_a"),
+        size(col("hb")).cast("long").as("n_b"))
+      .filter(col("n_inter") * (tauDen + tauNum) >=
+        (col("n_a") + col("n_b")) * tauNum)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"), col("n_b"),
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
   // ---------- MinHash + LSH ----------
 
   /** 64-permutation MinHash signature as ONE array column, computed by
@@ -692,5 +748,98 @@ object Dedup {
         sum(when(col("ndocs") >= 2, col("m")).otherwise(lit(0L))).as("dup_grams"))
       .withColumn("dup_ratio",
         round(col("dup_grams").cast("double") / col("n_grams").cast("double"), 6))
+  }
+
+  /** Positional (doc, i, gram) rows — i is the 1-based word index of the
+    * gram's first word. The `w` column is materialized in a Project under
+    * the Generate (the [[shingleRows]] barrier note: an inline split
+    * would re-tokenize per element).
+    */
+  private def positionalGrams(df: DataFrame, id: Column, text: Column,
+                              n: Int): DataFrame =
+    df.select(id.as("doc"), TextOps.words(text).as("w"))
+      .select(col("doc"), posexplode(gramsOfWords(col("w"), n)))
+      .select(col("doc"), (col("pos") + 1).as("i"), col("col").as("gram"))
+
+  /** Maximal duplicated SPANS per document — [[crossDocDupRatio]] gives
+    * the Lee-et-al signal as a ratio; this extracts the actual passages a
+    * substring-level dedup pass would cut. A word position is COVERED
+    * when some n-gram starting at i ≤ pos ≤ i+n−1 appears verbatim in at
+    * least one other document; maximal runs of covered words form the
+    * spans. Returns one row per span: (doc, s, e, n_pos, covered) with
+    * s/e the 1-based first/last duplicated GRAM start and
+    * covered = e − s + n the span's word length.
+    *
+    * Interval-union without interval logic: duplicated gram starts are
+    * sorted per doc, and because every interval has the same length n,
+    * word coverage breaks exactly when the next start exceeds the
+    * previous start + n — so one lag() + running sum(break) groups
+    * positions into maximal covered regions, and Σ covered never double
+    * counts a word. Every window is PARTITIONED BY doc (the global-window
+    * census covers these queries like any other); the only shuffles are
+    * the gram document-frequency aggregate and the dup-flag join back,
+    * both linear in corpus token count. Grouping keys are raw gram
+    * strings so the oracle re-derives every step; at petabyte scale group
+    * on xxhash64(gram) instead (the [[contamination]] trade).
+    */
+  def dupSpanTable(df: DataFrame, id: Column, text: Column,
+                   n: Int = 8): DataFrame = {
+    val pos = positionalGrams(df, id, text, n)
+    val gramDf = pos.groupBy("doc", "gram").agg(count(lit(1)).as("m"))
+      .groupBy("gram").agg(count(lit(1)).as("ndocs"))
+    val dupPos = pos
+      .join(gramDf.filter(col("ndocs") >= 2).select("gram"), "gram")
+      .select("doc", "i")
+    val byDoc = Window.partitionBy("doc").orderBy("i")
+    dupPos
+      .withColumn("brk",
+        when(col("i") - lag("i", 1).over(byDoc) <= n, lit(0)).otherwise(lit(1)))
+      .withColumn("grp", sum("brk").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc", "grp")
+      .agg(min("i").as("s"), max("i").as("e"), count(lit(1)).as("n_pos"))
+      .select(col("doc"), col("s"), col("e"), col("n_pos"),
+        (col("e") - col("s") + n).as("covered"))
+  }
+
+  /** Per-document duplicated-span statistics: span count, duplicated gram
+    * positions, covered word count, longest span, and the covered-word
+    * fraction (the number Lee et al. report per corpus). Every document
+    * with ≥ n words appears — zero rows included, so a dedup gate can
+    * threshold on covered_frac directly.
+    */
+  def dupSpanStats(df: DataFrame, id: Column, text: Column,
+                   n: Int = 8): DataFrame = {
+    val sizes = df.select(id.as("doc"), size(TextOps.words(text)).as("n_words"))
+      .filter(col("n_words") >= n)
+    val agg = dupSpanTable(df, id, text, n)
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_spans"), sum("n_pos").as("dup_positions"),
+        sum("covered").as("covered_words"), max("covered").as("max_span_words"))
+    sizes.join(agg, Seq("doc"), "left")
+      .select(col("doc"), col("n_words"),
+        coalesce(col("n_spans"), lit(0L)).cast("int").as("n_spans"),
+        coalesce(col("dup_positions"), lit(0L)).as("dup_positions"),
+        coalesce(col("covered_words"), lit(0L)).as("covered_words"),
+        coalesce(col("max_span_words"), lit(0L)).cast("int").as("max_span_words"),
+        round(coalesce(col("covered_words"), lit(0L)).cast("double")
+          / col("n_words").cast("double"), 6).as("covered_frac"))
+  }
+
+  /** The k longest duplicated passages in the corpus, with their text
+    * reconstructed by slicing the span back out of the word array —
+    * the reviewable artifact behind a span-removal decision. Ties break
+    * (covered desc, doc asc, s asc); the limit is a TakeOrdered, never a
+    * global sort.
+    */
+  def topDupPassages(df: DataFrame, id: Column, text: Column,
+                     n: Int = 8, k: Int = 20): DataFrame = {
+    val docsW = df.select(id.as("doc"), TextOps.words(text).as("w"))
+    dupSpanTable(df, id, text, n)
+      .join(docsW, "doc")
+      .select(col("doc"), col("s"), col("e"), col("covered"),
+        concat_ws(" ", slice(col("w"), col("s"), col("covered"))).as("passage"))
+      .orderBy(col("covered").desc, col("doc"), col("s"))
+      .limit(k)
   }
 }

@@ -78,6 +78,50 @@ object TextQueries {
     halfPairMemo = None
   }
 
+  /** Build-if-absent STORED τ=2/5 prefix index for the corpus at `dir`
+    * (the s15 stored-index discipline): prefix + signature tables persist
+    * once under a content-stamped location in java.io.tmpdir (a real
+    * deployment writes next to the corpus), and consumers pay two parquet
+    * scans. Shared by t55 (stored self-join dedup) and t58 (incremental
+    * batch probe). Returns (prefix, sigs, shingle row count — the
+    * broadcast size gate's input).
+    */
+  private def storedPrefixIndex(s: SparkSession, dir: String): (DataFrame, DataFrame, Long) = {
+    val docs = Tables.documents(s, dir)
+    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_prefix_index_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val marker = java.nio.file.Paths.get(idxDir, "_GRAFT_INDEX")
+    // order-independent content stamp: a regenerated corpus at the same
+    // path must invalidate the index; ONE agg so the staleness probe
+    // costs a single narrow corpus scan
+    val stampRow = docs.agg(count(lit(1)),
+      sum(xxhash64(col("doc_id"), col("text")))).first()
+    val nShRowsKey = "sh_rows="
+    val stampHead = s"tau=2/5 n=3 docs=${stampRow.getLong(0)} " +
+      s"fp=${stampRow.getLong(1)} src=$dir"
+    val existing =
+      if (java.nio.file.Files.exists(marker))
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+      else ""
+    val built = existing.startsWith(stampHead + "\n")
+    val shRows: Long =
+      if (built)
+        existing.linesIterator.find(_.startsWith(nShRowsKey))
+          .map(_.stripPrefix(nShRowsKey).toLong).getOrElse(0L)
+      else {
+        val sh = Dedup.shingleHashTable(docs, col("doc_id"), col("text"))
+        Dedup.prefixIndexTable(sh, tauNum = 2, tauDen = 5)
+          .write.mode("overwrite").parquet(s"$idxDir/prefix")
+        Dedup.signatureTable(sh)
+          .write.mode("overwrite").parquet(s"$idxDir/sigs")
+        val n = sh.count()
+        java.nio.file.Files.write(marker,
+          (stampHead + "\n" + nShRowsKey + n).getBytes("UTF-8"))
+        n
+      }
+    (s.read.parquet(s"$idxDir/prefix"), s.read.parquet(s"$idxDir/sigs"), shRows)
+  }
+
   /** benchOnly twin of t23 with NO session memos: shingle table, τ=1/2
     * prefix-filter pairs, connected components and survivor argmax all
     * built fresh per call — the c09_full_pipeline pattern, keeping the
@@ -1132,6 +1176,81 @@ object TextQueries {
         .orderBy("doc")
     },
 
+    // ---- t56: t36's EXTRACTION form — maximal duplicated spans, merged
+    //      by interval-union (equal-length intervals sorted by start →
+    //      one lag + running break-sum groups positions into maximal
+    //      covered word regions; Σ covered never double counts). Per doc:
+    //      span count, duplicated gram positions, covered words, longest
+    //      span, covered-word fraction (the Lee-et-al corpus number at
+    //      doc grain, actionable as a gate threshold). Every window is
+    //      doc-partitioned; the two shuffles (gram df + dup-flag join
+    //      back) are linear in corpus tokens. ----
+    QueryDef("t56_dup_span_stats",
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, i, array_to_string(w[i : i + 7], ' ') AS gram
+        |      FROM (SELECT doc_id, w, unnest(range(1, len(w) - 8 + 2)) AS i
+        |            FROM t WHERE len(w) >= 8)),
+        |dfreq AS (SELECT gram, count(DISTINCT doc_id) AS ndocs FROM g GROUP BY 1),
+        |dup AS (SELECT doc_id, i FROM g JOIN dfreq USING (gram) WHERE ndocs >= 2),
+        |fl AS (SELECT doc_id, i,
+        |         CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 8
+        |              THEN 0 ELSE 1 END AS brk
+        |       FROM dup),
+        |sp AS (SELECT doc_id, min(i) AS s, max(i) AS e, count(*) AS n_pos
+        |       FROM (SELECT doc_id, i,
+        |               sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+        |                              ROWS UNBOUNDED PRECEDING) AS grp
+        |             FROM fl)
+        |       GROUP BY doc_id, grp),
+        |agg AS (SELECT doc_id, count(*) AS n_spans, sum(n_pos) AS dup_positions,
+        |          sum(e - s + 8) AS covered_words, max(e - s + 8) AS max_span_words
+        |        FROM sp GROUP BY 1)
+        |SELECT t.doc_id AS doc, CAST(len(w) AS INTEGER) AS n_words,
+        |  CAST(coalesce(n_spans, 0) AS INTEGER) AS n_spans,
+        |  CAST(coalesce(dup_positions, 0) AS BIGINT) AS dup_positions,
+        |  CAST(coalesce(covered_words, 0) AS BIGINT) AS covered_words,
+        |  CAST(coalesce(max_span_words, 0) AS INTEGER) AS max_span_words,
+        |  round(CAST(coalesce(covered_words, 0) AS DOUBLE) / len(w), 6) AS covered_frac
+        |FROM t LEFT JOIN agg USING (doc_id)
+        |WHERE len(w) >= 8 ORDER BY doc""".stripMargin) { (s, dir) =>
+      Dedup.dupSpanStats(Tables.documents(s, dir),
+          col("doc_id"), col("text"), n = 8)
+        .orderBy("doc")
+    },
+
+    // ---- t57: the k longest duplicated passages with their TEXT sliced
+    //      back out of the word array — the reviewable artifact behind a
+    //      span-removal decision (what actually gets cut). Deterministic
+    //      top-k: (covered desc, doc, s) is unique per span; the limit
+    //      plans as TakeOrdered, never a global sort. ----
+    QueryDef("t57_top_dup_passages",
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, i, array_to_string(w[i : i + 7], ' ') AS gram
+        |      FROM (SELECT doc_id, w, unnest(range(1, len(w) - 8 + 2)) AS i
+        |            FROM t WHERE len(w) >= 8)),
+        |dfreq AS (SELECT gram, count(DISTINCT doc_id) AS ndocs FROM g GROUP BY 1),
+        |dup AS (SELECT doc_id, i FROM g JOIN dfreq USING (gram) WHERE ndocs >= 2),
+        |fl AS (SELECT doc_id, i,
+        |         CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 8
+        |              THEN 0 ELSE 1 END AS brk
+        |       FROM dup),
+        |sp AS (SELECT doc_id, min(i) AS s, max(i) AS e
+        |       FROM (SELECT doc_id, i,
+        |               sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+        |                              ROWS UNBOUNDED PRECEDING) AS grp
+        |             FROM fl)
+        |       GROUP BY doc_id, grp)
+        |SELECT sp.doc_id AS doc, CAST(s AS INTEGER) AS s, CAST(e AS INTEGER) AS e,
+        |  CAST(e - s + 8 AS INTEGER) AS covered,
+        |  array_to_string(w[s : e + 7], ' ') AS passage
+        |FROM sp JOIN t ON sp.doc_id = t.doc_id
+        |ORDER BY covered DESC, doc, s LIMIT 20""".stripMargin) { (s, dir) =>
+      Dedup.topDupPassages(Tables.documents(s, dir),
+          col("doc_id"), col("text"), n = 8, k = 20)
+    },
+
     // ---- source-mixture rebalancing (Pile/DoReMi pretraining-mix): keep
     //      the largest subsample hitting target weights 3:2:1 across the
     //      source tiers EXACTLY — all-integer quota arithmetic
@@ -1331,42 +1450,65 @@ object TextQueries {
         |JOIN sz zb ON zb.doc = id_b
         |WHERE 7 * n_inter >= 2 * (za.n_sh + zb.n_sh)
         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      // deterministic per-sf location under java.io.tmpdir (local path →
-      // java.nio is sound; a real deployment writes next to the corpus)
-      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_prefix_index_" +
-        java.lang.Integer.toHexString(dir.hashCode)
-      val marker = java.nio.file.Paths.get(idxDir, "_GRAFT_INDEX")
-      // order-independent content stamp (s15 discipline): a regenerated
-      // corpus at the same path must invalidate the index; ONE agg so
-      // the staleness probe costs a single narrow corpus scan
-      val stampRow = docs.agg(count(lit(1)),
-        sum(xxhash64(col("doc_id"), col("text")))).first()
-      val nShRowsKey = "sh_rows="
-      val stampHead = s"tau=2/5 n=3 docs=${stampRow.getLong(0)} " +
-        s"fp=${stampRow.getLong(1)} src=$dir"
-      val existing =
-        if (java.nio.file.Files.exists(marker))
-          new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
-        else ""
-      val built = existing.startsWith(stampHead + "\n")
-      val shRows: Long =
-        if (built)
-          existing.linesIterator.find(_.startsWith(nShRowsKey))
-            .map(_.stripPrefix(nShRowsKey).toLong).getOrElse(0L)
-        else {
-          val sh = Dedup.shingleHashTable(docs, col("doc_id"), col("text"))
-          Dedup.prefixIndexTable(sh, tauNum = 2, tauDen = 5)
-            .write.mode("overwrite").parquet(s"$idxDir/prefix")
-          Dedup.signatureTable(sh)
-            .write.mode("overwrite").parquet(s"$idxDir/sigs")
-          val n = sh.count()
-          java.nio.file.Files.write(marker,
-            (stampHead + "\n" + nShRowsKey + n).getBytes("UTF-8"))
-          n
-        }
-      Dedup.pairsFromPrefixIndex(
-          s.read.parquet(s"$idxDir/prefix"), s.read.parquet(s"$idxDir/sigs"),
+      val (pref, sigs, shRows) = storedPrefixIndex(s, dir)
+      Dedup.pairsFromPrefixIndex(pref, sigs,
+          tauNum = 2, tauDen = 5, broadcastSigs = shRows * 8L <= (64L << 20))
+        .orderBy("id_a", "id_b")
+    },
+
+    // ---- t58: INCREMENTAL dedup — the continuous-ingestion shape: a
+    //      new batch (doc_id % 10 = 7, ~10% of the corpus) probes the
+    //      SAME stored τ=2/5 prefix index t55 maintains, restricted to
+    //      the pre-existing corpus side, before it would be inserted.
+    //      Cross pairs only (batch-internal dups are t40's job). The
+    //      full(batch) ⋈ prefix(corpus) form is complete for ANY prefix
+    //      ordering (J ≥ τ ⟹ |∩| ≥ τ·n_corpus > n_corpus − prefix_len,
+    //      pigeonhole) — the batch needs zero knowledge of the corpus df
+    //      order, so the stored index never recomputes per batch. The
+    //      query path tokenizes ONLY the batch; the corpus contributes
+    //      two parquet scans. ----
+    QueryDef("t58_incremental_dedup",
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id AS doc, unnest(list_distinct(
+        |    list_transform(range(1, len(w) - 1),
+        |                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+        |  FROM docs),
+        |dfq AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+        |sz AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY 1),
+        |pref AS (
+        |  SELECT doc, s, n_sh FROM (
+        |    SELECT h.doc, h.s, z.n_sh,
+        |      row_number() OVER (PARTITION BY h.doc ORDER BY d.df, h.s) AS pos
+        |    FROM sh h JOIN dfq d USING (s) JOIN sz z USING (doc))
+        |  WHERE pos <= n_sh - ((2 * n_sh + 4) // 5) + 1),
+        |cand AS (
+        |  SELECT DISTINCT b.doc AS id_a, p.doc AS id_b
+        |  FROM sh b JOIN sz zb ON zb.doc = b.doc
+        |  JOIN pref p ON p.s = b.s
+        |  WHERE b.doc % 10 = 7 AND p.doc % 10 != 7
+        |    AND zb.n_sh * 5 >= p.n_sh * 2 AND p.n_sh * 5 >= zb.n_sh * 2),
+        |inter AS (
+        |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+        |  FROM cand c
+        |  JOIN sh a ON a.doc = c.id_a
+        |  JOIN sh b ON b.doc = c.id_b AND b.s = a.s
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_inter, za.n_sh AS n_a, zb.n_sh AS n_b,
+        |  round(CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter), 6)
+        |    AS jaccard
+        |FROM inter
+        |JOIN sz za ON za.doc = id_a
+        |JOIN sz zb ON zb.doc = id_b
+        |WHERE 7 * n_inter >= 2 * (za.n_sh + zb.n_sh)
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val (pref, sigs, shRows) = storedPrefixIndex(s, dir)
+      val batch = Tables.documents(s, dir).filter(col("doc_id") % 10 === 7)
+      val bSh = Dedup.shingleHashTable(batch, col("doc_id"), col("text"))
+      Dedup.crossPrefixProbe(bSh,
+          pref.filter(col("doc") % 10 =!= 7), sigs.filter(col("doc") % 10 =!= 7),
           tauNum = 2, tauDen = 5, broadcastSigs = shRows * 8L <= (64L << 20))
         .orderBy("id_a", "id_b")
     },

@@ -391,6 +391,70 @@ class TextOpsSpec extends SparkSpec {
       (4L, 4L, 2L, 0.5)), s"got $got")
   }
 
+  test("dupSpanStats: interval-union merge, cross-doc-only rule, zero rows kept, short docs absent") {
+    val df = Seq(
+      (1L, "a b c d e f"),     // dup bigram starts {1,2,4,5} → word cover 1..6 is contiguous → ONE span
+      (2L, "a b c x d e f"),   // dup starts {1,2,5,6} → gap (2→5 breaks at n=2) → TWO spans of 3 words
+      (3L, "q r s t u v"),     // nothing shared → zero row, present
+      (4L, "m n m n"),         // "m n" repeats WITHIN the doc only → not cross-doc dup → zero row
+      (5L, "z")                // shorter than n → absent
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpanStats(df, col("doc_id"), col("text"), n = 2)
+      .orderBy("doc")
+      .as[(Long, Int, Int, Long, Long, Int, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 6, 1, 4L, 6L, 6, 1.0),
+      (2L, 7, 2, 4L, 6L, 3, math.rint(6.0 / 7.0 * 1e6) / 1e6),
+      (3L, 6, 0, 0L, 0L, 0, 0.0),
+      (4L, 4, 0, 0L, 0L, 0, 0.0)), s"got $got")
+    // span table backs the stats: spans are disjoint word intervals whose
+    // lengths sum to covered_words
+    val spans = Dedup.dupSpanTable(df, col("doc_id"), col("text"), n = 2)
+      .orderBy("doc", "s").as[(Long, Int, Int, Long, Int)].collect().toSeq
+    assert(spans == Seq((1L, 1, 5, 4L, 6), (2L, 1, 2, 2L, 3), (2L, 5, 6, 2L, 3)))
+  }
+
+  test("topDupPassages: sliced text matches the span, deterministic (covered desc, doc, s) order") {
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c x d e f"),
+      (3L, "q r s t u v")
+    ).toDF("doc_id", "text")
+    val got = Dedup.topDupPassages(df, col("doc_id"), col("text"), n = 2, k = 10)
+      .as[(Long, Int, Int, Int, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1, 5, 6, "a b c d e f"),
+      (2L, 1, 2, 3, "a b c"),
+      (2L, 5, 6, 3, "d e f")), s"got $got")
+  }
+
+  test("dupSpanStats: exact duplicate docs reach covered_frac 1.0; dup_positions == t36's dup_grams") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (3L, "completely different content about spark catalyst optimizer rules and physical plans"),
+      (5L, "the quick brown fox jumps over the lazy dog near the river bank today")
+    ).toDF("doc_id", "text")
+    val stats = Dedup.dupSpanStats(docs, col("doc_id"), col("text"), n = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("dup_positions"), r.getAs[Long]("covered_words"),
+          r.getAs[Int]("n_words"), r.getAs[Double]("covered_frac"))).toMap
+    // docs 1 and 5 are verbatim copies: every 8-gram position duplicated,
+    // one span covering the whole doc
+    Seq(1L, 5L).foreach { d =>
+      val (_, cov, nw, frac) = stats(d)
+      assert(cov == nw && frac == 1.0, s"doc $d: $cov/$nw frac $frac")
+    }
+    stats.foreach { case (d, (dup, cov, nw, frac)) =>
+      assert(cov <= nw && dup <= nw - 8 + 1 && frac >= 0.0 && frac <= 1.0, s"doc $d")
+    }
+    // the span family's position count is EXACTLY crossDocDupRatio's
+    // dup_grams (same cross-doc rule, same positional multiplicity)
+    val t36 = Dedup.crossDocDupRatio(docs, col("doc_id"), col("text"), n = 8)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("dup_grams")).toMap
+    t36.foreach { case (d, dg) => assert(stats(d)._1 == dg, s"doc $d: ${stats(d)._1} vs $dg") }
+  }
+
   test("prefixFilterPairs: COMPLETE vs brute force at τ=0.4 (crafted + real corpus)") {
     // the guarantee the scaladoc derives: prefix(x) ⋈ full(y) candidate
     // generation loses NO pair with J ≥ τ — verify pair-set EQUALITY
@@ -420,6 +484,47 @@ class TextOpsSpec extends SparkSpec {
     assert(pReal == bReal,
       s"real corpus: missing=${bReal -- pReal} extra=${pReal -- bReal}")
     assert(bReal.nonEmpty, "fixture should contain at least one τ≥0.4 pair")
+  }
+
+  test("crossPrefixProbe: COMPLETE vs brute-force cross pairs; emits no within-side pairs") {
+    // the scaladoc's order-free completeness claim: full(batch) ⋈
+    // prefix(corpus) loses no cross pair with J ≥ τ, for a prefix index
+    // built over the CORPUS ONLY (its df order knows nothing of the
+    // batch) — crafted fixture + the real corpus at the gate SF
+    def probeVsBrute(df: org.apache.spark.sql.DataFrame): (Set[(Long, Long)], Set[(Long, Long)]) = {
+      val batch = df.filter(col("doc_id") % 2 === 1)
+      val corpus = df.filter(col("doc_id") % 2 === 0)
+      val cSh = Dedup.shingleHashTable(corpus, col("doc_id"), col("text"))
+      val got = Dedup.crossPrefixProbe(
+          Dedup.shingleHashTable(batch, col("doc_id"), col("text")),
+          Dedup.prefixIndexTable(cSh, tauNum = 2, tauDen = 5),
+          Dedup.signatureTable(cSh), tauNum = 2, tauDen = 5,
+          broadcastSigs = true)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got.forall { case (a, b) => a % 2 == 1 && b % 2 == 0 },
+        s"within-side pair leaked: $got")
+      val all: Set[(Long, Long)] = Dedup.jaccardPairs(df, col("doc_id"), col("text"))
+        .filter(col("jaccard") >= 0.4)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val brute = all
+        .filter { case (a, b) => a % 2 != b % 2 }
+        .map { case (a, b) => if (a % 2 == 1) (a, b) else (b, a) }
+      (got, brute)
+    }
+    val crafted = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (3L, "completely different content about spark catalyst optimizer rules and physical plans"),
+      (4L, "The Quick Brown Fox jumps over the lazy dog near the river bank today!!!"),
+      (5L, "the quick brown fox jumps over the lazy dog near the river bank today")
+    ).toDF("doc_id", "text")
+    val (gotC, bruteC) = probeVsBrute(crafted)
+    assert(gotC == bruteC, s"crafted: got=$gotC brute=$bruteC")
+    assert(gotC.contains((1L, 2L)) && gotC.contains((5L, 2L)))
+    val (gotR, bruteR) = probeVsBrute(graft.core.Tables.documents(spark, sf))
+    assert(gotR == bruteR,
+      s"real corpus: missing=${bruteR -- gotR} extra=${gotR -- bruteR}")
+    assert(bruteR.nonEmpty, "fixture should contain at least one cross pair")
   }
 
   test("prefixFilterPairs τ=1/2 == jaccardPairs.filter(≥0.5) — the t23/t28 edge-set swap") {

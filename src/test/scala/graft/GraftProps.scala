@@ -154,6 +154,58 @@ object GraftProps extends Properties("graft") {
         s"missing=${dups.filterNot(cands.contains).take(3)}"
     }
 
+  property("crossPrefixProbe == brute-force cross pairs at τ=2/5 on random corpora") =
+    forAll(docsGen) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val batch = df.filter(col("doc_id") % 2 === 1)
+      val corpus = df.filter(col("doc_id") % 2 === 0)
+      val cSh = graft.ext.Dedup.shingleHashTable(corpus, col("doc_id"), col("text"))
+      val got = graft.ext.Dedup.crossPrefixProbe(
+          graft.ext.Dedup.shingleHashTable(batch, col("doc_id"), col("text")),
+          graft.ext.Dedup.prefixIndexTable(cSh, tauNum = 2, tauDen = 5),
+          graft.ext.Dedup.signatureTable(cSh), tauNum = 2, tauDen = 5,
+          broadcastSigs = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val all: Set[(Long, Long)] = graft.ext.Dedup.jaccardPairs(df, col("doc_id"), col("text"))
+        .filter(col("jaccard") >= 0.4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = all
+        .filter { case (a, b) => a % 2 != b % 2 }
+        .map { case (a, b) => if (a % 2 == 1) (a, b) else (b, a) }
+      Prop(got == brute) :| s"missing=${brute -- got} extra=${got -- brute}"
+    }
+
+  property("dupSpanStats: covered_words/n_spans == brute-force word-coverage union") =
+    forAll(docsGen) { docs =>
+      val n = 2
+      // driver-side truth: word position j of doc d is covered iff some
+      // cross-doc-duplicated gram starting at i has i <= j <= i+n-1
+      val words = docs.map { case (d, t) => d -> t.split("\\s+").toList }.toMap
+      val grams = docs.map { case (d, t) =>
+        d -> words(d).sliding(n).filter(_.size == n).map(_.mkString(" ")).toList
+      }.toMap
+      val docsOfGram = grams.toList.flatMap { case (d, gs) => gs.distinct.map(_ -> d) }
+        .groupBy(_._1).map { case (g, ds) => g -> ds.map(_._2).distinct.size }
+      val truth = grams.map { case (d, gs) =>
+        val cov = gs.zipWithIndex.collect {
+          case (g, idx) if docsOfGram(g) >= 2 => (idx + 1) to (idx + n)
+        }.flatten.toSet
+        val spans = if (cov.isEmpty) 0
+          else cov.toList.sorted.foldLeft((0, Int.MinValue)) {
+            case ((k, prev), j) => (if (j == prev + 1) k else k + 1, j)
+          }._1
+        d -> (cov.size.toLong, spans)
+      }
+      val got = graft.ext.Dedup.dupSpanStats(
+          docs.toDF("doc_id", "text"), col("doc_id"), col("text"), n = n)
+        .collect().map(r => r.getLong(0) ->
+          (r.getAs[Long]("covered_words"), r.getAs[Int]("n_spans"))).toMap
+      val eligible = truth.filter { case (d, _) => words(d).size >= n }
+      Prop(eligible.forall { case (d, t) => got.get(d).contains(t) } &&
+        got.keySet == eligible.keySet) :|
+        s"got=$got truth=$eligible"
+    }
+
   property("movingAvg stays within [min,max] of its trailing window") =
     forAll(valuesGen) { vs =>
       val df = vs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("t", "v")

@@ -147,6 +147,14 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(q) == 0, plan)
   }
 
+  test("t57 top passages: TakeOrdered limit, doc-partitioned windows only") {
+    val q = SparkEntry.queries("t57_top_dup_passages")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the span-merge lag/sum windows partition by doc — never global
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
+
   test("q58 sessionize: windows + session agg share ONE keyed exchange") {
     // both windows and the (user_id, session_seq) aggregate must reuse the
     // user_id hash partitioning — 1 hash exchange + the final sort only
