@@ -119,6 +119,20 @@ object SparkEntry {
           functions.col("col").as("value"))
         .orderBy("cell", "pos")
     }),
+    // The m=8 per-subspace PQ codebooks behind s34 (flattened (sub, cell,
+    // pos, value)): the same deterministic training s07 runs (hash-spread
+    // seeds, decimal-sum means — reproduces bit-for-bit across calls);
+    // given these, the sub-slices, argmin code assignment and
+    // decimal-summed distortion are pure arithmetic DuckDB re-derives.
+    "_staged_pq_codebooks" -> ((s, dir) =>
+      graft.ext.PQ.codebooks(
+        graft.core.Tables.embeddings(s, dir), "vec_id", "embedding",
+        m = 8, k = 16, iters = 2)
+        .select(functions.col("sub"), functions.col("cell"),
+          functions.posexplode(functions.col("c")))
+        .select(functions.col("sub"), functions.col("cell"),
+          functions.col("pos"), functions.col("col").as("value"))
+        .orderBy("sub", "cell", "pos")),
     "_staged_lsh_bands" -> ((s, dir) =>
       graft.ext.Dedup.lshBandTable(
         graft.core.Tables.documents(s, dir),

@@ -163,6 +163,38 @@ object PQ {
         s => s.getField("cell")).as("codes"))
   }
 
+  /** Per-subspace reconstruction-distortion audit of a trained codebook:
+    * for every vector's sub-slice, the squared L2 to its NEAREST codeword
+    * (the same (d2, cell) float chain and tie-break the assignment uses),
+    * aggregated per subspace as (sub, n_vecs, mse, max_se). This is the
+    * quantizer-quality leg of the audit family — s30 grades how k-means
+    * centroids are produced, s27/s33 grade end-to-end recall, and this
+    * grades what the PQ codes THROW AWAY (the number that decides m/kc
+    * before a 100 TB re-encode). Cross-row sums go through
+    * DECIMAL(38,18) so the per-subspace MSE is merge-order-independent
+    * (the centroid-update discipline applied to the error side).
+    */
+  def distortionBySubspace(emb: DataFrame, id: String, vec: String,
+                           cb: DataFrame, m: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val v = emb.select(col(id).as("vid"), col(vec).cast("array<double>").as("v"))
+    val d2 = dotNative(col("subv"), col("subv")) -
+      lit(2.0) * dotNative(col("subv"), col("c")) + dotNative(col("c"), col("c"))
+    subRows(v, m).join(broadcast(cb), "sub")
+      .withColumn("d2", d2)
+      // argmin as a min-of-struct aggregate (combines map-side; the
+      // (d2, cell) ordering is assignCodes' tie-break), keeping the
+      // winning distance — the audit needs the error, not just the code
+      .groupBy(col("vid"), col("sub"))
+      .agg(min(struct(col("d2"), col("cell"))).as("best"))
+      .select(col("sub"), col("best").getField("d2").as("se"))
+      .groupBy("sub")
+      .agg(count(lit(1)).as("n_vecs"),
+        round((sum(IVF.decimalSafe(col("se")).cast("decimal(38,18)"))
+          .cast("double") / count(lit(1))), 6).as("mse"),
+        round(max(col("se")), 6).as("max_se"))
+  }
+
   /** PQ-ADC top-k: approximate-cosine shortlist of k·`rerank` candidates
     * from the code scan, exact-cosine re-rank to k. Returns
     * (q_id, c_id, cos, rn) — cos is the EXACT cosine of the survivors.

@@ -229,6 +229,48 @@ object SimilarityQueries {
         .orderBy("cell", "pos")
     },
 
+    // ---- s34: PQ reconstruction-DISTORTION audit — the quantizer-quality
+    //      leg of the audit family: s30 grades how k-means centroids are
+    //      produced, s27/s33 grade end-to-end recall, s34 grades what the
+    //      PQ codes THROW AWAY (per-subspace MSE + worst case — the
+    //      number that decides m/kc before a 100 TB re-encode). Given the
+    //      staged codebooks (_staged_pq_codebooks, the same deterministic
+    //      training s07 runs), DuckDB re-derives EVERYTHING: the
+    //      sub-vector slices, the (d2, cell) argmin float chain
+    //      (list_dot_product == dotNative bit-for-bit, the s09/s31
+    //      precedent), and the DECIMAL(38,18) error sums
+    //      (merge-order-independent — the centroid-update discipline
+    //      applied to the error side). round(6dp) both sides: the
+    //      family's established parity dial. ----
+    QueryDef("s34_pq_distortion",
+      s"""WITH cb AS (SELECT sub, cell, list(value ORDER BY pos) AS c
+         |            FROM read_parquet('${ClimateQueries.OutToken}/_staged_pq_codebooks/*.parquet')
+         |            GROUP BY sub, cell),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |subs AS (SELECT vec_id, CAST(t.sub AS INTEGER) AS sub,
+         |           e[t.sub * (len(e) // 8) + 1 : (t.sub + 1) * (len(e) // 8)] AS subv
+         |         FROM v CROSS JOIN range(0, 8) t(sub)),
+         |a AS (SELECT vec_id, sub, d2 FROM (
+         |    SELECT s.vec_id, s.sub,
+         |      list_dot_product(s.subv, s.subv)
+         |        - 2.0 * list_dot_product(s.subv, cb.c)
+         |        + list_dot_product(cb.c, cb.c) AS d2,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+         |        list_dot_product(s.subv, s.subv)
+         |          - 2.0 * list_dot_product(s.subv, cb.c)
+         |          + list_dot_product(cb.c, cb.c), cb.cell) AS rn
+         |    FROM subs s JOIN cb ON cb.sub = s.sub) WHERE rn = 1)
+         |SELECT sub, count(*) AS n_vecs,
+         |  round(CAST(sum(CAST(d2 AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS mse,
+         |  round(max(d2), 6) AS max_se
+         |FROM a GROUP BY sub ORDER BY sub""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val cb = graft.ext.PQ.codebooks(emb, "vec_id", "embedding",
+        m = 8, k = 16, iters = 2)
+      graft.ext.PQ.distortionBySubspace(emb, "vec_id", "embedding", cb, m = 8)
+        .orderBy("sub")
+    },
+
     // ---- s31: the TWO-LEVEL (residual) coarse quantizer's stored index —
     //      (vid, cell1, cell2) for every vector, the composite partition
     //      key of the hierarchical ANN deployment. This is the engine's

@@ -46,6 +46,49 @@ class PQSpec extends SparkSpec {
     assert(bad.count() == 0, "every vector gets exactly m in-range codes")
   }
 
+  test("distortionBySubspace: zero on a one-point corpus; matches a driver-side recompute") {
+    // a corpus of identical vectors trains every codeword onto that point
+    // (up to the decimal-mean's 18-digit quantization) → per-subspace MSE
+    // indistinguishable from zero
+    val same = (1L to 20L).map(i => (i, Seq.tabulate(16)(d => 0.25 * d - 1.0)))
+      .toDF("vec_id", "embedding")
+    val cbSame = PQ.codebooks(same, "vec_id", "embedding", m = 4, k = 2)
+    PQ.distortionBySubspace(same, "vec_id", "embedding", cbSame, m = 4)
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("n_vecs") == 20L)
+        assert(math.abs(r.getAs[Double]("mse")) < 1e-9 &&
+          math.abs(r.getAs[Double]("max_se")) < 1e-9, r.toString)
+      }
+    // clustered fixture: engine MSE == driver recompute (same d2 chain,
+    // nearest codeword per sub-slice), one row per subspace
+    val cb = PQ.codebooks(clustered, "vec_id", "embedding", m = 4, k = 8)
+    val cbRows = cb.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    val vecs = clustered.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+    val truth = (0 until 4).map { sub =>
+      val ses = vecs.map { case (_, v) =>
+        val sv = v.slice(sub * 4, sub * 4 + 4)
+        cbRows.collect { case ((s2, _), c) if s2 == sub =>
+          dot(sv, sv) - 2.0 * dot(sv, c) + dot(c, c) }.min
+      }
+      sub -> (ses.sum / ses.length, ses.max)
+    }.toMap
+    val got = PQ.distortionBySubspace(clustered, "vec_id", "embedding", cb, m = 4)
+      .collect().map(r => r.getInt(0) ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Double]("mse"), r.getAs[Double]("max_se"))).toMap
+    assert(got.keySet == Set(0, 1, 2, 3))
+    got.foreach { case (sub, (n, mse, maxSe)) =>
+      val (tMse, tMax) = truth(sub)
+      assert(n == 200L, s"sub $sub n=$n")
+      assert(math.abs(mse - tMse) < 1e-6, s"sub $sub mse $mse vs $tMse")
+      assert(math.abs(maxSe - tMax) < 1e-6, s"sub $sub max $maxSe vs $tMax")
+    }
+  }
+
   test("adcTopK: deterministic across runs (no RNG anywhere)") {
     val pred = col("vec_id") % 50 === 1
     def run() = PQ.adcTopK(clustered, "vec_id", "embedding", pred, k = 3, m = 4)
