@@ -816,7 +816,14 @@ object Dedup {
       .groupBy("doc")
       .agg(count(lit(1)).as("n_spans"), sum("n_pos").as("dup_positions"),
         sum("covered").as("covered_words"), max("covered").as("max_span_words"))
-    sizes.join(agg, Seq("doc"), "left")
+    // FULL outer, not left: span docs ⊆ sizes docs by construction (both
+    // sides tokenize identically and spans only exist where ≥ n words),
+    // so the result is row-for-row the left join — but a LEFT join with a
+    // unique aggregated right side gets ELIMINATED under count() (Spark's
+    // unique-key join removal), which would turn the bench action into a
+    // bare corpus filter; full outer cannot be removed, so every consumer
+    // pays the real span computation.
+    sizes.join(agg, Seq("doc"), "full")
       .select(col("doc"), col("n_words"),
         coalesce(col("n_spans"), lit(0L)).cast("int").as("n_spans"),
         coalesce(col("dup_positions"), lit(0L)).as("dup_positions"),
