@@ -20,8 +20,12 @@ object Bench {
     val canonical: Map[String, Double] = try {
       val s = java.nio.file.Files.readString(java.nio.file.Paths.get(outPath))
       // only comparable when the snapshot was measured at THIS scale
-      // factor (a dev run at another sf must not trigger re-runs)
-      if (!s.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
+      // factor (a dev run at another sf must not trigger re-runs) AND
+      // with the same forcing action — the r13 count()→noop re-baseline
+      // raised most per-query times (the pruned work is now measured),
+      // so a count-era snapshot would flag half the board as outliers
+      if (!s.contains("\"sf\":\"" + sfDir + "\"") ||
+        !s.contains("\"action\":\"noop\"")) Map.empty
       else {
         val qStart = s.indexOf("\"queries\":{")
         val body = s.substring(qStart + 11, s.indexOf("}", qStart))
@@ -66,9 +70,21 @@ object Bench {
     }
     try SparkEntry.queries.get("q01_pricing_summary").foreach(_(spark, sfDir).count())
     catch { case e: Throwable => System.err.println(s"[bench] warm-up query failed: ${e.getMessage}") }
+    // Force FULL materialization through the noop sink, not count():
+    // count() lets the optimizer prune every column nobody aggregates —
+    // a plan census (r13) found 66 of 275 queries losing work under
+    // count(), from terminal window columns (q04's z-score: the whole
+    // point of the query, timed at 0!) up to entire join+window subtrees
+    // (t56's unique-key LEFT-join elimination). The noop write consumes
+    // every output column and keeps the final sort, i.e. it times the
+    // DECLARED result — the same work Verify's parquet dump pays, minus
+    // encoding. Board totals re-baselined at the switch (SCALE.md).
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         Double.NaN
@@ -156,7 +172,7 @@ object Bench {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val total = results.values.filter(_ >= 0).sum
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","host_cpus":$hostCpus,"loadavg_1m":${fmt(loadAvg)},"loadavg_preflight":${fmt(loadAtStart)},"preflight_wait_sec":${fmt(preflightWait)},"rerun_outliers":${rerunNames.size},"rerun_names":${rerunNames.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","action":"noop","host_cpus":$hostCpus,"loadavg_1m":${fmt(loadAvg)},"loadavg_preflight":${fmt(loadAtStart)},"preflight_wait_sec":${fmt(preflightWait)},"rerun_outliers":${rerunNames.size},"rerun_names":${rerunNames.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     }
     // The driver keeps only a ~2k-char tail of stdout; the full 80-query
     // map doesn't fit, so stdout carries the headline subset (cost drivers

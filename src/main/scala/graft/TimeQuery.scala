@@ -27,7 +27,10 @@ object TimeQuery {
         case Some(fn) =>
           val times = (1 to 2).map { _ =>
             val t0 = System.nanoTime()
-            fn(spark, sfDir).count()
+            // noop sink, same forcing as Bench.timeOnce: count() lets the
+            // optimizer prune un-aggregated columns (r13 census: 66/275
+            // queries lost work under count())
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
             (System.nanoTime() - t0) / 1e9
           }
           println(f"$name: ${times.min}%.3f s (runs: ${times.map(t => f"$t%.3f").mkString(", ")})")
