@@ -364,6 +364,18 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** df-capped shingle rows: drop shingles appearing in more than
+    * `maxDf` docs — [[jaccardPairs]]' stop-list factored out so a STORED
+    * index can be built capped (t59) and the keep-decision persisted for
+    * batch probes. Returns (capped sh, the (h) keep set).
+    */
+  def cappedShingles(sh: DataFrame, maxDf: Long): (DataFrame, DataFrame) = {
+    val keep = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("h"))
+    (sh.join(keep, "h").select(col("doc"), col("s"), col("h")), keep)
+  }
+
   // ---------- MinHash + LSH ----------
 
   /** 64-permutation MinHash signature as ONE array column, computed by

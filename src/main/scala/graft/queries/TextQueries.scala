@@ -87,9 +87,29 @@ object TextQueries {
     * broadcast size gate's input).
     */
   private def storedPrefixIndex(s: SparkSession, dir: String): (DataFrame, DataFrame, Long) = {
+    val (pref, sigs, _, n) = storedPrefixIndexImpl(s, dir, maxDf = None)
+    (pref, sigs, n)
+  }
+
+  /** The df-capped index family (t59): shingles in more than `maxDf` docs
+    * are stop-listed at BUILD time — prefix lengths, signature arrays and
+    * sizes are all internally consistent over the surviving shingle
+    * space (the t54 semantics) — and the keep set persists next to the
+    * index so a batch probe stop-lists IDENTICALLY without recomputing
+    * any df. Returns (prefix, sigs, keep set, capped shingle rows).
+    */
+  private def storedPrefixIndexCapped(s: SparkSession, dir: String,
+                                      maxDf: Long): (DataFrame, DataFrame, DataFrame, Long) = {
+    val (pref, sigs, keep, n) = storedPrefixIndexImpl(s, dir, Some(maxDf))
+    (pref, sigs, keep.get, n)
+  }
+
+  private def storedPrefixIndexImpl(s: SparkSession, dir: String,
+                                    maxDf: Option[Long]): (DataFrame, DataFrame, Option[DataFrame], Long) = {
     val docs = Tables.documents(s, dir)
+    val suffix = maxDf.map(c => s"_cap$c").getOrElse("")
     val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_prefix_index_" +
-      java.lang.Integer.toHexString(dir.hashCode)
+      java.lang.Integer.toHexString(dir.hashCode) + suffix
     val marker = java.nio.file.Paths.get(idxDir, "_GRAFT_INDEX")
     // order-independent content stamp: a regenerated corpus at the same
     // path must invalidate the index; ONE agg so the staleness probe
@@ -97,8 +117,8 @@ object TextQueries {
     val stampRow = docs.agg(count(lit(1)),
       sum(xxhash64(col("doc_id"), col("text")))).first()
     val nShRowsKey = "sh_rows="
-    val stampHead = s"tau=2/5 n=3 docs=${stampRow.getLong(0)} " +
-      s"fp=${stampRow.getLong(1)} src=$dir"
+    val stampHead = s"tau=2/5 n=3${maxDf.map(c => s" cap=$c").getOrElse("")} " +
+      s"docs=${stampRow.getLong(0)} fp=${stampRow.getLong(1)} src=$dir"
     val existing =
       if (java.nio.file.Files.exists(marker))
         new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
@@ -109,7 +129,14 @@ object TextQueries {
         existing.linesIterator.find(_.startsWith(nShRowsKey))
           .map(_.stripPrefix(nShRowsKey).toLong).getOrElse(0L)
       else {
-        val sh = Dedup.shingleHashTable(docs, col("doc_id"), col("text"))
+        val sh0 = Dedup.shingleHashTable(docs, col("doc_id"), col("text"))
+        val sh = maxDf match {
+          case Some(c) =>
+            val (capped, keep) = Dedup.cappedShingles(sh0, c)
+            keep.write.mode("overwrite").parquet(s"$idxDir/keep")
+            capped.localCheckpoint()
+          case None => sh0
+        }
         Dedup.prefixIndexTable(sh, tauNum = 2, tauDen = 5)
           .write.mode("overwrite").parquet(s"$idxDir/prefix")
         Dedup.signatureTable(sh)
@@ -119,7 +146,8 @@ object TextQueries {
           (stampHead + "\n" + nShRowsKey + n).getBytes("UTF-8"))
         n
       }
-    (s.read.parquet(s"$idxDir/prefix"), s.read.parquet(s"$idxDir/sigs"), shRows)
+    (s.read.parquet(s"$idxDir/prefix"), s.read.parquet(s"$idxDir/sigs"),
+      maxDf.map(_ => s.read.parquet(s"$idxDir/keep")), shRows)
   }
 
   /** benchOnly twin of t23 with NO session memos: shingle table, τ=1/2
@@ -1507,6 +1535,68 @@ object TextQueries {
       val (pref, sigs, shRows) = storedPrefixIndex(s, dir)
       val batch = Tables.documents(s, dir).filter(col("doc_id") % 10 === 7)
       val bSh = Dedup.shingleHashTable(batch, col("doc_id"), col("text"))
+      Dedup.crossPrefixProbe(bSh,
+          pref.filter(col("doc") % 10 =!= 7), sigs.filter(col("doc") % 10 =!= 7),
+          tauNum = 2, tauDen = 5, broadcastSigs = shRows * 8L <= (64L << 20))
+        .orderBy("id_a", "id_b")
+    },
+
+    // ---- t59: t58's DEPLOYMENT twin — the incremental probe against a
+    //      df-CAPPED stored index (maxDf=20, the t54 stop-list applied to
+    //      the index family): shingles in more than 20 docs are dropped
+    //      at BUILD time, so prefix lengths, signature arrays and sizes
+    //      are internally consistent over the surviving shingle space,
+    //      and the KEEP SET persists next to the index so the arriving
+    //      batch stop-lists IDENTICALLY without recomputing any df.
+    //      Why it exists: t58's exact form is complete but its candidate
+    //      space is the τ=2/5 family's — measured 1.05 G candidate-join
+    //      rows at ×100 data (SCALE.md), out of single-box spill reach
+    //      exactly like parent t40; the cap bounds per-shingle fan-out at
+    //      batch_df·20 and the probe stays O(batch). Fully
+    //      DuckDB-expressible (HAVING count ≤ 20). ----
+    QueryDef("t59_incremental_dedup_capped",
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT doc_id AS doc, unnest(list_distinct(
+        |    list_transform(range(1, len(w) - 1),
+        |                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+        |  FROM docs),
+        |keep AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 20),
+        |sh AS (SELECT sh0.doc, sh0.s FROM sh0 JOIN keep USING (s)),
+        |dfq AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+        |sz AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY 1),
+        |pref AS (
+        |  SELECT doc, s, n_sh FROM (
+        |    SELECT h.doc, h.s, z.n_sh,
+        |      row_number() OVER (PARTITION BY h.doc ORDER BY d.df, h.s) AS pos
+        |    FROM sh h JOIN dfq d USING (s) JOIN sz z USING (doc))
+        |  WHERE pos <= n_sh - ((2 * n_sh + 4) // 5) + 1),
+        |cand AS (
+        |  SELECT DISTINCT b.doc AS id_a, p.doc AS id_b
+        |  FROM sh b JOIN sz zb ON zb.doc = b.doc
+        |  JOIN pref p ON p.s = b.s
+        |  WHERE b.doc % 10 = 7 AND p.doc % 10 != 7
+        |    AND zb.n_sh * 5 >= p.n_sh * 2 AND p.n_sh * 5 >= zb.n_sh * 2),
+        |inter AS (
+        |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+        |  FROM cand c
+        |  JOIN sh a ON a.doc = c.id_a
+        |  JOIN sh b ON b.doc = c.id_b AND b.s = a.s
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_inter, za.n_sh AS n_a, zb.n_sh AS n_b,
+        |  round(CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter), 6)
+        |    AS jaccard
+        |FROM inter
+        |JOIN sz za ON za.doc = id_a
+        |JOIN sz zb ON zb.doc = id_b
+        |WHERE 7 * n_inter >= 2 * (za.n_sh + zb.n_sh)
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val (pref, sigs, keep, shRows) = storedPrefixIndexCapped(s, dir, maxDf = 20L)
+      val batch = Tables.documents(s, dir).filter(col("doc_id") % 10 === 7)
+      val bSh = Dedup.shingleHashTable(batch, col("doc_id"), col("text"))
+        .join(keep, "h").select(col("doc"), col("s"), col("h"))
       Dedup.crossPrefixProbe(bSh,
           pref.filter(col("doc") % 10 =!= 7), sigs.filter(col("doc") % 10 =!= 7),
           tauNum = 2, tauDen = 5, broadcastSigs = shRows * 8L <= (64L << 20))

@@ -527,6 +527,39 @@ class TextOpsSpec extends SparkSpec {
     assert(bruteR.nonEmpty, "fixture should contain at least one cross pair")
   }
 
+  test("cappedShingles: cap ≥ max df is the identity; capped probe == capped brute force") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (3L, "completely different content about spark catalyst optimizer rules and physical plans"),
+      (4L, "the quick brown fox jumps over the lazy dog near the river bank today")
+    ).toDF("doc_id", "text")
+    val sh = Dedup.shingleHashTable(df, col("doc_id"), col("text"))
+    // generous cap keeps every row (and the keep set covers every hash)
+    val (full, keepAll) = Dedup.cappedShingles(sh, maxDf = 100L)
+    assert(full.count() == sh.count())
+    assert(keepAll.count() == sh.select("h").distinct().count())
+    // cap=1 keeps only corpus-unique shingles — every survivor has df 1
+    val (uniq, _) = Dedup.cappedShingles(sh, maxDf = 1L)
+    val maxDf = uniq.groupBy("h").count().agg(max("count")).first().getLong(0)
+    assert(maxDf == 1L, s"survivor df $maxDf")
+    // probe over the generously-capped index == the uncapped probe (t58)
+    val batch = df.filter(col("doc_id") % 2 === 0)
+    val corpusSh = Dedup.shingleHashTable(df.filter(col("doc_id") % 2 === 1),
+      col("doc_id"), col("text"))
+    val bSh = Dedup.shingleHashTable(batch, col("doc_id"), col("text"))
+    def probe(cSh: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      Dedup.crossPrefixProbe(b,
+          Dedup.prefixIndexTable(cSh, 2, 5), Dedup.signatureTable(cSh),
+          tauNum = 2, tauDen = 5, broadcastSigs = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5))).toSet
+    // keepAll spans the FULL corpus df (the graded t59 shape: the stored
+    // keep set covers batch docs too, so a generous cap drops nothing)
+    val (cappedC, _) = Dedup.cappedShingles(corpusSh, maxDf = 100L)
+    val cappedB = bSh.join(keepAll, "h").select(col("doc"), col("s"), col("h"))
+    assert(probe(cappedC, cappedB) == probe(corpusSh, bSh))
+  }
+
   test("prefixFilterPairs τ=1/2 == jaccardPairs.filter(≥0.5) — the t23/t28 edge-set swap") {
     // t23/t28 build their connected-component closures from
     // prefixFilterPairs(tauNum=1, tauDen=2) while their DuckDB oracles
