@@ -240,6 +240,31 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("t58/t59 incremental probe: the batch tokenizes, the corpus never does") {
+    // The continuous-ingestion claim is O(batch): the only documents
+    // scan in the query path must carry the pushed batch predicate
+    // (doc_id % 10 = 7), the prefix-rank window must be absent (it lives
+    // in the stored build), and the corpus side must arrive as index
+    // parquet scans only.
+    Seq("t58_incremental_dedup", "t59_incremental_dedup_capped").foreach { name =>
+      val q = SparkEntry.queries(name)(spark, sf)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"$name: prefix ranking leaked into the query path: $plan")
+      // the batch's tokenization happens ONCE at build (shingleHashTable's
+      // checkpoint — it appears as Scan ExistingRDD), so the query path
+      // never scans the corpus table at all
+      assert(!plan.contains("documents.parquet"),
+        s"$name: the corpus table must not be scanned in the query path: $plan")
+      assert(plan.contains("graft_prefix_index"),
+        s"$name: the corpus side must be the stored index: $plan")
+      // the corpus-side restriction pushes into BOTH index scans
+      val pushed = "NOT \\(\\(doc#\\d+L % 10\\) = 7\\)".r.findAllIn(plan).size
+      assert(pushed >= 2,
+        s"$name: the corpus-side filter must reach the index scans (found $pushed): $plan")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    }
+  }
+
   test("q73 EXISTS subquery decorrelates to a left-semi hash/merge join") {
     // RewritePredicateSubquery must fire: the plan is a semi join, never a
     // per-outer-row nested-loop re-execution of the subquery
