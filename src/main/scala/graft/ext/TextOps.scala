@@ -69,6 +69,48 @@ object TextOps {
     }
   }
 
+  /** One-tokenization lang-ID projection over a whole frame — the
+    * [[langScores]]/[[langPredict]] pair evaluates `words(text)` once per
+    * USE (ArrayFilter is eval-mode, so codegen subexpression elimination
+    * never fuses the splits; t03's select carries ~16 uses — measured
+    * 1.85 s vs 0.19 s for a single split at the ×10 fixture). This form
+    * folds all five marker counts into ONE `aggregate` over ONE words
+    * array and materializes it behind a Generate barrier (CollapseProject
+    * cannot inline an expression through explode — the [[graft.ext.Dedup.shingleRows]]
+    * discipline), so the tokenizer runs once per document. Score and
+    * prediction semantics are bit-identical to the per-column forms,
+    * including NULL scores + NULL prediction on null text (size(null)
+    * is null) and the fixed en > de > es > fr > zh tie order. Appends score_en..score_zh and
+    * `predicted` to (id, lang).
+    */
+  def langIdOnePass(df: DataFrame, id: String, lang: String,
+                    text: Column): DataFrame = {
+    val zero = array(langMarkers.map(_ => lit(0)): _*)
+    val counts = aggregate(words(text), zero,
+      (acc, t) => array(langMarkers.zipWithIndex.map { case ((_, marks), i) =>
+        acc.getItem(i) + when(t.isInCollection(marks), 1).otherwise(0)
+      }: _*))
+    val staged = df.select(col(id), col(lang),
+        text.isNull.as("__tnull"), explode(array(counts)).as("__c"))
+    // null text → null counts array → null per-score items, exactly the
+    // per-column size(filter(null)) behaviour
+    val score: Int => Column = i => col("__c").getItem(i)
+    val Seq(en, de, es, fr, zh) = langMarkers.indices.map(score)
+    val predicted =
+      when(col("__tnull"), lit(null).cast("string"))
+        .when(en + de + es + fr + zh === 0, "und")
+        .when(en >= de && en >= es && en >= fr && en >= zh, "en")
+        .when(de >= es && de >= fr && de >= zh, "de")
+        .when(es >= fr && es >= zh, "es")
+        .when(fr >= zh, "fr")
+        .otherwise("zh")
+    staged.select(
+      Seq(col(id), col(lang)) ++
+        langMarkers.zipWithIndex.map { case ((l, _), i) =>
+          score(i).as(s"score_$l") } :+
+        predicted.as("predicted"): _*)
+  }
+
   /** Predicted language: argmax of marker counts, ties broken by the
     * fixed order en > de > es > fr > zh; all-zero → 'und' (undetermined).
     */

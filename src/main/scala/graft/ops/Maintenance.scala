@@ -261,12 +261,20 @@ object Maintenance {
   def keySkewProfile(keyed: DataFrame): DataFrame = {
     val cnt = keyed.groupBy(col("col_name"), col("k"))
       .agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy("col_name").orderBy(col("c"), col("k"))
     // top_key tie-break via min(struct(-count, key)): only the COUNT is
     // negated (always numeric), so the hottest key with smallest-key
     // tie-break is deterministic for ANY orderable key type — negating
     // the key column itself would null out non-numeric keys (ANSI off)
-    cnt.withColumn("i", row_number().over(w))
+    //
+    // The Gini rank i runs over DISTINCT KEYS — data-sized for a real
+    // join column (sf1: 1.5 M l_orderkeys in ONE col_name partition), so
+    // the per-column row_number window is effectively a global sort (the
+    // q93/q99/t13 "distinct values" class). rankViaBuckets' grouped form
+    // replaces it: same (c asc, k asc) total order, ≤(groups·B)-entry
+    // driver prior map, partitioned in-bucket windows. Σi·c is
+    // rank-order-exact because the permutation is identical.
+    graft.ops.Prep.rankViaBuckets(cnt, col("c"), col("k"),
+        ascending = true, rankCol = "i", partitionKeys = Seq(col("col_name")))
       .groupBy(col("col_name"))
       .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
         max(col("c")).as("max_count"),

@@ -235,11 +235,10 @@ object TextQueries {
          |    WHEN score_fr >= score_zh THEN 'fr'
          |    ELSE 'zh' END AS predicted
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val scores = TextOps.langScores(col("text"))
-      Tables.documents(s, dir).select(
-        Seq(col("doc_id"), col("lang")) ++
-          scores.map { case (n, c) => c.as(n) } :+
-          TextOps.langPredict(col("text")).as("predicted"): _*)
+      // one-pass form: the per-column langScores/langPredict select
+      // re-evaluates the tokenizer ~16x (TextOps.langIdOnePass scaladoc)
+      TextOps.langIdOnePass(Tables.documents(s, dir),
+          "doc_id", "lang", col("text"))
         .orderBy("doc_id")
     },
 

@@ -233,6 +233,25 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Seq("en", "de", "es", "fr", "und"))
   }
 
+  test("langIdOnePass == per-column langScores/langPredict, including null and empty text") {
+    val df = Seq(
+      (1L, "xx", "the cat is on a mat of wool and the dog"),
+      (2L, "xx", "der hund und die katze das haus"),
+      (3L, "xx", "xyzzy qwerty plugh"),
+      (4L, "xx", ""),
+      (5L, "xx", null.asInstanceOf[String])
+    ).toDF("doc_id", "lang", "text")
+    val scores = TextOps.langScores(col("text"))
+    val perCol = df.select(
+        Seq(col("doc_id"), col("lang")) ++
+          scores.map { case (n, c) => c.as(n) } :+
+          TextOps.langPredict(col("text")).as("predicted"): _*)
+      .orderBy("doc_id").collect().toSeq
+    val onePass = TextOps.langIdOnePass(df, "doc_id", "lang", col("text"))
+      .orderBy("doc_id").collect().toSeq
+    assert(onePass == perCol, s"one-pass $onePass vs per-col $perCol")
+  }
+
   test("bpeishCount: letters runs + digit runs + symbols") {
     val df = Seq(("hello world42 foo-bar!")).toDF("text")
     // hello | world | 42 | foo | - | bar | ! -> 7
