@@ -259,8 +259,13 @@ object Maintenance {
     * Gini = (2·Σi·c_i − (k+1)·n) / (k·n) — exact, merge-order-free.
     */
   def keySkewProfile(keyed: DataFrame): DataFrame = {
+    // materialize the key-count table once: rankViaBuckets makes three
+    // passes (edge sketch, bucket counts, final rank) and would otherwise
+    // re-run the stack+count aggregate per pass (the decileLiftBucketed
+    // checkpoint rationale); the table is key-cardinality-sized
     val cnt = keyed.groupBy(col("col_name"), col("k"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     // top_key tie-break via min(struct(-count, key)): only the COUNT is
     // negated (always numeric), so the hottest key with smallest-key
     // tie-break is deterministic for ANY orderable key type — negating
