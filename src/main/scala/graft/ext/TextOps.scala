@@ -78,9 +78,12 @@ object TextOps {
     * array and materializes it behind a Generate barrier (CollapseProject
     * cannot inline an expression through explode — the [[graft.ext.Dedup.shingleRows]]
     * discipline), so the tokenizer runs once per document. Score and
-    * prediction semantics are bit-identical to the per-column forms,
-    * including NULL scores + NULL prediction on null text (size(null)
-    * is null) and the fixed en > de > es > fr > zh tie order. Appends score_en..score_zh and
+    * prediction semantics are bit-identical to the per-column forms for
+    * non-null text, with the fixed en > de > es > fr > zh tie order; on
+    * NULL text this form is stably NULL scores + NULL prediction
+    * regardless of session conf (the per-column size(filter(null)) is
+    * −1 with ANSI off and NULL under ANSI — the one-pass value matches
+    * the DuckDB oracle's len(NULL) semantics). Appends score_en..score_zh and
     * `predicted` to (id, lang).
     */
   def langIdOnePass(df: DataFrame, id: String, lang: String,
