@@ -131,6 +131,20 @@ object IVF {
   private[graft] def assignCells(v: DataFrame, centroids: DataFrame): DataFrame =
     v.select(col("vid"), col("v"), nearestCellExpr(centroids, col("v")).as("cell"))
 
+  /** Batch assignment against an ALREADY-TRAINED centroid table — the
+    * continuous-ingestion shape for the ANN index (t58's move applied to
+    * the vector side): new vectors take cells from the STORED quantizer
+    * with zero training, zero corpus scan and zero shuffle in the query
+    * path (the k-row centroid table folds into the kernel expression as
+    * literals at plan build). Returns (vid, cell).
+    */
+  def assignWithCentroids(emb: DataFrame, id: String, vec: String,
+                          centroids: DataFrame): DataFrame =
+    assignCells(
+      emb.select(col(id).as("vid"), col(vec).cast("array<double>").as("v")),
+      centroids)
+      .select(col("vid"), col("cell"))
+
   /** The [[assignCells]] argmin as a bare Column, so callers that carry
     * extra columns (the two-level residual assignment keeps cell1) can
     * project it in place. Collects the k-row centroid table into the

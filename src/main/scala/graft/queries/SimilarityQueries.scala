@@ -27,6 +27,38 @@ object SimilarityQueries {
     """list_dot_product(q.e, c.e) /
       |   (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)))""".stripMargin
 
+  /** Build-if-absent STORED coarse quantizer for the corpus at `dir`
+    * (the t55/s15 stored-index discipline applied to the ANN family's
+    * k-means): the k=8/iters=3 centroid table persists once under a
+    * content-stamped location, and consumers (s35's incremental batch
+    * assignment) pay one 8-row parquet read — never a training run.
+    * Training is deterministic by construction (hash-spread seeds,
+    * decimal-sum means), so the stored table is bit-identical to
+    * `_staged_ivf_centroids` and the s09 oracle family's derivations
+    * apply to it unchanged.
+    */
+  private def storedIvfCentroids(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): org.apache.spark.sql.DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_centroids_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val marker = java.nio.file.Paths.get(idxDir, "_GRAFT_INDEX")
+    val stampRow = emb.agg(count(lit(1)),
+      sum(xxhash64(col("vec_id"), col("embedding").cast("string")))).first()
+    val stamp = s"k=8 iters=3 vecs=${stampRow.getLong(0)} " +
+      s"fp=${stampRow.getLong(1)} src=$dir"
+    val existing =
+      if (java.nio.file.Files.exists(marker))
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+      else ""
+    if (existing != stamp) {
+      graft.ext.IVF.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iters = 3)
+        .write.mode("overwrite").parquet(s"$idxDir/cents")
+      java.nio.file.Files.write(marker, stamp.getBytes("UTF-8"))
+    }
+    s.read.parquet(s"$idxDir/cents")
+  }
+
   /** Oracle for ANN top-k queries: recompute exact cosine + rank over the
     * query's own staged candidate pairs (`__GRAFT_OUT__` resolves to the
     * Verify dump dir). Ranking the staged survivors by the same
@@ -227,6 +259,37 @@ object SimilarityQueries {
         .select(col("cell"), posexplode(col("c")))
         .select(col("cell"), col("pos"), round(col("col"), 6).as("value"))
         .orderBy("cell", "pos")
+    },
+
+    // ---- s35: INCREMENTAL index maintenance for the ANN family — t58's
+    //      continuous-ingestion move applied to the vector side: a new
+    //      batch (vec_id % 10 = 7) takes its coarse cells from the STORED
+    //      quantizer (built once under a content-stamped location, the
+    //      t55/s15 discipline) with ZERO training, corpus scan, join or
+    //      shuffle in the query path — the 8-row centroid table folds
+    //      into the native nearest-cell kernel as literals at plan build,
+    //      so assignment is one map-only projection over the batch
+    //      (PlanSpec pins the shape). Given the staged centroids the
+    //      assignment is pure arithmetic: the oracle re-derives the
+    //      argmin over the batch slice exactly as s09 does for the full
+    //      corpus (same float chain, same (d2, cell) tie-break). ----
+    QueryDef("s35_ann_batch_assign",
+      s"""WITH cents AS (SELECT cell, list(value ORDER BY pos) AS c
+         |               FROM read_parquet('${ClimateQueries.OutToken}/_staged_ivf_centroids/*.parquet')
+         |               GROUP BY cell),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+         |      WHERE vec_id % 10 = 7)
+         |SELECT vec_id AS vid, cell FROM (
+         |  SELECT v.vec_id, cents.cell,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      list_dot_product(v.e, v.e) - 2.0 * list_dot_product(v.e, cents.c)
+         |        + list_dot_product(cents.c, cents.c), cents.cell) AS rn
+         |  FROM v CROSS JOIN cents) WHERE rn = 1
+         |ORDER BY vid""".stripMargin) { (s, dir) =>
+      val cents = storedIvfCentroids(s, dir)
+      val batch = Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 7)
+      graft.ext.IVF.assignWithCentroids(batch, "vec_id", "embedding", cents)
+        .orderBy("vid")
     },
 
     // ---- s34: PQ reconstruction-DISTORTION audit — the quantizer-quality

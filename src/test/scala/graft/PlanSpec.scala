@@ -265,6 +265,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("s35 batch assign: map-only — no join, no window, the only exchange is the final sort") {
+    // the stored quantizer folds into the kernel as literals at plan
+    // build: the query path must not scan the centroid table, train, or
+    // shuffle the assignment
+    val q = SparkEntry.queries("s35_ann_batch_assign")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan)
+    assert(!plan.contains("graft_ivf_centroids"),
+      s"centroids must ride as literals, not a scan: $plan")
+    assert(shuffles(q) == 1, s"only the final orderBy may exchange: $plan")
+  }
+
   test("q73 EXISTS subquery decorrelates to a left-semi hash/merge join") {
     // RewritePredicateSubquery must fire: the plan is a semi join, never a
     // per-outer-row nested-loop re-execution of the subquery
