@@ -408,4 +408,86 @@ object PQ {
       .select(col("q_id"), col("vid").as("c_id"), col("cos"),
         col("rn").cast("int").as("rn"))
   }
+
+  /** IVF-PQ query from a fully STORED index — the at-scale deployment of
+    * [[ivfAdcTopK]] (which trains both quantizers in-query): the caller
+    * supplies the persisted coarse `centroids`, the persisted
+    * `codesByCell` table ((vid, codes, ccell), written `partitionBy
+    * ("ccell")` so the coarse cell is a PHYSICAL partition column), and
+    * the persisted PQ `cb` codebooks. Zero training here, and the probe
+    * is real partition PRUNING, not a filter: the nprobe nearest cells
+    * per query come from a (#q·cells)-row broadcast-window, the probed
+    * cell ids are a ≤cells-row driver pull (the k-row-collect
+    * discipline), and they reach the stored scan as LITERAL
+    * PartitionFilters — only probed directories are read (measured at
+    * 25% of the corpus for nprobe=2/cells=8 in SCALE.md; PlanSpec pins
+    * the filter's presence, PartitionPruningSpec the file-level prune).
+    * Per-query restriction then rides the (ccell) equi-join against the
+    * pruned scan; the ADC tail (LUT join keyed (q_id, sub, cell),
+    * map-side-combinable partial sums, k·rerank shortlist, exact-cosine
+    * re-rank) is [[adcTopKFromIndex]]'s unchanged.
+    */
+  def ivfAdcTopKFromIndex(emb: DataFrame, id: String, vec: String,
+                          queryPred: Column, centroids: DataFrame,
+                          codesByCell: DataFrame, cb: DataFrame,
+                          k: Int = 5, nprobe: Int = 2, m: Int = 8,
+                          rerank: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val v = emb.select(col(id).as("vid"), col(vec).cast("array<double>").as("v"))
+    val q = emb.filter(queryPred)
+      .select(col(id).as("q_id"), col(vec).cast("array<double>").as("q_vec"))
+    val dq = dotNative(col("q_vec"), col("q_vec")) -
+      lit(2.0) * dotNative(col("q_vec"), col("c")) + dotNative(col("c"), col("c"))
+    val wp = Window.partitionBy("q_id").orderBy(col("d2"), col("cell"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("d2", dq)
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("cell").as("ccell"))
+    // static partition pruning: the union of probed cells is bounded by
+    // the coarse cell count (≤ `cells` values however many queries run) —
+    // a k-row driver pull, NOT data-sized. No checkpoint on `probes`:
+    // re-deriving the (#q·cells)-row window for the second consumer is
+    // cheaper than an ExistingRDD leaf in the plan (s15's no-driver-state
+    // plan pin extends to this path).
+    val probedCells = probes.select(col("ccell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val pruned = codesByCell
+      .filter(col("ccell").isin(probedCells.map(Int.box).toSeq: _*))
+    val candCodes = pruned.join(broadcast(probes), "ccell")
+      .filter(col("vid") =!= col("q_id"))
+      .select(col("q_id"), col("vid"), col("codes"))
+    val codeRows = candCodes
+      .select(col("q_id"), col("vid"), posexplode(col("codes")))
+      .select(col("q_id"), col("vid"), col("pos").as("sub"), col("col").as("cell"))
+
+    val qsubs = subRows(q.select(col("q_id").as("vid"), col("q_vec").as("v")), m)
+      .select(col("vid").as("q_id"), col("sub"), col("subv").as("qs"))
+    val lut = qsubs.join(cb, "sub")
+      .select(col("q_id"), col("sub"), col("cell"),
+        dotNative(col("qs"), col("c")).as("qd"),
+        dotNative(col("c"), col("c")).as("cc"))
+    val qn = q.select(col("q_id"),
+      sqrt(dotNative(col("q_vec"), col("q_vec"))).as("q_norm"), col("q_vec"))
+
+    val wApprox = Window.partitionBy("q_id").orderBy(col("approx_cos").desc, col("vid"))
+    val shortlist = codeRows.join(broadcast(lut), Seq("q_id", "sub", "cell"))
+      .groupBy(col("q_id"), col("vid"))
+      .agg(sum(col("qd")).as("num"), sum(col("cc")).as("cand_n2"))
+      .join(broadcast(qn.select(col("q_id"), col("q_norm"))), "q_id")
+      .withColumn("approx_cos", col("num") / (col("q_norm") * sqrt(col("cand_n2"))))
+      .withColumn("arn", row_number().over(wApprox))
+      .filter(col("arn") <= k * rerank)
+      .select(col("q_id"), col("vid"))
+
+    val vn = v.withColumn("v_norm", sqrt(dotNative(col("v"), col("v"))))
+    val wExact = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vid"))
+    shortlist.join(vn, "vid").join(broadcast(qn), "q_id")
+      .withColumn("cos", round(
+        dotNative(col("q_vec"), col("v")) / (col("q_norm") * col("v_norm")), 6))
+      .withColumn("rn", row_number().over(wExact))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vid").as("c_id"), col("cos"),
+        col("rn").cast("int").as("rn"))
+  }
 }

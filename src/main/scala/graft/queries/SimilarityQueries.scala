@@ -59,6 +59,107 @@ object SimilarityQueries {
     s.read.parquet(s"$idxDir/cents")
   }
 
+  /** Build-if-absent STORED coarse ASSIGNMENT over the pre-existing
+    * corpus side (vec_id % 10 ≠ 7 — the s35/t58 ingestion split),
+    * assigned against [[storedIvfCentroids]]: the (vid, cell) table a
+    * deployment persists next to its vectors. With the quantizer FROZEN,
+    * assignment distributes over union — stored(A) ∪ assign(B) is
+    * bit-identical to assigning A∪B from scratch, which is exactly the
+    * invariant s37 grades (the oracle re-derives the FULL corpus
+    * assignment from the staged centroids, s09's derivation).
+    */
+  private def storedIvfAssign(s: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame = {
+    val corpus = Tables.embeddings(s, dir).filter(col("vec_id") % 10 =!= 7)
+    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_assign_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val marker = java.nio.file.Paths.get(idxDir, "_GRAFT_INDEX")
+    val stampRow = corpus.agg(count(lit(1)),
+      sum(xxhash64(col("vec_id"), col("embedding").cast("string")))).first()
+    val stamp = s"k=8 iters=3 side=mod10ne7 vecs=${stampRow.getLong(0)} " +
+      s"fp=${stampRow.getLong(1)} src=$dir"
+    val existing =
+      if (java.nio.file.Files.exists(marker))
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+      else ""
+    if (existing != stamp) {
+      graft.ext.IVF.assignWithCentroids(corpus, "vec_id", "embedding",
+          storedIvfCentroids(s, dir))
+        .write.mode("overwrite").parquet(s"$idxDir/assign")
+      java.nio.file.Files.write(marker, stamp.getBytes("UTF-8"))
+    }
+    s.read.parquet(s"$idxDir/assign")
+  }
+
+  /** Build-if-absent STORED PQ index (codebooks + packed codes) — the
+    * s15 build factored out so the IVF-PQ stored twin (s36) reuses the
+    * same trained artifacts instead of training a second time. The
+    * stamp carries an order-independent CONTENT hash (summed xxhash64
+    * over id+vector), not just the row count — a regenerated corpus at
+    * the same path and cardinality must invalidate the index. Count and
+    * fingerprint come from ONE agg (a single corpus scan); a real
+    * deployment swaps this for the table format's snapshot id. Returns
+    * (codebooks, codes) as parquet-backed DataFrames.
+    */
+  private def storedPqIndex(s: org.apache.spark.sql.SparkSession,
+                            dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val emb = Tables.embeddings(s, dir)
+    // deterministic per-sf location; idxDir lives under java.io.tmpdir →
+    // always a LOCAL path, so java.nio (not Hadoop FS) is sound here
+    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_pq_index_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val marker = java.nio.file.Paths.get(idxDir, "_GRAFT_INDEX")
+    val stampRow = emb.agg(count(lit(1)),
+      sum(xxhash64(col("vec_id"), col("embedding")))).first()
+    val stamp = s"m=8 k=16 n=${stampRow.getLong(0)} fp=${stampRow.getLong(1)} src=$dir"
+    val built = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == stamp
+    if (!built) {
+      val cb = graft.ext.PQ.codebooks(emb, "vec_id", "embedding", m = 8, k = 16)
+      cb.write.mode("overwrite").parquet(s"$idxDir/codebooks")
+      graft.ext.PQ.encode(emb, "vec_id", "embedding", cb, m = 8)
+        .write.mode("overwrite").parquet(s"$idxDir/codes")
+      java.nio.file.Files.write(marker, stamp.getBytes("UTF-8"))
+    }
+    (s.read.parquet(s"$idxDir/codebooks"), s.read.parquet(s"$idxDir/codes"))
+  }
+
+  /** Build-if-absent CELL-PARTITIONED codes table for the stored IVF-PQ
+    * deployment (s36): [[storedPqIndex]]'s packed codes joined with the
+    * full-corpus coarse assignment against [[storedIvfCentroids]], then
+    * written `partitionBy("ccell")` — the coarse cell becomes a PHYSICAL
+    * partition column, so an nprobe probe is directory pruning (at 100 TB
+    * a deployment stores the codes ONCE in this layout; the flat copy
+    * s15 queries exists here only because both deployment shapes are
+    * graded).
+    */
+  private def storedIvfPqIndex(s: org.apache.spark.sql.SparkSession,
+                               dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val (cb, codes) = storedPqIndex(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val marker = java.nio.file.Paths.get(idxDir, "_GRAFT_INDEX")
+    val stampRow = emb.agg(count(lit(1)),
+      sum(xxhash64(col("vec_id"), col("embedding").cast("string")))).first()
+    val stamp = s"m=8 kc=16 cells=8 iters=3 vecs=${stampRow.getLong(0)} " +
+      s"fp=${stampRow.getLong(1)} src=$dir"
+    val existing =
+      if (java.nio.file.Files.exists(marker))
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+      else ""
+    if (existing != stamp) {
+      graft.ext.IVF.assignWithCentroids(emb, "vec_id", "embedding",
+          storedIvfCentroids(s, dir))
+        .withColumnRenamed("cell", "ccell")
+        .join(codes, "vid")
+        .write.partitionBy("ccell").mode("overwrite")
+        .parquet(s"$idxDir/codes_by_cell")
+      java.nio.file.Files.write(marker, stamp.getBytes("UTF-8"))
+    }
+    (cb, s.read.parquet(s"$idxDir/codes_by_cell"))
+  }
+
   /** Oracle for ANN top-k queries: recompute exact cosine + rank over the
     * query's own staged candidate pairs (`__GRAFT_OUT__` resolves to the
     * Verify dump dir). Ranking the staged survivors by the same
@@ -730,36 +831,68 @@ object SimilarityQueries {
     //      deployment that queries a persisted index pays. A corpus change
     //      (count or dir) invalidates the marker and rebuilds. ----
     QueryDef("s15_ann_pq_stored", stagedRerankSql("s15_ann_pq_stored")) { (s, dir) =>
-      val emb = Tables.embeddings(s, dir)
-      // deterministic per-sf location; idxDir lives under java.io.tmpdir →
-      // always a LOCAL path, so java.nio (not Hadoop FS) is sound here
-      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_pq_index_" +
-        java.lang.Integer.toHexString(dir.hashCode)
-      val marker = java.nio.file.Paths.get(idxDir, "_GRAFT_INDEX")
-      // the stamp carries an order-independent CONTENT hash (summed
-      // xxhash64 over id+vector), not just the row count — a regenerated
-      // corpus at the same path and cardinality must invalidate the
-      // index. Count and fingerprint come from ONE agg (a single corpus
-      // scan — the staleness probe must not itself cost two passes of
-      // the very scan the stored index exists to avoid); a real
-      // deployment swaps this for the table format's snapshot/version id.
-      val stampRow = emb.agg(count(lit(1)),
-        sum(xxhash64(col("vec_id"), col("embedding")))).first()
-      val stamp = s"m=8 k=16 n=${stampRow.getLong(0)} fp=${stampRow.getLong(1)} src=$dir"
-      val built = java.nio.file.Files.exists(marker) &&
-        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == stamp
-      if (!built) {
-        val cb = graft.ext.PQ.codebooks(emb, "vec_id", "embedding", m = 8, k = 16)
-        cb.write.mode("overwrite").parquet(s"$idxDir/codebooks")
-        graft.ext.PQ.encode(emb, "vec_id", "embedding", cb, m = 8)
-          .write.mode("overwrite").parquet(s"$idxDir/codes")
-        java.nio.file.Files.write(marker, stamp.getBytes("UTF-8"))
-      }
-      graft.ext.PQ.adcTopKFromIndex(emb, "vec_id", "embedding",
-          col("vec_id") % 50 === 0,
-          s.read.parquet(s"$idxDir/codebooks"), s.read.parquet(s"$idxDir/codes"),
-          k = 5, m = 8)
+      val (cb, codes) = storedPqIndex(s, dir)
+      graft.ext.PQ.adcTopKFromIndex(Tables.embeddings(s, dir),
+          "vec_id", "embedding", col("vec_id") % 50 === 0,
+          cb, codes, k = 5, m = 8)
         .orderBy("q_id", "rn")
+    },
+
+    // ---- s36: s14's STORED-INDEX twin (VERDICT r13 #3) — the IVF-PQ
+    //      deployment geometry SCALE.md measured, as a graded query:
+    //      coarse centroids, PQ codebooks and the codes table all persist
+    //      once (codes PARTITIONED BY coarse cell), and the query path is
+    //      zero-training: probe the nprobe nearest cells (a ≤cells-row
+    //      driver pull of probed ids → LITERAL PartitionFilters — the
+    //      scan reads only probed directories, 25% of the corpus at
+    //      nprobe=2/cells=8), ADC-rank the pruned code rows, exact-rerank
+    //      the k·4 shortlist. Same staged-rerank oracle as s14/s15: the
+    //      emitted pairs' cosine + rank are DuckDB-re-derived, candidate
+    //      generation stays engine-trusted. PlanSpec pins the partition
+    //      filter and the absence of driver-materialized training state;
+    //      PartitionPruningSpec pins the file-level prune. ----
+    QueryDef("s36_ann_ivfpq_stored", stagedRerankSql("s36_ann_ivfpq_stored")) { (s, dir) =>
+      val (cb, codesByCell) = storedIvfPqIndex(s, dir)
+      graft.ext.PQ.ivfAdcTopKFromIndex(Tables.embeddings(s, dir),
+          "vec_id", "embedding", col("vec_id") % 50 === 0,
+          storedIvfCentroids(s, dir), codesByCell, cb,
+          k = 5, nprobe = 2, m = 8)
+        .orderBy("q_id", "rn")
+    },
+
+    // ---- s37: incremental index maintenance graded END-TO-END — the
+    //      append path s35 opened but never closed (VERDICT r13 #1): the
+    //      batch (vec_id % 10 = 7) is assigned against the STORED frozen
+    //      quantizer (map-only, zero training — s35's path) and FOLDED
+    //      INTO the stored assignment of the pre-existing corpus side;
+    //      the result is the full merged index. Because the quantizer is
+    //      frozen, assignment distributes over union — stored(A) ∪
+    //      assign(B) == assign(A∪B) — and the oracle grades exactly
+    //      that: it re-derives the ENTIRE corpus assignment from the
+    //      staged centroids (s09's argmin derivation, same float chain
+    //      and (d2, cell) tie-break), so a stale stored row, a dropped
+    //      batch vector, or any merge drift flips the hash. The query
+    //      path touches O(batch) compute: one pruned-by-filter
+    //      embeddings scan for the batch + one parquet scan of the
+    //      stored assignment (PlanSpec pins: no join, no training state,
+    //      single exchange for the final sort). ----
+    QueryDef("s37_ann_index_merged",
+      s"""WITH cents AS (SELECT cell, list(value ORDER BY pos) AS c
+         |               FROM read_parquet('${ClimateQueries.OutToken}/_staged_ivf_centroids/*.parquet')
+         |               GROUP BY cell),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+         |SELECT vec_id AS vid, cell FROM (
+         |  SELECT v.vec_id, cents.cell,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      list_dot_product(v.e, v.e) - 2.0 * list_dot_product(v.e, cents.c)
+         |        + list_dot_product(cents.c, cents.c), cents.cell) AS rn
+         |  FROM v CROSS JOIN cents) WHERE rn = 1
+         |ORDER BY vid""".stripMargin) { (s, dir) =>
+      val cents = storedIvfCentroids(s, dir)
+      val batch = Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 7)
+      storedIvfAssign(s, dir)
+        .union(graft.ext.IVF.assignWithCentroids(batch, "vec_id", "embedding", cents))
+        .orderBy("vid")
     },
 
     // ---- kNN graph over the whole corpus: IVF cells bound the pair

@@ -117,7 +117,10 @@ object TextQueries {
     val stampRow = docs.agg(count(lit(1)),
       sum(xxhash64(col("doc_id"), col("text")))).first()
     val nShRowsKey = "sh_rows="
-    val stampHead = s"tau=2/5 n=3${maxDf.map(c => s" cap=$c").getOrElse("")} " +
+    // "cap=N keep=s": the keep set is keyed by the shingle STRING since
+    // r14 (df capped per string, ADVICE r13) — the schema token
+    // invalidates indexes persisted with the older hash-keyed keep set
+    val stampHead = s"tau=2/5 n=3${maxDf.map(c => s" cap=$c keep=s").getOrElse("")} " +
       s"docs=${stampRow.getLong(0)} fp=${stampRow.getLong(1)} src=$dir"
     val existing =
       if (java.nio.file.Files.exists(marker))
@@ -148,6 +151,67 @@ object TextQueries {
       }
     (s.read.parquet(s"$idxDir/prefix"), s.read.parquet(s"$idxDir/sigs"),
       maxDf.map(_ => s.read.parquet(s"$idxDir/keep")), shRows)
+  }
+
+  /** Build-if-absent STORED order-STABLE τ=2/5 prefix index over the
+    * PRE-EXISTING corpus side (doc_id % 10 ≠ 7 — the t58/t59 ingestion
+    * split): prefix rows ([[graft.ext.Dedup.stablePrefixIndexTable]],
+    * string-ordered so prefixes are corpus-independent) and signature
+    * arrays persist once under a content-stamped location. This is the
+    * MAINTAINABLE index family: folding a batch in is a pure append
+    * (t60 grades stored(A) ∪ build(B) == rebuild(A∪B) hash-exactly),
+    * where the df-ordered index of [[storedPrefixIndex]] would need
+    * re-prefixing every doc whose shingle dfs the batch shifted.
+    * Returns (prefix, sigs, corpus-side shingle rows for the broadcast
+    * gate).
+    */
+  private def storedStableIndex(s: SparkSession, dir: String): (DataFrame, DataFrame, Long) = {
+    val corpus = Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 7)
+    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_stable_prefix_index_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val marker = java.nio.file.Paths.get(idxDir, "_GRAFT_INDEX")
+    val stampRow = corpus.agg(count(lit(1)),
+      sum(xxhash64(col("doc_id"), col("text")))).first()
+    val nShRowsKey = "sh_rows="
+    val stampHead = s"tau=2/5 n=3 order=s side=mod10ne7 " +
+      s"docs=${stampRow.getLong(0)} fp=${stampRow.getLong(1)} src=$dir"
+    val existing =
+      if (java.nio.file.Files.exists(marker))
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+      else ""
+    val built = existing.startsWith(stampHead + "\n")
+    val shRows: Long =
+      if (built)
+        existing.linesIterator.find(_.startsWith(nShRowsKey))
+          .map(_.stripPrefix(nShRowsKey).toLong).getOrElse(0L)
+      else {
+        val sh = Dedup.shingleHashTable(corpus, col("doc_id"), col("text"))
+        Dedup.stablePrefixIndexTable(sh, tauNum = 2, tauDen = 5)
+          .write.mode("overwrite").parquet(s"$idxDir/prefix")
+        Dedup.signatureTable(sh)
+          .write.mode("overwrite").parquet(s"$idxDir/sigs")
+        val n = sh.count()
+        java.nio.file.Files.write(marker,
+          (stampHead + "\n" + nShRowsKey + n).getBytes("UTF-8"))
+        n
+      }
+    (s.read.parquet(s"$idxDir/prefix"), s.read.parquet(s"$idxDir/sigs"), shRows)
+  }
+
+  /** The MERGED stable index + batch-side tables t60/t61 share: stored
+    * corpus prefix/sigs appended with the batch's freshly-built rows —
+    * the O(batch) fold-in (the stored side arrives as two parquet scans;
+    * only the batch tokenizes). Returns (merged pref incl. h, merged
+    * sigs, total shingle rows for the broadcast gate).
+    */
+  private def mergedStableIndex(s: SparkSession, dir: String): (DataFrame, DataFrame, Long) = {
+    val (pref, sigs, corpusShRows) = storedStableIndex(s, dir)
+    val batch = Tables.documents(s, dir).filter(col("doc_id") % 10 === 7)
+    val bSh = Dedup.shingleHashTable(batch, col("doc_id"), col("text"))
+    val mergedPref = pref.select(col("doc"), col("s"), col("h"), col("n_sh"))
+      .union(Dedup.stablePrefixIndexTable(bSh, tauNum = 2, tauDen = 5))
+    val mergedSigs = sigs.union(Dedup.signatureTable(bSh))
+    (mergedPref, mergedSigs, corpusShRows + bSh.count())
   }
 
   /** benchOnly twin of t23 with NO session memos: shingle table, τ=1/2
@@ -228,6 +292,7 @@ object TextQueries {
          |  CAST(len(list_filter($duckWords, w -> w IN ('le','les','des','est','et'))) AS INTEGER) AS score_fr,
          |  CAST(len(list_filter($duckWords, w -> w IN ('的','是','了','在','和'))) AS INTEGER) AS score_zh,
          |  CASE
+         |    WHEN score_en IS NULL THEN NULL
          |    WHEN score_en + score_de + score_es + score_fr + score_zh = 0 THEN 'und'
          |    WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
          |    WHEN score_de >= score_es AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
@@ -1595,9 +1660,97 @@ object TextQueries {
       val (pref, sigs, keep, shRows) = storedPrefixIndexCapped(s, dir, maxDf = 20L)
       val batch = Tables.documents(s, dir).filter(col("doc_id") % 10 === 7)
       val bSh = Dedup.shingleHashTable(batch, col("doc_id"), col("text"))
-        .join(keep, "h").select(col("doc"), col("s"), col("h"))
+        .join(keep.select(col("s")), "s").select(col("doc"), col("s"), col("h"))
       Dedup.crossPrefixProbe(bSh,
           pref.filter(col("doc") % 10 =!= 7), sigs.filter(col("doc") % 10 =!= 7),
+          tauNum = 2, tauDen = 5, broadcastSigs = shRows * 8L <= (64L << 20))
+        .orderBy("id_a", "id_b")
+    },
+
+    // ---- t60: incremental index MAINTENANCE graded end-to-end — the
+    //      append path t55/t58 opened but never closed (VERDICT r13 #1):
+    //      the ORDER-STABLE prefix index (string-ordered prefixes, so a
+    //      doc's prefix is a pure function of the doc — see
+    //      Dedup.stablePrefixIndexTable) lets a batch fold in as a pure
+    //      APPEND: stored_index(corpus) ∪ build(batch) is bit-identical
+    //      to a full rebuild over corpus+batch, which this oracle
+    //      re-derives from scratch over ALL docs. The df-ordered index
+    //      family cannot make this promise (every batch shifts dfs and
+    //      silently invalidates stored prefixes of untouched docs). The
+    //      query path tokenizes ONLY the batch; the corpus side is one
+    //      parquet scan of the stored prefix rows (PlanSpec pins zero
+    //      corpus scans and the single batch-grouping exchange). ----
+    QueryDef("t60_prefix_index_merged",
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id AS doc, unnest(list_distinct(
+        |    list_transform(range(1, len(w) - 1),
+        |                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+        |  FROM docs),
+        |sz AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY 1),
+        |pref AS (
+        |  SELECT doc, s, n_sh FROM (
+        |    SELECT h.doc, h.s, z.n_sh,
+        |      row_number() OVER (PARTITION BY h.doc ORDER BY h.s) AS pos
+        |    FROM sh h JOIN sz z USING (doc))
+        |  WHERE pos <= n_sh - ((2 * n_sh + 4) // 5) + 1)
+        |SELECT doc, s, n_sh FROM pref ORDER BY doc, s""".stripMargin) { (s, dir) =>
+      val (mergedPref, _, _) = mergedStableIndex(s, dir)
+      mergedPref.select(col("doc"), col("s"), col("n_sh"))
+        .orderBy("doc", "s")
+    },
+
+    // ---- t61: the merged index SERVES queries identically — the τ=2/5
+    //      dedup self-join run entirely FROM t60's merged stable index
+    //      (stored corpus rows + appended batch rows), graded against
+    //      t40's UNCHANGED pair-set oracle. Together with t60 this
+    //      closes the continuous-ingestion loop: the fold-in is exact
+    //      (t60) AND the folded index answers the exact-Jaccard join
+    //      bit-for-bit (t61). Prefix order only steers candidate
+    //      generation — the signature verify recomputes every count —
+    //      so the stable order changes WHICH candidates are checked,
+    //      never the surviving pairs (DedupSpec proves the pair-set
+    //      equality mechanically). ----
+    QueryDef("t61_prefix_pairs_merged",
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id AS doc, unnest(list_distinct(
+        |    list_transform(range(1, len(w) - 1),
+        |                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+        |  FROM docs),
+        |dfq AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+        |sz AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY 1),
+        |pref AS (
+        |  SELECT doc, s, n_sh FROM (
+        |    SELECT h.doc, h.s, z.n_sh,
+        |      row_number() OVER (PARTITION BY h.doc ORDER BY d.df, h.s) AS pos
+        |    FROM sh h JOIN dfq d USING (s) JOIN sz z USING (doc))
+        |  WHERE pos <= n_sh - ((2 * n_sh + 4) // 5) + 1),
+        |cand AS (
+        |  SELECT DISTINCT p.doc AS id_a, f.doc AS id_b
+        |  FROM pref p JOIN pref f ON f.s = p.s AND p.doc < f.doc
+        |  WHERE p.n_sh * 5 >= f.n_sh * 2 AND f.n_sh * 5 >= p.n_sh * 2),
+        |inter AS (
+        |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+        |  FROM cand c
+        |  JOIN sh a ON a.doc = c.id_a
+        |  JOIN sh b ON b.doc = c.id_b AND b.s = a.s
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_inter, za.n_sh AS n_a, zb.n_sh AS n_b,
+        |  round(CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter), 6)
+        |    AS jaccard
+        |FROM inter
+        |JOIN sz za ON za.doc = id_a
+        |JOIN sz zb ON zb.doc = id_b
+        |WHERE 7 * n_inter >= 2 * (za.n_sh + zb.n_sh)
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val (mergedPref, mergedSigs, shRows) = mergedStableIndex(s, dir)
+      Dedup.pairsFromPrefixIndex(
+          mergedPref.select(col("doc"), col("h"), col("n_sh")), mergedSigs,
           tauNum = 2, tauDen = 5, broadcastSigs = shRows * 8L <= (64L << 20))
         .orderBy("id_a", "id_b")
     },

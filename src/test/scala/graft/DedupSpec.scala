@@ -584,8 +584,67 @@ class TextOpsSpec extends SparkSpec {
     // keepAll spans the FULL corpus df (the graded t59 shape: the stored
     // keep set covers batch docs too, so a generous cap drops nothing)
     val (cappedC, _) = Dedup.cappedShingles(corpusSh, maxDf = 100L)
-    val cappedB = bSh.join(keepAll, "h").select(col("doc"), col("s"), col("h"))
+    val cappedB = bSh.join(keepAll.select(col("s")), "s")
+      .select(col("doc"), col("s"), col("h"))
     assert(probe(cappedC, cappedB) == probe(corpusSh, bSh))
+  }
+
+  test("stablePrefixIndexTable: merge == rebuild bit-exactly; df-ordered form provably cannot; pair sets agree") {
+    import spark.implicits._
+    // crafted so the df ORDER SHIFTS across the ingestion split: the
+    // boilerplate trigram "x y z" is rare inside the pre-existing corpus
+    // (docs 1-3) but common in the batch (docs 4-6) — a df-ordered
+    // prefix built on the corpus alone ranks it rarest-first, the full
+    // rebuild ranks it last, so stored(A) ∪ build(B) ≠ rebuild(A∪B) for
+    // prefixIndexTable. The string order cannot shift by construction.
+    val a = Seq(
+      (1L, "x y z p q r s t u v w aa bb cc"),
+      (2L, "p q r s t u v w aa bb cc dd ee"),
+      (3L, "completely different content here about nothing shared at all")
+    ).toDF("doc_id", "text")
+    val b = Seq(
+      (4L, "x y z x y z k1 k2 x y z k3 k4"),
+      (5L, "x y z m1 m2 m3 x y z m4 m5 m6"),
+      (6L, "x y z n1 n2 n3 n4 x y z n5 n6")
+    ).toDF("doc_id", "text")
+    val all = a.union(b)
+    val shA = Dedup.shingleHashTable(a, col("doc_id"), col("text"))
+    val shB = Dedup.shingleHashTable(b, col("doc_id"), col("text"))
+    val shAll = Dedup.shingleHashTable(all, col("doc_id"), col("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc", "s", "n_sh").as[(Long, String, Long)].collect().toSet
+    // the maintainability invariant, bit-exact
+    val merged = rows(Dedup.stablePrefixIndexTable(shA, 2, 5)
+      .union(Dedup.stablePrefixIndexTable(shB, 2, 5)))
+    val rebuilt = rows(Dedup.stablePrefixIndexTable(shAll, 2, 5))
+    assert(merged == rebuilt,
+      s"stable merge != rebuild: only-merged=${merged -- rebuilt} only-rebuilt=${rebuilt -- merged}")
+    // the df-ordered index genuinely lacks the property on this corpus —
+    // the contrast that justifies the stable family's existence
+    def dfRows(sh: org.apache.spark.sql.DataFrame) =
+      Dedup.prefixIndexTable(sh, 2, 5).select("doc", "h", "n_sh")
+        .as[(Long, Long, Long)].collect().toSet
+    assert(dfRows(shA) ++ dfRows(shB) != dfRows(shAll),
+      "expected the df-ordered prefixes to shift across the split (fixture no longer adversarial)")
+    // served pairs agree with the df-ordered reference — prefix order
+    // steers candidates only, the signature verify owns the answer
+    def pairsVia(pref: org.apache.spark.sql.DataFrame, sh: org.apache.spark.sql.DataFrame) =
+      Dedup.pairsFromPrefixIndex(pref.select(col("doc"), col("h"), col("n_sh")),
+          Dedup.signatureTable(sh), 2, 5, broadcastSigs = true)
+        .select("id_a", "id_b", "n_inter").as[(Long, Long, Long)].collect().toSet
+    val viaStable = pairsVia(Dedup.stablePrefixIndexTable(shAll, 2, 5), shAll)
+    val viaDf = Dedup.prefixFilterPairs(all, col("doc_id"), col("text"),
+        tauNum = 2, tauDen = 5)
+      .select("id_a", "id_b", "n_inter").as[(Long, Long, Long)].collect().toSet
+    assert(viaStable == viaDf, s"stable=$viaStable df=$viaDf")
+    // and on the real fixture corpus, where near-dup structure is dense
+    val docs = graft.core.Tables.documents(spark, sf)
+    val shReal = Dedup.shingleHashTable(docs, col("doc_id"), col("text"))
+    val realStable = pairsVia(Dedup.stablePrefixIndexTable(shReal, 2, 5), shReal)
+    val realDf = Dedup.prefixFilterPairsFrom(shReal, 2, 5)
+      .select("id_a", "id_b", "n_inter").as[(Long, Long, Long)].collect().toSet
+    assert(realStable == realDf && realStable.nonEmpty,
+      s"real-corpus mismatch: stable-only=${realStable -- realDf} df-only=${realDf -- realStable}")
   }
 
   test("prefixFilterPairs τ=1/2 == jaccardPairs.filter(≥0.5) — the t23/t28 edge-set swap") {

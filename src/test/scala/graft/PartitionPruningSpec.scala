@@ -53,4 +53,22 @@ class PartitionPruningSpec extends SparkSpec {
       files.forall(f => probed.exists(c => f.contains(s"cell=$c"))),
       s"probe scan leaked outside cells ${probed.mkString(",")}: ${files.take(3).mkString}")
   }
+
+  test("s36 stored IVF-PQ index: probe reads only probed-cell files of the REAL stored index") {
+    // not a synthetic layout — this drives the very codes_by_cell table
+    // the graded s36 query stores and probes (invoking the query builds
+    // it behind its content stamp), then proves the file-level prune on it
+    SparkEntry.queries("s36_ann_ivfpq_stored")(spark, sf)
+    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index_" +
+      java.lang.Integer.toHexString(sf.hashCode) + "/codes_by_cell"
+    val idx = spark.read.parquet(idxDir)
+    val cells = idx.select("ccell").distinct().collect().map(_.getInt(0)).sorted
+    assert(cells.length > 2, s"need >2 occupied cells to observe pruning, got ${cells.length}")
+    val probed = cells.take(2)
+    val files = idx.filter(col("ccell").isin(probed.map(Int.box): _*))
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty &&
+      files.forall(f => probed.exists(c => f.contains(s"ccell=$c"))),
+      s"probe scan leaked outside cells ${probed.mkString(",")}: ${files.take(3).mkString}")
+  }
 }

@@ -277,6 +277,59 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(q) == 1, s"only the final orderBy may exchange: $plan")
   }
 
+  test("t60/t61 merged stable index: the append touches O(batch) — corpus never rescanned, no rank window") {
+    // the maintainability claim made physical: the stored side arrives as
+    // parquet scans of the stable index, the batch side tokenizes behind
+    // its build-time checkpoint, and NO df aggregate or prefix-rank
+    // window exists anywhere (the stable order needs neither)
+    Seq("t60_prefix_index_merged", "t61_prefix_pairs_merged").foreach { name =>
+      val q = SparkEntry.queries(name)(spark, sf)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("documents.parquet"),
+        s"$name: the corpus table must not be scanned in the query path: $plan")
+      assert(plan.contains("graft_stable_prefix_index"),
+        s"$name: the corpus side must be the stored stable index: $plan")
+      assert(!plan.contains("Window"),
+        s"$name: the stable index needs no rank window, found one: $plan")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    }
+    // t60's whole query is two exchanges: the batch's per-doc grouping +
+    // the output orderBy — nothing keyed on corpus-global state
+    val t60 = SparkEntry.queries("t60_prefix_index_merged")(spark, sf)
+    assert(shuffles(t60) == 2,
+      s"t60: expected batch-groupBy + orderBy only: ${t60.queryExecution.executedPlan}")
+  }
+
+  test("s37 merged ANN index: stored scan + map-only batch assign — no join, no training state") {
+    // frozen-quantizer maintenance: the stored side is one parquet scan,
+    // the batch side is the literal-folded nearest-cell kernel over the
+    // filtered embeddings scan, and the only exchange is the output sort
+    val q = SparkEntry.queries("s37_ann_index_merged")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan)
+    assert(plan.contains("graft_ivf_assign"),
+      s"the corpus side must be the stored assignment: $plan")
+    assert(!plan.contains("graft_ivf_centroids"),
+      s"centroids must ride as literals, not a scan: $plan")
+    assert("FileScan parquet".r.findAllIn(plan).length == 2,
+      s"exactly stored-assign + batch embeddings scans expected: $plan")
+    assert(shuffles(q) == 1, s"only the final orderBy may exchange: $plan")
+  }
+
+  test("s36 stored IVF-PQ: probed cells reach the codes scan as literal PartitionFilters; zero training state") {
+    val q = SparkEntry.queries("s36_ann_ivfpq_stored")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    // the nprobe probe is directory pruning, not a row filter: the stored
+    // codes scan must carry ccell IN (...) as a PARTITION filter
+    assert("PartitionFilters: \\[[^\\]]*ccell#\\d+ IN ".r.findFirstIn(plan).isDefined,
+      s"probed cells must prune the codes scan: $plan")
+    // zero training in the query path: codebooks/centroids arrive as tiny
+    // parquet scans, never as driver-materialized state
+    assert(!plan.contains("LocalTableScan") && !plan.contains("ExistingRDD"),
+      s"driver-materialized training state leaked into the query: $plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q73 EXISTS subquery decorrelates to a left-semi hash/merge join") {
     // RewritePredicateSubquery must fire: the plan is a semi join, never a
     // per-outer-row nested-loop re-execution of the subquery

@@ -90,8 +90,13 @@ def main():
         "n_hits": sum(len(v) for v in hits.values()),
         "hits": hits,
     }
-    with open(os.path.join(ROOT, "LEAKCHECK.json"), "w") as fh:
-        json.dump(out, fh, indent=2)
+    # Two copies: the driver regenerates LEAKCHECK.json in its own schema
+    # after the final commit (discarding the self-evidencing stamps r12
+    # asked for — observed in round 13's working tree), so the builder's
+    # stamped artifact also persists under a name the driver leaves alone.
+    for name in ("LEAKCHECK.json", "LEAKCHECK_builder.json"):
+        with open(os.path.join(ROOT, name), "w") as fh:
+            json.dump(out, fh, indent=2)
     print(f"LEAKCHECK: {n_files} files, {out['n_hits']} hits")
     return 0 if out["n_hits"] == 0 else 1
 
