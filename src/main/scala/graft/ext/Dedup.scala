@@ -309,12 +309,26 @@ object Dedup {
                            tauNum: Int, tauDen: Int,
                            broadcastSigs: Boolean): DataFrame = {
     graft.functions.GraftFunctions.register(pref.sparkSession)
+    // NO pair-level distinct before the verify (r14, VERDICT r13 #2): a
+    // candidate pair repeats once per SHARED PREFIX token, and prefixes
+    // hold each doc's rarest tokens, so the duplication factor is small
+    // by construction — measured 1.22× at τ=2/5 and 1.24× at τ=1/2 on
+    // sf1 (54.2 M raw → 44.4 M distinct). The pair-keyed distinct was a
+    // full exchange of those 44 M rows (measured 5.9 s of t55's ~20 s
+    // query path) to save 22% of a map-side verify; verifying the
+    // duplicated rows directly and de-duplicating AFTER the τ filter
+    // (survivors only — 3 orders of magnitude fewer rows) removes the
+    // exchange entirely: with broadcast signatures the path from the
+    // h-join to the final tiny distinct is shuffle-free (measured
+    // 8.4 s → 4.9 s warm at sf1; the non-broadcast regime wins too —
+    // the verify joins carry 1.22× rows but the 44 M-row exchange is
+    // gone). Duplicated rows verify to IDENTICAL tuples, so set
+    // semantics are unchanged.
     val cand = pref.as("p").join(pref.as("f"),
         col("p.h") === col("f.h") && col("p.doc") < col("f.doc"))
       .filter(col("p.n_sh") * tauDen >= col("f.n_sh") * tauNum &&
         col("f.n_sh") * tauDen >= col("p.n_sh") * tauNum)
       .select(col("p.doc").as("id_a"), col("f.doc").as("id_b"))
-      .distinct()
     // verify via per-doc sorted signature ARRAYS, not a (pair × token)
     // expansion join: on a near-dup-heavy corpus the candidate set is
     // large (44.5M pairs on the 10× ScaleCheck fixture) and expanding
@@ -349,6 +363,7 @@ object Dedup {
         size(col("hb")).cast("long").as("n_b"))
       .filter(col("n_inter") * (tauDen + tauNum) >=
         (col("n_a") + col("n_b")) * tauNum)
+      .distinct()
       .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"), col("n_b"),
         round(col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6)
@@ -383,6 +398,11 @@ object Dedup {
                        broadcastSigs: Boolean): DataFrame = {
     graft.functions.GraftFunctions.register(batchSh.sparkSession)
     val bSizes = batchSh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    // candidate dedup deferred to AFTER the τ filter, exactly as in
+    // [[pairsFromPrefixIndex]] (r14): a pair repeats once per shared
+    // corpus-prefix token (small by the rarest-tokens argument), and the
+    // pair-keyed distinct was the only candidate-sized exchange in the
+    // probe — the survivors-only distinct is negligible.
     val cand = batchSh.as("b")
       .join(bSizes.withColumnRenamed("doc", "bdoc").as("z"),
         col("b.doc") === col("z.bdoc"))
@@ -390,7 +410,6 @@ object Dedup {
       .filter(col("z.n_sh") * tauDen >= col("p.n_sh") * tauNum &&
         col("p.n_sh") * tauDen >= col("z.n_sh") * tauNum)
       .select(col("b.doc").as("id_a"), col("p.doc").as("id_b"))
-      .distinct()
     val bSigs = signatureTable(batchSh)
     val hint: DataFrame => DataFrame =
       if (broadcastSigs) broadcast(_) else identity
@@ -405,6 +424,7 @@ object Dedup {
         size(col("hb")).cast("long").as("n_b"))
       .filter(col("n_inter") * (tauDen + tauNum) >=
         (col("n_a") + col("n_b")) * tauNum)
+      .distinct()
       .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"), col("n_b"),
         round(col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6)
@@ -715,24 +735,35 @@ object Dedup {
     var labels = e.select(col("n")).distinct()
       .select(col("n"), col("n").as("lbl"))
       .localCheckpoint(true)
+    // free each round's checkpointed blocks as soon as the NEXT round is
+    // eagerly materialized (r14, VERDICT r13 #5): the loop previously
+    // retained EVERY iteration's label blocks for the session's
+    // remainder — O(iters · n) residency whose eviction/page-cache
+    // interplay was t53's measured ±2× run-state variance. Residency is
+    // now capped at two label copies; only the FINAL round's blocks
+    // survive the loop (consumers read them).
+    var prevCk = labels
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
       val nbr = labels.join(e, "n").select(col("m").as("n"), col("lbl"))
       // the old label rides along INSIDE the checkpointed plan, so the
       // convergence check is a cache-local filter+count — not a second
-      // shuffle join job per round (2 jobs/round → 1 shuffle job + 1
+      // shuffle join job per round (2 jobs/round → 1 shuffle join job + 1
       // cache scan)
       val next = labels.union(nbr)
         .groupBy("n").agg(min(col("lbl")).as("lbl"))
         .join(labels.withColumnRenamed("lbl", "old"), "n")
         .localCheckpoint(true)
       val changed = next.filter(col("lbl") =!= col("old")).count()
+      if (prevCk ne next) prevCk.unpersist()
+      prevCk = next
       labels = next.select(col("n"), col("lbl"))
       converged = changed == 0
       iter += 1
     }
     e.unpersist()
+    base.unpersist()
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
