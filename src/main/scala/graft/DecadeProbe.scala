@@ -53,10 +53,12 @@ object DecadeProbe {
           }
       }
 
-    val docs = graft.core.Tables.documents(spark, sfDir)
     val emb = graft.core.Tables.embeddings(spark, sfDir)
     implicit val probeEnv: ProbeEnv = ProbeEnv(emb, sfDir)
+    // ivf2only needs ONLY embeddings — branch before touching documents,
+    // so an embeddings-only decade fixture (Inflate's table subset) works
     if (args.contains("ivf2only")) { ivf2Contrast(); spark.stop(); return }
+    val docs = graft.core.Tables.documents(spark, sfDir)
 
     // candidate-space metrics (timed separately — they ARE extra passes)
     def metric(name: String)(f: => Long): (String, Long, Double) = {
@@ -186,19 +188,28 @@ object DecadeProbe {
     val nVec = emb.count()
     val cellsAuto = graft.ext.Similarity.autoCells(nVec)
     val (k1, k2) = graft.ext.IVF.autoK1K2(nVec)
-    def timed(name: String)(f: => Long): Unit = {
+    // noop-sink forcing, NOT count(): under count() Catalyst prunes the
+    // assignment projection itself (the r13 CountPruneAudit lesson) —
+    // the pre-r14 "assign-only" rows here timed a bare scan+count, which
+    // is why they read sub-linear in cells (0.09/0.16/0.38 s across
+    // three decades for a flop count that grew ×1000). The noop sink
+    // materializes the cell column the probe exists to time.
+    def timed(name: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()
-      val v = try f catch { case e: Throwable =>
-        System.err.println(s"[decade] $name failed: ${e.getMessage}"); -1L }
-      println(f"""{"query":"$name","sf_dir":"$sfDir","sec":${(System.nanoTime() - t0) / 1e9}%.3f,"rows":$v}""")
+      val sec = try {
+        f.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[decade] $name failed: ${e.getMessage}"); -1.0 }
+      println(f"""{"query":"$name","sf_dir":"$sfDir","sec":$sec%.3f,"n_vec":$nVec}""")
     }
     timed(s"ivf_flat_train_assign[cells=$cellsAuto]") {
       graft.ext.IVF.assignTable(emb, "vec_id", "embedding",
-        cellsAuto, iters = 3).count()
+        cellsAuto, iters = 3).select(col("vid"), col("cell"))
     }
     timed(s"ivf2_train_assign[k1=$k1,k2=$k2]") {
       graft.ext.IVF.twoLevelAssignTable(emb, "vec_id", "embedding",
-        k1, k2, iters = 3).count()
+        k1, k2, iters = 3)
     }
     // assignment-ONLY contrast (models pre-trained): this is the
     // component the flop wall lives in — training's decimal-sum update
@@ -210,16 +221,18 @@ object DecadeProbe {
     val l1flat = graft.ext.IVF.kmeansCentroids(
       emb, "vec_id", "embedding", cellsAuto, iters = 3)
     timed(s"ivf_flat_assign_only[cells=$cellsAuto]") {
-      graft.ext.IVF.assignCells(v, l1flat).count()
+      graft.ext.IVF.assignCells(v, l1flat).select(col("vid"), col("cell"))
     }
     val (l1h, l2h, _) = graft.ext.IVF.twoLevelModel(
       emb, "vec_id", "embedding", k1, k2, iters = 3)
     timed(s"ivf2_assign_only[k1=$k1,k2=$k2]") {
+      // the L1 cell is forced through the residual join key; the L2 cell
+      // is forced by the noop sink's output columns
       val res = graft.ext.IVF.assignCells(v, l1h)
         .join(broadcast(l1h), "cell")
         .select(col("vid"),
           zip_with(col("v"), col("c"), (a, b) => a - b).as("v"))
-      graft.ext.IVF.assignCells(res, l2h).count()
+      graft.ext.IVF.assignCells(res, l2h).select(col("vid"), col("cell"))
     }
   }
 

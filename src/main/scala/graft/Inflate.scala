@@ -84,10 +84,18 @@ object Inflate {
               x => (x + lit(i * 1e-3f)).cast("float")))),
     )
 
-    tables.foreach { case (t, df) =>
-      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
-      println(s"[inflate] $t -> $out/$t.parquet")
-    }
+    // optional 4th arg: comma-separated table subset — a ×1000
+    // embeddings-only decade (the ivf2 crossover probe) must not pay a
+    // ×1000 lineitem write. NOTE: always inflate from sf0.1 (stride ×
+    // copy-index must stay collision-free; re-inflating an inflated dir
+    // reuses the same strides and collides keys).
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").toSet) else None
+    tables.filter { case (t, _) => only.forall(_.contains(t)) }
+      .foreach { case (t, df) =>
+        df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+        println(s"[inflate] $t -> $out/$t.parquet")
+      }
     spark.stop()
   }
 }

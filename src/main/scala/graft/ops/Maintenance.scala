@@ -278,7 +278,17 @@ object Maintenance {
     // replaces it: same (c asc, k asc) total order, ≤(groups·B)-entry
     // driver prior map, partitioned in-bucket windows. Σi·c is
     // rank-order-exact because the permutation is identical.
-    graft.ops.Prep.rankViaBuckets(cnt, col("c"), col("k"),
+    // The rank VALUE here is a per-key count with a handful of distinct
+    // values (l_orderkey df ∈ 1..17 at sf10), so value-only buckets
+    // collapse to that handful and the biggest tie class (~3 M rows at
+    // sf10) sorts in ONE window task. Measured adjudication (r14,
+    // minimums across noisy-host runs): the value-only rank is 11-13 s
+    // at sf10 while the tie-splitting form (splitTies=true — pair edges
+    // on (c, k)) pays ~46 s in chain+sample overhead to remove a ~4 s
+    // single-task sort — so value-only stays the registered form through
+    // the probed decades, and splitTies is the documented switch for the
+    // decade where the tie-class cell (∝ corpus) outgrows a task.
+    val profile = graft.ops.Prep.rankViaBuckets(cnt, col("c"), col("k"),
         ascending = true, rankCol = "i", partitionKeys = Seq(col("col_name")))
       .groupBy(col("col_name"))
       .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
@@ -291,5 +301,14 @@ object Maintenance {
           col("n_rows"), 6).as("skew_ratio"),
         round((lit(2) * col("__ic") - (col("n_keys") + 1) * col("n_rows"))
           .cast("double") / (col("n_keys") * col("n_rows")), 6).as("gini"))
+    // A profiler's output is ONE ROW PER PROFILED COLUMN — materialize it
+    // eagerly (a k-row driver pull, the A2 count→lit discipline) so the
+    // key-cardinality-sized checkpoint can be FREED here instead of
+    // leaking per call: a second same-session q145 run was measured 2.2×
+    // slower at sf10 purely from the first run's retained 16.8 M-row
+    // blocks (the r14 CC-loop residency lesson applied to the profiler).
+    val rows = java.util.Arrays.asList(profile.collect(): _*)
+    cnt.unpersist()
+    keyed.sparkSession.createDataFrame(rows, profile.schema)
   }
 }

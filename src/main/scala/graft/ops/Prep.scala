@@ -146,24 +146,97 @@ object Prep {
   def rankViaBuckets(df: DataFrame, value: Column, tieBreak: Column,
                      ascending: Boolean = true, buckets: Int = 64,
                      rankCol: String = "rank",
-                     partitionKeys: Seq[Column] = Nil): DataFrame = {
-    val qs = (1 until buckets).map(i => lit(i.toDouble / buckets))
-    val edgeRow = df.agg(percentile_approx(value.cast("double"),
-      array(qs: _*), lit(10000)).as("e")).head()
-    // empty input → no edges → everything in bucket 0, prior map empty
-    val edgeVals: Seq[Double] =
-      if (edgeRow.isNullAt(0)) Seq.empty else edgeRow.getSeq[Double](0)
-    // NaN sorts ABOVE every real double in Spark's ordering, but
-    // `vd > e` is false for NaN — without the explicit when() NaN rows
-    // would land in bucket 0 while the in-bucket sort puts them last,
-    // colliding their ranks with higher buckets. Pinning NaN to the top
-    // bucket makes prior + local rank match the global window for NaN
-    // too (it sorts last there — exactly its global position).
-    val bucketOf =
-      if (edgeVals.isEmpty) lit(0)
-      else when(isnan(value.cast("double")), lit(edgeVals.size))
-        .otherwise(size(filter(array(edgeVals.map(lit): _*),
-          e => value.cast("double") > e)))
+                     partitionKeys: Seq[Column] = Nil,
+                     splitTies: Boolean = false): DataFrame = {
+    // --- bucket function -------------------------------------------------
+    // Default: percentile edges on `value` alone, ties-in-one-bucket (the
+    // exactness argument needs only monotonicity). splitTies=true swaps in
+    // PAIR edges on (value, tieBreak) for tie-HEAVY values — q145's Gini
+    // rank runs over per-key counts with ~7 distinct values, which
+    // collapses 64 value-buckets to 7 and hands the in-bucket window a
+    // multi-million-row single task (measured 74.7 s of q145's 100 s at
+    // sf10). Pair edges come from a deterministic hash-ordered sample
+    // (TakeOrdered — a bounded 50k-row driver pull), and the bucket
+    // function counts edges strictly below the row under the SAME
+    // (value, tie) composite order the rank uses, so monotonicity — and
+    // with it prior+local == global — holds exactly as before; exact
+    // (value, tie) duplicates still land in one bucket. REQUIREMENTS for
+    // splitTies: `value` must cast to double INJECTIVELY over its
+    // distinct values (integral values below 2^53 — counts qualify; a
+    // collision between distinct values could otherwise invert the pair
+    // comparison) and `tieBreak` must be non-null and cast to double
+    // MONOTONICALLY (collisions fine — they're ties at bucket level).
+    // Both bucket functions are CODEGEN'D COMPARISON CHAINS (nested
+    // CASE WHEN over the ≤B−1 literal edges), not filter()-HOF counts:
+    // ArrayFilter is eval-mode — 63 boxed lambda evaluations per row,
+    // paid TWICE (the bucket-histogram pass and the final plan), measured
+    // as the dominant term of q145's 100 s sf10 noop time. The chain
+    // finds the first edge the row does not pass — identical bucket ids,
+    // native comparisons inside whole-stage codegen.
+    val bucketOf: Column =
+      if (splitTies) {
+        val vd = value.cast("double"); val td = tieBreak.cast("double")
+        // hash NATIVE column types — casting to string first was measured
+        // at 13.8-56.9 s vs 1.0-1.6 s for the same TakeOrdered at sf10
+        val sample = df
+          .select(vd.as("v"), td.as("t"))
+          .orderBy(xxhash64(value, tieBreak))
+          .limit(50000).collect()
+          .map(r => (r.getDouble(0), r.getDouble(1)))
+        // Bucket ids follow the EXISTING convention (increasing with
+        // ascending value; prior accumulation flips direction for desc):
+        //  - asc: bucket = |{e : e ≺ row}| under (v asc, t asc) —
+        //    monotone NON-DECREASING along the rank order; edges sorted
+        //    ascending, so {e ≺ row} is a PREFIX and the first
+        //    non-preceding edge's index IS the count;
+        //  - desc: bucket = |{e : row ≺ e}| under (v desc, t asc) —
+        //    monotone NON-INCREASING along the rank order (matching the
+        //    sortBy(-bucket) prior direction below); edges sorted in rank
+        //    order, {row ≺ e} is a SUFFIX, count = B − first index.
+        val ordered =
+          if (ascending) sample.sortBy(identity)
+          else sample.sortBy { case (v, t) => (-v, t) }
+        val edges =
+          if (ordered.isEmpty) Seq.empty
+          else (1 until buckets)
+            .map(i => ordered(math.min((i.toLong * ordered.length / buckets).toInt,
+              ordered.length - 1))).distinct
+        if (edges.isEmpty) lit(0)
+        else if (ascending)
+          // NaN value: every comparison is false → falls through to the
+          // top bucket, exactly the explicit NaN pin (it sorts last)
+          edges.zipWithIndex.foldRight(lit(edges.size): Column) {
+            case (((ev, et), i), acc) =>
+              when(vd < lit(ev) || (vd === lit(ev) && td <= lit(et)), lit(i))
+                .otherwise(acc)
+          }
+        else
+          // NaN sorts FIRST under desc (Spark: NaN greatest) — pin it to
+          // the top bucket explicitly, whose prior is 0 in desc order
+          when(isnan(vd), lit(edges.size)).otherwise(
+            edges.zipWithIndex.foldRight(lit(0): Column) {
+              case (((ev, et), i), acc) =>
+                when(vd > lit(ev) || (vd === lit(ev) && td < lit(et)),
+                  lit(edges.size - i)).otherwise(acc)
+            })
+      } else {
+        val qs = (1 until buckets).map(i => lit(i.toDouble / buckets))
+        val edgeRow = df.agg(percentile_approx(value.cast("double"),
+          array(qs: _*), lit(10000)).as("e")).head()
+        // empty input → no edges → everything in bucket 0, prior map empty
+        val edgeVals: Seq[Double] =
+          if (edgeRow.isNullAt(0)) Seq.empty else edgeRow.getSeq[Double](0)
+        // NaN sorts ABOVE every real double in Spark's ordering and
+        // compares false against every edge, so it falls through the
+        // chain to the TOP bucket — exactly where the global window puts
+        // it (first under desc priors, last under asc), preserving the
+        // explicit NaN pin of the pre-chain formulation.
+        val vd = value.cast("double")
+        if (edgeVals.isEmpty) lit(0)
+        else edgeVals.zipWithIndex.foldRight(lit(edgeVals.size): Column) {
+          case ((e, i), acc) => when(vd <= lit(e), lit(i)).otherwise(acc)
+        }
+      }
     val ord =
       if (ascending) Seq(value.asc, tieBreak.asc)
       else Seq(value.desc, tieBreak.asc)

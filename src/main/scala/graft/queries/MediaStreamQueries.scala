@@ -586,6 +586,64 @@ object MediaStreamQueries {
         .orderBy("doc", "partner")
     },
 
+    // ---- st12: streaming EXACT-τ dedup gate against the STORED stable
+    //      prefix index — st10's admission-gate shape upgraded from a
+    //      probabilistic band screen to the full exact-Jaccard-≥-τ
+    //      guarantee, probing the SAME maintainable index t60/t61 grade
+    //      (order-stable prefixes, so the stream needs zero corpus
+    //      statistics and the index never recomputes per arrival). The
+    //      batch twin graded here runs the doc%10==7 arrivals against
+    //      the %10≠7 corpus side — exactly t58's semantics, so t58's
+    //      UNCHANGED oracle grades it (prefix ORDER steers candidates
+    //      only; the signature verify owns the answer). StreamingSpec
+    //      drives the same function through MemoryStream and pins
+    //      stream == batch plus agreement with the batch probe. ----
+    QueryDef("st12_stream_index_probe",
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id AS doc, unnest(list_distinct(
+        |    list_transform(range(1, len(w) - 1),
+        |                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+        |  FROM docs),
+        |dfq AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+        |sz AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY 1),
+        |pref AS (
+        |  SELECT doc, s, n_sh FROM (
+        |    SELECT h.doc, h.s, z.n_sh,
+        |      row_number() OVER (PARTITION BY h.doc ORDER BY d.df, h.s) AS pos
+        |    FROM sh h JOIN dfq d USING (s) JOIN sz z USING (doc))
+        |  WHERE pos <= n_sh - ((2 * n_sh + 4) // 5) + 1),
+        |cand AS (
+        |  SELECT DISTINCT b.doc AS id_a, p.doc AS id_b
+        |  FROM sh b JOIN sz zb ON zb.doc = b.doc
+        |  JOIN pref p ON p.s = b.s
+        |  WHERE b.doc % 10 = 7 AND p.doc % 10 != 7
+        |    AND zb.n_sh * 5 >= p.n_sh * 2 AND p.n_sh * 5 >= zb.n_sh * 2),
+        |inter AS (
+        |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+        |  FROM cand c
+        |  JOIN sh a ON a.doc = c.id_a
+        |  JOIN sh b ON b.doc = c.id_b AND b.s = a.s
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_inter, za.n_sh AS n_a, zb.n_sh AS n_b,
+        |  round(CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter), 6)
+        |    AS jaccard
+        |FROM inter
+        |JOIN sz za ON za.doc = id_a
+        |JOIN sz zb ON zb.doc = id_b
+        |WHERE 7 * n_inter >= 2 * (za.n_sh + zb.n_sh)
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val (pref, sigs, _) = TextQueries.storedStableIndex(s, dir)
+      StreamOps.streamPrefixProbe(
+          Tables.documents(s, dir).filter(col("doc_id") % 10 === 7),
+          col("doc_id"), col("text"), pref, sigs, tauNum = 2, tauDen = 5)
+        .select(col("doc").as("id_a"), col("partner").as("id_b"),
+          col("n_inter"), col("n_a"), col("n_b"), col("jaccard"))
+        .orderBy("id_a", "id_b")
+    },
+
     // ---- st09: per-user RECORD-BREAKER detection — the Spark 4
     //      transformWithState surface (StatefulProcessor + typed
     //      ValueState, the arbitrary-state API that supersedes

@@ -895,6 +895,75 @@ object SimilarityQueries {
         .orderBy("vid")
     },
 
+    // ---- s38: quantizer DRIFT audit — the "when to retrain" gate the
+    //      maintenance family needs once s35/s37 keep folding batches
+    //      into a FROZEN quantizer: per coarse cell, the stored corpus
+    //      occupancy vs the arriving batch's occupancy plus the
+    //      chi-square contribution ((n_b − E)²/E against the corpus
+    //      distribution). A drifted data stream concentrates mass in few
+    //      cells — probe cost and recall both degrade — and Σ chi2_term
+    //      crossing a threshold is the retrain trigger. Everything is
+    //      exact arithmetic over two argmin assignments, so the oracle
+    //      re-derives BOTH populations from the staged centroids (s09's
+    //      derivation on each side of the %10 split), the counts, the
+    //      shares and the pinned-order float chain (CAST-first multiply
+    //      then divide) from scratch. Cells with zero corpus mass yield
+    //      NULL chi2_term (no expected value), never a division error.
+    //      Totals ride a broadcast 1-row cross join — no unpartitioned
+    //      window. ----
+    QueryDef("s38_ann_drift_audit",
+      s"""WITH cents AS (SELECT cell, list(value ORDER BY pos) AS c
+         |               FROM read_parquet('${ClimateQueries.OutToken}/_staged_ivf_centroids/*.parquet')
+         |               GROUP BY cell),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |assign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT v.vec_id, cents.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        list_dot_product(v.e, v.e) - 2.0 * list_dot_product(v.e, cents.c)
+         |          + list_dot_product(cents.c, cents.c), cents.cell) AS rn
+         |    FROM v CROSS JOIN cents) WHERE rn = 1),
+         |nc AS (SELECT cell, count(*) AS n_corpus FROM assign
+         |       WHERE vec_id % 10 != 7 GROUP BY cell),
+         |nb AS (SELECT cell, count(*) AS n_batch FROM assign
+         |       WHERE vec_id % 10 = 7 GROUP BY cell),
+         |tot AS (SELECT (SELECT sum(n_corpus) FROM nc) AS nc_tot,
+         |               (SELECT sum(n_batch) FROM nb) AS nb_tot),
+         |j AS (SELECT coalesce(nc.cell, nb.cell) AS cell,
+         |        coalesce(n_corpus, 0) AS n_corpus,
+         |        coalesce(n_batch, 0) AS n_batch
+         |      FROM nc FULL OUTER JOIN nb ON nb.cell = nc.cell)
+         |SELECT cell, n_corpus, n_batch,
+         |  round(CAST(n_corpus AS DOUBLE) / nc_tot, 6) AS share_corpus,
+         |  round(CAST(n_batch AS DOUBLE) / nb_tot, 6) AS share_batch,
+         |  CASE WHEN n_corpus > 0 THEN
+         |    round((CAST(n_batch AS DOUBLE) - CAST(nb_tot AS DOUBLE) * n_corpus / nc_tot)
+         |        * (CAST(n_batch AS DOUBLE) - CAST(nb_tot AS DOUBLE) * n_corpus / nc_tot)
+         |        / (CAST(nb_tot AS DOUBLE) * n_corpus / nc_tot), 6)
+         |  END AS chi2_term
+         |FROM j CROSS JOIN tot ORDER BY cell""".stripMargin) { (s, dir) =>
+      val cents = storedIvfCentroids(s, dir)
+      val batch = Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 7)
+      val nc = storedIvfAssign(s, dir)
+        .groupBy("cell").agg(count(lit(1)).as("n_corpus"))
+      val nb = graft.ext.IVF.assignWithCentroids(batch, "vec_id", "embedding", cents)
+        .groupBy("cell").agg(count(lit(1)).as("n_batch"))
+      val tot = nc.agg(sum(col("n_corpus")).as("nc_tot"))
+        .crossJoin(nb.agg(sum(col("n_batch")).as("nb_tot")))
+      val expected = col("nb_tot").cast("double") * col("n_corpus") / col("nc_tot")
+      nc.join(nb, Seq("cell"), "full_outer")
+        .na.fill(0L, Seq("n_corpus", "n_batch"))
+        .crossJoin(broadcast(tot))
+        .select(col("cell"), col("n_corpus"), col("n_batch"),
+          round(col("n_corpus").cast("double") / col("nc_tot"), 6).as("share_corpus"),
+          round(col("n_batch").cast("double") / col("nb_tot"), 6).as("share_batch"),
+          when(col("n_corpus") > 0,
+            round((col("n_batch").cast("double") - expected)
+              * (col("n_batch").cast("double") - expected) / expected, 6))
+            .as("chi2_term"))
+        .orderBy("cell")
+    },
+
     // ---- kNN graph over the whole corpus: IVF cells bound the pair
     //      space (equi-join on cell, top-k window per node). Candidate
     //      blocking is k-means → engine-trusted; the exact cosine + rank

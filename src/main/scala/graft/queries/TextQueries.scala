@@ -165,7 +165,7 @@ object TextQueries {
     * Returns (prefix, sigs, corpus-side shingle rows for the broadcast
     * gate).
     */
-  private def storedStableIndex(s: SparkSession, dir: String): (DataFrame, DataFrame, Long) = {
+  private[queries] def storedStableIndex(s: SparkSession, dir: String): (DataFrame, DataFrame, Long) = {
     val corpus = Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 7)
     val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_stable_prefix_index_" +
       java.lang.Integer.toHexString(dir.hashCode)

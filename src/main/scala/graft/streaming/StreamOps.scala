@@ -179,6 +179,72 @@ object StreamOps {
       .agg(count(lit(1)).as("n_band_hits"))
   }
 
+  /** EXACT-τ prefix-index probe as a streaming ADMISSION GATE — the
+    * in-stream face of [[graft.ext.Dedup.crossPrefixProbe]], closing the
+    * loop between the streaming screen family (st10's probabilistic LSH
+    * band gate) and the stored maintainable index (t60's order-stable
+    * prefix index): each arriving doc is checked against the PERSISTED
+    * corpus index with the full exact-Jaccard-≥-τ guarantee before it
+    * would be inserted.
+    *
+    * Streaming-legal topology: the per-doc signature (sorted xxhash64
+    * array over distinct shingles — identical bytes to
+    * [[graft.ext.Dedup.signatureTable]]'s collect_list path) is a pure
+    * MAP-SIDE projection, the token explode is a flatMap, both corpus
+    * joins broadcast the static index, and the verify kernel runs per
+    * joined row — so the ONLY stateful operator is the single trailing
+    * per-(doc, partner) aggregate that collapses the one-row-per-shared-
+    * prefix-token duplication (~1.2×, the r14 measurement; run it in
+    * update/complete mode, or window it by arrival time under a
+    * watermark for bounded state — st10's discipline).
+    *
+    * Completeness is [[graft.ext.Dedup.crossPrefixProbe]]'s pigeonhole
+    * argument verbatim: full(arrival) ⋈ prefix(corpus) is exhaustive for
+    * ANY per-doc prefix order, so the stream needs zero knowledge of
+    * corpus statistics and the stored index never recomputes per batch.
+    *
+    * Honest scale note: each exploded token row carries its doc's
+    * signature array (the batch probe joins signatures BY KEY instead) —
+    * per-micro-batch cost is tokens × sig bytes, the right trade for
+    * arrival-sized batches; and a corpus whose signature table exceeds
+    * broadcast reach should gate with st10's band screen and run the
+    * exact verify as the batch probe (the two-stage deployment).
+    *
+    * Output: (doc, partner, n_inter, n_a, n_b, jaccard) for exact
+    * J ≥ tauNum/tauDen cross pairs.
+    */
+  def streamPrefixProbe(stream: DataFrame, id: Column, text: Column,
+                        corpusPref: DataFrame, corpusSigs: DataFrame,
+                        tauNum: Int, tauDen: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(stream.sparkSession)
+    val sig = stream
+      .select(id.as("doc"),
+        sort_array(transform(graft.ext.Dedup.shingles(text),
+          x => xxhash64(x))).as("ha"))
+      .filter(size(col("ha")) > 0)
+      .withColumn("n_a", size(col("ha")).cast("long"))
+    sig
+      .select(col("doc"), col("ha"), col("n_a"), explode(col("ha")).as("h"))
+      .join(broadcast(corpusPref.select(col("doc").as("partner"), col("h"),
+        col("n_sh").as("n_b"))), "h")
+      .filter(col("partner") =!= col("doc"))
+      .filter(col("n_a") * tauDen >= col("n_b") * tauNum &&
+        col("n_b") * tauDen >= col("n_a") * tauNum)
+      .join(broadcast(corpusSigs.select(col("doc").as("partner"),
+        col("hs").as("hb"))), "partner")
+      .select(col("doc"), col("partner"),
+        call_function("graft_sorted_intersect_count",
+          col("ha"), col("hb")).as("n_inter"),
+        col("n_a"), col("n_b"))
+      .filter(col("n_inter") * (tauDen + tauNum) >=
+        (col("n_a") + col("n_b")) * tauNum)
+      .groupBy("doc", "partner")
+      .agg(first(col("n_inter")).as("n_inter"),
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+      .withColumn("jaccard", round(col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6))
+  }
+
   /** Per-day count-min-sketch PARTIAL cells over a streaming (or batch)
     * key column — the frequency-sketch sibling of q59's daily HLL
     * partials, and the streaming face of [[graft.ops.Mining.cmsCounters]]

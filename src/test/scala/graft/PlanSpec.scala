@@ -330,6 +330,23 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("st12 stream gate (batch twin): corpus rides as the stored stable index; one trailing pair aggregate") {
+    // the streaming-legal topology made physical: arrival scan + two
+    // broadcast index scans, per-row verify, and the ONLY exchanges are
+    // the trailing per-pair aggregate + the output orderBy — no window,
+    // no corpus tokenization, nothing stateful before the last operator
+    val q = SparkEntry.queries("st12_stream_index_probe")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_stable_prefix_index"),
+      s"the corpus side must be the stored stable index: $plan")
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert("FileScan parquet".r.findAllIn(plan).length == 3,
+      s"arrival scan + prefix + sigs expected: $plan")
+    assert(shuffles(q) == 2,
+      s"only the pair aggregate and the orderBy may exchange: $plan")
+  }
+
   test("q73 EXISTS subquery decorrelates to a left-semi hash/merge join") {
     // RewritePredicateSubquery must fire: the plan is a semi join, never a
     // per-outer-row nested-loop re-execution of the subquery

@@ -309,6 +309,38 @@ class PrepSpec extends SparkSpec {
     }
   }
 
+  test("rankViaBuckets(splitTies) == global row_number, asc and desc, on a tie-heavy value") {
+    import org.apache.spark.sql.expressions.Window
+    // the q145 regime: the rank VALUE has a handful of distinct values
+    // (per-key counts), so value-only buckets collapse to that handful
+    // and the in-bucket window degenerates toward one task; splitTies'
+    // (value, tie) pair edges must spread the tied mass WITHOUT changing
+    // a single rank
+    val df = graft.core.Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey").as("id"))
+      .agg(count(lit(1)).as("v"))
+    for (asc <- Seq(true, false)) {
+      val w =
+        if (asc) Window.orderBy(col("v").asc, col("id").asc)
+        else Window.orderBy(col("v").desc, col("id").asc)
+      val expect = df.withColumn("r", row_number().over(w).cast("long"))
+        .orderBy("r").select("v", "id").collect().toSeq
+      val got = graft.ops.Prep.rankViaBuckets(df, col("v"), col("id"),
+          ascending = asc, rankCol = "r", splitTies = true)
+        .orderBy("r").select("v", "id").collect().toSeq
+      assert(expect == got, s"asc=$asc: splitTies rank order diverges")
+    }
+    // and combined with partitionKeys — q145's exact shape
+    val grouped = df.withColumn("g", (col("id") % 3).cast("string"))
+    val wg = Window.partitionBy("g").orderBy(col("v").asc, col("id").asc)
+    val want = grouped.withColumn("r", row_number().over(wg).cast("long"))
+      .orderBy("g", "r").select("g", "v", "id").collect().toSeq
+    val got = graft.ops.Prep.rankViaBuckets(grouped, col("v"), col("id"),
+        rankCol = "r", partitionKeys = Seq(col("g")), splitTies = true)
+      .orderBy("g", "r").select("g", "v", "id").collect().toSeq
+    assert(want == got, "splitTies + partitionKeys diverges from the keyed window")
+  }
+
   test("rankViaBuckets: ranks are a permutation of 1..n even with few distinct values") {
     import spark.implicits._
     // 7 distinct values, 64 requested buckets → sketch edges collapse to

@@ -680,6 +680,59 @@ class StreamingSpec extends SparkSpec {
     assert(batch.map(_._1) == Seq(101L), s"got $batch")
     assert(batch.head._2 == 1L && batch.head._3 >= 1L, s"got $batch")
   }
+
+  test("streamPrefixProbe: stream == batch == crossPrefixProbe against the stored stable index") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "pack my box with five dozen liquor jugs for the long cold winter"),
+      (3L, "sphinx of black quartz judge my vow said the old keeper at dusk"))
+      .toDF("doc_id", "text")
+    val corpusSh = graft.ext.Dedup.shingleHashTable(corpus, col("doc_id"), col("text"))
+    // the maintainable (order-stable) index — what st12 probes in prod
+    val pref = graft.ext.Dedup.stablePrefixIndexTable(corpusSh, 2, 5)
+      .localCheckpoint(true)
+    val sigs = graft.ext.Dedup.signatureTable(corpusSh).localCheckpoint(true)
+    // 101 = near-copy of doc 1 (J >= 2/5), 102 = clean, 103 = too short
+    val arrivals = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (102L, "completely different words that never appeared in anything before now"),
+      (103L, "too short"))
+    def key(r: (Long, Long, Long, Long, Long, Double)) = r
+    val batch = StreamOps.streamPrefixProbe(
+        arrivals.toDF("doc_id", "text"), col("doc_id"), col("text"),
+        pref, sigs, tauNum = 2, tauDen = 5)
+      .orderBy("doc", "partner")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+
+    val mem = MemoryStream[(Long, String)]
+    val sdf = mem.toDF().toDF("doc_id", "text")
+    val q = StreamOps.streamPrefixProbe(sdf, col("doc_id"), col("text"),
+        pref, sigs, tauNum = 2, tauDen = 5)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("prefix_probe_out").start()
+    mem.addData(arrivals: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("prefix_probe_out")
+      .orderBy("doc", "partner")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    q.stop()
+    assert(streamed.map(key) == batch.map(key), s"stream $streamed vs batch $batch")
+    // the near-copy is found with the EXACT intersection stats; clean and
+    // too-short arrivals emit nothing
+    assert(batch.map(_._1) == Seq(101L) && batch.head._2 == 1L, s"got $batch")
+    // and the streaming gate agrees with the batch incremental probe
+    // (same index, same τ) — the two deployment faces of one operator
+    val viaBatchProbe = graft.ext.Dedup.crossPrefixProbe(
+        graft.ext.Dedup.shingleHashTable(arrivals.toDF("doc_id", "text"),
+          col("doc_id"), col("text")),
+        pref.select(col("doc"), col("h"), col("n_sh")), sigs,
+        tauNum = 2, tauDen = 5, broadcastSigs = true)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(batch.map(key) == viaBatchProbe.map(key),
+      s"stream-gate $batch vs batch-probe $viaBatchProbe")
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
