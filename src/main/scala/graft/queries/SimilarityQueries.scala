@@ -124,6 +124,37 @@ object SimilarityQueries {
     (s.read.parquet(s"$idxDir/codebooks"), s.read.parquet(s"$idxDir/codes"))
   }
 
+  /** Build-if-absent STORED PQ codes over the pre-existing corpus side
+    * (vec_id % 10 ≠ 7 — the ingestion split), encoded against
+    * [[storedPqIndex]]'s codebooks: the fine-quantizer face of
+    * [[storedIvfAssign]]. With the codebooks FROZEN, encoding
+    * distributes over union — s39 grades stored(A) ∪ encode(B) against
+    * a full from-codebooks oracle rebuild. Returns (codebooks, stored
+    * A-side codes).
+    */
+  private def storedPqCodesA(s: org.apache.spark.sql.SparkSession,
+                             dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val (cb, _) = storedPqIndex(s, dir)
+    val corpus = Tables.embeddings(s, dir).filter(col("vec_id") % 10 =!= 7)
+    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_pq_codes_a_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val marker = java.nio.file.Paths.get(idxDir, "_GRAFT_INDEX")
+    val stampRow = corpus.agg(count(lit(1)),
+      sum(xxhash64(col("vec_id"), col("embedding").cast("string")))).first()
+    val stamp = s"m=8 k=16 side=mod10ne7 vecs=${stampRow.getLong(0)} " +
+      s"fp=${stampRow.getLong(1)} src=$dir"
+    val existing =
+      if (java.nio.file.Files.exists(marker))
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+      else ""
+    if (existing != stamp) {
+      graft.ext.PQ.encode(corpus, "vec_id", "embedding", cb, m = 8)
+        .write.mode("overwrite").parquet(s"$idxDir/codes")
+      java.nio.file.Files.write(marker, stamp.getBytes("UTF-8"))
+    }
+    (cb, s.read.parquet(s"$idxDir/codes"))
+  }
+
   /** Build-if-absent CELL-PARTITIONED codes table for the stored IVF-PQ
     * deployment (s36): [[storedPqIndex]]'s packed codes joined with the
     * full-corpus coarse assignment against [[storedIvfCentroids]], then
@@ -391,6 +422,47 @@ object SimilarityQueries {
       val batch = Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 7)
       graft.ext.IVF.assignWithCentroids(batch, "vec_id", "embedding", cents)
         .orderBy("vid")
+    },
+
+    // ---- s39: PQ code MAINTENANCE graded end-to-end — s37's frozen-
+    //      quantizer move applied to the FINE quantizer: the batch
+    //      (vec_id % 10 = 7) is encoded against the STORED codebooks
+    //      (zero training) and folded into the stored A-side code table;
+    //      with the codebooks frozen, encoding distributes over union,
+    //      and the oracle re-derives the ENTIRE merged code table from
+    //      `_staged_pq_codebooks` — per (vector, subspace), the
+    //      sub-slice and the (d2, cell) argmin float chain, exactly
+    //      s34's derivation with the argmin CELL kept instead of the
+    //      error. A stale stored code, a dropped batch vector, or any
+    //      tie-break drift flips the hash. This closes the maintenance
+    //      loop for all three index families: text prefixes (t60/t61),
+    //      coarse IVF cells (s37), and now the PQ codes the 30×-smaller
+    //      ADC payload rides on. ----
+    QueryDef("s39_pq_codes_merged",
+      s"""WITH cb AS (SELECT sub, cell, list(value ORDER BY pos) AS c
+         |            FROM read_parquet('${ClimateQueries.OutToken}/_staged_pq_codebooks/*.parquet')
+         |            GROUP BY sub, cell),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |subs AS (SELECT vec_id, CAST(t.sub AS INTEGER) AS sub,
+         |           e[t.sub * (len(e) // 8) + 1 : (t.sub + 1) * (len(e) // 8)] AS subv
+         |         FROM v CROSS JOIN range(0, 8) t(sub)),
+         |a AS (SELECT vec_id, sub, cell FROM (
+         |    SELECT s.vec_id, s.sub, cb.cell,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+         |        list_dot_product(s.subv, s.subv)
+         |          - 2.0 * list_dot_product(s.subv, cb.c)
+         |          + list_dot_product(cb.c, cb.c), cb.cell) AS rn
+         |    FROM subs s JOIN cb ON cb.sub = s.sub) WHERE rn = 1)
+         |SELECT vec_id AS vid, sub, cell FROM a
+         |ORDER BY vid, sub""".stripMargin) { (s, dir) =>
+      val (cb, storedA) = storedPqCodesA(s, dir)
+      val batch = Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 7)
+      val batchCodes = graft.ext.PQ.encode(batch, "vec_id", "embedding", cb, m = 8)
+      storedA.union(batchCodes)
+        .select(col("vid"), posexplode(col("codes")))
+        .select(col("vid"), col("pos").cast("int").as("sub"),
+          col("col").cast("int").as("cell"))
+        .orderBy("vid", "sub")
     },
 
     // ---- s34: PQ reconstruction-DISTORTION audit — the quantizer-quality
