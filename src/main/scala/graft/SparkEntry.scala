@@ -133,6 +133,24 @@ object SparkEntry {
         .select(functions.col("sub"), functions.col("cell"),
           functions.col("pos"), functions.col("col").as("value"))
         .orderBy("sub", "cell", "pos")),
+    // The m=8 RESIDUAL-PQ codebooks behind s41 (trained on v − c₁ against
+    // the k=8/iters=3 coarse quantizer — the IVFADC convention): same
+    // flattened (sub, cell, pos, value) shape and the same bit-for-bit
+    // reproducibility chain as _staged_pq_codebooks, one residual
+    // subtraction deeper (zip_with == DuckDB list_transform exactly, the
+    // s31 precedent).
+    "_staged_respq_codebooks" -> ((s, dir) => {
+      val emb = graft.core.Tables.embeddings(s, dir)
+      val cents = graft.ext.IVF.kmeansCentroids(emb, "vec_id", "embedding",
+        k = 8, iters = 3)
+      graft.ext.PQ.residualCodebooks(emb, "vec_id", "embedding", cents,
+          m = 8, k = 16, iters = 2)
+        .select(functions.col("sub"), functions.col("cell"),
+          functions.posexplode(functions.col("c")))
+        .select(functions.col("sub"), functions.col("cell"),
+          functions.col("pos"), functions.col("col").as("value"))
+        .orderBy("sub", "cell", "pos")
+    }),
     "_staged_lsh_bands" -> ((s, dir) =>
       graft.ext.Dedup.lshBandTable(
         graft.core.Tables.documents(s, dir),

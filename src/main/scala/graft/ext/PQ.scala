@@ -490,4 +490,149 @@ object PQ {
       .select(col("q_id"), col("vid").as("c_id"), col("cos"),
         col("rn").cast("int").as("rn"))
   }
+
+  // ---------- residual encoding (the IVFADC of the PQ paper) ----------
+  //
+  // ivfAdcTopK PQ-encodes RAW vectors, so every codeword must span the
+  // whole corpus's spread — most of its precision is spent re-describing
+  // WHICH coarse cell a vector sits in, information the coarse assignment
+  // already pins down. The canonical fix (Jégou/Douze/Schmid §IV —
+  // "IVFADC") encodes the RESIDUAL v − c₁ instead: residuals from every
+  // cell share one codebook whose codewords only need to span a single
+  // cell's radius, so the same m·kc code budget buys a strictly finer
+  // reconstruction wherever the corpus is clustered (s41 grades the gain
+  // per-subspace). The price is query-time: the reconstruction
+  //   v̂ = c₁ + r̂        (r̂[sub] = cb[sub][code])
+  // makes the approximate cosine cell-DEPENDENT —
+  //   q·v̂   = q·c₁ + Σ_sub q_sub·cb[sub][code]
+  //   ‖v̂‖²  = ‖c₁‖² + Σ_sub (2·c₁_sub·cb[sub][code] + ‖cb[sub][code]‖²)
+  // — but every new term is still a small broadcast table: (q·c₁, ‖c₁‖²)
+  // fall out of the probe ranking the query already runs, and the
+  // centroid×codeword cross terms (cells·m·kc rows — 1 k at the gate
+  // knobs, a few MB at deployment knobs) are QUERY-INDEPENDENT, i.e. a
+  // build-time artifact persisted next to the codebook. The per-code scan
+  // cost is unchanged: one LUT lookup + one cross-term lookup per
+  // (candidate, sub), partial-agg-combinable exactly like the raw form.
+
+  /** Residuals against a trained coarse quantizer: (vid, ccell, v, r)
+    * with r = v − c₁ (exact IEEE elementwise — `zip_with`, the
+    * twoLevelModel arithmetic, which DuckDB's list_transform re-derives
+    * bit-for-bit; s31's precedent). One native-argmin assignment pass +
+    * one broadcast join with the k-row centroid table.
+    */
+  def residualTable(emb: DataFrame, id: String, vec: String,
+                    centroids: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val v = emb.select(col(id).as("vid"), col(vec).cast("array<double>").as("v"))
+    IVF.assignCells(v, centroids)
+      .join(broadcast(centroids), "cell")
+      .select(col("vid"), col("cell").as("ccell"), col("v"),
+        zip_with(col("v"), col("c"), (a, b) => a - b).as("r"))
+  }
+
+  /** Train the m per-subspace codebooks on RESIDUALS against `centroids`
+    * (one codebook shared across cells — the IVFADC convention): same
+    * (sub, cell, c) contract as [[codebooks]], same determinism by
+    * construction (hash-spread seeds keyed on the original ids,
+    * decimal-sum means), so a second call reproduces the training
+    * bit-for-bit — the property `_staged_respq_codebooks` relies on.
+    */
+  def residualCodebooks(emb: DataFrame, id: String, vec: String,
+                        centroids: DataFrame, m: Int = 8, k: Int = 16,
+                        iters: Int = 2): DataFrame =
+    codebooks(residualTable(emb, id, vec, centroids)
+      .select(col("vid"), col("r")), "vid", "r", m, k, iters)
+
+  /** IVF-PQ with RESIDUAL encoding — [[ivfAdcTopK]]'s pipeline with the
+    * fine quantizer trained on v − c₁ and the ADC scan evaluating the
+    * decomposed reconstruction cosine (see the section comment above).
+    * Identical probe, shortlist and exact-re-rank structure; identical
+    * (q_id, c_id, cos, rn) contract, so the staged-rerank oracle applies
+    * unchanged (s40).
+    */
+  def ivfAdcResidualTopK(emb: DataFrame, id: String, vec: String,
+                         queryPred: Column, k: Int = 5, cells: Int = 8,
+                         nprobe: Int = 2, ivfIters: Int = 3, m: Int = 8,
+                         kc: Int = 16, pqIters: Int = 2,
+                         rerank: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val v = emb.select(col(id).as("vid"), col(vec).cast("array<double>").as("v"))
+    val centroids = IVF.kmeansCentroids(emb, id, vec, cells, ivfIters)
+    // residuals feed pqIters training passes AND the code assignment —
+    // materialize once (the twoLevelModel multi-consumer lesson)
+    val res = residualTable(emb, id, vec, centroids).localCheckpoint()
+    val coarse = res.select(col("vid"), col("ccell"))
+    val rv = res.select(col("vid"), col("r").as("v"))
+    val subs = subRows(rv, m).localCheckpoint()
+    val (cb, lastAssign) = trainCodebooks(subs, rv, m, kc, pqIters)
+    val codes = lastAssign.getOrElse(assignCodes(subs, cb))
+      .select(col("vid"), col("sub"), col("cell"))
+
+    val q = emb.filter(queryPred)
+      .select(col(id).as("q_id"), col(vec).cast("array<double>").as("q_vec"))
+    val dq = dotNative(col("q_vec"), col("q_vec")) -
+      lit(2.0) * dotNative(col("q_vec"), col("c")) + dotNative(col("c"), col("c"))
+    val wp = Window.partitionBy("q_id").orderBy(col("d2"), col("cell"))
+    // the probe ranking already touches every (q, centroid) pair, so the
+    // per-probed-cell cosine terms (q·c₁, ‖c₁‖²) ride out of it for free
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("d2", dq)
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("cell").as("ccell"),
+        dotNative(col("q_vec"), col("c")).as("qc1"),
+        dotNative(col("c"), col("c")).as("cn2"))
+    val cands = coarse
+      .join(broadcast(probes.select(col("q_id"), col("ccell"))), "ccell")
+      .filter(col("vid") =!= col("q_id"))
+      .select(col("q_id"), col("vid"), col("ccell"))
+
+    // residual LUT: cell-INDEPENDENT (the shared-codebook payoff) —
+    // #q·m·kc rows, the raw form's exact size
+    val qsubs = subRows(q.select(col("q_id").as("vid"), col("q_vec").as("v")), m)
+      .select(col("vid").as("q_id"), col("sub"), col("subv").as("qs"))
+    val lut = qsubs.join(cb, "sub")
+      .select(col("q_id"), col("sub"), col("cell"),
+        dotNative(col("qs"), col("c")).as("qd"),
+        dotNative(col("c"), col("c")).as("cc"))
+    // centroid×codeword cross terms: cells·m·kc rows, query-independent —
+    // a build-time artifact in a stored deployment
+    val csubs = subRows(centroids
+        .select(col("cell").cast("long").as("vid"), col("c").as("v")), m)
+      .select(col("vid").cast("int").as("ccell"), col("sub"),
+        col("subv").as("cs"))
+    val cterm = csubs.join(cb, "sub")
+      .select(col("ccell"), col("sub"), col("cell"),
+        dotNative(col("cs"), col("c")).as("cd"))
+    val qn = q.select(col("q_id"),
+      sqrt(dotNative(col("q_vec"), col("q_vec"))).as("q_norm"), col("q_vec"))
+
+    // ‖v̂‖² = cn2 + n2_r is a squared norm, ≥ 0 in real arithmetic; the
+    // greatest() guards the float cancellation of a near-zero
+    // reconstruction from surfacing as sqrt(-ε) = NaN in the ranking
+    val wApprox = Window.partitionBy("q_id").orderBy(col("approx_cos").desc, col("vid"))
+    val shortlist = codes.join(cands, "vid")
+      .join(broadcast(lut), Seq("q_id", "sub", "cell"))
+      .join(broadcast(cterm), Seq("ccell", "sub", "cell"))
+      .groupBy(col("q_id"), col("vid"), col("ccell"))
+      .agg(sum(col("qd")).as("num_r"),
+        sum(lit(2.0) * col("cd") + col("cc")).as("n2_r"))
+      .join(broadcast(probes), Seq("q_id", "ccell"))
+      .join(broadcast(qn.select(col("q_id"), col("q_norm"))), "q_id")
+      .withColumn("approx_cos", (col("qc1") + col("num_r")) /
+        (col("q_norm") * sqrt(greatest(col("cn2") + col("n2_r"), lit(0.0)))))
+      .withColumn("arn", row_number().over(wApprox))
+      .filter(col("arn") <= k * rerank)
+      .select(col("q_id"), col("vid"))
+
+    val vn = v.withColumn("v_norm", sqrt(dotNative(col("v"), col("v"))))
+    val wExact = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vid"))
+    shortlist.join(vn, "vid").join(broadcast(qn), "q_id")
+      .withColumn("cos", round(
+        dotNative(col("q_vec"), col("v")) / (col("q_norm") * col("v_norm")), 6))
+      .withColumn("rn", row_number().over(wExact))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vid").as("c_id"), col("cos"),
+        col("rn").cast("int").as("rn"))
+  }
 }

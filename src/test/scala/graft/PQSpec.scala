@@ -146,6 +146,64 @@ class PQSpec extends SparkSpec {
     assert(full == brute, "full-probe/full-rerank IVF-PQ must reduce to brute force")
   }
 
+  test("ivfAdcResidualTopK: clustered recall >= 0.9; full probe + full rerank == brute force") {
+    val pred = col("vec_id") % 25 === 1
+    val exact = Similarity.bruteForceTopK(clustered, "vec_id", "embedding", pred, 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val respq = PQ.ivfAdcResidualTopK(clustered, "vec_id", "embedding", pred,
+        k = 5, cells = 8, nprobe = 2, m = 4, kc = 16)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & respq).size.toDouble / exact.size
+    info(f"residual IVF-PQ clustered recall@5: $recall%.3f")
+    assert(recall >= 0.9, f"residual IVF-PQ recall $recall%.3f below 0.9")
+    // the ivfAdcTopK reduction holds here too: probe every cell, keep the
+    // whole ADC ranking → the exact re-rank sees all candidates
+    val full = PQ.ivfAdcResidualTopK(clustered, "vec_id", "embedding", pred,
+        k = 5, cells = 8, nprobe = 8, m = 4, kc = 16, rerank = 40)
+      .orderBy("q_id", "rn").collect().toSeq
+    val brute = Similarity.bruteForceTopK(clustered, "vec_id", "embedding", pred, 5)
+      .orderBy("q_id", "rn").collect().toSeq
+    assert(full == brute, "full-probe/full-rerank residual IVF-PQ must reduce to brute force")
+  }
+
+  test("residual encoding: total distortion strictly below raw PQ on clustered data (the IVFADC claim)") {
+    import graft.ext.IVF
+    val rawCb = PQ.codebooks(clustered, "vec_id", "embedding", m = 4, k = 8)
+    val rawMse = PQ.distortionBySubspace(clustered, "vec_id", "embedding", rawCb, m = 4)
+      .agg(sum("mse")).as[Double].head()
+    val cents = IVF.kmeansCentroids(clustered, "vec_id", "embedding", k = 8, iters = 3)
+    val res = PQ.residualTable(clustered, "vec_id", "embedding", cents)
+      .select(col("vid"), col("r"))
+    val resCb = PQ.codebooks(res, "vid", "r", m = 4, k = 8)
+    val resMse = PQ.distortionBySubspace(res, "vid", "r", resCb, m = 4)
+      .agg(sum("mse")).as[Double].head()
+    info(f"total MSE raw=$rawMse%.6f residual=$resMse%.6f")
+    // 8 tight clusters, 8 coarse cells: the coarse quantizer absorbs the
+    // between-cluster spread, leaving the shared residual codebook only
+    // the within-cluster radius — the gain must be large, not marginal
+    // (measured ~1.9× on this fixture; the bar leaves headroom for the
+    // decimal-mean quantization, not for a broken residual chain)
+    assert(resMse < rawMse * 0.6,
+      f"residual encoding should cut distortion well below raw here: raw=$rawMse%.6f res=$resMse%.6f")
+  }
+
+  test("residualTable: r = v - centroid of the OWN assigned cell, exact IEEE elementwise") {
+    import graft.ext.IVF
+    val cents = IVF.kmeansCentroids(clustered, "vec_id", "embedding", k = 4, iters = 2)
+    val centMap = cents.select(col("cell"), col("c")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val assignMap = IVF.assignWithCentroids(clustered, "vec_id", "embedding", cents)
+      .as[(Long, Int)].collect().toMap
+    val vecs = clustered.as[(Long, Seq[Double])].collect().toMap
+    PQ.residualTable(clustered, "vec_id", "embedding", cents)
+      .select(col("vid"), col("ccell"), col("r"))
+      .as[(Long, Int, Seq[Double])].collect().foreach { case (vid, ccell, r) =>
+        assert(ccell == assignMap(vid), s"vid=$vid cell mismatch")
+        val expect = vecs(vid).zip(centMap(ccell)).map { case (a, b) => a - b }
+        assert(r == expect, s"vid=$vid residual mismatch")
+      }
+  }
+
   test("ivfAdcTopK trainFrac: sample-trained quantizers keep recall >= 0.9 (s14's shape)") {
     // quantizers are averages — a 1/4 hash-sample must saturate them; the
     // assignment pass still covers every vector, so only training moved
