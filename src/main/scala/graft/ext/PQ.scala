@@ -540,8 +540,11 @@ object PQ {
   def residualCodebooks(emb: DataFrame, id: String, vec: String,
                         centroids: DataFrame, m: Int = 8, k: Int = 16,
                         iters: Int = 2): DataFrame =
+    // the residual lineage (assignment pass + centroid join) has two
+    // consumers inside codebooks() (sub-vector rows + seed pick) —
+    // materialize it once (multi-consumer scan rule)
     codebooks(residualTable(emb, id, vec, centroids)
-      .select(col("vid"), col("r")), "vid", "r", m, k, iters)
+      .select(col("vid"), col("r")).localCheckpoint(), "vid", "r", m, k, iters)
 
   /** IVF-PQ with RESIDUAL encoding — [[ivfAdcTopK]]'s pipeline with the
     * fine quantizer trained on v − c₁ and the ADC scan evaluating the

@@ -557,8 +557,10 @@ object SimilarityQueries {
         .select(col("sub"), col("n_vecs"), col("mse").as("mse_raw"))
       val cents = graft.ext.IVF.kmeansCentroids(emb, "vec_id", "embedding",
         k = 8, iters = 3)
+      // three consumers of the residual lineage (codebook training's
+      // sub-rows + seed pick, then the distortion pass) — one checkpoint
       val res = graft.ext.PQ.residualTable(emb, "vec_id", "embedding", cents)
-        .select(col("vid"), col("r"))
+        .select(col("vid"), col("r")).localCheckpoint()
       val resCb = graft.ext.PQ.codebooks(res, "vid", "r", m = 8, k = 16, iters = 2)
       val resd = graft.ext.PQ.distortionBySubspace(res, "vid", "r", resCb, m = 8)
         .select(col("sub"), col("mse").as("mse_res"))
