@@ -61,13 +61,45 @@ object IVF {
                                          spreadInit: Boolean): DataFrame = {
     val spark = emb.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    import spark.implicits._
     val v = emb.select(col(id).as("vid"), col(vec).cast("array<double>").as("v"))
     val seedOrder =
       if (spreadInit) Seq(xxhash64(col("vid")), col("vid")) else Seq(col("vid"))
-    var centroids = v.orderBy(seedOrder: _*).limit(k)
+    val seeds = v.orderBy(seedOrder: _*).limit(k)
       .select(row_number().over(Window.orderBy(seedOrder: _*)).as("cell"),
         col("v").as("c"))
+    lloydRounds(v, seeds, iters)
+  }
+
+  /** `iters` Lloyd rounds warm-started from an EXISTING centroid table —
+    * the drift-triggered RETRAIN path (s38's audit decides WHEN; this is
+    * the action): once the frozen quantizer the maintenance family folds
+    * batches into (s35/s37) has drifted, refining it costs one
+    * assignment pass + one mean-update per round over corpus∪batch —
+    * no seed pick, no from-scratch iteration budget, and the init is
+    * already near-optimal so one round is the standard dose. Same
+    * decimal-sum mean determinism as [[kmeansCentroids]]; cells that
+    * receive no vectors drop out (plain Lloyd on empties). By the
+    * training identity, refine(stored, 1 round) over the same corpus ==
+    * kmeansCentroids(iters+1) bit-for-bit (IVFSkewSpec pins it) — which
+    * is exactly what lets s42's oracle re-derive the whole round.
+    */
+  def kmeansRefine(emb: DataFrame, id: String, vec: String,
+                   init: DataFrame, iters: Int = 1): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    lloydRounds(
+      emb.select(col(id).as("vid"), col(vec).cast("array<double>").as("v")),
+      init.select(col("cell").cast("int").as("cell"), col("c")), iters)
+  }
+
+  /** The Lloyd iteration shared by seed-initialized training and
+    * warm-started refinement: assign (native argmin kernel) → exact
+    * decimal-mean update → driver-materialize the k centroids (lineage
+    * truncation between rounds).
+    */
+  private def lloydRounds(v: DataFrame, init: DataFrame, iters: Int): DataFrame = {
+    val spark = v.sparkSession
+    import spark.implicits._
+    var centroids = init
     var i = 0
     while (i < iters) {
       // mean via DECIMAL(38,18) sum / count, not avg(): decimal addition

@@ -24,4 +24,16 @@ object QueryDef {
   /** A query with no SQL-expressible oracle (driver records rows-only). */
   def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, fn, None)
+
+  /** Collision-free path key for per-corpus stored-index locations
+    * (tmpdir/graft_<family>_<pathKey(dir)>): SHA-256 of the corpus dir,
+    * truncated to 16 hex chars. Replaces `dir.hashCode` (32-bit — two
+    * corpora colliding would ping-pong rebuilds through the content
+    * stamp every call; correctness-safe but wasteful). Index CONTENT
+    * validity stays the stamp's job — this only keys the location.
+    */
+  def pathKey(dir: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
 }

@@ -41,7 +41,7 @@ object SimilarityQueries {
                                  dir: String): org.apache.spark.sql.DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_centroids_" +
-      java.lang.Integer.toHexString(dir.hashCode)
+      QueryDef.pathKey(dir)
     val marker = java.nio.file.Paths.get(idxDir, "_GRAFT_INDEX")
     val stampRow = emb.agg(count(lit(1)),
       sum(xxhash64(col("vec_id"), col("embedding").cast("string")))).first()
@@ -72,7 +72,7 @@ object SimilarityQueries {
                               dir: String): org.apache.spark.sql.DataFrame = {
     val corpus = Tables.embeddings(s, dir).filter(col("vec_id") % 10 =!= 7)
     val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_assign_" +
-      java.lang.Integer.toHexString(dir.hashCode)
+      QueryDef.pathKey(dir)
     val marker = java.nio.file.Paths.get(idxDir, "_GRAFT_INDEX")
     val stampRow = corpus.agg(count(lit(1)),
       sum(xxhash64(col("vec_id"), col("embedding").cast("string")))).first()
@@ -107,7 +107,7 @@ object SimilarityQueries {
     // deterministic per-sf location; idxDir lives under java.io.tmpdir →
     // always a LOCAL path, so java.nio (not Hadoop FS) is sound here
     val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_pq_index_" +
-      java.lang.Integer.toHexString(dir.hashCode)
+      QueryDef.pathKey(dir)
     val marker = java.nio.file.Paths.get(idxDir, "_GRAFT_INDEX")
     val stampRow = emb.agg(count(lit(1)),
       sum(xxhash64(col("vec_id"), col("embedding")))).first()
@@ -137,7 +137,7 @@ object SimilarityQueries {
     val (cb, _) = storedPqIndex(s, dir)
     val corpus = Tables.embeddings(s, dir).filter(col("vec_id") % 10 =!= 7)
     val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_pq_codes_a_" +
-      java.lang.Integer.toHexString(dir.hashCode)
+      QueryDef.pathKey(dir)
     val marker = java.nio.file.Paths.get(idxDir, "_GRAFT_INDEX")
     val stampRow = corpus.agg(count(lit(1)),
       sum(xxhash64(col("vec_id"), col("embedding").cast("string")))).first()
@@ -169,7 +169,7 @@ object SimilarityQueries {
     val (cb, codes) = storedPqIndex(s, dir)
     val emb = Tables.embeddings(s, dir)
     val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index_" +
-      java.lang.Integer.toHexString(dir.hashCode)
+      QueryDef.pathKey(dir)
     val marker = java.nio.file.Paths.get(idxDir, "_GRAFT_INDEX")
     val stampRow = emb.agg(count(lit(1)),
       sum(xxhash64(col("vec_id"), col("embedding").cast("string")))).first()
@@ -388,6 +388,47 @@ object SimilarityQueries {
       // conversion path differs by ~1 ulp (1e-17) between engines.
       graft.ext.IVF.kmeansCentroids(Tables.embeddings(s, dir),
           "vec_id", "embedding", k = 8, iters = 3)
+        .select(col("cell"), posexplode(col("c")))
+        .select(col("cell"), col("pos"), round(col("col"), 6).as("value"))
+        .orderBy("cell", "pos")
+    },
+
+    // ---- s42: the drift-triggered RETRAIN, graded — the ACTION s38's
+    //      drift audit exists to trigger, closing the last open edge of
+    //      the maintenance loop (fold batches: s35/s37/s39 → detect
+    //      drift: s38 → retrain: here). One Lloyd round over
+    //      corpus∪batch (the full table after the folds) WARM-STARTED
+    //      from the STORED quantizer: one assignment pass + one
+    //      decimal-mean update — no seed pick, no from-scratch iteration
+    //      budget, the 100 TB-affordable dose. Fully re-derived: s30's
+    //      derivation with the stored (not penultimate) centroids as
+    //      input — argmin assignment + exact decimal means, so a wrong
+    //      warm start, distance, tie-break or dropped vector flips the
+    //      hash. IVFSkewSpec pins the warm-start identity
+    //      (refine(train(i), 1) == train(i+1) bit-for-bit). ----
+    QueryDef("s42_quantizer_retrain",
+      s"""WITH stored AS (SELECT cell, list(value ORDER BY pos) AS c
+         |                FROM read_parquet('${ClimateQueries.OutToken}/_staged_ivf_centroids/*.parquet')
+         |                GROUP BY cell),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |assign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT v.vec_id, stored.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        list_dot_product(v.e, v.e) - 2.0 * list_dot_product(v.e, stored.c)
+         |          + list_dot_product(stored.c, stored.c), stored.cell) AS rn
+         |    FROM v CROSS JOIN stored) WHERE rn = 1),
+         |x AS (SELECT a.cell,
+         |        unnest(range(1, len(v.e) + 1)) AS dim,
+         |        unnest(v.e) AS comp
+         |      FROM assign a JOIN v ON v.vec_id = a.vec_id)
+         |SELECT cell, CAST(dim - 1 AS INTEGER) AS pos,
+         |  round(CAST(sum(CAST(comp AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS value
+         |FROM x GROUP BY cell, dim
+         |ORDER BY cell, pos""".stripMargin) { (s, dir) =>
+      // round(6dp) both sides — s30's decimal→double parity dial
+      graft.ext.IVF.kmeansRefine(Tables.embeddings(s, dir),
+          "vec_id", "embedding", storedIvfCentroids(s, dir), iters = 1)
         .select(col("cell"), posexplode(col("c")))
         .select(col("cell"), col("pos"), round(col("col"), 6).as("value"))
         .orderBy("cell", "pos")

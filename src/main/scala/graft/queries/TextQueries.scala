@@ -109,7 +109,7 @@ object TextQueries {
     val docs = Tables.documents(s, dir)
     val suffix = maxDf.map(c => s"_cap$c").getOrElse("")
     val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_prefix_index_" +
-      java.lang.Integer.toHexString(dir.hashCode) + suffix
+      QueryDef.pathKey(dir) + suffix
     val marker = java.nio.file.Paths.get(idxDir, "_GRAFT_INDEX")
     // order-independent content stamp: a regenerated corpus at the same
     // path must invalidate the index; ONE agg so the staleness probe
@@ -168,7 +168,7 @@ object TextQueries {
   private[queries] def storedStableIndex(s: SparkSession, dir: String): (DataFrame, DataFrame, Long) = {
     val corpus = Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 7)
     val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_stable_prefix_index_" +
-      java.lang.Integer.toHexString(dir.hashCode)
+      QueryDef.pathKey(dir)
     val marker = java.nio.file.Paths.get(idxDir, "_GRAFT_INDEX")
     val stampRow = corpus.agg(count(lit(1)),
       sum(xxhash64(col("doc_id"), col("text")))).first()

@@ -19,6 +19,29 @@ class IVFSpec extends SparkSpec {
     assert(a.map(_.getSeq[Double](1)).toSeq == b.map(_.getSeq[Double](1)).toSeq)
   }
 
+  test("kmeansRefine: warm-start identity — refine(train(i), 1 round) == train(i+1) bit-for-bit") {
+    val emb = Tables.embeddings(spark, sf)
+    val trained2 = IVF.kmeansCentroids(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val refined = IVF.kmeansRefine(emb, "vec_id", "embedding", trained2, iters = 1)
+      .orderBy("cell").collect()
+    val trained3 = IVF.kmeansCentroids(emb, "vec_id", "embedding", k = 4, iters = 3)
+      .orderBy("cell").collect()
+    assert(refined.map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq ==
+      trained3.map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq,
+      "one warm-started Lloyd round from the stored centroids must equal one more training round")
+  }
+
+  test("kmeansRefine: a centroid no vector picks drops out (plain Lloyd on empties)") {
+    val emb = Tables.embeddings(spark, sf)
+    val far = Seq((99, Seq.fill(64)(1e6))).toDF("cell", "c")
+    val init = IVF.kmeansCentroids(emb, "vec_id", "embedding", k = 3, iters = 1)
+      .union(far)
+    val refined = IVF.kmeansRefine(emb, "vec_id", "embedding", init, iters = 1)
+      .select("cell").as[Int].collect().toSet
+    assert(!refined.contains(99), "the unreachable centroid must not survive the update")
+    assert(refined.nonEmpty)
+  }
+
   test("kmeans init: first-k-ids collapses on id-clustered data; hash-spread does not") {
     // ids arrive sorted by cluster (the common ingestion order): ids 1-10
     // are all ~A, 11-20 ~B, 21-30 ~C, 31-40 ~D. First-k init then seeds
