@@ -644,6 +644,41 @@ object MediaStreamQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // ---- st13: streaming ANN admission + occupancy telemetry — the
+    //      VECTOR side of the streaming ingestion family (st10/st12
+    //      gate arriving documents; this gates arriving vectors):
+    //      arrivals take coarse cells from the SAME stored quantizer
+    //      s35/s37 maintain, as a stateless map-only kernel projection,
+    //      and one bounded grouped count (≤k rows of stream state — the
+    //      st11 CMS discipline applied to the quantizer) emits per-cell
+    //      arrival occupancy: the arrival-side half of s38's drift
+    //      audit, i.e. the telemetry a deployment watches to decide
+    //      when s42's warm retrain fires. Batch twin graded here on the
+    //      s35 arrival slice; given the staged centroids the whole
+    //      output is argmin + count, re-derived by DuckDB (s35's chain
+    //      with a GROUP BY on top). StreamingSpec drives the same
+    //      function through MemoryStream and pins stream == batch. ----
+    QueryDef("st13_stream_cell_occupancy",
+      s"""WITH cents AS (SELECT cell, list(value ORDER BY pos) AS c
+         |               FROM read_parquet('${ClimateQueries.OutToken}/_staged_ivf_centroids/*.parquet')
+         |               GROUP BY cell),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+         |      WHERE vec_id % 10 = 7),
+         |a AS (SELECT vec_id, cell FROM (
+         |  SELECT v.vec_id, cents.cell,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      list_dot_product(v.e, v.e) - 2.0 * list_dot_product(v.e, cents.c)
+         |        + list_dot_product(cents.c, cents.c), cents.cell) AS rn
+         |  FROM v CROSS JOIN cents) WHERE rn = 1)
+         |SELECT cell, count(*) AS n_arrivals FROM a
+         |GROUP BY cell ORDER BY cell""".stripMargin) { (s, dir) =>
+      val cents = SimilarityQueries.storedIvfCentroids(s, dir)
+      StreamOps.streamCellOccupancy(
+          Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 7),
+          col("vec_id"), col("embedding"), cents)
+        .orderBy("cell")
+    },
+
     // ---- st09: per-user RECORD-BREAKER detection — the Spark 4
     //      transformWithState surface (StatefulProcessor + typed
     //      ValueState, the arbitrary-state API that supersedes

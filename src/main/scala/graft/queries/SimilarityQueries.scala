@@ -37,8 +37,8 @@ object SimilarityQueries {
     * `_staged_ivf_centroids` and the s09 oracle family's derivations
     * apply to it unchanged.
     */
-  private def storedIvfCentroids(s: org.apache.spark.sql.SparkSession,
-                                 dir: String): org.apache.spark.sql.DataFrame = {
+  private[queries] def storedIvfCentroids(s: org.apache.spark.sql.SparkSession,
+                                          dir: String): org.apache.spark.sql.DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_centroids_" +
       QueryDef.pathKey(dir)

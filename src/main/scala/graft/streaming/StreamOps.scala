@@ -179,6 +179,31 @@ object StreamOps {
       .agg(count(lit(1)).as("n_band_hits"))
   }
 
+  /** Streaming ANN admission + occupancy telemetry — the VECTOR-side
+    * face of the streaming ingestion family (st10/st12 gate arriving
+    * documents; this gates arriving vectors): each arriving embedding
+    * takes its coarse cell from the STORED quantizer as a STATELESS
+    * map-only projection (s35's batch move under readStream — the k-row
+    * centroid table folds into the native argmin kernel as literals at
+    * plan build: no join, no training, no stream state), then ONE
+    * bounded grouped count aggregates per-cell arrival occupancy — at
+    * most k rows of stream state regardless of arrival volume, the CMS
+    * discipline (st11) applied to the quantizer. The output is exactly
+    * the arrival-side half of s38's drift audit: a deployment runs this
+    * continuously and hands the occupancy vector to the drift test that
+    * decides when s42's warm retrain fires.
+    *
+    * Works identically on a batch frame — the graded st13 twin IS this
+    * function on the s35 arrival slice (StreamingSpec pins
+    * stream == batch).
+    */
+  def streamCellOccupancy(stream: DataFrame, id: Column, vec: Column,
+                          centroids: DataFrame): DataFrame =
+    graft.ext.IVF.assignWithCentroids(
+        stream.select(id.as("vid"), vec.as("v")), "vid", "v", centroids)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_arrivals"))
+
   /** EXACT-τ prefix-index probe as a streaming ADMISSION GATE — the
     * in-stream face of [[graft.ext.Dedup.crossPrefixProbe]], closing the
     * loop between the streaming screen family (st10's probabilistic LSH

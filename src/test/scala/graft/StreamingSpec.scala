@@ -934,6 +934,41 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("streamCellOccupancy: stream == batch; occupancy sums to arrival count; cells from the stored quantizer") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = (1L to 40L).map(i =>
+      (i, Seq.tabulate(8)(d => if (d == (i % 4).toInt * 2) 5.0 else 0.1 * d)))
+      .toDF("vec_id", "embedding")
+    val cents = graft.ext.IVF.kmeansCentroids(corpus, "vec_id", "embedding",
+      k = 4, iters = 2).localCheckpoint(true)
+    val arrivals = (101L to 112L).map(i =>
+      (i, Seq.tabulate(8)(d => if (d == (i % 4).toInt * 2) 4.8 else 0.1 * d)))
+    val batch = StreamOps.streamCellOccupancy(
+        arrivals.toDF("vec_id", "embedding"),
+        col("vec_id"), col("embedding"), cents)
+      .orderBy("cell").as[(Int, Long)].collect().toSeq
+    assert(batch.map(_._2).sum == arrivals.size.toLong,
+      "every arrival lands in exactly one cell")
+    // cell ids must come from the stored quantizer's id space
+    val validCells = cents.select("cell").as[Int].collect().toSet
+    assert(batch.map(_._1).forall(validCells), s"unknown cell in $batch")
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = StreamOps.streamCellOccupancy(
+        mem.toDF().toDF("vec_id", "embedding"),
+        col("vec_id"), col("embedding"), cents)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("cell_occ_out").start()
+    // two micro-batches: the grouped count must accumulate across them
+    mem.addData(arrivals.take(5): _*)
+    q.processAllAvailable()
+    mem.addData(arrivals.drop(5): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("cell_occ_out")
+      .orderBy("cell").as[(Int, Long)].collect().toSeq
+    q.stop()
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+  }
+
   test("st11 CMS cells: streaming == batch across micro-batches; merge == one-shot") {
     implicit val sqlCtx = spark.sqlContext
     val ev = graft.core.Tables.events(spark, sf)
