@@ -50,6 +50,22 @@ class PlanSpec extends SparkSpec {
     assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), scan)
   }
 
+  test("s40 residual IVF-PQ: lookup tables broadcast (LUT, cross-terms, probe scalars); no cartesian in the scan path") {
+    val q = SparkEntry.queries("s40_ann_ivfpq_residual")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    // the residual decomposition adds two lookup joins to the ADC scan —
+    // both must stay broadcast (model-sized sides), and the only
+    // cartesian anywhere is the k-row centroid probe each query ranks
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(bhj >= 4, s"expected the LUT/cterm/probe/qnorm joins broadcast, got $bhj:\n$plan")
+    assert(!plan.contains("SortMergeJoin") || !plan.contains("CartesianProduct"),
+      s"scan path must not sort-merge AND cartesian:\n$plan")
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    val cart = "CartesianProduct".r.findAllIn(plan).length
+    assert(bnl + cart <= 2,
+      s"only the two k-row centroid cross joins (corpus + query probe) may be non-equi:\n$plan")
+  }
+
   test("minhash signature is map-only: zero shuffles") {
     val sig = graft.ext.Dedup.minhashSignature(
       Tables.documents(spark, sf), col("doc_id"), col("text"))
