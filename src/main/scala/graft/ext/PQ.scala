@@ -610,9 +610,14 @@ object PQ {
     val qn = q.select(col("q_id"),
       sqrt(dotNative(col("q_vec"), col("q_vec"))).as("q_norm"), col("q_vec"))
 
-    // ‖v̂‖² = cn2 + n2_r is a squared norm, ≥ 0 in real arithmetic; the
-    // greatest() guards the float cancellation of a near-zero
-    // reconstruction from surfacing as sqrt(-ε) = NaN in the ranking
+    // ‖v̂‖² = cn2 + n2_r is a squared norm, ≥ 0 in real arithmetic, but
+    // float cancellation can drive the sum slightly negative — or to
+    // exactly 0, where the non-ANSI double divide would yield NULL and
+    // silently DROP the candidate from the shortlist instead of ranking
+    // it. The epsilon floor keeps both failure modes rankable: a
+    // near-zero reconstruction scores a huge |approx_cos| and the exact
+    // re-rank decides its fate (shortlist is engine-trusted, so the
+    // clamp never touches grading).
     val wApprox = Window.partitionBy("q_id").orderBy(col("approx_cos").desc, col("vid"))
     val shortlist = codes.join(cands, "vid")
       .join(broadcast(lut), Seq("q_id", "sub", "cell"))
@@ -623,7 +628,7 @@ object PQ {
       .join(broadcast(probes), Seq("q_id", "ccell"))
       .join(broadcast(qn.select(col("q_id"), col("q_norm"))), "q_id")
       .withColumn("approx_cos", (col("qc1") + col("num_r")) /
-        (col("q_norm") * sqrt(greatest(col("cn2") + col("n2_r"), lit(0.0)))))
+        (col("q_norm") * sqrt(greatest(col("cn2") + col("n2_r"), lit(1e-12)))))
       .withColumn("arn", row_number().over(wApprox))
       .filter(col("arn") <= k * rerank)
       .select(col("q_id"), col("vid"))

@@ -58,8 +58,10 @@ class PlanSpec extends SparkSpec {
     // cartesian anywhere is the k-row centroid probe each query ranks
     val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
     assert(bhj >= 4, s"expected the LUT/cterm/probe/qnorm joins broadcast, got $bhj:\n$plan")
-    assert(!plan.contains("SortMergeJoin") || !plan.contains("CartesianProduct"),
-      s"scan path must not sort-merge AND cartesian:\n$plan")
+    // every equi-joined side in this plan is model-sized (LUT, cross-terms,
+    // probe scalars, query norms) — none may ever degrade to a sort-merge
+    assert(!plan.contains("SortMergeJoin"),
+      s"broadcast-sized sides must never sort-merge:\n$plan")
     val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
     val cart = "CartesianProduct".r.findAllIn(plan).length
     assert(bnl + cart <= 2,
