@@ -90,6 +90,23 @@ object SparkEntry {
         .select(functions.col("cell"), functions.col("pos"),
           functions.col("col").as("value"))
         .orderBy("cell", "pos")),
+    // The REFINED centroids behind s43's refresh grading: one warm Lloyd
+    // round (IVF.kmeansRefine) from the k=8/iters=3 stored quantizer —
+    // the exact table storedRefinedCentroids persists (bit-identical by
+    // the refine(train(i), 1) == train(i+1) identity IVFSkewSpec pins).
+    // Given these plus _staged_ivf_centroids, s43's old/new argmins are
+    // pure arithmetic DuckDB re-derives from raw embeddings.
+    "_staged_ivf_centroids_refined" -> ((s, dir) => {
+      val emb = graft.core.Tables.embeddings(s, dir)
+      graft.ext.IVF.kmeansRefine(emb, "vec_id", "embedding",
+          graft.ext.IVF.kmeansCentroids(emb, "vec_id", "embedding",
+            k = 8, iters = 3),
+          iters = 1)
+        .select(functions.col("cell"), functions.posexplode(functions.col("c")))
+        .select(functions.col("cell"), functions.col("pos"),
+          functions.col("col").as("value"))
+        .orderBy("cell", "pos")
+    }),
     // The two-level quantizer's model tables behind s31/s32 (same
     // flattened (cell, pos, value) shape): L1 is a plain k1-cell
     // kmeansCentroids call; L2 is the residual codebook, which depends on

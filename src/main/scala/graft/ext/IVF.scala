@@ -177,6 +177,32 @@ object IVF {
       centroids)
       .select(col("vid"), col("cell"))
 
+  /** The post-retrain index REFRESH — the step that makes [[kmeansRefine]]
+    * useful: every stored artifact (cell-partitioned codes, merged
+    * assignments) keys on the OLD cells until the assignment follows the
+    * refined centroids. ONE map-only kernel pass over the vectors: both
+    * centroid tables fold into native argmin expressions as literals, so
+    * the pass has no join, no window, and no shuffle of its own (PlanSpec
+    * pins the shape). Returns (vid, cell, moved) where `cell` is the
+    * refined assignment and `moved` flags rows whose argmin changed —
+    * the churn bound of the rewrite: a cell-partitioned artifact only
+    * rewrites partitions that moved rows leave or enter, so one warm
+    * Lloyd round's refresh costs a small measured fraction of the corpus
+    * in write amplification (SCALE.md records the fraction; s43's graded
+    * output carries the flag itself).
+    */
+  def refreshAssignment(emb: DataFrame, id: String, vec: String,
+                        oldCentroids: DataFrame,
+                        newCentroids: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    emb.select(col(id).as("vid"), col(vec).cast("array<double>").as("v"))
+      .select(col("vid"),
+        nearestCellExpr(oldCentroids, col("v")).as("cell_old"),
+        nearestCellExpr(newCentroids, col("v")).as("cell"))
+      .select(col("vid"), col("cell"),
+        (col("cell_old") =!= col("cell")).cast("int").as("moved"))
+  }
+
   /** The [[assignCells]] argmin as a bare Column, so callers that carry
     * extra columns (the two-level residual assignment keeps cell1) can
     * project it in place. Collects the k-row centroid table into the

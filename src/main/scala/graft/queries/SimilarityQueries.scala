@@ -91,6 +91,38 @@ object SimilarityQueries {
     s.read.parquet(s"$idxDir/assign")
   }
 
+  /** Build-if-absent STORED refined quantizer — s42's retrain ACTION
+    * persisted: one warm Lloyd round (IVF.kmeansRefine) over the corpus
+    * starting from [[storedIvfCentroids]], the dose the drift trigger
+    * (s44) fires. Deterministic by construction (the refine shares
+    * lloydRounds with training — IVFSkewSpec pins refine(stored, 1) ==
+    * train(iters+1) bit-for-bit), so the stored table is bit-identical
+    * to `_staged_ivf_centroids_refined` and s43's oracle re-derives the
+    * refreshed assignment from the staged values exactly.
+    */
+  private def storedRefinedCentroids(s: org.apache.spark.sql.SparkSession,
+                                     dir: String): org.apache.spark.sql.DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_refined_" +
+      QueryDef.pathKey(dir)
+    val marker = java.nio.file.Paths.get(idxDir, "_GRAFT_INDEX")
+    val stampRow = emb.agg(count(lit(1)),
+      sum(xxhash64(col("vec_id"), col("embedding").cast("string")))).first()
+    val stamp = s"k=8 iters=3+1warm vecs=${stampRow.getLong(0)} " +
+      s"fp=${stampRow.getLong(1)} src=$dir"
+    val existing =
+      if (java.nio.file.Files.exists(marker))
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+      else ""
+    if (existing != stamp) {
+      graft.ext.IVF.kmeansRefine(emb, "vec_id", "embedding",
+          storedIvfCentroids(s, dir), iters = 1)
+        .write.mode("overwrite").parquet(s"$idxDir/cents")
+      java.nio.file.Files.write(marker, stamp.getBytes("UTF-8"))
+    }
+    s.read.parquet(s"$idxDir/cents")
+  }
+
   /** Build-if-absent STORED PQ index (codebooks + packed codes) — the
     * s15 build factored out so the IVF-PQ stored twin (s36) reuses the
     * same trained artifacts instead of training a second time. The
@@ -432,6 +464,51 @@ object SimilarityQueries {
         .select(col("cell"), posexplode(col("c")))
         .select(col("cell"), col("pos"), round(col("col"), 6).as("value"))
         .orderBy("cell", "pos")
+    },
+
+    // ---- s43: the post-retrain index REFRESH, graded — the step that
+    //      makes s42 matter: after the warm retrain, every stored
+    //      artifact (s36's cell-partitioned codes, s37's merged
+    //      assignment, s39's merged PQ codes) still keys on the OLD
+    //      cells; the refresh re-keys the assignment under the REFINED
+    //      centroids in ONE map-only kernel pass (both centroid tables
+    //      ride in as literals — no join, no window, no shuffle before
+    //      the final sort; PlanSpec pins the shape). The emitted `moved`
+    //      flag IS the churn bound of the rewrite: a cell-partitioned
+    //      artifact rewrites only partitions that moved rows touch, so
+    //      the graded output itself carries the write-amplification
+    //      fraction SCALE.md records. FULLY re-derived: given the staged
+    //      stored + refined centroid tables (the refine itself graded by
+    //      s42), both argmins are s09's derivation — a wrong distance,
+    //      tie-break, stale old-cell, or dropped vector flips the hash. ----
+    QueryDef("s43_index_refresh",
+      s"""WITH stored AS (SELECT cell, list(value ORDER BY pos) AS c
+         |                FROM read_parquet('${ClimateQueries.OutToken}/_staged_ivf_centroids/*.parquet')
+         |                GROUP BY cell),
+         |refined AS (SELECT cell, list(value ORDER BY pos) AS c
+         |            FROM read_parquet('${ClimateQueries.OutToken}/_staged_ivf_centroids_refined/*.parquet')
+         |            GROUP BY cell),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |aold AS (SELECT vec_id, cell FROM (
+         |  SELECT v.vec_id, stored.cell,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      list_dot_product(v.e, v.e) - 2.0 * list_dot_product(v.e, stored.c)
+         |        + list_dot_product(stored.c, stored.c), stored.cell) AS rn
+         |  FROM v CROSS JOIN stored) WHERE rn = 1),
+         |anew AS (SELECT vec_id, cell FROM (
+         |  SELECT v.vec_id, refined.cell,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      list_dot_product(v.e, v.e) - 2.0 * list_dot_product(v.e, refined.c)
+         |        + list_dot_product(refined.c, refined.c), refined.cell) AS rn
+         |  FROM v CROSS JOIN refined) WHERE rn = 1)
+         |SELECT anew.vec_id AS vid, anew.cell AS cell,
+         |  CAST(aold.cell != anew.cell AS INTEGER) AS moved
+         |FROM anew JOIN aold ON aold.vec_id = anew.vec_id
+         |ORDER BY vid""".stripMargin) { (s, dir) =>
+      graft.ext.IVF.refreshAssignment(Tables.embeddings(s, dir),
+          "vec_id", "embedding",
+          storedIvfCentroids(s, dir), storedRefinedCentroids(s, dir))
+        .orderBy("vid")
     },
 
     // ---- s35: INCREMENTAL index maintenance for the ANN family — t58's
@@ -1176,6 +1253,107 @@ object SimilarityQueries {
             round((col("n_batch").cast("double") - expected)
               * (col("n_batch").cast("double") - expected) / expected, 6))
             .as("chi2_term"))
+        .orderBy("cell")
+    },
+
+    // ---- s44: the drift→retrain TRIGGER decision, graded — the rule
+    //      that connects s38 (drift stats) to s42 (the retrain action)
+    //      was prose until now; this row makes the decision itself
+    //      regression-tested. Per cell: s38's χ² contribution plus a
+    //      3σ binomial band (|n_b − E| > 3·σ, σ² = E·(1 − p); a dead
+    //      cell receiving ANY batch mass fires outright — maximal
+    //      drift). Globally: fire when the decimal-exact χ² total
+    //      crosses τ = df + 3·√(2·df) — the 3σ normal approximation of
+    //      the χ²_df critical value, so the THRESHOLD derives from the
+    //      observed quantizer shape (df = occupied cells − 1), never a
+    //      constant pinned to k=8. Everything is pinned-order arithmetic
+    //      over the two argmin assignments: integer counts → CAST-first
+    //      multiply/divide chains → IEEE sqrt — bit-reproducible on both
+    //      engines (s38's precedent), so even the fire BOOLEANS (emitted
+    //      as 0/1 ints) hash-match. Totals and the global verdict ride
+    //      broadcast 1-row cross joins — no unpartitioned window. ----
+    QueryDef("s44_retrain_trigger",
+      s"""WITH cents AS (SELECT cell, list(value ORDER BY pos) AS c
+         |               FROM read_parquet('${ClimateQueries.OutToken}/_staged_ivf_centroids/*.parquet')
+         |               GROUP BY cell),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |assign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT v.vec_id, cents.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        list_dot_product(v.e, v.e) - 2.0 * list_dot_product(v.e, cents.c)
+         |          + list_dot_product(cents.c, cents.c), cents.cell) AS rn
+         |    FROM v CROSS JOIN cents) WHERE rn = 1),
+         |nc AS (SELECT cell, count(*) AS n_corpus FROM assign
+         |       WHERE vec_id % 10 != 7 GROUP BY cell),
+         |nb AS (SELECT cell, count(*) AS n_batch FROM assign
+         |       WHERE vec_id % 10 = 7 GROUP BY cell),
+         |tot AS (SELECT (SELECT sum(n_corpus) FROM nc) AS nc_tot,
+         |               (SELECT sum(n_batch) FROM nb) AS nb_tot),
+         |pc AS (SELECT cell, n_corpus, n_batch,
+         |         CASE WHEN n_corpus > 0 THEN
+         |           (CAST(n_batch AS DOUBLE) - CAST(nb_tot AS DOUBLE) * n_corpus / nc_tot)
+         |           * (CAST(n_batch AS DOUBLE) - CAST(nb_tot AS DOUBLE) * n_corpus / nc_tot)
+         |           / (CAST(nb_tot AS DOUBLE) * n_corpus / nc_tot) END AS chi2,
+         |         CASE WHEN n_corpus > 0 THEN
+         |           CAST(abs(CAST(n_batch AS DOUBLE)
+         |                    - CAST(nb_tot AS DOUBLE) * n_corpus / nc_tot)
+         |             > 3.0 * sqrt((CAST(nb_tot AS DOUBLE) * n_corpus / nc_tot)
+         |                 * (1.0 - CAST(n_corpus AS DOUBLE) / nc_tot)) AS INTEGER)
+         |         ELSE CAST(n_batch > 0 AS INTEGER) END AS fire_cell
+         |       FROM (SELECT coalesce(nc.cell, nb.cell) AS cell,
+         |               coalesce(n_corpus, 0) AS n_corpus,
+         |               coalesce(n_batch, 0) AS n_batch
+         |             FROM nc FULL OUTER JOIN nb ON nb.cell = nc.cell)
+         |       CROSS JOIN tot),
+         |g AS (SELECT CAST(sum(CAST(chi2 AS DECIMAL(38,18))) AS DOUBLE) AS chi2_total,
+         |        CAST(count(CASE WHEN n_corpus > 0 THEN 1 END) - 1 AS INTEGER) AS df,
+         |        max(CASE WHEN n_corpus = 0 THEN fire_cell ELSE 0 END) AS dead_fire
+         |      FROM pc)
+         |SELECT cell, n_corpus, n_batch, round(chi2, 6) AS chi2_term, fire_cell,
+         |  round(chi2_total, 6) AS chi2_total, df,
+         |  round(CAST(df AS DOUBLE) + 3.0 * sqrt(2.0 * CAST(df AS DOUBLE)), 6) AS tau,
+         |  CAST(chi2_total > CAST(df AS DOUBLE) + 3.0 * sqrt(2.0 * CAST(df AS DOUBLE))
+         |       OR dead_fire = 1 AS INTEGER) AS fire
+         |FROM pc CROSS JOIN g ORDER BY cell""".stripMargin) { (s, dir) =>
+      val cents = storedIvfCentroids(s, dir)
+      val batch = Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 7)
+      val nc = storedIvfAssign(s, dir)
+        .groupBy("cell").agg(count(lit(1)).as("n_corpus"))
+      val nb = graft.ext.IVF.assignWithCentroids(batch, "vec_id", "embedding", cents)
+        .groupBy("cell").agg(count(lit(1)).as("n_batch"))
+      val tot = nc.agg(sum(col("n_corpus")).as("nc_tot"))
+        .crossJoin(nb.agg(sum(col("n_batch")).as("nb_tot")))
+      val expected = col("nb_tot").cast("double") * col("n_corpus") / col("nc_tot")
+      val perCell = nc.join(nb, Seq("cell"), "full_outer")
+        .na.fill(0L, Seq("n_corpus", "n_batch"))
+        .crossJoin(broadcast(tot))
+        .select(col("cell"), col("n_corpus"), col("n_batch"),
+          when(col("n_corpus") > 0,
+            (col("n_batch").cast("double") - expected)
+              * (col("n_batch").cast("double") - expected) / expected)
+            .as("chi2"),
+          when(col("n_corpus") > 0,
+            (abs(col("n_batch").cast("double") - expected) >
+              lit(3.0) * sqrt(expected *
+                (lit(1.0) - col("n_corpus").cast("double") / col("nc_tot"))))
+              .cast("int"))
+            .otherwise((col("n_batch") > 0).cast("int")).as("fire_cell"))
+        .localCheckpoint() // two consumers (per-cell rows + the global agg)
+      val glob = perCell.agg(
+        sum(col("chi2").cast("decimal(38,18)")).cast("double").as("chi2_total"),
+        (count(when(col("n_corpus") > 0, 1)) - 1).cast("int").as("df"),
+        max(when(col("n_corpus") === 0, col("fire_cell")).otherwise(lit(0)))
+          .as("dead_fire"))
+      val tau = col("df").cast("double") +
+        lit(3.0) * sqrt(lit(2.0) * col("df").cast("double"))
+      perCell.crossJoin(broadcast(glob))
+        .select(col("cell"), col("n_corpus"), col("n_batch"),
+          round(col("chi2"), 6).as("chi2_term"), col("fire_cell"),
+          round(col("chi2_total"), 6).as("chi2_total"), col("df"),
+          round(tau, 6).as("tau"),
+          (col("chi2_total") > tau || col("dead_fire") === 1)
+            .cast("int").as("fire"))
         .orderBy("cell")
     },
 

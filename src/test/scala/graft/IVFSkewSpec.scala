@@ -31,6 +31,27 @@ class IVFSpec extends SparkSpec {
       "one warm-started Lloyd round from the stored centroids must equal one more training round")
   }
 
+  test("refreshAssignment: cell == fresh assignment under refined; moved iff argmin changed; no-op refresh moves nothing") {
+    val emb = Tables.embeddings(spark, sf)
+    val stored = IVF.kmeansCentroids(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val refined = IVF.kmeansRefine(emb, "vec_id", "embedding", stored, iters = 1)
+    val refresh = IVF.refreshAssignment(emb, "vec_id", "embedding", stored, refined)
+      .orderBy("vid").collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val fresh = IVF.assignWithCentroids(emb, "vec_id", "embedding", refined)
+      .orderBy("vid").collect().map(r => (r.getLong(0), r.getInt(1)))
+    val old = IVF.assignWithCentroids(emb, "vec_id", "embedding", stored)
+      .orderBy("vid").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(refresh.map(t => (t._1, t._2)).toSeq == fresh.toSeq,
+      "refreshed cells must equal a from-scratch assignment under the refined centroids")
+    refresh.foreach { case (vid, cell, moved) =>
+      assert((moved == 1) == (old(vid) != cell), s"vid=$vid moved flag wrong")
+    }
+    // refreshing against the SAME centroids is the identity: zero churn
+    val noop = IVF.refreshAssignment(emb, "vec_id", "embedding", stored, stored)
+      .agg(sum(col("moved"))).first().getLong(0)
+    assert(noop == 0L, s"self-refresh must move nothing, moved=$noop")
+  }
+
   test("kmeansRefine: a centroid no vector picks drops out (plain Lloyd on empties)") {
     val emb = Tables.embeddings(spark, sf)
     val far = Seq((99, Seq.fill(64)(1e6))).toDF("cell", "c")

@@ -58,14 +58,30 @@ class PlanSpec extends SparkSpec {
     // cartesian anywhere is the k-row centroid probe each query ranks
     val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
     assert(bhj >= 4, s"expected the LUT/cterm/probe/qnorm joins broadcast, got $bhj:\n$plan")
-    // every equi-joined side in this plan is model-sized (LUT, cross-terms,
-    // probe scalars, query norms) — none may ever degrade to a sort-merge
-    assert(!plan.contains("SortMergeJoin"),
-      s"broadcast-sized sides must never sort-merge:\n$plan")
+    // exactly ONE data-sized equi-join exists (codes ⋈ probed candidates
+    // on vid — both sides corpus-scaled, a sort-merge/shuffled-hash is the
+    // right plan for it); every OTHER side is model-sized and must stay
+    // broadcast, so a second SMJ means a broadcast hint was lost
+    val smj = "SortMergeJoin".r.findAllIn(plan).length
+    assert(smj <= 1, s"only the codes⋈candidates join may sort-merge, got $smj:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the centroid probes must broadcast-nested-loop, never cartesian:\n$plan")
     val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
     val cart = "CartesianProduct".r.findAllIn(plan).length
     assert(bnl + cart <= 2,
       s"only the two k-row centroid cross joins (corpus + query probe) may be non-equi:\n$plan")
+  }
+
+  test("s43 index refresh is one map-only kernel pass: no join, no window, sort-only exchange") {
+    val q = SparkEntry.queries("s43_index_refresh")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    // both centroid tables fold into the refresh as argmin-kernel
+    // literals — any Join or Window here means the refresh regressed to
+    // a data-sized formulation that cannot be churn-bounded at 100 TB
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+    // the only exchange is the final orderBy's range partition
+    assert(shuffles(q) == 1, plan)
   }
 
   test("minhash signature is map-only: zero shuffles") {
