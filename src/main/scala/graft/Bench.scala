@@ -4,7 +4,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    run(sfDir, cpus, "bench_full.json")
+    // SPARK_GRAFT_BENCH_OUT separates board OWNERSHIP (the LEAKCHECK_builder
+    // pattern): the driver's default invocation owns bench_full.json; the
+    // builder's quiesced snapshots go to bench_builder.json, which the
+    // driver never overwrites. Provenance is stamped into the JSON.
+    run(sfDir, cpus,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json"))
   }
 
   /** The full board sweep, parameterized so [[Sf1Sweep]] can aim it at an
@@ -12,7 +17,11 @@ object Bench {
     * clobbering the sf0.1 snapshot. Writes the complete per-query map to
     * `outPath`, prints the headline JSON line, returns the line.
     */
-  def run(sfDir: String, cpus: String, outPath: String): String = {
+  def run(sfDir: String, cpus: String, outPath: String,
+          only: Option[Set[String]] = None): String = {
+    // `only` restricts the sweep to a name subset — Sf1Sweep's
+    // per-family segments, so a dead JVM costs one segment, not an hour
+    def inScope(name: String): Boolean = only.forall(_.contains(name))
     // Canonical per-query reference from the COMMITTED outPath snapshot,
     // read before this run overwrites it: feeds the outlier re-run gate
     // at sweep end. Crude regex parse — keys are [A-Za-z0-9_] and values
@@ -70,6 +79,20 @@ object Bench {
     }
     try SparkEntry.queries.get("q01_pricing_summary").foreach(_(spark, sfDir).count())
     catch { case e: Throwable => System.err.println(s"[bench] warm-up query failed: ${e.getMessage}") }
+    // Stored-index PRE-PASS (r14 verdict #3): materialize every
+    // content-stamped index BEFORE any timed entry, so the stored-index
+    // families (t55/t58/t59/t60/t61/st12, s15/s35-s39/s42-s45) time the
+    // PROBE — never a build conflated onto a fresh stamp (the t61 x11.1 /
+    // s15 x12.3 sf1 "decades" adjudicated in prose two rounds running).
+    // The build cost is still visible: prebuild_sec lands in the JSON.
+    val prebuildT0 = System.nanoTime()
+    try {
+      graft.queries.SimilarityQueries.prewarmStoredIndexes(spark, sfDir)
+      graft.queries.TextQueries.prewarmStoredIndexes(spark, sfDir)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] index pre-pass failed: ${e.getMessage}")
+    }
+    val prebuildSec = (System.nanoTime() - prebuildT0) / 1e9
     // Force FULL materialization through the noop sink, not count():
     // count() lets the optimizer prune every column nobody aggregates —
     // a plan census (r13) found 66 of 275 queries losing work under
@@ -125,7 +148,9 @@ object Bench {
     // min of two runs per query: damps shared-machine load spikes without
     // hiding real cost (both runs rebuild the full plan; only JVM/codegen
     // warmth carries over, which the warm-up pass already granted).
-    val measured = (SparkEntry.queries ++ SparkEntry.benchOnly).map { case (name, fn) =>
+    val measured = (SparkEntry.queries ++ SparkEntry.benchOnly)
+      .filter { case (name, _) => inScope(name) }
+      .map { case (name, fn) =>
       gateIfLoud()
       val times = (1 to 2).map(_ => timeOnce(name, fn))
       // a failed query reports -1, never its time-to-exception (a broken
@@ -172,7 +197,7 @@ object Bench {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val total = results.values.filter(_ >= 0).sum
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","action":"noop","host_cpus":$hostCpus,"loadavg_1m":${fmt(loadAvg)},"loadavg_preflight":${fmt(loadAtStart)},"preflight_wait_sec":${fmt(preflightWait)},"rerun_outliers":${rerunNames.size},"rerun_names":${rerunNames.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","action":"noop","host_cpus":$hostCpus,"loadavg_1m":${fmt(loadAvg)},"loadavg_preflight":${fmt(loadAtStart)},"preflight_wait_sec":${fmt(preflightWait)},"rerun_outliers":${rerunNames.size},"rerun_names":${rerunNames.map("\"" + _ + "\"").mkString("[", ",", "]")},"prebuild_sec":${fmt(prebuildSec)},"provenance":"${sys.env.getOrElse("SPARK_GRAFT_PROVENANCE", "driver")}","out":"$outPath"}"""
     }
     // The driver keeps only a ~2k-char tail of stdout; the full 80-query
     // map doesn't fit, so stdout carries the headline subset (cost drivers

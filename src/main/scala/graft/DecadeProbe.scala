@@ -223,6 +223,14 @@ object DecadeProbe {
     timed(s"ivf_flat_assign_only[cells=$cellsAuto]") {
       graft.ext.IVF.assignCells(v, l1flat).select(col("vid"), col("cell"))
     }
+    // the REGISTERED blocked form end-to-end (s12's knnGraphAuto): at or
+    // above Similarity.FlatToIvf2Vectors this exercises the two-level
+    // leaf branch — the decade row showing the registered query staying
+    // near-linear (constant leaf occupancy × n pairs) where the flat
+    // kernel pays its measured 12× on assignment alone
+    timed(s"s12_knn_graph_auto[n=$nVec]") {
+      graft.ext.Similarity.knnGraphAuto(emb, "vec_id", "embedding", k = 3)
+    }
     val (l1h, l2h, _) = graft.ext.IVF.twoLevelModel(
       emb, "vec_id", "embedding", k1, k2, iters = 3)
     timed(s"ivf2_assign_only[k1=$k1,k2=$k2]") {

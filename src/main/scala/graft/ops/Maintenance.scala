@@ -285,11 +285,17 @@ object Maintenance {
     // minimums across noisy-host runs): the value-only rank is 11-13 s
     // at sf10 while the tie-splitting form (splitTies=true — pair edges
     // on (c, k)) pays ~46 s in chain+sample overhead to remove a ~4 s
-    // single-task sort — so value-only stays the registered form through
-    // the probed decades, and splitTies is the documented switch for the
-    // decade where the tie-class cell (∝ corpus) outgrows a task.
+    // single-task sort. r15: the CODE now decides — autoSplitBudget arms
+    // the derived predicate (largest histogram cell vs the task-memory
+    // envelope, Prep.SplitTiesTaskBudget), which stays OFF through every
+    // measured decade (3 M ≪ 16 M) and fires exactly when a tie cell
+    // outgrows a task. (c, k) satisfy the pair-edge type requirements:
+    // counts cast injectively, bigint keys cast monotonically, neither
+    // null. Ranks are bucket-function-independent, so arming the switch
+    // can never move a hash.
     val profile = graft.ops.Prep.rankViaBuckets(cnt, col("c"), col("k"),
-        ascending = true, rankCol = "i", partitionKeys = Seq(col("col_name")))
+        ascending = true, rankCol = "i", partitionKeys = Seq(col("col_name")),
+        autoSplitBudget = graft.ops.Prep.SplitTiesTaskBudget)
       .groupBy(col("col_name"))
       .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
         max(col("c")).as("max_count"),

@@ -143,11 +143,26 @@ object Prep {
     * ANY B — GraftProps drives B=7 against heavy ties); the default 64
     * matches the local harness.
     */
+  /** Auto tie-split task budget (see `autoSplitBudget` below): the
+    * largest in-bucket window cell [[rankViaBuckets]] accepts before
+    * switching to pair edges. A cell is ONE window task — one executor
+    * thread sorting it, one task's memory holding it — so the budget is
+    * the task envelope, not a fixture knob: ~16 M (value, tie, payload)
+    * rows ≈ 1-2 GB, the spill edge of a default-sized executor.
+    * Measured calibration (SCALE.md q145): at sf10 the biggest tie cell
+    * is ~3 M rows, a ~4 s single-task sort — far below budget, so the
+    * switch stays OFF exactly where it was measured to cost 46 s vs
+    * 11-13 s; it fires only when a cell outgrows a task, which is when
+    * the single-task sort (and its spill) dwarfs the pair-edge overhead.
+    */
+  val SplitTiesTaskBudget: Long = 16000000L
+
   def rankViaBuckets(df: DataFrame, value: Column, tieBreak: Column,
                      ascending: Boolean = true, buckets: Int = 64,
                      rankCol: String = "rank",
                      partitionKeys: Seq[Column] = Nil,
-                     splitTies: Boolean = false): DataFrame = {
+                     splitTies: Boolean = false,
+                     autoSplitBudget: Long = 0L): DataFrame = {
     // --- bucket function -------------------------------------------------
     // Default: percentile edges on `value` alone, ties-in-one-bucket (the
     // exactness argument needs only monotonicity). splitTies=true swaps in
@@ -173,8 +188,17 @@ object Prep {
     // as the dominant term of q145's 100 s sf10 noop time. The chain
     // finds the first edge the row does not pass — identical bucket ids,
     // native comparisons inside whole-stage codegen.
-    val bucketOf: Column =
-      if (splitTies) {
+    // `autoSplitBudget > 0` arms the DERIVED activation: the value-edge
+    // histogram (computed below for the priors anyway) reveals the
+    // largest cell; if it exceeds the budget, the pair-edge function is
+    // built and the histogram recomputed — the code, not a doc, decides
+    // when tie-splitting pays. Ranks are IDENTICAL under either bucket
+    // function (the exactness argument is bucket-function-independent),
+    // so the switch can never change a hash — only the physical
+    // partitioning. Activation is gated on the caller arming it because
+    // the pair form has TYPE requirements (injective value cast,
+    // monotone non-null tieBreak cast) the generic rank cannot assume.
+    def pairBucket(): Column = {
         val vd = value.cast("double"); val td = tieBreak.cast("double")
         // hash NATIVE column types — casting to string first was measured
         // at 13.8-56.9 s vs 1.0-1.6 s for the same TakeOrdered at sf10
@@ -219,7 +243,8 @@ object Prep {
                 when(vd > lit(ev) || (vd === lit(ev) && td < lit(et)),
                   lit(edges.size - i)).otherwise(acc)
             })
-      } else {
+    }
+    def valueBucket(): Column = {
         val qs = (1 until buckets).map(i => lit(i.toDouble / buckets))
         val edgeRow = df.agg(percentile_approx(value.cast("double"),
           array(qs: _*), lit(10000)).as("e")).head()
@@ -236,15 +261,25 @@ object Prep {
         else edgeVals.zipWithIndex.foldRight(lit(edgeVals.size): Column) {
           case ((e, i), acc) => when(vd <= lit(e), lit(i)).otherwise(acc)
         }
-      }
+    }
+    val bucketOf: Column = if (splitTies) pairBucket() else valueBucket()
     val ord =
       if (ascending) Seq(value.asc, tieBreak.asc)
       else Seq(value.desc, tieBreak.asc)
     if (partitionKeys.isEmpty) {
-      val withB = df.withColumn("__rvb_b", bucketOf)
-      val counts = withB.groupBy(col("__rvb_b"))
+      var withB = df.withColumn("__rvb_b", bucketOf)
+      var counts = withB.groupBy(col("__rvb_b"))
         .agg(count(lit(1)).as("c")).collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toSeq
+      if (!splitTies && autoSplitBudget > 0 && counts.nonEmpty &&
+          counts.map(_._2).max > autoSplitBudget) {
+        // a cell outgrew a task: pay the pair-edge sample + one extra
+        // histogram pass to break the tie class across buckets
+        withB = df.withColumn("__rvb_b", pairBucket())
+        counts = withB.groupBy(col("__rvb_b"))
+          .agg(count(lit(1)).as("c")).collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toSeq
+      }
       val ordered = if (ascending) counts.sortBy(_._1) else counts.sortBy(-_._1)
       val priors: Map[Int, Long] =
         ordered.map(_._1).zip(ordered.scanLeft(0L)(_ + _._2).init).toMap
@@ -279,13 +314,20 @@ object Prep {
           coalesce(ks, lit("")))
       }
       val pkStr = concat(partitionKeys.map(encKey): _*)
-      val withB = df.withColumn("__rvb_b", bucketOf)
+      var withB = df.withColumn("__rvb_b", bucketOf)
         .withColumn("__rvb_p", pkStr)
       // limit(guard+1) BOUNDS the driver pull before the cardinality
       // check: a runaway key domain fails the require() after pulling
       // 100 001 rows, instead of OOMing the driver it should protect.
-      val counts = withB.groupBy(col("__rvb_p"), col("__rvb_b"))
+      def cellCounts() = withB.groupBy(col("__rvb_p"), col("__rvb_b"))
         .agg(count(lit(1)).as("c")).limit(100001).collect()
+      var counts = cellCounts()
+      if (!splitTies && autoSplitBudget > 0 && counts.nonEmpty &&
+          counts.map(_.getLong(2)).max > autoSplitBudget) {
+        withB = df.withColumn("__rvb_b", pairBucket())
+          .withColumn("__rvb_p", pkStr)
+        counts = cellCounts()
+      }
       require(counts.length <= 100000,
         s"rankViaBuckets(partitionKeys): ${counts.length} (group, bucket) " +
           "cells — partition keys must be low-cardinality (use a plain " +

@@ -59,8 +59,11 @@ class PartitionPruningSpec extends SparkSpec {
     // the graded s36 query stores and probes (invoking the query builds
     // it behind its content stamp), then proves the file-level prune on it
     SparkEntry.queries("s36_ann_ivfpq_stored")(spark, sf)
+    // pathKey, NOT the pre-r14 hashCode hex: the old expression kept
+    // passing on machines where a stale r13-era index dir survived in
+    // tmpdir, and would 404 on a fresh box
     val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index_" +
-      java.lang.Integer.toHexString(sf.hashCode) + "/codes_by_cell"
+      graft.queries.QueryDef.pathKey(sf) + "/codes_by_cell"
     val idx = spark.read.parquet(idxDir)
     val cells = idx.select("ccell").distinct().collect().map(_.getInt(0)).sorted
     assert(cells.length > 2, s"need >2 occupied cells to observe pruning, got ${cells.length}")
@@ -70,5 +73,26 @@ class PartitionPruningSpec extends SparkSpec {
     assert(files.nonEmpty &&
       files.forall(f => probed.exists(c => f.contains(s"ccell=$c"))),
       s"probe scan leaked outside cells ${probed.mkString(",")}: ${files.take(3).mkString}")
+  }
+
+  test("s45 stored residual IVF-PQ: probe prunes BOTH the codes and the cross-term tables to probed cells") {
+    // the residual deployment stores TWO ccell-partitioned artifacts —
+    // codes and the centroid×codeword cross terms; a probe must read only
+    // probed directories of each (invoking the query builds the real
+    // index behind its content stamp)
+    SparkEntry.queries("s45_ann_respq_stored")(spark, sf)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_respq_index_" +
+      graft.queries.QueryDef.pathKey(sf)
+    for (side <- Seq("codes_by_cell", "cterm_by_cell")) {
+      val idx = spark.read.parquet(s"$base/$side")
+      val cells = idx.select("ccell").distinct().collect().map(_.getInt(0)).sorted
+      assert(cells.length > 2, s"$side: need >2 cells to observe pruning, got ${cells.length}")
+      val probed = cells.take(2)
+      val files = idx.filter(col("ccell").isin(probed.map(Int.box): _*))
+        .select(input_file_name()).distinct().collect().map(_.getString(0))
+      assert(files.nonEmpty &&
+        files.forall(f => probed.exists(c => f.contains(s"ccell=$c"))),
+        s"$side scan leaked outside cells ${probed.mkString(",")}: ${files.take(3).mkString}")
+    }
   }
 }

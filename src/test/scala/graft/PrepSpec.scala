@@ -341,6 +341,41 @@ class PrepSpec extends SparkSpec {
     assert(want == got, "splitTies + partitionKeys diverges from the keyed window")
   }
 
+  test("rankViaBuckets(autoSplitBudget): derived activation fires on an oversized tie cell, never moves a rank") {
+    import org.apache.spark.sql.expressions.Window
+    // q145's regime again: per-key counts (a handful of distinct values)
+    val df = graft.core.Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey").as("id"))
+      .agg(count(lit(1)).as("v"))
+    val w = Window.orderBy(col("v").asc, col("id").asc)
+    val expect = df.withColumn("r", row_number().over(w).cast("long"))
+      .orderBy("r").select("v", "id").collect().toSeq
+    // budget 1: EVERY cell oversized → the pair-edge switch must fire,
+    // and ranks must be bit-identical to the global window anyway
+    val fired = graft.ops.Prep.rankViaBuckets(df, col("v"), col("id"),
+        rankCol = "r", autoSplitBudget = 1L)
+      .orderBy("r").select("v", "id").collect().toSeq
+    assert(expect == fired, "auto-fired tie split changed a rank")
+    // huge budget: predicate must NOT fire; output equals value-only form
+    val unfired = graft.ops.Prep.rankViaBuckets(df, col("v"), col("id"),
+        rankCol = "r", autoSplitBudget = Long.MaxValue)
+      .orderBy("r").select("v", "id").collect().toSeq
+    assert(expect == unfired)
+    // grouped form (q145's exact shape): fired and unfired agree with the
+    // keyed window
+    val grouped = df.withColumn("g", (col("id") % 3).cast("string"))
+    val wg = Window.partitionBy("g").orderBy(col("v").asc, col("id").asc)
+    val want = grouped.withColumn("r", row_number().over(wg).cast("long"))
+      .orderBy("g", "r").select("g", "v", "id").collect().toSeq
+    for (budget <- Seq(1L, Long.MaxValue)) {
+      val got = graft.ops.Prep.rankViaBuckets(grouped, col("v"), col("id"),
+          rankCol = "r", partitionKeys = Seq(col("g")),
+          autoSplitBudget = budget)
+        .orderBy("g", "r").select("g", "v", "id").collect().toSeq
+      assert(want == got, s"budget=$budget: grouped auto split diverges")
+    }
+  }
+
   test("rankViaBuckets: ranks are a permutation of 1..n even with few distinct values") {
     import spark.implicits._
     // 7 distinct values, 64 requested buckets → sketch edges collapse to

@@ -251,6 +251,54 @@ class SimilaritySpec extends SparkSpec {
     assert(g.exists(e => e._1 == 1L && e._2 == 101L && e._4 == 1))
   }
 
+  test("auto blocking switch: below the crossover bit-identical to flat; leaf branch keeps exact-dup guarantees") {
+    val emb = Tables.embeddings(spark, sf)
+    // below the measured crossover, knnGraphAuto IS the flat autoCells
+    // form — the hash-identity the registered s12 relies on
+    val auto = Similarity.knnGraphAuto(emb, "vec_id", "embedding", k = 3)
+      .orderBy("q_id", "rn").collect().toSeq
+    val flat = Similarity.knnGraph(emb, "vec_id", "embedding",
+        k = 3, cells = Similarity.autoCells(emb.count()))
+      .orderBy("q_id", "rn").collect().toSeq
+    assert(auto == flat, "below-crossover auto form must equal the flat form exactly")
+
+    // the leaf branch (forced via crossover=1): exact duplicates share
+    // BOTH argmin levels, so they stay mutual rank-1 and still dedup
+    val base = (0 until 60).map { i =>
+      val region = i % 3
+      (i + 1L, Seq.tabulate(8)(d =>
+        (if (d == region * 2) 10.0 else 0.5) + (i / 3) * 0.01 * (d + 1)))
+    }
+    val dups = Seq((101L, base(0)._2), (102L, base(8)._2))
+    val data = (base ++ dups).toDF("vec_id", "embedding")
+    val g2 = Similarity.knnGraphAuto(data, "vec_id", "embedding",
+        k = 3, iters = 2, crossover = 1L)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(g2.exists(e => e._1 == 101L && e._2 == 1L && e._4 == 1) &&
+      g2.exists(e => e._1 == 1L && e._2 == 101L && e._4 == 1),
+      "exact dups must stay mutual rank-1 under leaf blocking")
+    g2.groupBy(_._1).values.foreach { edges =>
+      assert(edges.length <= 3)
+      assert(edges.map(_._4).sorted.toSeq == (1 to edges.length))
+    }
+    val survivors2 = Similarity.clusterDedupAuto(data, "vec_id", "embedding",
+        threshold = 0.999999, iters = 2, crossover = 1L)
+      .as[Long].collect().toSet
+    assert(!survivors2.contains(101L) && !survivors2.contains(102L),
+      "exact duplicates must be dropped under leaf blocking")
+    // soundness: leaf-scoped drops ⊆ the all-pairs rule's drops
+    val exactSurvivors = Similarity.cosineDedup(data, "vec_id", "embedding",
+      lit(true), threshold = 0.999999).as[Long].collect().toSet
+    assert(exactSurvivors.subsetOf(survivors2),
+      s"leaf dedup dropped ids the exact rule kept: ${exactSurvivors -- survivors2}")
+    // and the below-crossover dedup equals the graded cells=8 form
+    val autoDedup = Similarity.clusterDedupAuto(emb, "vec_id", "embedding",
+      threshold = 0.35).orderBy("v_id").collect().toSeq
+    val flatDedup = Similarity.clusterDedup(emb, "vec_id", "embedding",
+      threshold = 0.35, cells = 8).orderBy("v_id").collect().toSeq
+    assert(autoDedup == flatDedup)
+  }
+
   test("rrfHybridTopK: both-lists rank-1 maximizes rrf; single-list items still fuse") {
     // vec 1's nearest by BOTH full and truncated cosine is its duplicate 2
     // → rrf = 2/61 exactly; an item present in only one list contributes
