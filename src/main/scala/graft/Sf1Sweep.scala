@@ -63,12 +63,17 @@ object Sf1Sweep {
       // a checkpoint counts only if it was measured at THIS sf with the
       // noop action AND covers every query the segment now holds — adding
       // a query to a family re-runs that family, nothing else
-      val done = try {
+      // SPARK_GRAFT_SF1_FORCE=1 re-measures every segment while KEEPING
+      // the existing checkpoint as the outlier-re-run canonical — the
+      // re-sweep path when a completed board carried contention (each
+      // segment's prior values gate the fresh ones at 2.5×)
+      val force = sys.env.get("SPARK_GRAFT_SF1_FORCE").contains("1")
+      val done = !force && (try {
         val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(segPath))
         txt.contains("\"sf\":\"" + sf1Dir + "\"") &&
           txt.contains("\"action\":\"noop\"") &&
           names.forall(n => txt.contains("\"" + n + "\":"))
-      } catch { case _: Throwable => false }
+      } catch { case _: Throwable => false })
       if (done) println(s"[sf1] segment $f: checkpoint covers ${names.size} queries, skipping")
       else {
         println(s"[sf1] segment $f: running ${names.size} queries")
