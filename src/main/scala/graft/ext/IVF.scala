@@ -109,21 +109,31 @@ object IVF {
       // repeated-training call (s15's build vs s09's dump) depends on.
       // A double avg() leaves the reduce-side merge order to Spark's
       // scheduler; same rationale as Graph.pageRank's contribution sums.
-      val updated = assignCells(v, centroids)
+      //
+      // The per-iteration plan stops at the (cell, pos) grain: the k·d
+      // mean rows are collected and the centroid ARRAYS assembled on the
+      // driver (group by cell, sort by pos — exactly the
+      // array_sort(collect_list(struct(pos, m))) the second groupBy used
+      // to run). Same doubles, one exchange per round instead of two
+      // (r15, guide §2.4): the collect was already happening — pulling
+      // k·d scalar rows instead of k array rows costs nothing, and the
+      // dropped shuffle + ObjectHashAggregate stage was pure overhead.
+      val meanRows = assignCells(v, centroids)
         .select(col("cell"), posexplode(col("v")))
         .groupBy(col("cell"), col("pos"))
         .agg((sum(decimalSafe(col("col")).cast("decimal(38,18)")).cast("double") /
           count(lit(1))).as("m"))
-        .groupBy("cell")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("c"))
+        .collect()
       // Materialize the k centroids driver-side between iterations: k·d
       // doubles of driver state, and it TRUNCATES the lineage — otherwise
       // each iteration's plan nests the previous cross-join+window and
       // every downstream action recomputes the whole chain.
-      centroids = updated.collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1)))
-        .toSeq.toDF("cell", "c")
+      centroids = meanRows
+        .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1).toSeq
+        .map { case (cell, rs) => (cell, rs.sortBy(_._2).map(_._3).toSeq) }
+        .sortBy(_._1)
+        .toDF("cell", "c")
       i += 1
     }
     centroids

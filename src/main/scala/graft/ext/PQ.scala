@@ -61,6 +61,60 @@ object PQ {
       .select(col("vid"), col("pos").as("sub"), col("col").as("subv"))
   }
 
+  /** Driver-side codebook rows (sub, cell, codeword), sorted (sub, cell)
+    * — the literal model state the kernel assignment embeds. Collecting
+    * is the k-row discipline: m·kc rows of d/m doubles = d·kc doubles,
+    * the same order as the per-iteration collect training always did.
+    */
+  private def collectCb(cb: DataFrame): Array[(Int, Int, Array[Double])] =
+    cb.select(col("sub").cast("int"), col("cell").cast("int"), col("c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .sortBy(t => (t._1, t._2))
+
+  /** The per-sub argmin as a map-only when-chain of native
+    * [[graft.functions.NearestCell]] kernels — one branch per subspace,
+    * each with its own (ids, matrix) literals (cells ascending, so the
+    * kernel's first-wins tie-break equals min_by's (d2, cell) struct
+    * order). This replaced the broadcast join on `sub` + min_by argmin
+    * shuffle (r15): assignment is now zero-shuffle per training
+    * iteration, the IVF r13 join→kernel move applied to the fine
+    * quantizer. Bit parity pinned by PQSpec's kernel-vs-join test.
+    */
+  private def kernelCellExpr(cb: Array[(Int, Int, Array[Double])],
+                             sub: Column, subv: Column): Column =
+    cb.groupBy(_._1).toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("int")) { case (acc, (s, rows)) =>
+        val sorted = rows.sortBy(_._2)
+        when(sub === s, call_function("graft_nearest_cell", subv,
+          typedLit(sorted.map(_._2).toSeq),
+          typedLit(sorted.map(_._3.toSeq).toSeq))).otherwise(acc)
+      }
+
+  /** [[kernelCellExpr]]'s distance twin (graft_nearest_cell_dist): the
+    * winning d2 per sub-vector, used by the distortion audits in place of
+    * the n·m·kc joined-candidate min(struct) aggregate.
+    */
+  private def kernelDistExpr(cb: Array[(Int, Int, Array[Double])],
+                             sub: Column, subv: Column): Column =
+    cb.groupBy(_._1).toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("double")) { case (acc, (s, rows)) =>
+        val sorted = rows.sortBy(_._2)
+        when(sub === s, call_function("graft_nearest_cell_dist", subv,
+          typedLit(sorted.map(_._2).toSeq),
+          typedLit(sorted.map(_._3.toSeq).toSeq))).otherwise(acc)
+      }
+
+  /** Map-only code assignment against driver-side codebook rows:
+    * (vid, sub, cell, subv) — [[assignCodes]]'s contract, zero shuffle.
+    */
+  private def assignCodesKernel(subs: DataFrame,
+                                cb: Array[(Int, Int, Array[Double])]): DataFrame = {
+    graft.functions.GraftFunctions.register(subs.sparkSession)
+    subs.select(col("vid"), col("sub"),
+      kernelCellExpr(cb, col("sub"), col("subv")).as("cell"), col("subv"))
+  }
+
   /** Nearest-codebook-cell assignment: (vid, sub, cell, subv). Broadcast
     * join on the subspace id, then argmin as a `min_by` AGGREGATE over the
     * k joined candidates (ties → lowest cell via the (d2, cell) ordering
@@ -68,8 +122,12 @@ object PQ {
     * and the shuffle carries one row per sub-vector, not k. (A
     * row_number window here was the round-3 perf outlier: it forced a
     * sort of all n·m·k joined rows.)
+    *
+    * r15: superseded in every query path by [[assignCodesKernel]] (map-
+    * only, no broadcast, no shuffle); kept as the parity REFERENCE the
+    * suite pins the kernel against — the IVF.assignCellsViaJoin role.
     */
-  private def assignCodes(subs: DataFrame, cb: DataFrame): DataFrame = {
+  private[ext] def assignCodes(subs: DataFrame, cb: DataFrame): DataFrame = {
     val d2 = dotNative(col("subv"), col("subv")) -
       lit(2.0) * dotNative(col("subv"), col("c")) + dotNative(col("c"), col("c"))
     subs.join(broadcast(cb), "sub")
@@ -91,43 +149,60 @@ object PQ {
     val spark = subs.sparkSession
     import spark.implicits._
     // init: k hash-spread seed vectors (IVF's degeneracy-avoiding pick);
-    // their slices seed every subspace at once
-    val seedW = Window.orderBy(xxhash64(col("vid")), col("vid"))
-    val seeds = v.orderBy(xxhash64(col("vid")), col("vid")).limit(k)
-      .select(row_number().over(seedW).cast("long").as("vid"), col("v"))
-    var cb = subRows(seeds, m)
-      .select(col("sub"), col("vid").cast("int").as("cell"), col("subv").as("c"))
+    // their slices seed every subspace at once. Collected ONCE driver-side
+    // (k rows, ordered — the k-row-collect discipline), because the whole
+    // training loop now keeps the codebook as driver state: assignment
+    // rides into a map-only kernel projection as literals and the update
+    // collects the d·k mean scalars right back (r15). The per-iteration
+    // DataFrame round-trip (toDF → broadcast join → collect) was pure
+    // plan/job overhead at every scale — the model never leaves k·d-size.
+    val seedRows = v.orderBy(xxhash64(col("vid")), col("vid")).limit(k)
+      .select(col("v")).collect()
+    // same slicing as subRows (pure index arithmetic, no float ops);
+    // same seed→cell numbering as the old row_number window (1-based in
+    // hash-spread order)
+    var cb: Array[(Int, Int, Array[Double])] = seedRows.iterator.zipWithIndex.flatMap {
+      case (r, idx) =>
+        if (r.isNullAt(0))
+          throw new IllegalArgumentException("PQ: null seed vector")
+        val vec = r.getSeq[Double](0).toArray
+        if (vec.length % m != 0)
+          throw new IllegalArgumentException(
+            s"PQ: vector dim must be divisible by m=$m, got dim=${vec.length}")
+        val len = vec.length / m
+        (0 until m).map(s => (s, idx + 1, vec.slice(s * len, (s + 1) * len)))
+    }.toArray
     var lastAssign: Option[DataFrame] = None
     var i = 0
     while (i < iters) {
-      // intermediate assignments have ONE consumer (the update) — no
-      // checkpoint; the last one gains a second consumer (the caller's
-      // codes), so materialize it once (multi-consumer scan rule, SCALE.md).
-      // keepAssign=false (codebooks()-only callers) skips that checkpoint:
-      // materializing n·m assignment rows nobody reads would retain
-      // executor storage for the life of the session.
-      val assign =
-        if (keepAssign && i == iters - 1) { val a = assignCodes(subs, cb).localCheckpoint(); lastAssign = Some(a); a }
-        else assignCodes(subs, cb)
+      // map-only kernel assignment (no broadcast join, no argmin shuffle);
+      // the last iteration's lazy plan doubles as the caller's codes —
+      // recomputing a zero-shuffle projection over the checkpointed subs
+      // is cheaper than the localCheckpoint the join formulation needed
+      val assign = assignCodesKernel(subs, cb)
+      if (keepAssign && i == iters - 1) lastAssign = Some(assign)
       // decimal-sum mean (not avg()): merge-order-independent codebooks —
       // see IVF.kmeansCentroidsInit's rationale; keeps encode()/adcTopK
-      // codes reproducible across runs by construction
-      val updated = assign
+      // codes reproducible across runs by construction. The plan stops at
+      // the (sub, cell, pos) grain — codeword arrays are assembled on the
+      // driver (group + sort by pos == the dropped second groupBy's
+      // array_sort(collect_list) exactly), one exchange per iteration.
+      val meanRows = assign
         .select(col("sub"), col("cell"), posexplode(col("subv")))
         .groupBy(col("sub"), col("cell"), col("pos"))
         .agg((sum(IVF.decimalSafe(col("col")).cast("decimal(38,18)")).cast("double") /
           count(lit(1))).as("mv"))
-        .groupBy("sub", "cell")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
-          s => s.getField("mv")).as("c"))
-      // driver-materialize between iterations: d·k doubles, truncates the
-      // per-iteration lineage (same posture as IVF.kmeansCentroids)
-      cb = updated.collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
-        .toSeq.toDF("sub", "cell", "c")
+        .collect()
+      cb = meanRows
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+        .groupBy(t => (t._1, t._2)).toSeq
+        .map { case ((s, c), rs) => (s, c, rs.sortBy(_._3).map(_._4).toArray) }
+        .sortBy(t => (t._1, t._2))
+        .toArray
       i += 1
     }
-    (cb, lastAssign)
+    (cb.map(t => (t._1, t._2, t._3.toSeq)).toSeq.toDF("sub", "cell", "c"),
+      lastAssign)
   }
 
   /** Train the m per-subspace codebooks: (sub, cell, c), m·k rows. */
@@ -157,7 +232,11 @@ object PQ {
              m: Int = 8): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val v = emb.select(col(id).as("vid"), col(vec).cast("array<double>").as("v"))
-    assignCodes(subRows(v, m), cb)
+    // kernel assignment (map-only; the codebook is a ≤d·kc-double driver
+    // pull — the k-row-collect discipline) + the per-vid pack. The pack's
+    // array_sort(collect_list) is unchanged, so codes are byte-identical
+    // to the broadcast-join formulation's (PQSpec pins the parity).
+    assignCodesKernel(subRows(v, m), collectCb(cb))
       .groupBy("vid")
       .agg(transform(array_sort(collect_list(struct(col("sub"), col("cell")))),
         s => s.getField("cell")).as("codes"))
@@ -178,16 +257,15 @@ object PQ {
                            cb: DataFrame, m: Int = 8): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val v = emb.select(col(id).as("vid"), col(vec).cast("array<double>").as("v"))
-    val d2 = dotNative(col("subv"), col("subv")) -
-      lit(2.0) * dotNative(col("subv"), col("c")) + dotNative(col("c"), col("c"))
-    subRows(v, m).join(broadcast(cb), "sub")
-      .withColumn("d2", d2)
-      // argmin as a min-of-struct aggregate (combines map-side; the
-      // (d2, cell) ordering is assignCodes' tie-break), keeping the
-      // winning distance — the audit needs the error, not just the code
-      .groupBy(col("vid"), col("sub"))
-      .agg(min(struct(col("d2"), col("cell"))).as("best"))
-      .select(col("sub"), col("best").getField("d2").as("se"))
+    // winning distance straight from the native kernel
+    // (graft_nearest_cell_dist — same float chain and (d2, cell)
+    // tie-break as the min(struct(d2, cell)) aggregate it replaced, so
+    // `se` is the identical double): the audit is now ONE map pass + one
+    // per-sub aggregate — no n·m·kc joined-candidate blow-up, no
+    // (vid, sub) argmin exchange (r15; guide §2.4/§4).
+    subRows(v, m)
+      .select(col("sub"),
+        kernelDistExpr(collectCb(cb), col("sub"), col("subv")).as("se"))
       .groupBy("sub")
       .agg(count(lit(1)).as("n_vecs"),
         round((sum(IVF.decimalSafe(col("se")).cast("decimal(38,18)"))
@@ -211,7 +289,7 @@ object PQ {
     // codes = the final training iteration's assignment, NOT a fresh
     // assignment pass (round-3 verdict: recomputing it doubled the
     // most expensive stage; cell ids are stable across the last update)
-    val codes = lastAssign.getOrElse(assignCodes(subs, cb))
+    val codes = lastAssign.getOrElse(assignCodesKernel(subs, collectCb(cb)))
       .select(col("vid"), col("sub"), col("cell"))
 
     val q = emb.filter(queryPred)
@@ -357,8 +435,8 @@ object PQ {
     val vTrain = trainSet.select(col(id).as("vid"), col(vec).cast("array<double>").as("v"))
     val (cb, lastAssign) = trainCodebooks(trainSubs, vTrain, m, kc, pqIters,
       keepAssign = !sampled)
-    val codes = (if (sampled) assignCodes(subs, cb)
-                 else lastAssign.getOrElse(assignCodes(subs, cb)))
+    val codes = (if (sampled) assignCodesKernel(subs, collectCb(cb))
+                 else lastAssign.getOrElse(assignCodesKernel(subs, collectCb(cb))))
       .select(col("vid"), col("sub"), col("cell"))
 
     val q = emb.filter(queryPred)
@@ -588,7 +666,7 @@ object PQ {
     val rv = res.select(col("vid"), col("r").as("v"))
     val subs = subRows(rv, m).localCheckpoint()
     val (cb, lastAssign) = trainCodebooks(subs, rv, m, kc, pqIters)
-    val codes = lastAssign.getOrElse(assignCodes(subs, cb))
+    val codes = lastAssign.getOrElse(assignCodesKernel(subs, collectCb(cb)))
       .select(col("vid"), col("sub"), col("cell"))
 
     val q = emb.filter(queryPred)

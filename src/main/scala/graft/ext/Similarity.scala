@@ -757,33 +757,30 @@ object Similarity {
       .select(col("q_id"), col("a_id"), col("b_id"),
         round(dotNative(col("va"), col("vb")) / (col("na") * col("nb")), 6)
           .as("sim"))
-      .localCheckpoint()
-    val w1 = Window.partitionBy("q_id").orderBy(col("rel").desc, col("c_id"))
-    var picks = cands.withColumn("rn", row_number().over(w1))
-      .filter(col("rn") === 1)
-      .select(col("q_id"), col("c_id"), lit(1).as("step"),
-        graft.ops.Prep.floorTo(lit(0.7) * col("rel"), 6).as("score"))
-      .localCheckpoint()
-    for (j <- 2 to k) {
-      val remaining = cands.join(picks.select("q_id", "c_id"),
-        Seq("q_id", "c_id"), "left_anti")
-      val pen = sims
-        .join(picks.select(col("q_id"), col("c_id").as("b_id")), Seq("q_id", "b_id"))
-        .groupBy(col("q_id"), col("a_id"))
-        .agg(max(col("sim")).as("ms"))
-        .withColumnRenamed("a_id", "c_id")
-      val wj = Window.partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
-      val pj = remaining.join(pen, Seq("q_id", "c_id"))
-        .withColumn("score",
-          graft.ops.Prep.floorTo(
-            lit(0.7) * col("rel") - lit(0.3) * col("ms"), 6))
-        .withColumn("rn", row_number().over(wj))
-        .filter(col("rn") === 1)
-        .select(col("q_id"), col("c_id"), lit(j).as("step"), col("score"))
-      picks = picks.union(pj).localCheckpoint()
-    }
-    picks.select(col("q_id"), col("c_id"),
-      col("step").cast("int").as("rn"), col("score"))
+    // (sims' checkpoint dropped in r15: the grouped greedy leaves it ONE
+    // consumer — the k-round loop that re-read it every step is gone)
+    // r15: the greedy loop runs INSIDE one native expression per query
+    // group (graft_mmr — exact step semantics documented there: step 1
+    // ranks by raw rel, later steps by the floored score, inner-join
+    // eligibility, (score desc, c_id) tie-break). The k-round DataFrame
+    // loop this replaces paid 4·(k−1) shuffles + (k−1) checkpoints over
+    // per-query-BOUNDED state (depth ≤ 20 candidates, depth² sims): the
+    // grouped form is one groupBy per input plus one join, at any scale
+    // (guide §2/§8 — decide on small grouped state, not corpus-wide
+    // round-trips). SimilaritySpec pins loop-vs-expression parity.
+    val cg = cands.groupBy("q_id")
+      .agg(collect_list(struct(col("c_id"), col("rel"))).as("cands"))
+    val sg = sims.groupBy("q_id")
+      .agg(collect_list(struct(col("a_id"), col("b_id"), col("sim"))).as("sims"))
+    // left join: a query with ONE candidate has no sim pairs — the
+    // expression treats null sims as empty (only step 1 possible), which
+    // is exactly what the inner-join rounds produced for such a query
+    cg.join(sg, Seq("q_id"), "left")
+      .select(col("q_id"),
+        explode(call_function("graft_mmr", col("cands"), col("sims"),
+          lit(k))).as("p"))
+      .select(col("q_id"), col("p.c_id").as("c_id"),
+        col("p.step").cast("int").as("rn"), col("p.score").as("score"))
   }
 
   /** Grid-blocked exact nearest neighbors in a 2-D projection (the first

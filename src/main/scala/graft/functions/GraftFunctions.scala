@@ -56,6 +56,20 @@ object GraftFunctions {
       require(exprs.length == 3,
         "graft_nearest_cell requires (vector, cell-ids literal, matrix literal)")
       NearestCell(exprs(0), exprs(1), exprs(2))
+    }),
+    "graft_nearest_cell_dist" -> (exprs => {
+      require(exprs.length == 3,
+        "graft_nearest_cell_dist requires (vector, cell-ids literal, matrix literal)")
+      NearestCellDist(exprs(0), exprs(1), exprs(2))
+    }),
+    "graft_pairs" -> (exprs => {
+      require(exprs.length == 1, "graft_pairs requires one array argument")
+      ArrayPairs(exprs(0))
+    }),
+    "graft_mmr" -> (exprs => {
+      require(exprs.length == 3,
+        "graft_mmr requires (cands array, sims array, k literal)")
+      MmrSelect(exprs(0), exprs(1), exprs(2))
     }))
 
   def register(spark: SparkSession): Unit = {

@@ -87,16 +87,20 @@ object Graph {
                         minSupport: Int = 1): DataFrame = {
     // One groupBy with collect_set replaces distinct + self-join: the set
     // dedupes items within the group (what the distinct did) and the pair
-    // expansion happens per-row via HOFs under no shuffle at all (what
-    // the equi-join's second exchange + probe did). Two exchanges total —
+    // expansion happens per-row under no shuffle at all (what the
+    // equi-join's second exchange + probe did). Two exchanges total —
     // (1) group the items, (2) count the pairs — vs three before.
     // collect_set is safe exactly because groups are bounded (doc above);
     // the generated pair rows are the same O(Σ size²) either way.
+    // r15: the pair fan-out is the native ArrayPairs expression — the
+    // interpreted HOF chain (transform∘filter∘struct, flatten) it
+    // replaces was the dominant task CPU of every graph-family query
+    // (guide §4: non-codegen expressions in the hot path); same pairs,
+    // same order, one allocation per pair (PrepSpec pins parity).
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.groupBy(col(groupCol).as("g"))
       .agg(collect_set(col(itemCol)).as("items"))
-      .select(explode(flatten(transform(col("items"), x =>
-        transform(filter(col("items"), y => y =!= x),
-          y => struct(x.as("src"), y.as("dst")))))).as("e"))
+      .select(explode(call_function("graft_pairs", col("items"))).as("e"))
       .groupBy(col("e.src").as("src"), col("e.dst").as("dst"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= minSupport)

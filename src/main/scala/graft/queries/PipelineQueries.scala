@@ -723,15 +723,26 @@ object PipelineQueries {
         leg("lineitem.l_suppkey->supplier", "supplier", "s_suppkey", "lineitem", "l_suppkey"),
       ).mkString("", "\nUNION ALL\n", "\nORDER BY fk")
     }) { (s, dir) =>
+      // ONE full-outer join + ONE aggregate per leg (r15; guide §2.4) —
+      // the previous shape (checkpointed key set + separate semi-join,
+      // anti-join and dim-count subtrees cross-joined back together) ran
+      // ~10 jobs per leg to produce 3 scalars. The distinct key set makes
+      // the join ≤1-match per dim row, so the full-outer row grain
+      // carries all three counters at once: dim-side presence = n_dim,
+      // both-present = n_referenced (≡ the semi-join count), key-side
+      // only = n_orphan_keys (≡ the anti-join count, incl. the NULL fact
+      // key that can never equi-match — the same null-latent-proofing).
       def leg(name: String, dim: org.apache.spark.sql.DataFrame, dk: String,
               fact: org.apache.spark.sql.DataFrame, fk: String) = {
-        val keys = fact.select(col(fk).as("__k")).distinct().localCheckpoint()
-        val nDim = dim.agg(count(lit(1)).as("n_dim"))
-        val nRef = dim.join(keys, dim(dk) === col("__k"), "left_semi")
-          .agg(count(lit(1)).as("n_referenced"))
-        val nOrphan = keys.join(dim, dim(dk) === col("__k"), "left_anti")
-          .agg(count(lit(1)).as("n_orphan_keys"))
-        nDim.crossJoin(nRef).crossJoin(nOrphan)
+        val keys = fact.select(col(fk).as("__k")).distinct()
+        dim.select(col(dk).as("__dk"), lit(1).as("__d"))
+          .join(keys.withColumn("__f", lit(1)),
+            col("__dk") === col("__k"), "full_outer")
+          .agg(count(col("__d")).as("n_dim"),
+            count(when(col("__d").isNotNull && col("__f").isNotNull, 1))
+              .as("n_referenced"),
+            count(when(col("__f").isNotNull && col("__d").isNull, 1))
+              .as("n_orphan_keys"))
           .select(lit(name).as("fk"), col("n_dim"), col("n_referenced"),
             col("n_orphan_keys"),
             (col("n_referenced").cast("double") / col("n_dim")).as("coverage"))

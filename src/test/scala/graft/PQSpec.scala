@@ -36,6 +36,40 @@ class PQSpec extends SparkSpec {
     }
   }
 
+  test("encode: kernel assignment == broadcast-join min_by argmin, bit-for-bit (r15 parity pin)") {
+    // the r15 map-only kernel path (graft_nearest_cell per sub) must
+    // reproduce the join formulation's (d2, cell) argmin exactly — the
+    // same pin IVFSkewSpec holds for the coarse quantizer, applied to
+    // the fine one. The join reference is rebuilt inline from the same
+    // codebooks (dot-product float chain and min_by tie-break verbatim).
+    import graft.functions.GraftFunctions.dotProduct
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val m = 4
+    val cb = PQ.codebooks(clustered, "vec_id", "embedding", m = m, k = 8)
+    val kernelCodes = PQ.encode(clustered, "vec_id", "embedding", cb, m = m)
+      .select(col("vid"), posexplode(col("codes")))
+      .select(col("vid"), col("pos").as("sub"), col("col").as("cell"))
+      .as[(Long, Int, Int)].collect().toSet
+    // join reference: explode sub-slices, join every codeword of the sub,
+    // min_by((d2, cell)) — the pre-r15 assignCodes body
+    val len = 16 / m
+    val subs = clustered.select(col("vec_id").as("vid"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          sbv => slice(col("embedding"), sbv * len + 1, lit(len)))))
+      .select(col("vid"), col("pos").as("sub"),
+        transform(col("col"), x => x.cast("double")).as("subv"))
+    val d2 = dotProduct(col("subv"), col("subv")) -
+      lit(2.0) * dotProduct(col("subv"), col("c")) +
+      dotProduct(col("c"), col("c"))
+    val joinCodes = subs.join(broadcast(cb), "sub")
+      .withColumn("d2", d2)
+      .groupBy(col("vid"), col("sub"))
+      .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"))
+      .as[(Long, Int, Int)].collect().toSet
+    assert(kernelCodes == joinCodes,
+      s"kernel vs join assignment diverged: ${(kernelCodes -- joinCodes).take(5)} / ${(joinCodes -- kernelCodes).take(5)}")
+  }
+
   test("encode: m codes per vector, each within 1..k") {
     val cb = PQ.codebooks(clustered, "vec_id", "embedding", m = 4, k = 8)
     val codes = PQ.encode(clustered, "vec_id", "embedding", cb, m = 4)

@@ -162,6 +162,32 @@ class PrepSpec extends SparkSpec {
     assert(e == Set((10L, 11L), (11L, 10L), (11L, 12L), (12L, 11L)))
   }
 
+  test("graft_pairs == the HOF pair chain it replaced, incl. nulls and dup values (r15 parity pin)") {
+    graft.functions.GraftFunctions.register(spark)
+    // arrays with nulls, duplicates, empties, singletons — the full
+    // y =!= x semantics surface (null src emits nothing, null dst is
+    // skipped, value-equal pairs are skipped even at different indices)
+    val df = Seq(
+      Seq[java.lang.Long](1L, 2L, 3L),
+      Seq[java.lang.Long](5L, null, 6L, 5L),
+      Seq[java.lang.Long](),
+      Seq[java.lang.Long](9L),
+      Seq[java.lang.Long](7L, 7L, 7L),
+      Seq[java.lang.Long](null, null)
+    ).toDF("items").withColumn("row_id", monotonically_increasing_id())
+    val native = df.select(col("row_id"),
+        explode(call_function("graft_pairs", col("items"))).as("e"))
+      .select(col("row_id"), col("e.src"), col("e.dst"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val hof = df.select(col("row_id"),
+        explode(flatten(transform(col("items"), x =>
+          transform(filter(col("items"), y => y =!= x),
+            y => struct(x.as("src"), y.as("dst")))))).as("e"))
+      .select(col("row_id"), col("e.src"), col("e.dst"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(native == hof, s"native $native != hof $hof")
+  }
+
   test("weightedSampleKey: heavy weights dominate the sample ∝ weight; deterministic") {
     // 100 items at weight 100, 900 at weight 1 → a 100-item sample should
     // be mostly heavy items (each heavy item ~100× likelier); with the

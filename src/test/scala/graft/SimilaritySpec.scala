@@ -154,6 +154,72 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._4).sliding(2).forall(p => p.head >= p.last), got.toString)
   }
 
+  test("mmrTopK: grouped graft_mmr expression == the k-round join loop, bit-for-bit (r15 parity pin)") {
+    // random-ish clustered corpus, several queries — replay the pre-r15
+    // DataFrame loop inline and require identical (q, c, step, score)
+    // tuples from the grouped-expression form, scores compared as raw
+    // bits (the floorTo chain must match exactly).
+    val df = (0 until 120).map { i =>
+      val cl = i % 6
+      (i + 1L, Seq.tabulate(8)(d =>
+        (if (d == cl) 8.0 else 1.0) + ((i * 37 + d * 11) % 17) * 0.13))
+    }.toDF("vec_id", "embedding")
+    val pred = col("vec_id") % 17 === 3
+    val k = 4
+    val got = Similarity.mmrTopK(df, "vec_id", "embedding", pred, k = k, depth = 12)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    // inline replica of the r14 loop
+    val cands = Similarity.bruteForceTopK(df, "vec_id", "embedding", pred, 12)
+      .select(col("q_id"), col("c_id"), col("cos").as("rel"))
+      .localCheckpoint()
+    val vecs = df.select(col("vec_id").as("vid"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
+    val sims = cands.select(col("q_id"), col("c_id").as("a_id"))
+      .join(cands.select(col("q_id").as("q2"), col("c_id").as("b_id")),
+        col("q_id") === col("q2") && col("a_id") =!= col("b_id"))
+      .drop("q2")
+      .join(vecs.select(col("vid").as("a_id"), col("v").as("va"),
+        col("nrm").as("na")), "a_id")
+      .join(vecs.select(col("vid").as("b_id"), col("v").as("vb"),
+        col("nrm").as("nb")), "b_id")
+      .select(col("q_id"), col("a_id"), col("b_id"),
+        round(call_function("graft_dot", col("va"), col("vb")) /
+          (col("na") * col("nb")), 6).as("sim"))
+      .localCheckpoint()
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("rel").desc, col("c_id"))
+    var picks = cands.withColumn("rn", row_number().over(w1))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("c_id"), lit(1).as("step"),
+        graft.ops.Prep.floorTo(lit(0.7) * col("rel"), 6).as("score"))
+      .localCheckpoint()
+    for (j <- 2 to k) {
+      val remaining = cands.join(picks.select("q_id", "c_id"),
+        Seq("q_id", "c_id"), "left_anti")
+      val pen = sims
+        .join(picks.select(col("q_id"), col("c_id").as("b_id")), Seq("q_id", "b_id"))
+        .groupBy(col("q_id"), col("a_id"))
+        .agg(max(col("sim")).as("ms"))
+        .withColumnRenamed("a_id", "c_id")
+      val wj = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
+      val pj = remaining.join(pen, Seq("q_id", "c_id"))
+        .withColumn("score",
+          graft.ops.Prep.floorTo(
+            lit(0.7) * col("rel") - lit(0.3) * col("ms"), 6))
+        .withColumn("rn", row_number().over(wj))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("c_id"), lit(j).as("step"), col("score"))
+      picks = picks.union(pj).localCheckpoint()
+    }
+    val ref = picks.select(col("q_id"), col("c_id"),
+        col("step").cast("int"), col("score"))
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(got == ref,
+      s"grouped MMR diverged from the loop: extra=${(got -- ref).take(5)} missing=${(ref -- got).take(5)}")
+  }
+
   test("clusterDedup: exact dups always caught; drops are a sound subset of all-pairs") {
     // 60 base vectors in 3 well-separated regions + 6 exact duplicates.
     // Identical vectors share an argmin cell by construction, so exact
