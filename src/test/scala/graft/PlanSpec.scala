@@ -884,12 +884,15 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
-  test("q135 FK audit: every leg is a semi or anti join — never an inner materialization") {
+  test("q135 FK audit: one full-outer join per leg — never an inner materialization") {
+    // r15 rewrote the semi+anti legs as a single full-outer join + one
+    // conditional-count aggregate per leg (distinct key set ⇒ ≤1 match per
+    // dim row, so one row grain carries all three counters)
     val plan = SparkEntry.queries("q135_dim_coverage")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"), plan)
-    assert(!plan.contains("SortMergeJoin Inner") &&
-      !plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("FullOuter"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("LocalCheckpoint"), plan)
   }
 
   test("t43 sorted-neighborhood: the rank window partitions per block — no global sort window") {
