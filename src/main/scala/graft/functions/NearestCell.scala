@@ -78,6 +78,12 @@ case class NearestCell(vec: Expression, idsLit: Expression, matLit: Expression)
     * mismatch). Null ELEMENTS are checked by the caller.
     */
   private def argmin(v: Array[Double]): Int = {
+    // dot(v,v) is centroid-independent: hoisted out of the j loop (same
+    // left-to-right fold, so the same double every iteration — bit parity
+    // with the unhoisted kernel is preserved by construction)
+    var dvv = 0.0
+    var h = 0
+    while (h < v.length) { dvv += v(h) * v(h); h += 1 }
     var best = Double.NaN
     var bestId = 0
     var first = true
@@ -85,11 +91,9 @@ case class NearestCell(vec: Expression, idsLit: Expression, matLit: Expression)
     while (j < mat.length) {
       val c = mat(j)
       if (c.length != v.length) return Integer.MIN_VALUE
-      var dvv = 0.0
       var dvc = 0.0
       var i = 0
       while (i < v.length) {
-        dvv += v(i) * v(i)
         dvc += v(i) * c(i)
         i += 1
       }
@@ -150,14 +154,18 @@ case class NearestCell(vec: Expression, idsLit: Expression, matLit: Expression)
         |  }
         |  if (!$hasNull) {
         |    double[] $vArr = ${vCode.value}.toDoubleArray();
+        |    // dot(v,v) is centroid-independent — hoisted (same fold, same double)
+        |    double $dvv = 0.0;
+        |    for (int $i2 = 0; $i2 < $n; $i2++) {
+        |      $dvv += $vArr[$i2] * $vArr[$i2];
+        |    }
         |    double $best = 0.0; int $bestId = 0; boolean $firstF = true;
         |    boolean $lenBad = false;
         |    for (int $j = 0; $j < $matRef.length; $j++) {
         |      double[] $c = $matRef[$j];
         |      if ($c.length != $n) { $lenBad = true; break; }
-        |      double $dvv = 0.0; double $dvc = 0.0;
+        |      double $dvc = 0.0;
         |      for (int $i2 = 0; $i2 < $n; $i2++) {
-        |        $dvv += $vArr[$i2] * $vArr[$i2];
         |        $dvc += $vArr[$i2] * $c[$i2];
         |      }
         |      double $d2 = ($dvv - 2.0 * $dvc) + $ccRef[$j];

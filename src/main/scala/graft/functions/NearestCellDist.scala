@@ -54,17 +54,20 @@ case class NearestCellDist(vec: Expression, idsLit: Expression, matLit: Expressi
   }
 
   private def bestD2(v: Array[Double]): java.lang.Double = {
+    // dot(v,v) is centroid-independent: hoisted out of the j loop (same
+    // left-to-right fold ⇒ same double every iteration, bit parity kept)
+    var dvv = 0.0
+    var h = 0
+    while (h < v.length) { dvv += v(h) * v(h); h += 1 }
     var best = Double.NaN
     var first = true
     var j = 0
     while (j < mat.length) {
       val c = mat(j)
       if (c.length != v.length) return null
-      var dvv = 0.0
       var dvc = 0.0
       var i = 0
       while (i < v.length) {
-        dvv += v(i) * v(i)
         dvc += v(i) * c(i)
         i += 1
       }
@@ -122,14 +125,18 @@ case class NearestCellDist(vec: Expression, idsLit: Expression, matLit: Expressi
         |  }
         |  if (!$hasNull) {
         |    double[] $vArr = ${vCode.value}.toDoubleArray();
+        |    // dot(v,v) is centroid-independent — hoisted (same fold, same double)
+        |    double $dvv = 0.0;
+        |    for (int $i2 = 0; $i2 < $n; $i2++) {
+        |      $dvv += $vArr[$i2] * $vArr[$i2];
+        |    }
         |    double $best = 0.0; boolean $firstF = true;
         |    boolean $lenBad = false;
         |    for (int $j = 0; $j < $matRef.length; $j++) {
         |      double[] $c = $matRef[$j];
         |      if ($c.length != $n) { $lenBad = true; break; }
-        |      double $dvv = 0.0; double $dvc = 0.0;
+        |      double $dvc = 0.0;
         |      for (int $i2 = 0; $i2 < $n; $i2++) {
-        |        $dvv += $vArr[$i2] * $vArr[$i2];
         |        $dvc += $vArr[$i2] * $c[$i2];
         |      }
         |      double $d2 = ($dvv - 2.0 * $dvc) + $ccRef[$j];
