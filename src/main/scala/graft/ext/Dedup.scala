@@ -73,13 +73,21 @@ object Dedup {
     * deduplicates. [[crossDocDupRatio]] needs every position: the
     * duplicated-span fraction counts gram OCCURRENCES, not distinct grams.
     */
-  def gramsOfWords(w: Column, n: Int): Column = {
-    val cnt = size(w) - (n - 1)
-    when(cnt >= 1,
-      transform(sequence(lit(1), cnt),
-        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)))
-      .otherwise(array().cast("array<string>"))
-  }
+  def gramsOfWords(w: Column, n: Int): Column =
+    // r16: native WordGrams kernel — bit-identical to the HOF chain
+    //   when(size(w) - (n-1) >= 1, transform(sequence(1, cnt),
+    //     i => concat_ws(" ", element_at(w, i) ... element_at(w, i+n-1))))
+    //     .otherwise(array())
+    // (DedupSpec pins parity incl. nulls/short docs) but one pass with no
+    // per-gram lambda dispatch: the interpreted HOF evaluation was the
+    // dominant task CPU of the text-dedup family (guide §4). df-level
+    // operators register GraftFunctions on their own session; the
+    // active-session fallback covers bare-Column callers (tests, probes).
+    {
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .foreach(graft.functions.GraftFunctions.register)
+      call_function("graft_word_grams", w, lit(n))
+    }
 
   /** Convenience single-column form — fine for small/test data; the
     * df-level operators below always pre-split (see shinglesOfWords).
@@ -94,9 +102,11 @@ object Dedup {
     * re-tokenize per element; measured 20× slower).
     */
   private[graft] def shingleRows(df: DataFrame, id: Column, text: Column,
-                          n: Int): DataFrame =
+                          n: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(id.as("doc"), TextOps.words(text).as("w"))
       .select(col("doc"), explode(shinglesOfWords(col("w"), n)).as("s"))
+  }
 
   /** All-pairs n-gram Jaccard via shingle-inverted-index join:
     * explode shingles → join on shingle (id_a < id_b) → |∩| per pair →
@@ -642,6 +652,7 @@ object Dedup {
     */
   def contamination(df: DataFrame, id: Column, text: Column,
                     evalPred: Column, n: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val sh = df.select(id.as("doc"), evalPred.as("is_eval"),
         TextOps.words(text).as("w"))
       .select(col("doc"), col("is_eval"),
@@ -835,6 +846,7 @@ object Dedup {
     */
   def crossDocDupRatio(df: DataFrame, id: Column, text: Column,
                        n: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val grams = df.select(id.as("doc"), TextOps.words(text).as("w"))
       .select(col("doc"), explode(gramsOfWords(col("w"), n)).as("gram"))
     val perDoc = grams.groupBy("doc", "gram").agg(count(lit(1)).as("m"))
@@ -853,10 +865,12 @@ object Dedup {
     * would re-tokenize per element).
     */
   private def positionalGrams(df: DataFrame, id: Column, text: Column,
-                              n: Int): DataFrame =
+                              n: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(id.as("doc"), TextOps.words(text).as("w"))
       .select(col("doc"), posexplode(gramsOfWords(col("w"), n)))
       .select(col("doc"), (col("pos") + 1).as("i"), col("col").as("gram"))
+  }
 
   /** Maximal duplicated SPANS per document — [[crossDocDupRatio]] gives
     * the Lee-et-al signal as a ratio; this extracts the actual passages a

@@ -142,34 +142,34 @@ object Multimodal {
     * Σs² / n — INTEGER arithmetic, exact and order-independent with no
     * decimal detour — before the one final sqrt.
     *
-    * Shape: one row per sample via a distributed sequence-explode, then a
-    * (id, frame) aggregate — the pure-expression twin of the
-    * [[decodeBatched]] mapPartitions codec seam (which is where a real
-    * codec would amortize per-file setup at 100 TB; this path needs no
-    * codec at all for PCM). A trailing odd byte is ignored (not a full
-    * sample); docs with an empty data section produce no rows.
+    * Shape: one native pass per clip ([[graft.functions.Pcm16Frames]])
+    * emitting the per-frame integer moments directly, then an explode to
+    * frame rows — the expression twin of the [[decodeBatched]]
+    * mapPartitions codec seam (which is where a real codec would amortize
+    * per-file setup at 100 TB; this path needs no codec at all for PCM).
+    * A trailing odd byte is ignored (not a full sample); docs with an
+    * empty data section produce no rows.
     *
     * Returns (id, frame, n_samples, rms) with `rms` raw (callers round).
     */
   def wavFrameRms(df: DataFrame, id: Column, media: Column,
                   frameSamples: Int = 64): DataFrame = {
-    val ns = (leInt(media, 41, 4) / lit(2)).cast("long") // full int16 samples
-    // byte reads go against the RENAMED __m column — the caller's `media`
-    // expression is unresolvable after the first select
-    val byteAt = (pos: Column) =>
-      conv(hex(col("__m").substr(pos, lit(1))), 16, 10).cast("long")
-    df.select(id.as("id"), media.as("__m"), ns.as("__ns"))
-      .filter(col("__ns") > 0)
-      .select(col("id"), col("__m"),
-        explode(sequence(lit(0L), col("__ns") - 1)).as("__i"))
-      .withColumn("__u",
-        byteAt(lit(46) + col("__i") * 2) * 256 +
-          byteAt(lit(45) + col("__i") * 2))
-      .withColumn("__s",
-        col("__u") - when(col("__u") >= 32768, 65536L).otherwise(0L))
-      .groupBy(col("id"), (col("__i") / frameSamples).cast("int").as("frame"))
-      .agg(count(lit(1)).as("n_samples"),
-        sqrt(sum(col("__s") * col("__s")).cast("double") / count(lit(1)))
+    // r16: ONE native pass per clip (graft_pcm16_frames) replaces the
+    // sequence-explode + four string-allocating conv(hex(substr)) byte
+    // reads per sample + the (id, frame) aggregate exchange (guide §4/
+    // §2.4): the kernel emits each frame's integer (n, Σs²) directly, so
+    // the per-clip grain never expands to per-sample rows and the groupBy
+    // disappears. Same integer sums (order-free), same final
+    // sqrt(Σs²/n) double; empty data sections vanish exactly like the
+    // old `ns > 0` filter (empty array explodes to no rows).
+    // MultimodalSpec pins parity against the explode formulation.
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(id.as("id"),
+        explode(call_function("graft_pcm16_frames", media,
+          lit(frameSamples))).as("f"))
+      .select(col("id"), col("f.frame").as("frame"),
+        col("f.n").as("n_samples"),
+        sqrt(col("f.sumsq").cast("double") / col("f.n").cast("double"))
           .as("rms"))
   }
 
@@ -183,40 +183,31 @@ object Multimodal {
     * mean test, so real PCM with negative samples (raw u ≥ 0x8000) is
     * handled correctly, not treated as a huge positive. The mean test is
     * the integer cross-multiplication `n·sᵢ > Σs` — no float boundary
-    * anywhere, so the counts are bit-exact in any engine. Σs is computed
-    * per clip by an `aggregate` HOF over the byte positions (one
-    * expression, no second explode pass and no join-back); each exploded
-    * row then reads BOTH sample i and i−1 so the comparison is a pure
-    * projection — no lag window, no per-clip sort. Ties (`== mean`)
-    * count as the non-high side. Returns (id, n_samples, crossings, zcr).
+    * anywhere, so the counts are bit-exact in any engine. Σs and the
+    * crossing count are computed in ONE native pass per clip
+    * ([[graft.functions.Pcm16Zcr]]) — no per-sample explode, no lag
+    * window, no per-clip sort. Ties (`== mean`) count as the non-high
+    * side. Returns (id, n_samples, crossings, zcr).
     */
   def wavZeroCrossings(df: DataFrame, id: Column, media: Column): DataFrame = {
-    val ns = (leInt(media, 41, 4) / lit(2)).cast("long")
-    val byteAt = (pos: Column) =>
-      conv(hex(col("__m").substr(pos, lit(1))), 16, 10).cast("long")
-    def signed(u: Column): Column =
-      u - when(u >= 32768, 65536L).otherwise(0L)
-    df.select(id.as("id"), media.as("__m"), ns.as("__ns"))
-      .filter(col("__ns") > 1)
-      .withColumn("__tot", aggregate(
-        sequence(lit(0L), col("__ns") - 1), lit(0L),
-        (acc, i) => acc + signed(byteAt(lit(46) + i * 2) * 256 +
-          byteAt(lit(45) + i * 2))))
-      .select(col("id"), col("__m"), col("__ns"), col("__tot"),
-        explode(sequence(lit(1L), col("__ns") - 1)).as("__i"))
-      .withColumn("__u", signed(
-        byteAt(lit(46) + col("__i") * 2) * 256 +
-          byteAt(lit(45) + col("__i") * 2)))
-      .withColumn("__v", signed(
-        byteAt(lit(44) + col("__i") * 2) * 256 +
-          byteAt(lit(43) + col("__i") * 2)))
-      .withColumn("__c",
-        ((col("__u") * col("__ns") > col("__tot")) =!=
-          (col("__v") * col("__ns") > col("__tot"))).cast("long"))
-      .groupBy(col("id"))
-      .agg((count(lit(1)) + 1).as("n_samples"),
-        sum(col("__c")).as("crossings"),
-        (sum(col("__c")).cast("double") / count(lit(1))).as("zcr"))
+    // r16: ONE native pass per clip (graft_pcm16_zcr) replaces the
+    // interpreted aggregate-HOF Σs fold (which re-decoded the whole clip
+    // per clip through string-allocating byte reads), the per-sample
+    // explode with FOUR more byte reads per row, and the per-id aggregate
+    // exchange (guide §4/§2.4). The kernel runs the identical integer
+    // n·sᵢ > Σs cross-multiplication test sequentially, so
+    // (n_samples, crossings) are bit-exact; zcr = crossings/(ns−1) is the
+    // same long/long→double division the sum/count form produced. Clips
+    // with ns ≤ 1 return a null struct and are filtered exactly like the
+    // old `__ns > 1` gate. MultimodalSpec pins parity.
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(id.as("id"),
+        call_function("graft_pcm16_zcr", media).as("z"))
+      .filter(col("z").isNotNull)
+      .select(col("id"), col("z.n_samples").as("n_samples"),
+        col("z.crossings").as("crossings"),
+        (col("z.crossings").cast("double") /
+          (col("z.n_samples") - 1).cast("double")).as("zcr"))
   }
 
   /** Delta-encoding feasibility audit over 16-bit PCM samples — the
@@ -230,27 +221,19 @@ object Multimodal {
     * Returns (id, n_deltas, max_abs_delta, mean_abs_delta, delta_bits).
     */
   def wavDeltaAudit(df: DataFrame, id: Column, media: Column): DataFrame = {
-    val ns = (leInt(media, 41, 4) / lit(2)).cast("long")
-    val byteAt = (pos: Column) =>
-      conv(hex(col("__m").substr(pos, lit(1))), 16, 10).cast("long")
-    def signed(u: Column): Column =
-      u - when(u >= 32768, 65536L).otherwise(0L)
-    df.select(id.as("id"), media.as("__m"), ns.as("__ns"))
-      .filter(col("__ns") > 1)
-      .select(col("id"), col("__m"),
-        explode(sequence(lit(1L), col("__ns") - 1)).as("__i"))
-      .withColumn("__u", signed(
-        byteAt(lit(46) + col("__i") * 2) * 256 +
-          byteAt(lit(45) + col("__i") * 2)))
-      .withColumn("__v", signed(
-        byteAt(lit(44) + col("__i") * 2) * 256 +
-          byteAt(lit(43) + col("__i") * 2)))
-      .withColumn("__d", abs(col("__u") - col("__v")))
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_deltas"),
-        max(col("__d")).as("max_abs_delta"),
-        (sum(col("__d")).cast("double") / count(lit(1))).as("mean_abs_delta"),
-        length(bin(max(col("__d")))).cast("int").as("delta_bits"))
+    // r16: same single-pass nativization as [[wavZeroCrossings]] — the
+    // kernel returns (n_deltas, max |Δ|, Σ|Δ|) as exact longs; mean and
+    // delta_bits are the same long→double division and length(bin(max))
+    // the aggregate produced. MultimodalSpec pins parity.
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(id.as("id"),
+        call_function("graft_pcm16_delta", media).as("d"))
+      .filter(col("d").isNotNull)
+      .select(col("id"), col("d.n_deltas").as("n_deltas"),
+        col("d.max_abs").as("max_abs_delta"),
+        (col("d.sum_abs").cast("double") /
+          col("d.n_deltas").cast("double")).as("mean_abs_delta"),
+        length(bin(col("d.max_abs"))).cast("int").as("delta_bits"))
   }
 
   // ---------- perceptual hashing (aHash) ----------

@@ -913,21 +913,19 @@ object Similarity {
       scala.math.BigDecimal(x)
         .setScale(18, scala.math.BigDecimal.RoundingMode.HALF_UP)
 
-    val vecD = transform(vec, x => x.cast("double"))
     // phase 1 (the only data-sized phase): ONE pass, ONE aggregate, ONE
     // job reduces the corpus to the d first moments AND the
-    // upper-triangle d(d+1)/2 second moments together — per-row (j ≤ k)
-    // products through array HOFs (slice emits only the tail, halving
-    // the full d² fan-out), first moments riding along as (j, 0, xⱼ)
-    // entries of the same pair stream. Partial aggregation collapses
-    // map-side; DECIMAL sums exact; every group's count is exactly n.
-    val momentRows = df.select(explode(concat(
-        transform(vecD, (xj, j) =>
-          struct((j + 1).as("j"), lit(0).as("k"), xj.as("p"))),
-        flatten(transform(vecD, (xj, j) =>
-          transform(slice(vecD, j + 1, size(vecD) - j), (xk, k0) =>
-            struct((j + 1).as("j"), (j + 1 + k0).as("k"),
-              (xj * xk).as("p"))))))).as("e"))
+    // upper-triangle d(d+1)/2 second moments together. r16: the per-row
+    // (j ≤ k) fan-out is the native graft_moment_pairs kernel — the HOF
+    // chain it replaces (transform + slice + flatten + concat) evaluated
+    // interpreted with ~d²/2 lambda dispatches per row and was s20's
+    // dominant task CPU (guide §4; SimilaritySpec pins bit parity, and
+    // the element-wise cast to double commutes with the array-level
+    // cast). Partial aggregation collapses map-side; DECIMAL sums exact;
+    // every group's count is exactly n.
+    graft.functions.GraftFunctions.register(spark)
+    val momentRows = df.select(explode(call_function("graft_moment_pairs",
+        vec.cast("array<double>"))).as("e"))
       .select(col("e.j").as("j"), col("e.k").as("k"), col("e.p").as("p"))
       .groupBy("j", "k")
       // scaled-integer moment sums: floor(p·1e13) is the same exact

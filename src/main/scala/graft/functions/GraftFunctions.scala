@@ -70,16 +70,51 @@ object GraftFunctions {
       require(exprs.length == 3,
         "graft_mmr requires (cands array, sims array, k literal)")
       MmrSelect(exprs(0), exprs(1), exprs(2))
+    }),
+    "graft_word_grams" -> (exprs => {
+      require(exprs.length == 2,
+        "graft_word_grams requires (words array<string>, n literal)")
+      WordGrams(exprs(0), exprs(1))
+    }),
+    "graft_pcm16_frames" -> (exprs => {
+      require(exprs.length == 2,
+        "graft_pcm16_frames requires (media binary, frameSamples literal)")
+      Pcm16Frames(exprs(0), exprs(1))
+    }),
+    "graft_pcm16_zcr" -> (exprs => {
+      require(exprs.length == 1, "graft_pcm16_zcr requires (media binary)")
+      Pcm16Zcr(exprs(0))
+    }),
+    "graft_pcm16_delta" -> (exprs => {
+      require(exprs.length == 1, "graft_pcm16_delta requires (media binary)")
+      Pcm16Delta(exprs(0))
+    }),
+    "graft_moment_pairs" -> (exprs => {
+      require(exprs.length == 1,
+        "graft_moment_pairs requires one array<double> argument")
+      MomentPairs(exprs(0))
     }))
 
-  def register(spark: SparkSession): Unit = {
-    builders.foreach { case (name, builder) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, builder, "built-in")
+  // one registration per session (r16): register() is called from every
+  // df-level operator AND from gramsOfWords' active-session fallback, so
+  // it must be a cheap no-op after the first call — the udaf() line in
+  // particular re-derived the Aggregator encoders via reflection on every
+  // invocation (measured as a per-query-build cost once WordGrams made
+  // the calls frequent). Weak keys: a stopped session's entry is GC'd.
+  private val registered = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  def register(spark: SparkSession): Unit = synchronized {
+    if (!registered.contains(spark)) {
+      builders.foreach { case (name, builder) =>
+        spark.sessionState.functionRegistry
+          .createOrReplaceTempFunction(name, builder, "built-in")
+      }
+      // typed Aggregator UDAF (udf registry, not the expression registry)
+      spark.udf.register("graft_wmean",
+        org.apache.spark.sql.functions.udaf(WeightedMean))
+      registered.add(spark)
     }
-    // typed Aggregator UDAF (udf registry, not the expression registry)
-    spark.udf.register("graft_wmean",
-      org.apache.spark.sql.functions.udaf(WeightedMean))
   }
 
   private[functions] def builderFor(name: String): Seq[Expression] => Expression =

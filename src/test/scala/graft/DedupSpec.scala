@@ -34,6 +34,36 @@ class DedupSpec extends SparkSpec {
     assert(sh.toSeq == Seq(0))
   }
 
+  test("WordGrams kernel == interpreted HOF chain, incl. nulls/short/empty docs") {
+    // the r16 native kernel replaced exactly this spelling inside
+    // Dedup.gramsOfWords — pin bit parity on every edge the chain has:
+    // duplicates preserved, positional order, <n words → empty array,
+    // NULL words array → empty array, NULL element skipped by concat_ws
+    def hofGrams(w: org.apache.spark.sql.Column, n: Int) = {
+      val cnt = size(w) - (n - 1)
+      when(cnt >= 1,
+        transform(sequence(lit(1), cnt),
+          i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)))
+        .otherwise(array().cast("array<string>"))
+    }
+    graft.functions.GraftFunctions.register(spark)
+    val rows = Seq(
+      (1L, Seq("a", "b", "c", "d", "a", "b", "c")),     // dup grams
+      (2L, Seq("x", "y")),                                 // shorter than n=3
+      (3L, Seq.empty[String]),
+      (4L, Seq("one", "two", "three")),
+      (5L, null.asInstanceOf[Seq[String]]),                // null array
+      (6L, Seq("p", null, "q", "r"))                       // null element
+    ).toDF("id", "w")
+    for (n <- Seq(1, 2, 3, 8)) {
+      val got = rows.select(col("id"), Dedup.gramsOfWords(col("w"), n).as("g"))
+        .orderBy("id").collect().map(_.getSeq[String](1).toList).toList
+      val want = rows.select(col("id"), hofGrams(col("w"), n).as("g"))
+        .orderBy("id").collect().map(_.getSeq[String](1).toList).toList
+      assert(got == want, s"n=$n: $got != $want")
+    }
+  }
+
   test("jaccardPairs: near-dups score high, unrelated score low or absent") {
     val pairs = Dedup.jaccardPairs(docs, col("doc_id"), col("text"))
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

@@ -593,4 +593,38 @@ class SimilaritySpec extends SparkSpec {
     val mine = got.filter(_._1 == 0L).map(t => (t._1, t._3, t._4, t._5))
     assert(mine.toSeq.sortBy(_._4) == restricted.toSeq.sortBy(_._4))
   }
+
+  test("MomentPairs kernel == interpreted HOF chain, incl. null elements") {
+    // the r16 native kernel replaced exactly this spelling inside
+    // Similarity.topComponent phase 1 — pin bit parity: entry order,
+    // 1-based (j, k), (j, 0, xj) first moments, upper-triangle products,
+    // null elements poisoning only the entries they touch
+    graft.functions.GraftFunctions.register(spark)
+    val rows = Seq(
+      (1L, Seq(1.5, -2.25, 0.125, 3.0)),
+      (2L, Seq(0.1)),
+      (3L, Seq[java.lang.Double](2.0, null, 4.0).map(Option(_).map(_.doubleValue).getOrElse(Double.NaN))),
+      (4L, Seq.empty[Double])
+    ).toDF("id", "v")
+    val withNull = rows.withColumn("vv",
+      when(col("id") === 3L,
+        array(lit(2.0), lit(null).cast("double"), lit(4.0)))
+        .otherwise(col("v").cast("array<double>")))
+    def hofPairs(vec: org.apache.spark.sql.Column) = {
+      val vecD = transform(vec, x => x.cast("double"))
+      concat(
+        transform(vecD, (xj, j) =>
+          struct((j + 1).as("j"), lit(0).as("k"), xj.as("p"))),
+        flatten(transform(vecD, (xj, j) =>
+          transform(slice(vecD, j + 1, size(vecD) - j), (xk, k0) =>
+            struct((j + 1).as("j"), (j + 1 + k0).as("k"),
+              (xj * xk).as("p"))))))
+    }
+    val got = withNull.select(col("id"),
+        call_function("graft_moment_pairs", col("vv")).as("m"))
+      .orderBy("id").collect().map(_.get(1)).map(String.valueOf).toList
+    val want = withNull.select(col("id"), hofPairs(col("vv")).as("m"))
+      .orderBy("id").collect().map(_.get(1)).map(String.valueOf).toList
+    assert(got == want)
+  }
 }
