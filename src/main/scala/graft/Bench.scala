@@ -186,6 +186,9 @@ object Bench {
     // likewise the shared dedup prefix tables (t40/t23/t28's memo slots)
     try graft.queries.TextQueries.releaseSharedDedup()
     catch { case _: Throwable => () }
+    // and the shared co-purchase edge table (r16, SharedGraph memo)
+    try graft.queries.SharedGraph.release()
+    catch { case _: Throwable => () }
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     // Contention guard (r4's driver numbers were ~1.8× the uncontended truth
     // because another build was running): record host CPU count, the

@@ -44,7 +44,12 @@ object SparkEntry {
     // t23's full chain with NO session memos (fresh shingles + τ=1/2
     // prefix-filter + CC + survivors): keeps the end-to-end dedup cost
     // on the board now that t40/t23/t28 share the corpus tables
-    "t53_dedup_chain_fresh" -> ((s, dir) => TextQueries.dedupChainFresh(s, dir)))
+    "t53_dedup_chain_fresh" -> ((s, dir) => TextQueries.dedupChainFresh(s, dir)),
+    // the co-purchase edge build with NO session memo: keeps the
+    // end-to-end build cost on the board now that the six graph queries
+    // (q63/q77/q84/q102/q127/q132) share the edge table (r16,
+    // SharedGraph scaladoc — the same pattern)
+    "g01_co_edges_fresh" -> ((s, dir) => graft.queries.SharedGraph.coEdgesFresh(s, dir)))
 
   /** Auxiliary engine artifacts Verify stages alongside the query dumps —
     * NOT graded queries, just inputs an oracle needs to re-derive an

@@ -191,6 +191,11 @@ object Graph {
       e.join(a.select(col("node").as("src")), "src")
         .join(a.select(col("node").as("dst")), "dst")
         .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // (r16 note: a count-based early stop was measured and REVERTED — at
+    // sf0.1 the peel shrinks every round until the budget's last round
+    // (5922→1067→138→22→7→3→3), so the convergence check only ever adds
+    // one count job per round without skipping any; the fixed budget IS
+    // the honest cost at the fixture SFs.)
     for (_ <- 1 to rounds) {
       active = induced(active)
         .filter(col("deg") >= k)

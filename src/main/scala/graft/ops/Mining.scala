@@ -339,18 +339,29 @@ object Mining {
     */
   def hashWalks(edges: DataFrame, starts: DataFrame, steps: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
-    // Each hop materializes its O(walks)-row frontier eagerly: the chained
-    // per-hop plans would otherwise re-execute level k once per union
-    // branch that contains it (quadratic recompute), and the frontier is
-    // tiny by construction. The frontier BROADCASTS into the edge join —
-    // the edge table itself never shuffles — and the argmin is a
-    // map-side-combinable min(struct(score, dst)) rather than a window.
-    var cur = starts
+    // The frontier is O(walks) rows by construction — collect each hop to
+    // a driver-local relation (guide §8: decide with small rows; the s20/
+    // IVF driver-side-scalar pattern, r16) instead of localCheckpoint'ing
+    // it: one job per hop (the collect IS the hop's action) versus three
+    // (checkpoint materialization + broadcast build + re-scan), and the
+    // final union is a stack of LocalRelations no job re-executes.
+    // Schema — and so the declared output — is preserved verbatim by
+    // re-creating each frontier from its own collected rows. The frontier
+    // still BROADCASTS into the edge join — the edge table itself never
+    // shuffles — and the argmin is a map-side-combinable
+    // min(struct(score, dst)) rather than a window.
+    val spark = edges.sparkSession
+    val step0 = starts
       .select(col("node").as("walk_id"), lit(0).as("step"), col("node"))
-      .localCheckpoint(true)
-    var out = cur
-    for (i <- 1 to steps) {
-      cur = e.join(broadcast(cur.select(col("walk_id"), col("node"))),
+    val schema = step0.schema
+    def local(rows: Array[org.apache.spark.sql.Row]): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    var curRows = step0.collect()
+    var out = local(curRows)
+    var i = 1
+    while (i <= steps && curRows.nonEmpty) {
+      val cur = local(curRows)
+      curRows = e.join(broadcast(cur.select(col("walk_id"), col("node"))),
           col("node") === col("src"))
         .withColumn("__score",
           Prep.portableHash(col("walk_id") * lit(31) + lit(i), col("dst")))
@@ -358,8 +369,9 @@ object Mining {
         .agg(min(struct(col("__score"), col("dst"))).as("__m"))
         .select(col("walk_id"), lit(i).as("step"),
           col("__m.dst").as("node"))
-        .localCheckpoint(true)
-      out = out.unionByName(cur)
+        .collect()
+      out = out.unionByName(local(curRows))
+      i += 1
     }
     out
   }

@@ -174,12 +174,9 @@ object MiningQueries {
          |  SELECT * FROM w0 UNION ALL SELECT * FROM w1 UNION ALL
          |  SELECT * FROM w2 UNION ALL SELECT * FROM w3 UNION ALL SELECT * FROM w4)
          |ORDER BY walk_id, step""".stripMargin) { (s, dir) =>
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("g"), col("l_partkey").as("item"))
-      // materialize the co-occurrence build ONCE: the start-node selection
-      // and all 4 hops re-scan the edge table (hashWalks scaladoc)
-      val edges = Graph.coOccurrenceEdges(li, "g", "item", minSupport = 2)
-        .localCheckpoint(true)
+      // r16: shared memoized edge table (SharedGraph scaladoc), already
+      // checkpointed — the start-node selection and all 4 hops re-scan it
+      val edges = SharedGraph.coEdges(s, dir)
       val starts = edges.groupBy(col("src"))
         .agg(count(lit(1)).as("deg"))
         .orderBy(col("deg").desc, col("src"))

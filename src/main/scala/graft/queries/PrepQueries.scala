@@ -133,9 +133,9 @@ object PrepQueries {
          |${prIterSql(3)}
          |SELECT node AS part, round(r * CAST(1000000 AS DOUBLE), 6) AS rank_ppm
          |FROM r3 ORDER BY rank_ppm DESC, part LIMIT 100""".stripMargin) { (s, dir) =>
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("g"), col("l_partkey").as("item"))
-      val edges = Graph.coOccurrenceEdges(li, "g", "item", minSupport = 2)
+      // r16: shared memoized edge table (SharedGraph scaladoc) — the
+      // identical deterministic build, paid once per (session, dir)
+      val edges = SharedGraph.coEdges(s, dir)
       Graph.pageRank(edges, iterations = 3, damping = 0.875)
         .select(col("node").as("part"),
           round(col("r") * lit(1000000.0), 6).as("rank_ppm"))
@@ -172,9 +172,9 @@ object PrepQueries {
         |       GROUP BY 1)
         |SELECT node AS part, n_tri FROM pn
         |ORDER BY n_tri DESC, part LIMIT 50""".stripMargin) { (s, dir) =>
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("g"), col("l_partkey").as("item"))
-      val edges = Graph.coOccurrenceEdges(li, "g", "item", minSupport = 2)
+      // r16: shared memoized edge table (SharedGraph scaladoc) — the
+      // identical deterministic build, paid once per (session, dir)
+      val edges = SharedGraph.coEdges(s, dir)
       Graph.triangleCounts(edges)
         .select(col("node").as("part"), col("n_tri"))
         .orderBy(col("n_tri").desc, col("part"))
@@ -202,9 +202,9 @@ object PrepQueries {
          |${Graph.kCoreRoundsSql(k = 2, rounds = 6)}
          |SELECT node AS part, core_deg FROM kcore_final
          |ORDER BY part""".stripMargin) { (s, dir) =>
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("g"), col("l_partkey").as("item"))
-      val edges = Graph.coOccurrenceEdges(li, "g", "item", minSupport = 2)
+      // r16: shared memoized edge table (SharedGraph scaladoc) — the
+      // identical deterministic build, paid once per (session, dir)
+      val edges = SharedGraph.coEdges(s, dir)
       Graph.kCore(edges, k = 2, rounds = 6)
         .select(col("node").as("part"), col("core_deg"))
         .orderBy("part")
@@ -226,9 +226,9 @@ object PrepQueries {
          |${Graph.lpaRoundsSql(3)}
          |SELECT node AS part, community FROM lpa_final
          |ORDER BY part""".stripMargin) { (s, dir) =>
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("g"), col("l_partkey").as("item"))
-      val edges = Graph.coOccurrenceEdges(li, "g", "item", minSupport = 2)
+      // r16: shared memoized edge table (SharedGraph scaladoc) — the
+      // identical deterministic build, paid once per (session, dir)
+      val edges = SharedGraph.coEdges(s, dir)
       Graph.labelPropagation(edges, rounds = 3)
         .select(col("node").as("part"), col("community"))
         .orderBy("part")

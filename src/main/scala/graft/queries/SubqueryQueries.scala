@@ -113,11 +113,9 @@ object SubqueryQueries {
         |SELECT node AS part, CAST(min(depth) AS INTEGER) AS min_depth,
         |  count(*) AS n_paths
         |FROM reach GROUP BY node ORDER BY part""".stripMargin) { (s, dir) =>
-      val li = Tables.lineitem(s, dir)
-        .select(org.apache.spark.sql.functions.col("l_orderkey").as("g"),
-          org.apache.spark.sql.functions.col("l_partkey").as("item"))
-      graft.ops.Graph.coOccurrenceEdges(li, "g", "item", minSupport = 2)
-        .localCheckpoint()
+      // r16: shared memoized edge table (SharedGraph scaladoc), already
+      // checkpointed — the recursion still needs the temp view
+      graft.queries.SharedGraph.coEdges(s, dir)
         .createOrReplaceTempView("__q77_edges")
       s.sql(
         """WITH RECURSIVE
