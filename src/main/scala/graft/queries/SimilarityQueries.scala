@@ -275,6 +275,46 @@ object SimilarityQueries {
       s.read.parquet(s"$idxDir/cterm_by_cell"))
   }
 
+  /** Build-if-absent STORED two-level (residual) quantizer model — the
+    * s36/s45 stored-index move applied to the hierarchical family
+    * (r16, VERDICT r15 #5): L1 centroids, L2 residual centroids, and the
+    * full (vid, v, cell1, cell2) leaf assignment persist once under a
+    * content stamp, with the assignment partitionBy("cell1") so a probe
+    * prunes L1 cells at the directory level. IVF.twoLevelModel is
+    * deterministic by construction end-to-end (the property Verify's
+    * `_staged_ivf2_l1/l2` staging already relies on), so the stored
+    * tables are bit-identical to in-query training and every s31/s32/s33
+    * oracle grade is unchanged. Level sizes derive from the corpus count
+    * (autoK1K2 — the s12 derived-knob discipline) and ride in the stamp.
+    */
+  private def storedIvf2Model(s: org.apache.spark.sql.SparkSession,
+                              dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val emb = Tables.embeddings(s, dir)
+    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf2_model_" +
+      QueryDef.pathKey(dir)
+    val marker = java.nio.file.Paths.get(idxDir, "_GRAFT_INDEX")
+    val stampRow = emb.agg(count(lit(1)),
+      sum(xxhash64(col("vec_id"), col("embedding").cast("string")))).first()
+    val (k1, k2) = graft.ext.IVF.autoK1K2(stampRow.getLong(0))
+    val stamp = s"k1=$k1 k2=$k2 iters=3 vecs=${stampRow.getLong(0)} " +
+      s"fp=${stampRow.getLong(1)} src=$dir"
+    val existing =
+      if (java.nio.file.Files.exists(marker))
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+      else ""
+    if (existing != stamp) {
+      val (l1, l2, assigned) = graft.ext.IVF.twoLevelModel(
+        emb, "vec_id", "embedding", k1, k2, iters = 3)
+      l1.write.mode("overwrite").parquet(s"$idxDir/l1")
+      l2.write.mode("overwrite").parquet(s"$idxDir/l2")
+      assigned.write.partitionBy("cell1").mode("overwrite")
+        .parquet(s"$idxDir/assign_by_cell1")
+      java.nio.file.Files.write(marker, stamp.getBytes("UTF-8"))
+    }
+    (s.read.parquet(s"$idxDir/l1"), s.read.parquet(s"$idxDir/l2"),
+      s.read.parquet(s"$idxDir/assign_by_cell1"))
+  }
+
   /** Force-build every content-stamped stored index this registry owns —
     * Bench's pre-pass (VERDICT r14 #3): a stored-index query's board
     * entry must time the PROBE, not a build that happens to hit a fresh
@@ -291,6 +331,7 @@ object SimilarityQueries {
     storedPqCodesA(s, dir)
     storedIvfPqIndex(s, dir)
     storedResIvfPqIndex(s, dir)
+    storedIvf2Model(s, dir)
     ()
   }
 
@@ -862,8 +903,13 @@ object SimilarityQueries {
          |        + list_dot_product(l2.c, l2.c), l2.cell) AS rn
          |  FROM r CROSS JOIN l2) WHERE rn = 1
          |ORDER BY vid""".stripMargin) { (s, dir) =>
-      graft.ext.IVF.twoLevelAssignTable(Tables.embeddings(s, dir),
-          "vec_id", "embedding")
+      // r16: the STORED model (storedIvf2Model — bit-identical to
+      // in-query training by twoLevelModel's determinism, the property
+      // the staged oracle already relies on): the query path is a pruned
+      // parquet scan of the leaf assignment + the output sort
+      val (_, _, assigned) = storedIvf2Model(s, dir)
+      assigned.select(col("vid"), col("cell1").cast("int").as("cell1"),
+          col("cell2"))
         .orderBy("vid")
     },
 
@@ -873,8 +919,15 @@ object SimilarityQueries {
     // engine-trusted, rerank DuckDB re-derived), with s31 grading the
     // leaf assignment itself and IVFSpec pinning full-probe == brute.
     QueryDef("s32_ann_ivf2", stagedRerankSql("s32_ann_ivf2")) { (s, dir) =>
-      graft.ext.IVF.ivf2TopK(Tables.embeddings(s, dir),
-          "vec_id", "embedding", col("vec_id") % 50 === 0,
+      // r16: probe the STORED model (storedIvf2Model) — identical
+      // candidates and ranks (bit-identical model by determinism); the
+      // query path pays two tiny centroid broadcasts + the leaf join,
+      // never a training pass
+      val (l1, l2, assigned) = storedIvf2Model(s, dir)
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"),
+          col("embedding").cast("array<double>").as("q_vec"))
+      graft.ext.IVF.ivf2TopKWith(l1, l2, assigned, q,
           k = 5, nprobe1 = 2, nprobe2 = 2)
         .orderBy("q_id", "rn")
     },
@@ -975,12 +1028,13 @@ object SimilarityQueries {
       val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", pred, k = 5)
         .select(col("q_id"), col("c_id")).localCheckpoint()
       val nq = emb.filter(pred).agg(count(lit(1)).as("n_queries"))
-      // train ONCE for the whole sweep: quantizer + leaf assignment are
-      // probe-independent (the s27 move, one level deeper)
-      val (k1, k2) = graft.ext.IVF.autoK1K2(emb.count())
-      val (l1, l2, assigned0) = graft.ext.IVF.twoLevelModel(
-        emb, "vec_id", "embedding", k1, k2, iters = 3)
-      val assigned = assigned0.localCheckpoint()
+      // r16: the sweep probes the STORED model (storedIvf2Model) —
+      // quantizer + leaf assignment are probe-independent, and the
+      // stored tables are bit-identical to the in-query training this
+      // replaced (twoLevelModel determinism), so every recall row is
+      // unchanged. The assignment is parquet-backed: no localCheckpoint
+      // needed, the three configs scan the (tiny) index directly.
+      val (l1, l2, assigned) = storedIvf2Model(s, dir)
       val q = emb.filter(pred).select(col("vec_id").as("q_id"),
         col("embedding").cast("array<double>").as("q_vec"))
       Seq((1, 1), (2, 2), (3, 3)).map { case (p1, p2) =>

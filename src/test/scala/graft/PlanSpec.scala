@@ -905,18 +905,21 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
-  test("s31 two-level assignment: post-build plan is a map-only projection — no join, no corpus re-scan") {
-    // the whole point of the hierarchical quantizer: the L1 assign +
-    // residual join happen ONCE at build time behind the eager
-    // localCheckpoint, so the query-side plan is a bare projection (the
-    // L2 kernel) over the materialized residual table. A Join or
-    // FileScan here means the build leaked into the per-query path; the
-    // only Exchange allowed is the output orderBy's range partitioning.
+  test("s31 two-level assignment: query plan is a pruned stored-index scan — no join, no training") {
+    // r16: the model is a STORED index (storedIvf2Model) — the query
+    // path must be ONE parquet scan of the leaf-assignment table (with
+    // the heavy `v` column pruned away: only vid/cell1/cell2 are read)
+    // plus the output sort. A Join, a second FileScan (corpus re-scan),
+    // or an ExistingRDD (in-query training lineage) means the build
+    // leaked back into the per-query path; the only Exchange allowed is
+    // the output orderBy's range partitioning.
     val plan = SparkEntry.queries("s31_ivf2_cells")(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"build-time join leaked into the query plan: $plan")
-    assert(!plan.contains("FileScan"), s"corpus re-scanned at query time: $plan")
-    assert(plan.contains("ExistingRDD"), s"expected the checkpointed residual table: $plan")
+    assert(!plan.contains("ExistingRDD"), s"in-query training lineage present: $plan")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected exactly one stored-index scan, got $scans: $plan")
+    assert(!plan.contains("embedding"), s"corpus columns read at query time: $plan")
     val exchanges = "Exchange".r.findAllIn(plan).length
     val rangeEx = "Exchange rangepartitioning".r.findAllIn(plan).length
     assert(exchanges == rangeEx, s"non-orderBy shuffle in the assignment path: $plan")
