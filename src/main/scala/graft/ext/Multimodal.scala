@@ -201,9 +201,17 @@ object Multimodal {
     // with ns ≤ 1 return a null struct and are filtered exactly like the
     // old `__ns > 1` gate. MultimodalSpec pins parity.
     graft.functions.GraftFunctions.register(df.sparkSession)
-    df.select(id.as("id"),
-        call_function("graft_pcm16_zcr", media).as("z"))
-      .filter(col("z").isNotNull)
+    // gate on the header-derived sample count, NOT isnotnull(kernel): a
+    // kernel-valued filter gets pushed below the projection and the
+    // expression is then evaluated twice per row (once in the Filter,
+    // once in the Project — visible in plans/r16). The header read is a
+    // few codegen'd string ops on 8 bytes; surviving rows always have a
+    // non-null kernel struct (ns > 1 is exactly its null condition).
+    val ns = (leInt(media, 41, 4) / lit(2)).cast("long")
+    df.select(id.as("id"), media.as("__m"), ns.as("__ns"))
+      .filter(col("__ns") > 1)
+      .select(col("id"),
+        call_function("graft_pcm16_zcr", col("__m")).as("z"))
       .select(col("id"), col("z.n_samples").as("n_samples"),
         col("z.crossings").as("crossings"),
         (col("z.crossings").cast("double") /
@@ -226,9 +234,12 @@ object Multimodal {
     // delta_bits are the same long→double division and length(bin(max))
     // the aggregate produced. MultimodalSpec pins parity.
     graft.functions.GraftFunctions.register(df.sparkSession)
-    df.select(id.as("id"),
-        call_function("graft_pcm16_delta", media).as("d"))
-      .filter(col("d").isNotNull)
+    // header-derived gate, not isnotnull(kernel) — see wavZeroCrossings
+    val ns = (leInt(media, 41, 4) / lit(2)).cast("long")
+    df.select(id.as("id"), media.as("__m"), ns.as("__ns"))
+      .filter(col("__ns") > 1)
+      .select(col("id"),
+        call_function("graft_pcm16_delta", col("__m")).as("d"))
       .select(col("id"), col("d.n_deltas").as("n_deltas"),
         col("d.max_abs").as("max_abs_delta"),
         (col("d.sum_abs").cast("double") /

@@ -1027,8 +1027,22 @@ object Similarity {
     * one (point, centroid) aggregate keyed by point — never a pair join
     * over points.
     */
-  def silhouetteByLabel(emb: DataFrame, id: Column, label: Column,
-                        vec: Column): DataFrame = {
+  /** The (rid, slabel, clabel, d2) label-centroid distance table shared
+    * by [[silhouetteByLabel]] and [[nearestCentroidEval]] — r16: the
+    * per-label decimal-mean centroids still come from one exploded
+    * aggregate (n·d rows, one exchange, unchanged arithmetic), but they
+    * are then COLLECTED (L·d doubles — the nearestCellExpr k-row-collect
+    * discipline) and the n·L distance rows are produced MAP-ONLY by the
+    * decimal-exact [[graft.functions.SqDistDecimal]] kernel. The old
+    * shape joined the n·d exploded rows to the (L·d) centroid table on
+    * dim — an n·d·L fan-out (1.28M decimal-cast rows at sf0.1) plus a
+    * decimal-sum shuffle per query. Bit parity pinned in SimilaritySpec;
+    * the d2 doubles are identical, so both consumers' oracle grades are
+    * unchanged.
+    */
+  private def labelDistRows(emb: DataFrame, id: Column, label: Column,
+                            vec: Column): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val x = emb.select(id.as("rid"),
         label.as("slabel"), posexplode(transform(vec, v => v.cast("double"))))
       .select(col("rid"), col("slabel"), (col("pos") + 1).as("dim"),
@@ -1036,15 +1050,45 @@ object Similarity {
     val cent = x.groupBy(col("slabel").as("clabel"), col("dim"))
       .agg((sum(col("v").cast("decimal(38,18)")).cast("double") /
         count(lit(1))).as("cv"))
-    val d2 = x.join(broadcast(cent), "dim")
-      .groupBy(col("rid"), col("slabel"), col("clabel"))
-      .agg(sum(((col("v") - col("cv")) * (col("v") - col("cv")))
-        .cast("decimal(38,18)")).cast("double").as("d2"))
-    val a2 = d2.filter(col("clabel") === col("slabel"))
-      .select(col("rid"), col("slabel"), col("d2").as("a2"))
-    val b2 = d2.filter(col("clabel") =!= col("slabel"))
-      .groupBy(col("rid")).agg(min(col("d2")).as("b2"))
-    a2.join(b2, "rid")
+    val rows = cent.collect()
+      .map { r =>
+        require(!r.isNullAt(0),
+          "labelDistRows: null labels are not supported by the kernel path")
+        (r.get(0), r.getInt(1), r.getDouble(2))
+      }
+      .groupBy(_._1).toSeq
+      .map { case (lbl, rs) =>
+        val byDim = rs.sortBy(_._2).toSeq
+        // dims must be the dense 1..d the index mapping assumes (holds by
+        // construction: every vector carries every dim)
+        require(byDim.map(_._2) == (1 to byDim.length).toSeq,
+          s"labelDistRows: non-dense dims for label $lbl")
+        (lbl, byDim.map(_._3))
+      }
+      .sortBy(_._1.toString)
+    val labels = rows.map(_._1.asInstanceOf[Int])
+    val matrix = rows.map(_._2.toSeq).toSeq
+    emb.filter(vec.isNotNull)
+      .select(id.as("rid"), label.as("slabel"),
+        posexplode(call_function("graft_sqdist_dec",
+          vec.cast("array<double>"), typedLit(matrix))))
+      .select(col("rid"), col("slabel"),
+        element_at(typedLit(labels), col("pos") + 1).as("clabel"),
+        col("col").as("d2"))
+  }
+
+  def silhouetteByLabel(emb: DataFrame, id: Column, label: Column,
+                        vec: Column): DataFrame = {
+    // ONE grouped aggregate replaces the a2-filter ⋈ b2-aggregate join:
+    // a2 is the single clabel==slabel row's d2, b2 the min over the
+    // others, and the n_other>0 gate reproduces the inner join's "some
+    // other label exists" row set exactly.
+    labelDistRows(emb, id, label, vec)
+      .groupBy(col("rid"), col("slabel"))
+      .agg(max(when(col("clabel") === col("slabel"), col("d2"))).as("a2"),
+        min(when(col("clabel") =!= col("slabel"), col("d2"))).as("b2"),
+        count(when(col("clabel") =!= col("slabel"), lit(1))).as("__n_other"))
+      .filter(col("__n_other") > 0)
       .withColumn("sil",
         when(greatest(col("a2"), col("b2")) === 0.0, 0.0)
           .otherwise((col("b2") - col("a2")) / greatest(col("a2"), col("b2"))))
@@ -1058,17 +1102,11 @@ object Similarity {
 
   def nearestCentroidEval(emb: DataFrame, id: Column, label: Column,
                           vec: Column): DataFrame = {
-    val x = emb.select(id.as("rid"),
-        label.as("label"), posexplode(transform(vec, v => v.cast("double"))))
-      .select(col("rid"), col("label"), (col("pos") + 1).as("dim"),
-        col("col").as("v"))
-    val cent = x.groupBy(col("label").as("clabel"), col("dim"))
-      .agg((sum(col("v").cast("decimal(38,18)")).cast("double") /
-        count(lit(1))).as("cv"))
-    val d2 = x.join(broadcast(cent), "dim")
-      .groupBy(col("rid"), col("label"), col("clabel"))
-      .agg(sum(((col("v") - col("cv")) * (col("v") - col("cv")))
-        .cast("decimal(38,18)")).cast("double").as("d2"))
+    // r16: distances come from the shared map-only kernel table
+    // ([[labelDistRows]] — same doubles); the argmin window and the
+    // confusion rollup are unchanged
+    val d2 = labelDistRows(emb, id, label, vec)
+      .withColumnRenamed("slabel", "label")
     val w = Window.partitionBy("rid").orderBy(col("d2"), col("clabel"))
     val cm = d2.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)

@@ -93,6 +93,11 @@ object GraftFunctions {
       require(exprs.length == 1,
         "graft_moment_pairs requires one array<double> argument")
       MomentPairs(exprs(0))
+    }),
+    "graft_sqdist_dec" -> (exprs => {
+      require(exprs.length == 2,
+        "graft_sqdist_dec requires (vector, centroid matrix literal)")
+      SqDistDecimal(exprs(0), exprs(1))
     }))
 
   // one registration per session (r16): register() is called from every

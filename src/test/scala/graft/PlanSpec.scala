@@ -794,12 +794,16 @@ class PlanSpec extends SparkSpec {
       s"pooled-value lookups must stay equi/broadcast joins:\n$plan")
   }
 
-  test("s21 centroid audit: distance join is equi on dim, never a vector cross join") {
+  test("s21 centroid audit: distances are map-only kernel rows — no vector-scale join at all") {
+    // r16: the n·d·L exploded dim-join (the BroadcastHashJoin the old pin
+    // allowed) is gone — distances come from the graft_sqdist_dec kernel
+    // over collected centroid literals. The ONLY join left is the 1-row
+    // BNLJ-Cross accuracy reinjection (legitimate scalar).
     val plan = SparkEntry.queries("s21_centroid_labels")(spark, sf)
       .queryExecution.executedPlan.toString
-    // scalar accuracy reinjection is a 1-row BNLJ-Cross (legitimate);
-    // the vector-scale joins must stay hash equi-joins
-    assert(plan.contains("BroadcastHashJoin") &&
+    assert(plan.contains("graft_sqdist_dec"), plan)
+    assert(!plan.contains("BroadcastHashJoin") &&
+      !plan.contains("SortMergeJoin") &&
       !plan.contains("CartesianProduct"), plan)
   }
 

@@ -627,4 +627,63 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("id").collect().map(_.get(1)).map(String.valueOf).toList
     assert(got == want)
   }
+
+  test("SqDistDecimal kernel path == exploded decimal-join chain (s21/s24 distances)") {
+    // r16: labelDistRows replaced the n*d*L exploded join + decimal-sum
+    // shuffle; pin both consumers' outputs bitwise against the verbatim
+    // pre-r16 formulations on the real corpus
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    def oldDist(): org.apache.spark.sql.DataFrame = {
+      val x = emb.select(col("vec_id").as("rid"), col("label").as("slabel"),
+          posexplode(transform(col("embedding"), v => v.cast("double"))))
+        .select(col("rid"), col("slabel"), (col("pos") + 1).as("dim"),
+          col("col").as("v"))
+      val cent = x.groupBy(col("slabel").as("clabel"), col("dim"))
+        .agg((sum(col("v").cast("decimal(38,18)")).cast("double") /
+          count(lit(1))).as("cv"))
+      x.join(broadcast(cent), "dim")
+        .groupBy(col("rid"), col("slabel"), col("clabel"))
+        .agg(sum(((col("v") - col("cv")) * (col("v") - col("cv")))
+          .cast("decimal(38,18)")).cast("double").as("d2"))
+    }
+    val want = oldDist().collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3))
+    // the new path is private; drive it through both public consumers
+    val sil = Similarity.silhouetteByLabel(emb, col("vec_id"), col("label"),
+      col("embedding"))
+    val oldA2 = oldDist().filter(col("clabel") === col("slabel"))
+      .select(col("rid"), col("slabel"), col("d2").as("a2"))
+    val oldB2 = oldDist().filter(col("clabel") =!= col("slabel"))
+      .groupBy(col("rid")).agg(min(col("d2")).as("b2"))
+    val oldSil = oldA2.join(oldB2, "rid")
+      .withColumn("sil",
+        when(greatest(col("a2"), col("b2")) === 0.0, 0.0)
+          .otherwise((col("b2") - col("a2")) / greatest(col("a2"), col("b2"))))
+      .groupBy(col("slabel").as("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("sil") * lit(1e9)).cast("long")).as("sil_q"))
+      .withColumn("mean_sil",
+        col("sil_q").cast("double") / (col("n").cast("double") * lit(1e9)))
+      .drop("sil_q")
+    assert(sil.orderBy("label").collect().map(_.toString).toSeq ==
+      oldSil.orderBy("label").collect().map(_.toString).toSeq)
+    // and the confusion matrix consumer
+    val cm = Similarity.nearestCentroidEval(emb, col("vec_id"), col("label"),
+      col("embedding"))
+    val oldW = org.apache.spark.sql.expressions.Window
+      .partitionBy("rid").orderBy(col("d2"), col("clabel"))
+    val oldCm0 = oldDist().withColumnRenamed("slabel", "label")
+      .withColumn("rn", row_number().over(oldW))
+      .filter(col("rn") === 1)
+      .groupBy(col("label"), col("clabel").as("pred"))
+      .agg(count(lit(1)).as("n"))
+    val oldAcc = oldCm0.agg(
+      (sum(when(col("label") === col("pred"), col("n")).otherwise(0L))
+        .cast("double") / sum(col("n"))).as("accuracy"))
+    val oldCm = oldCm0.crossJoin(broadcast(oldAcc))
+    assert(cm.orderBy("label", "pred").collect().map(_.toString).toSeq ==
+      oldCm.orderBy("label", "pred").collect().map(_.toString).toSeq)
+    assert(want.nonEmpty)
+  }
 }
